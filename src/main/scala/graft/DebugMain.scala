@@ -1,0 +1,21 @@
+package graft
+
+/** Dev helper: run one declared query (or `entry`) and show rows + plan.
+  * Usage: runMain graft.DebugMain <queryName|entry> [sfDir] [--plan]
+  */
+object DebugMain {
+  def main(args: Array[String]): Unit = {
+    val name = args.headOption.getOrElse("entry")
+    val d = args.lift(1).getOrElse("/root/testdata/sf0.001")
+    val s = Sessions.get("graft-debug")
+    try {
+      val df =
+        if (name == "entry") SparkEntry.entry(s)
+        else SparkEntry.queries(name)(s, d)
+      if (args.contains("--plan")) df.explain("formatted")
+      df.show(20, truncate = false)
+      println(s"[debug] $name rows=${df.count()}")
+    } catch { case e: Throwable => e.printStackTrace() }
+    s.stop()
+  }
+}

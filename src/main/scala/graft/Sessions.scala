@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession construction so Verify / Bench / tests share the
+  * exact configuration the engine is designed for.
+  *
+  * Notes:
+  *  - `nanosAsLong`: the driver's `events` table carries timestamp[ns],
+  *    which Spark's parquet reader rejects; reading it as epoch-nanos Long
+  *    keeps full precision (DuckDB side uses epoch_ns(ts) to match).
+  *  - AQE on: runtime coalescing + skew-join handling is part of the
+  *    100 TB design (SURVEY.md §7.2 M6).
+  *  - shuffle.partitions defaults to the core count for local runs; on a
+  *    real cluster this is set to ~2-3× total cores (AQE coalesces down).
+  */
+object Sessions {
+  def cpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+
+  def builder(appName: String): SparkSession.Builder =
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.sql.parquet.compression.codec", "zstd")
+
+  def get(appName: String): SparkSession = {
+    val s = builder(appName).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

@@ -1,0 +1,167 @@
+package graft.queries
+
+import graft.{QueryFamily, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Aggregation family (SURVEY.md §2.C-4): hash aggregation with partial
+  * (map-side) + final split — free from Catalyst; grouping sets / rollup /
+  * cube; distinct aggregation.
+  *
+  * Determinism (§7.5): money/quantity summed as DECIMAL(18,4) so the result
+  * is independent of partial-aggregation order; averages emitted as
+  * round(exact_decimal_sum / count, 6) doubles.
+  */
+object Aggs extends QueryFamily {
+
+  private def dec(c: String) = col(c).cast("decimal(18,4)")
+
+  /** Flagship: TPC-H Q1 pricing summary shape on lineitem.
+    *
+    * Decimal discipline: products are kept inside Spark's exact 38-digit
+    * range — price as DECIMAL(12,4), the (1±x) factors as DECIMAL(8,4) —
+    * so (12,4)×(8,4)×(8,4) → (30,12) with NO precision-loss rounding and
+    * the sums match DuckDB bit-for-bit.
+    */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame = {
+    val price = col("l_extendedprice").cast("decimal(12,4)")
+    val discF = (lit(1) - dec("l_discount")).cast("decimal(8,4)")
+    val taxF = (lit(1) + dec("l_tax")).cast("decimal(8,4)")
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec("l_quantity")).cast("decimal(18,4)").as("sum_qty"),
+        sum(dec("l_extendedprice")).cast("decimal(18,4)").as("sum_base_price"),
+        // round() before fixing the scale: DuckDB's decimal downscale CAST
+        // truncates, Spark's rounds — round(x, s) agrees on both engines.
+        round(sum(price * discF), 4).cast("decimal(18,4)").as("sum_disc_price"),
+        round(sum(price * discF * taxF), 4).cast("decimal(18,4)").as("sum_charge"),
+        round(sum(dec("l_quantity")).cast("double") / count(lit(1)), 6).as("avg_qty"),
+        round(sum(dec("l_extendedprice")).cast("double") / count(lit(1)), 6).as("avg_price"),
+        round(sum(dec("l_discount")).cast("double") / count(lit(1)), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q_agg_distinct" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    },
+    "q_agg_having" -> { (s, d) =>
+      Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n_orders"),
+             sum(dec("o_totalprice")).cast("decimal(18,4)").as("total_spent"))
+        .filter(col("n_orders") >= 3)
+        .orderBy("o_custkey")
+    },
+    "q_agg_rollup" -> { (s, d) =>
+      val n = Tables.nation(s, d).as("n")
+      val r = Tables.region(s, d).as("r")
+      val c = Tables.customer(s, d).as("c")
+      c.join(broadcast(n), col("c.c_nationkey") === col("n.n_nationkey"))
+        .join(broadcast(r), col("n.n_regionkey") === col("r.r_regionkey"))
+        .select(col("r.r_name").as("r_name"), col("n.n_name").as("n_name"),
+                col("c.c_acctbal").as("c_acctbal"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("n_cust"),
+             sum(dec("c_acctbal")).cast("decimal(18,4)").as("sum_bal"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first)
+    },
+    "q_agg_cube" -> { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"),
+             sum(dec("o_totalprice")).cast("decimal(18,4)").as("sum_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+                 col("o_orderpriority").asc_nulls_first)
+    },
+    "q_agg_grouping_sets" -> { (s, d) =>
+      // grouping() disambiguates real NULLs from rollup NULLs.
+      Tables.orders(s, d).createOrReplaceTempView("orders_gs")
+      s.sql(
+        """SELECT o_orderstatus, o_orderpriority,
+          |  grouping(o_orderstatus) AS g_status,
+          |  grouping(o_orderpriority) AS g_prio,
+          |  count(*) AS n
+          |FROM orders_gs
+          |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+          |ORDER BY g_status, g_prio,
+          |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
+    },
+    "q_agg_minmax" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(
+          min("l_quantity").as("min_qty"),
+          max("l_quantity").as("max_qty"),
+          min("l_shipdate").as("min_ship"),
+          max("l_shipdate").as("max_ship"))
+        .orderBy("l_linestatus")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4))), 4) AS DECIMAL(18,4)) AS sum_disc_price,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4)) * CAST(1 + CAST(l_tax AS DECIMAL(18,4)) AS DECIMAL(8,4))), 4) AS DECIMAL(18,4)) AS sum_charge,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
+        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS n_parts,
+        |  count(DISTINCT l_suppkey) AS n_supps,
+        |  count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_having" ->
+      """SELECT o_custkey, count(*) AS n_orders,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS total_spent
+        |FROM orders GROUP BY o_custkey HAVING count(*) >= 3
+        |ORDER BY o_custkey""".stripMargin,
+    "q_agg_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP (r_name, n_name)
+        |ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""".stripMargin,
+    "q_agg_cube" ->
+      """SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_price
+        |FROM orders
+        |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_agg_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |  grouping(o_orderstatus) AS g_status,
+        |  grouping(o_orderpriority) AS g_prio,
+        |  count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        |ORDER BY g_status, g_prio,
+        |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_agg_minmax" ->
+      """SELECT l_linestatus,
+        |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+        |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+  )
+}
