@@ -12,7 +12,8 @@ object SparkEntry {
 
   private def families: Seq[QueryFamily] = Seq(
     q.Scans,
-    q.Aggs
+    q.Aggs,
+    q.Joins
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
