@@ -13,7 +13,9 @@ object SparkEntry {
   private def families: Seq[QueryFamily] = Seq(
     q.Scans,
     q.Aggs,
-    q.Joins
+    q.Joins,
+    q.Windows,
+    q.SetOps
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
