@@ -15,7 +15,8 @@ object SparkEntry {
     q.Aggs,
     q.Joins,
     q.Windows,
-    q.SetOps
+    q.SetOps,
+    q.Scalars
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,174 @@
+package graft.queries
+
+import graft.{QueryFamily, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scalar-function family (SURVEY.md §2.C-8): string / date / math / JSON /
+  * array (higher-order) functions. All Spark built-ins — codegen'd, no UDFs
+  * — so every expression stays inside WholeStageCodegen and pushes into the
+  * scan where it's a plain predicate.
+  *
+  * Determinism (§7.5):
+  *  - dot products computed in DOUBLE with identical left-to-right
+  *    accumulation on both engines (DuckDB's list_dot_product accumulates
+  *    in FLOAT for float lists — not used);
+  *  - round(x, 6) on any derived double;
+  *  - regexes limited to constructs with identical Java/RE2 semantics.
+  */
+object Scalars extends QueryFamily {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_str_basic" -> { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          upper(col("p_name")).as("uname"),
+          substring(col("p_brand"), 1, 5).as("brand5"),
+          concat_ws("|", col("p_type"), col("p_brand")).as("type_brand"),
+          length(col("p_name")).as("name_len"))
+        .orderBy("p_partkey")
+    },
+    "q_str_like" -> { (s, d) =>
+      Tables.part(s, d)
+        .filter(col("p_type").like("%BRASS%") || col("p_name").like("%ol%"))
+        .select("p_partkey", "p_name", "p_type")
+        .orderBy("p_partkey")
+    },
+    "q_str_regexp" -> { (s, d) =>
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          regexp_extract(col("p_name"), "([a-z]+)$", 1).as("last_word"),
+          regexp_replace(col("p_brand"), "[0-9]+", "#").as("brand_masked"))
+        .orderBy("p_partkey")
+    },
+    "q_str_split" -> { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_tokens"),
+          element_at(split(col("text"), " "), 1).as("first_token"))
+        .orderBy("doc_id")
+    },
+    "q_date_parts" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("dom"),
+          date_trunc("month", col("o_orderdate")).cast("date").as("month_start"),
+          datediff(lit("1998-01-01").cast("date"), col("o_orderdate"))
+            .as("days_to_98"))
+        .orderBy("o_orderkey")
+    },
+    "q_date_agg" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(year(col("l_shipdate")).as("ship_year"),
+                 month(col("l_shipdate")).as("ship_month"))
+        .agg(count(lit(1)).as("n"),
+             sum(col("l_quantity").cast("decimal(18,4)"))
+               .cast("decimal(18,4)").as("sum_qty"))
+        .orderBy("ship_year", "ship_month")
+    },
+    "q_math" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_partkey") % 7).as("pk_mod7"),
+          abs(col("l_quantity") - 25).as("qty_dev"),
+          ceil(col("l_discount") * 100).as("disc_pct_ceil"),
+          floor(col("l_tax") * 100).as("tax_pct_floor"),
+          round(pow(col("l_quantity"), 2), 6).as("qty_sq"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+    "q_json" -> { (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").as("k_str"),
+          get_json_object(col("props"), "$.k").cast("long").as("k_num"))
+        .filter(col("k_num") >= 50)
+        .orderBy("event_id")
+    },
+    "q_arr_basic" -> { (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"),
+          size(col("embedding")).as("dim"),
+          element_at(col("embedding"), 1).as("e1"),
+          slice(col("embedding"), 1, 4).as("head4"))
+        .orderBy("vec_id")
+    },
+    "q_arr_dot" -> { (s, d) =>
+      // Dot product against a fixed query vector (vec_id=0), in DOUBLE with
+      // left-to-right accumulation — bit-identical to the DuckDB oracle's
+      // list_sum(list_transform(list_zip(...))) form. This brute-force
+      // broadcast-NLJ shape is also the ANN baseline (SURVEY.md §2.C-10).
+      val e = Tables.embeddings(s, d)
+      val q0 = e.filter(col("vec_id") === 0)
+        .select(col("embedding").as("qvec"))
+      e.crossJoin(broadcast(q0))
+        .select(col("vec_id"),
+          round(aggregate(
+            zip_with(col("embedding"), col("qvec"),
+              (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, x) => acc + x), 6).as("dot"))
+        .orderBy("vec_id")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_str_basic" ->
+      """SELECT p_partkey, upper(p_name) AS uname,
+        |  substring(p_brand, 1, 5) AS brand5,
+        |  concat_ws('|', p_type, p_brand) AS type_brand,
+        |  length(p_name) AS name_len
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_str_like" ->
+      """SELECT p_partkey, p_name, p_type FROM part
+        |WHERE p_type LIKE '%BRASS%' OR p_name LIKE '%ol%'
+        |ORDER BY p_partkey""".stripMargin,
+    "q_str_regexp" ->
+      """SELECT p_partkey,
+        |  regexp_extract(p_name, '([a-z]+)$', 1) AS last_word,
+        |  regexp_replace(p_brand, '[0-9]+', '#', 'g') AS brand_masked
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "q_str_split" ->
+      """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |  string_split(text, ' ')[1] AS first_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_date_parts" ->
+      """SELECT o_orderkey,
+        |  year(o_orderdate) AS y, month(o_orderdate) AS m,
+        |  dayofmonth(o_orderdate) AS dom,
+        |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+        |  datediff('day', CAST(o_orderdate AS DATE), DATE '1998-01-01') AS days_to_98
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_date_agg" ->
+      """SELECT year(l_shipdate) AS ship_year, month(l_shipdate) AS ship_month,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+        |FROM lineitem GROUP BY 1, 2 ORDER BY ship_year, ship_month""".stripMargin,
+    "q_math" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_partkey % 7 AS pk_mod7,
+        |  abs(l_quantity - 25) AS qty_dev,
+        |  CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+        |  CAST(floor(l_tax * 100) AS BIGINT) AS tax_pct_floor,
+        |  round(pow(l_quantity, 2), 6) AS qty_sq
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q_json" ->
+      """SELECT event_id,
+        |  json_extract_string(props, '$.k') AS k_str,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_num
+        |FROM events
+        |WHERE CAST(json_extract_string(props, '$.k') AS BIGINT) >= 50
+        |ORDER BY event_id""".stripMargin,
+    "q_arr_basic" ->
+      """SELECT vec_id, len(embedding) AS dim,
+        |  embedding[1] AS e1, embedding[1:4] AS head4
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "q_arr_dot" ->
+      """SELECT e.vec_id,
+        |  round(list_sum(list_transform(list_zip(e.embedding, q.qvec),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS dot
+        |FROM embeddings e
+        |CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+        |ORDER BY e.vec_id""".stripMargin
+  )
+}
