@@ -16,7 +16,8 @@ object SparkEntry {
     q.Joins,
     q.Windows,
     q.SetOps,
-    q.Scalars
+    q.Scalars,
+    q.Streaming
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

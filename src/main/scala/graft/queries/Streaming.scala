@@ -1,0 +1,126 @@
+package graft.queries
+
+import graft.{QueryFamily, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingest-analog + event-time family (SURVEY.md §2.C-2, §2.C-9).
+  *
+  * The reference's only relational operator is one-level explode/UNNEST
+  * (reference parquet/sinker/factory.go:207-220, sinker.go:193-224) plus
+  * map→entry-list normalization (converter_proto.go:82-87). Both are
+  * restated here as oracle-checked batch queries; the streaming forms
+  * (session windows, watermark, range-partitioned sink) are exercised in
+  * the StreamingSpec/IngestSpec ScalaTest fixtures where DuckDB has no
+  * equivalent.
+  *
+  * Event-time notes: `events.ts` is epoch-nanos LONG in Spark
+  * (nanosAsLong) — converted via timestamp_micros(ts div 1000) so Spark's
+  * window() grid and DuckDB's time_bucket() land on the same epoch-aligned
+  * boundaries.
+  */
+object Streaming extends QueryFamily {
+
+  /** events.ts (epoch ns long) as a proper microsecond timestamp. */
+  private def tsCol: Column = timestamp_micros(expr("ts div 1000"))
+
+  private def dec(c: String) = col(c).cast("decimal(12,4)")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_explode_tokens" -> { (s, d) =>
+      // One-level UNNEST, the reference's "explode" (scalar-element table).
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("token"))
+        .orderBy("doc_id", "pos")
+    },
+    "q_map_entries" -> { (s, d) =>
+      // map → sorted entry-list normalization (the reference's map layout,
+      // made deterministic — SURVEY.md §2.A#8).
+      Tables.events(s, d)
+        .select(col("event_id"),
+          array_sort(map_entries(
+            map(lit("k"), get_json_object(col("props"), "$.k").cast("long"),
+                lit("u"), col("user_id"))))
+            .as("entries"))
+        .orderBy("event_id")
+    },
+    "q_raw_projection" -> { (s, d) =>
+      // The reference's raw fallback converter: (block_number, block_id,
+      // payload) pass-through (converter_raw.go:22-26), on events.
+      Tables.events(s, d)
+        .select(col("event_id").as("block_number"),
+          concat(lit("0x"), lpad(hex(col("event_id")), 16, "0"))
+            .as("block_id"),
+          encode(col("props"), "utf-8").as("payload"))
+        .orderBy("block_number")
+    },
+    "q_stream_tumbling" -> { (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(tsCol, "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+             sum(dec("value")).cast("decimal(18,4)").as("sum_value"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"),
+                col("sum_value"))
+        .orderBy("ws", "event_type")
+    },
+    "q_stream_sliding" -> { (s, d) =>
+      // 1h windows sliding every 30min: each event lands in 2 windows.
+      Tables.events(s, d)
+        .groupBy(window(tsCol, "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+             sum(dec("value")).cast("decimal(18,4)").as("sum_value"))
+        .select(col("w.start").as("ws"), col("n"), col("sum_value"))
+        .orderBy("ws")
+    },
+    "q_stream_dedup_latest" -> { (s, d) =>
+      // Streaming dropDuplicates analog: latest event per (user, type) —
+      // the batch shape of `dropDuplicates` + max-ts state (§2.B stateful).
+      Tables.events(s, d)
+        .groupBy(col("user_id"), col("event_type"))
+        .agg(max(col("ts")).as("ns"), count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("event_type"),
+                expr("ns div 1000").as("last_us"), col("n_events"))
+        .orderBy("user_id", "event_type")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_explode_tokens" ->
+      """SELECT doc_id,
+        |  generate_subscripts(string_split(text, ' '), 1) AS pos,
+        |  unnest(string_split(text, ' ')) AS token
+        |FROM documents WHERE doc_id < 100
+        |ORDER BY doc_id, pos""".stripMargin,
+    "q_map_entries" ->
+      """SELECT event_id,
+        |  [struct_pack(key := 'k',
+        |     value := CAST(json_extract_string(props, '$.k') AS BIGINT)),
+        |   struct_pack(key := 'u', value := user_id)] AS entries
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q_raw_projection" ->
+      """SELECT event_id AS block_number,
+        |  '0x' || lpad(hex(event_id), 16, '0') AS block_id,
+        |  encode(props) AS payload
+        |FROM events ORDER BY block_number""".stripMargin,
+    "q_stream_tumbling" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
+    "q_stream_sliding" ->
+      """SELECT ws, count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS sum_value
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
+        |    AS ws, value FROM events)
+        |GROUP BY ws ORDER BY ws""".stripMargin,
+    "q_stream_dedup_latest" ->
+      """SELECT user_id, event_type, epoch_us(max(ts)) AS last_us,
+        |  count(*) AS n_events
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin
+  )
+}
