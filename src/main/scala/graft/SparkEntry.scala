@@ -17,7 +17,8 @@ object SparkEntry {
     q.Windows,
     q.SetOps,
     q.Scalars,
-    q.Streaming
+    q.Streaming,
+    q.Llm
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,292 @@
+package graft.queries
+
+import graft.{QueryFamily, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** LLM-data-pipeline family (SURVEY.md §2.C-10, driver north star):
+  * deduplication, text analysis, document fingerprinting, similarity
+  * search. Everything is Spark built-ins / higher-order functions — no
+  * UDFs — so the whole family stays codegen'd and scales by partitioning.
+  *
+  * Scale design (100 TB):
+  *  - exact dedup = one hash shuffle on the dedup key (or its md5 — 16
+  *    bytes/row shuffled, not the document body);
+  *  - MinHash+LSH near-dup: per-doc signature (map-only) → explode to
+  *    (band, bandHash) → shuffle groups only docs sharing a band bucket —
+  *    the all-pairs O(n²) never materializes; candidate verification
+  *    joins only within buckets;
+  *  - brute-force cosine top-k broadcasts the (small) query set and
+  *    scans+scores the corpus map-side; per-query top-k via window over a
+  *    partial aggregation, no global sort of all scores.
+  *
+  * Oracle-checked where DuckDB can express the op; MinHash/SimHash/LSH are
+  * declared without oracles (driver rows-only check) and pinned by
+  * LlmSpec invariants instead.
+  */
+object Llm extends QueryFamily {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** 3-gram word shingles (falls back to whole-doc for tiny docs). */
+  private def shingles: Column = expr(
+    """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+      |  i -> concat_ws(' ', element_at(split(text, ' '), int(i)),
+      |                      element_at(split(text, ' '), int(i) + 1),
+      |                      element_at(split(text, ' '), int(i) + 2)))
+      |""".stripMargin)
+
+  /** MinHash signature: nPerm permutations simulated by salting xxhash64. */
+  private def minhashSig(nPerm: Int): Column = expr(
+    s"""transform(sequence(0, ${nPerm - 1}),
+       |  j -> array_min(transform(shingles,
+       |         s -> xxhash64(concat(s, '#', cast(j as string))))))
+       |""".stripMargin)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- deduplication ----------------------------------------------
+    "q_dedup_exact" -> { (s, d) =>
+      // Keep the lowest doc_id per exact text; shuffle key is md5(text)
+      // (16 bytes) rather than the document body — at 100 TB the shuffle
+      // moves fingerprints, not corpora.
+      Tables.documents(s, d)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+        .select("keep_id", "n_copies")
+        .orderBy("keep_id")
+    },
+    "q_dedup_prefix" -> { (s, d) =>
+      // Near-dup by normalized prefix fingerprint (first 8 tokens) —
+      // the cheap first pass of a dedup cascade.
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(toks, 1, 8)).as("prefix8"))
+        .groupBy("prefix8")
+        .agg(min(col("doc_id")).as("keep_id"),
+             count(lit(1)).as("group_size"))
+        .filter(col("group_size") >= 2)
+        .select("keep_id", "group_size")
+        .orderBy("keep_id")
+    },
+    // ---- text analysis ----------------------------------------------
+    "q_text_quality" -> { (s, d) =>
+      // Length / token / stopword-ratio quality signals.
+      val nTok = size(toks)
+      val stop = expr(
+        """size(filter(split(text, ' '),
+          |  t -> array_contains(array('a', 'the', 'of', 'dup'), t)))""".stripMargin)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          length(col("text")).as("n_chars_actual"),
+          nTok.as("n_tokens"),
+          round(length(regexp_replace(col("text"), " ", ""))
+            .cast("double") / nTok, 6).as("avg_token_len"),
+          round(stop.cast("double") / nTok, 6).as("stopword_ratio"))
+        .orderBy("doc_id")
+    },
+    "q_token_counts" -> { (s, d) =>
+      // Corpus token frequencies — partial-aggregated map-side, so the
+      // shuffle carries (token, count) not token instances.
+      Tables.documents(s, d)
+        .select(explode(toks).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token").asc)
+    },
+    "q_lang_id" -> { (s, d) =>
+      // Heuristic language-ID: score tokens against fixed per-lang marker
+      // sets, argmax with deterministic tie-break, 'und' when no signal.
+      // (The synthetic corpus shares one vocabulary across langs — this
+      // checks the operator's determinism, not linguistic accuracy.)
+      val scoreOf: String => Column = markers =>
+        expr(s"""size(filter(split(text, ' '),
+                 |  t -> array_contains(array($markers), t)))""".stripMargin)
+      val en = scoreOf("'the', 'a', 'of', 'and'")
+      val fr = scoreOf("'le', 'la', 'et', 'de'")
+      val es = scoreOf("'el', 'los', 'y', 'de'")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          en.as("score_en"), fr.as("score_fr"), es.as("score_es"))
+        .withColumn("pred_lang",
+          when(greatest(col("score_en"), col("score_fr"), col("score_es")) === 0,
+            lit("und"))
+          .when(col("score_en") >= greatest(col("score_fr"), col("score_es")), lit("en"))
+          .when(col("score_fr") >= col("score_es"), lit("fr"))
+          .otherwise(lit("es")))
+        .orderBy("doc_id")
+    },
+    "q_fingerprint" -> { (s, d) =>
+      // Content-defined fingerprints: md5 of full text + of the sorted
+      // distinct token set (order-insensitive near-dup key).
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          md5(col("text")).as("fp_exact"),
+          md5(concat_ws(" ", array_sort(array_distinct(toks))))
+            .as("fp_tokenset"))
+        .orderBy("doc_id")
+    },
+    "q_jaccard_pairs" -> { (s, d) =>
+      // Token-set Jaccard over a bounded candidate set (doc_id < 40):
+      // the exact-verification stage of a near-dup pipeline. At scale the
+      // candidate pairs come from LSH buckets (q_minhash_neardup), never
+      // from a full cross join.
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"), array_distinct(toks).as("tset"))
+      val a = docs.select(col("doc_id").as("id_a"), col("tset").as("set_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("tset").as("set_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+                size(array_union(col("set_a"), col("set_b"))), 6).as("jaccard"))
+        .filter(col("jaccard") >= 0.5)
+        .orderBy("id_a", "id_b")
+    },
+    // ---- similarity search ------------------------------------------
+    "q_ann_cosine_topk" -> { (s, d) =>
+      // Brute-force cosine top-10 for 5 query vectors: broadcast the
+      // queries, score map-side (double-exact dot — embeddings are
+      // unit-norm so dot = cosine), per-query top-k via window.
+      val e = Tables.embeddings(s, d)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      val scored = e.crossJoin(broadcast(q))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          round(aggregate(
+            zip_with(col("embedding"), col("qvec"),
+              (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, x) => acc + x), 6).as("cos"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select("q_id", "rnk", "vec_id", "cos")
+        .orderBy("q_id", "rnk")
+    },
+    // ---- Spark-only (no DuckDB oracle; LlmSpec pins semantics) ------
+    "q_minhash_neardup" -> { (s, d) =>
+      // MinHash(32 perms) + LSH(8 bands × 4 rows): candidate pairs from
+      // band-bucket join, verified with exact Jaccard ≥ 0.3.
+      val sig = Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("tokens"), shingles.as("shingles"))
+        .select(col("doc_id"), col("tokens"), minhashSig(32).as("sig"))
+      val bands = sig.select(col("doc_id"), col("tokens"),
+          posexplode(expr(
+            """transform(sequence(0, 7),
+              |  b -> xxhash64(concat_ws(',', slice(sig, int(b) * 4 + 1, 4))))
+              |""".stripMargin)))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+      val aSide = bands.select(col("band"), col("band_hash"),
+        col("doc_id").as("id_a"), col("tokens").as("toks_a"))
+      val bSide = bands.select(col("band"), col("band_hash"),
+        col("doc_id").as("id_b"), col("tokens").as("toks_b"))
+      aSide.join(bSide, Seq("band", "band_hash"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(size(array_intersect(array_distinct(col("toks_a")),
+                                     array_distinct(col("toks_b")))).cast("double") /
+                size(array_union(array_distinct(col("toks_a")),
+                                 array_distinct(col("toks_b")))), 6).as("jaccard"))
+        .distinct()
+        .filter(col("jaccard") >= 0.3)
+        .orderBy("id_a", "id_b")
+    },
+    "q_simhash" -> { (s, d) =>
+      // 64-bit SimHash from per-token xxhash64 bit votes; near-dup pairs
+      // would compare hamming distance ≤ k (LlmSpec).
+      Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("tokens"))
+        .select(col("doc_id"), expr(
+          """aggregate(sequence(0, 63), 0L, (acc, bit) ->
+            |  acc + if(
+            |    aggregate(tokens, 0L,
+            |      (votes, t) -> votes +
+            |        if((shiftright(xxhash64(t), int(bit)) & 1L) = 1L, 1L, -1L)) > 0L,
+            |    shiftleft(1L, int(bit)), 0L))
+            |""".stripMargin).as("simhash"))
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY md5(text) ORDER BY keep_id""".stripMargin,
+    "q_dedup_prefix" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS group_size
+        |FROM (SELECT doc_id,
+        |        array_to_string(string_split(text, ' ')[1:8], ' ') AS prefix8
+        |      FROM documents)
+        |GROUP BY prefix8 HAVING count(*) >= 2
+        |ORDER BY keep_id""".stripMargin,
+    "q_text_quality" ->
+      """SELECT doc_id, lang,
+        |  length(text) AS n_chars_actual,
+        |  len(string_split(text, ' ')) AS n_tokens,
+        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 6) AS avg_token_len,
+        |  round(CAST(len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['a', 'the', 'of', 'dup'], t))) AS DOUBLE)
+        |    / len(string_split(text, ' ')), 6) AS stopword_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_token_counts" ->
+      """SELECT token, count(*) AS n
+        |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+        |GROUP BY token ORDER BY n DESC, token ASC""".stripMargin,
+    "q_lang_id" ->
+      """WITH scored AS (
+        |  SELECT doc_id, lang,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['the', 'a', 'of', 'and'], t))) AS score_en,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['le', 'la', 'et', 'de'], t))) AS score_fr,
+        |    len(list_filter(string_split(text, ' '),
+        |      t -> list_contains(['el', 'los', 'y', 'de'], t))) AS score_es
+        |  FROM documents)
+        |SELECT doc_id, lang, score_en, score_fr, score_es,
+        |  CASE WHEN greatest(score_en, score_fr, score_es) = 0 THEN 'und'
+        |       WHEN score_en >= greatest(score_fr, score_es) THEN 'en'
+        |       WHEN score_fr >= score_es THEN 'fr'
+        |       ELSE 'es' END AS pred_lang
+        |FROM scored ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_exact,
+        |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
+        |    AS fp_tokenset
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_jaccard_pairs" ->
+      """WITH docs AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(CAST(len(list_filter(a.tset, t -> list_contains(b.tset, t)))
+        |      AS DOUBLE)
+        |    / (len(a.tset) + len(b.tset)
+        |       - len(list_filter(a.tset, t -> list_contains(b.tset, t)))), 6)
+        |    AS jaccard
+        |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+        |WHERE round(CAST(len(list_filter(a.tset, t -> list_contains(b.tset, t)))
+        |      AS DOUBLE)
+        |    / (len(a.tset) + len(b.tset)
+        |       - len(list_filter(a.tset, t -> list_contains(b.tset, t)))), 6) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_ann_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qvec
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    round(list_sum(list_transform(list_zip(e.embedding, q.qvec),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cos
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.q_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM scored)
+        |SELECT q_id, rnk, vec_id, cos FROM ranked
+        |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
+  )
+}
