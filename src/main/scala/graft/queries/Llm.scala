@@ -165,6 +165,23 @@ object Llm extends QueryFamily {
         .select("q_id", "rnk", "vec_id", "cos")
         .orderBy("q_id", "rnk")
     },
+    "q_embed_neardup" -> { (s, d) =>
+      // Embedding-cosine near-dup pairs (unit-norm ⇒ dot = cosine).
+      // Brute all-pairs here; the LSH-bucketed scale path is
+      // q_ann_lsh_topk. Filter on the ROUNDED score so both engines cut
+      // on the identical value.
+      val e = Tables.embeddings(s, d)
+      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(aggregate(
+            zip_with(col("va"), col("vb"),
+              (x, y) => x.cast("double") * y.cast("double")),
+            lit(0.0), (acc, x) => acc + x), 6).as("cos"))
+        .filter(col("cos") >= 0.4)
+        .orderBy("id_a", "id_b")
+    },
     // ---- Spark-only (no DuckDB oracle; LlmSpec pins semantics) ------
     "q_minhash_neardup" -> { (s, d) =>
       // MinHash(32 perms) + LSH(8 bands × 4 rows): candidate pairs from
@@ -192,6 +209,46 @@ object Llm extends QueryFamily {
         .distinct()
         .filter(col("jaccard") >= 0.3)
         .orderBy("id_a", "id_b")
+    },
+    "q_ann_lsh_topk" -> { (s, d) =>
+      // Approximate NN via sign-random-hyperplane LSH: 4 tables × 6 bits.
+      // Each vector lands in 4 buckets; query↔corpus candidates meet on
+      // (table, bucket) — the shuffle carries bucket keys, never the
+      // O(n²) pair space. Candidates deduped, scored exactly, top-10.
+      val rnd = new scala.util.Random(42)
+      val planes: Seq[Seq[Double]] =
+        Seq.fill(24)(Seq.fill(64)(rnd.nextGaussian()))
+      val e = Tables.embeddings(s, d)
+        .withColumn("planes", typedLit(planes))
+        .withColumn("sig", expr(
+          """transform(planes, p ->
+            |  if(aggregate(zip_with(embedding, p,
+            |       (x, y) -> double(x) * y), 0D, (acc, v) -> acc + v) > 0D,
+            |     1, 0))""".stripMargin))
+        .withColumn("buckets", expr(
+          """transform(sequence(0, 3), t ->
+            |  aggregate(slice(sig, int(t) * 6 + 1, 6), 0,
+            |            (acc, bit) -> acc * 2 + bit))""".stripMargin))
+        .select(col("vec_id"), col("embedding"),
+          posexplode(col("buckets")).as(Seq("tbl", "bucket")))
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"),
+                col("tbl"), col("bucket"))
+      val cand = e.join(q, Seq("tbl", "bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select("q_id", "qvec", "vec_id", "embedding")
+        .distinct()
+      val scored = cand.select(col("q_id"), col("vec_id"),
+        round(aggregate(
+          zip_with(col("embedding"), col("qvec"),
+            (x, y) => x.cast("double") * y.cast("double")),
+          lit(0.0), (acc, x) => acc + x), 6).as("cos"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id").asc)
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 10)
+        .select("q_id", "rnk", "vec_id", "cos")
+        .orderBy("q_id", "rnk")
     },
     "q_simhash" -> { (s, d) =>
       // 64-bit SimHash from per-token xxhash64 bit votes; near-dup pairs
@@ -271,6 +328,14 @@ object Llm extends QueryFamily {
         |      AS DOUBLE)
         |    / (len(a.tset) + len(b.tset)
         |       - len(list_filter(a.tset, t -> list_contains(b.tset, t)))), 6) >= 0.5
+        |ORDER BY id_a, id_b""".stripMargin,
+    "q_embed_neardup" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cos
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
     "q_ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qvec
