@@ -1,0 +1,86 @@
+package graft.ingest
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{BinaryType, DataType}
+
+import ProtoSchema._
+
+/** proto_decode(payload) — a Catalyst Expression turning raw protobuf
+  * bytes into a typed struct per the ProtoSchema mapping; the engine's
+  * replacement for the reference's per-block dynamicpb decode
+  * (converter_proto.go:53-61). spark-protobuf's from_protobuf is the
+  * preferred built-in (SURVEY.md §7.3) but is not on this classpath, so
+  * this is the documented fallback: a custom Expression, which keeps the
+  * decode inside the executor task (no UDF serialization overhead, null
+  * in → null out for the reference's nil-output guard, sinker.go:158-160).
+  */
+final case class ProtoDecodeExpression(child: Expression, schema: PMessage)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ProtoSchema.toStructType(schema)
+  override def nullable: Boolean = true
+  override def prettyName: String = "proto_decode"
+
+  override def checkInputDataTypes()
+      : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    if (child.dataType == BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"proto_decode needs BINARY input, got ${child.dataType.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    ProtoWire.decode(schema, input.asInstanceOf[Array[Byte]])
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** DataFrame-level ingest transforms: block stream → main table + exploded
+  * child tables (the reference's whole relational surface, SURVEY.md
+  * §2.A#4/#5).
+  */
+object Decode {
+
+  /** payload bytes → typed struct column. */
+  def protoDecode(payload: Column, schema: PMessage): Column =
+    Bridge.column(ProtoDecodeExpression(Bridge.expression(payload), schema))
+
+  /** Main table: one row per block, provenance columns kept — a deliberate
+    * divergence from the reference, which drops block_number/block_id
+    * (converter_proto.go:53-61 ignores them; SURVEY.md §7.4.3). */
+  def mainTable(blocks: DataFrame, schema: PMessage): DataFrame =
+    blocks
+      .filter(col("payload").isNotNull) // nil-output guard (sinker.go:158-160)
+      .select(col("block_number"), col("block_id"),
+        protoDecode(col("payload"), schema).as("decoded"))
+      .select(col("block_number"), col("block_id"), col("decoded.*"))
+
+  /** Exploded child tables: one DataFrame per root repeated non-map field
+    * (factory.go:207-220). Message elements are flattened via inline();
+    * scalar elements become a single column named after the field
+    * (converter_field.go:24-35). One level only — no recursion
+    * (README.md:68-70). Provenance columns kept here too. */
+  def childTables(blocks: DataFrame, schema: PMessage): Map[String, DataFrame] = {
+    val decoded = blocks
+      .filter(col("payload").isNotNull)
+      .select(col("block_number"), col("block_id"),
+        protoDecode(col("payload"), schema).as("decoded"))
+    ProtoSchema.explodableFields(schema).map { f =>
+      val df = f.ptype match {
+        case _: PMessage =>
+          decoded.select(col("block_number"), col("block_id"),
+            inline(col(s"decoded.${f.name}")))
+        case _ =>
+          decoded.select(col("block_number"), col("block_id"),
+            explode(col(s"decoded.${f.name}")).as(f.name))
+      }
+      f.name -> df
+    }.toMap
+  }
+}

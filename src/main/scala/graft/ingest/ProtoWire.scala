@@ -1,0 +1,312 @@
+package graft.ingest
+
+import java.io.ByteArrayOutputStream
+import java.nio.{ByteBuffer, ByteOrder}
+import scala.collection.mutable
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.Decimal
+import org.apache.spark.unsafe.types.UTF8String
+
+import ProtoSchema._
+
+/** Protobuf wire-format codec, written against the PUBLIC wire spec
+  * (https://protobuf.dev/programming-guides/encoding/): varint / zigzag /
+  * fixed32 / fixed64 / length-delimited, packed + unpacked repeated
+  * scalars, map entries as repeated `{1:key, 2:value}` messages.
+  *
+  * Replaces the reference's dynamicpb decode (converter_proto.go:53-61,
+  * helpers.go:10-16) — protobuf-java is not on this classpath, and the
+  * decoder writes Catalyst internal values directly (UTF8String /
+  * InternalRow / GenericArrayData / Decimal), so [[ProtoDecodeExpression]]
+  * evaluates with zero external↔internal conversion.
+  *
+  * Decode semantics mirror the reference:
+  *  - absent field → null (converter_proto.go:137-140);
+  *  - last-one-wins for non-repeated fields (wire spec);
+  *  - enum → its number (converter_proto.go:261-262);
+  *  - uint64 → Decimal(20,0), uint32 → widened long (SURVEY.md §1.2);
+  *  - map → entry list SORTED by key — determinism fix over the
+  *    reference's unspecified Map.Range order (SURVEY.md §2.A#8);
+  *  - unknown field numbers are skipped by wire type.
+  */
+object ProtoWire {
+
+  // ---------------------------------------------------------------- encode
+
+  final class Writer {
+    private val out = new ByteArrayOutputStream()
+
+    def toBytes: Array[Byte] = out.toByteArray
+
+    def varint(v: Long): Writer = {
+      var x = v
+      while ((x & ~0x7fL) != 0) { out.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+      out.write(x.toInt); this
+    }
+    def tag(field: Int, wire: Int): Writer = varint((field.toLong << 3) | wire)
+    def zigzag(v: Long): Writer = varint((v << 1) ^ (v >> 63))
+    def fixed32(v: Int): Writer = {
+      val b = ByteBuffer.allocate(4).order(ByteOrder.LITTLE_ENDIAN).putInt(v)
+      out.write(b.array()); this
+    }
+    def fixed64(v: Long): Writer = {
+      val b = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN).putLong(v)
+      out.write(b.array()); this
+    }
+    def lenDelim(bytes: Array[Byte]): Writer = {
+      varint(bytes.length.toLong); out.write(bytes); this
+    }
+  }
+
+  /** Encode a message from a name→value map (test fixtures + round-trip
+    * properties; the engine itself only decodes). Accepted value shapes:
+    * Boolean/Int/Long/Float/Double/String/Array[Byte], BigInt for uint64,
+    * Seq[_] for repeated, Map[_,_] for map fields, Map[String,Any] for
+    * nested messages. */
+  def encode(msg: PMessage, values: Map[String, Any]): Array[Byte] = {
+    val w = new Writer
+    msg.fields.foreach { f =>
+      values.get(f.name).foreach(v => if (v != null) writeField(w, f, v))
+    }
+    w.toBytes
+  }
+
+  private def writeField(w: Writer, f: PField, v: Any): Unit = f.ptype match {
+    case PMap(kt, vt) =>
+      val entryMsg = PMessage("entry", Seq(
+        PField(1, "key", kt, encoding = encodingOf(kt)),
+        PField(2, "value", vt, encoding = encodingOf(vt))))
+      v.asInstanceOf[Map[Any, Any]].foreach { case (k, ev) =>
+        w.tag(f.number, 2).lenDelim(
+          encode(entryMsg, Map("key" -> k, "value" -> ev)))
+      }
+    case _ if f.repeated =>
+      v.asInstanceOf[Seq[Any]].foreach(writeSingle(w, f, _))
+    case _ => writeSingle(w, f, v)
+  }
+
+  private def encodingOf(t: PType): PEncoding = t match {
+    case PFloat => EFixed32
+    case PDouble => EFixed64
+    case PString | PBytes | _: PMessage | _: PMap => ELenDelim
+    case _ => EVarint
+  }
+
+  private def writeSingle(w: Writer, f: PField, v: Any): Unit = f.ptype match {
+    case m: PMessage => w.tag(f.number, 2)
+      .lenDelim(encode(m, v.asInstanceOf[Map[String, Any]]))
+    case PString => w.tag(f.number, 2)
+      .lenDelim(v.asInstanceOf[String].getBytes("UTF-8"))
+    case PBytes => w.tag(f.number, 2).lenDelim(v.asInstanceOf[Array[Byte]])
+    case PFloat => w.tag(f.number, 5)
+      .fixed32(java.lang.Float.floatToIntBits(v.asInstanceOf[Float]))
+    case PDouble => w.tag(f.number, 1)
+      .fixed64(java.lang.Double.doubleToLongBits(v.asInstanceOf[Double]))
+    case PBool => w.tag(f.number, 0).varint(if (v.asInstanceOf[Boolean]) 1 else 0)
+    case PEnum => w.tag(f.number, 0).varint(v.asInstanceOf[Int].toLong)
+    case PInt32 | PInt64 => f.encoding match {
+      case EZigZag => w.tag(f.number, 0).zigzag(anyToLong(v))
+      case EFixed32 => w.tag(f.number, 5).fixed32(anyToLong(v).toInt)
+      case EFixed64 => w.tag(f.number, 1).fixed64(anyToLong(v))
+      case _ => w.tag(f.number, 0).varint(anyToLong(v))
+    }
+    case PUInt32 => f.encoding match {
+      case EFixed32 => w.tag(f.number, 5).fixed32(anyToLong(v).toInt)
+      case _ => w.tag(f.number, 0).varint(anyToLong(v) & 0xffffffffL)
+    }
+    case PUInt64 =>
+      val raw = v match {
+        case b: BigInt => b.toLong // wraps to the unsigned bit pattern
+        case other => anyToLong(other)
+      }
+      f.encoding match {
+        case EFixed64 => w.tag(f.number, 1).fixed64(raw)
+        case _ => w.tag(f.number, 0).varint(raw)
+      }
+    case _: PMap => throw new IllegalStateException("map handled in writeField")
+  }
+
+  private def anyToLong(v: Any): Long = v match {
+    case i: Int => i.toLong
+    case l: Long => l
+    case s: Short => s.toLong
+    case b: Byte => b.toLong
+    case other => throw new IllegalArgumentException(s"not integral: $other")
+  }
+
+  // ---------------------------------------------------------------- decode
+
+  private final class Reader(val buf: Array[Byte], var pos: Int, val end: Int) {
+    def hasNext: Boolean = pos < end
+    def varint(): Long = {
+      var shift = 0; var result = 0L
+      while (true) {
+        val b = buf(pos); pos += 1
+        result |= (b & 0x7fL) << shift
+        if ((b & 0x80) == 0) return result
+        shift += 7
+        if (shift >= 64) throw new IllegalArgumentException("varint too long")
+      }
+      result
+    }
+    def fixed32(): Int = {
+      val v = ByteBuffer.wrap(buf, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
+      pos += 4; v
+    }
+    def fixed64(): Long = {
+      val v = ByteBuffer.wrap(buf, pos, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
+      pos += 8; v
+    }
+    def lenDelim(): (Int, Int) = {
+      val len = varint().toInt
+      val start = pos
+      pos += len
+      if (pos > end) throw new IllegalArgumentException("truncated length-delimited")
+      (start, len)
+    }
+    def skip(wire: Int): Unit = wire match {
+      case 0 => varint()
+      case 1 => pos += 8
+      case 2 => val _ = lenDelim()
+      case 5 => pos += 4
+      case other => throw new IllegalArgumentException(s"unsupported wire type $other")
+    }
+  }
+
+  /** Decode `bytes` as `msg`, producing an InternalRow laid out exactly as
+    * ProtoSchema.toStructType(msg). */
+  def decode(msg: PMessage, bytes: Array[Byte]): InternalRow =
+    decodeMessage(msg, bytes, 0, bytes.length)
+
+  private def decodeMessage(
+      msg: PMessage, bytes: Array[Byte], from: Int, len: Int): InternalRow = {
+    val byNumber = msg.fields.map(f => f.number -> f).toMap
+    val idx = msg.fields.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
+    val values = new Array[Any](msg.fields.length)
+    val repeats = mutable.Map.empty[Int, mutable.ArrayBuffer[Any]]
+    val r = new Reader(bytes, from, from + len)
+    while (r.hasNext) {
+      val key = r.varint()
+      val field = (key >>> 3).toInt
+      val wire = (key & 7).toInt
+      byNumber.get(field) match {
+        case None => r.skip(wire)
+        case Some(f) =>
+          f.ptype match {
+            case PMap(kt, vt) =>
+              val (s, l) = r.lenDelim()
+              val buf = repeats.getOrElseUpdate(field, mutable.ArrayBuffer.empty)
+              buf += decodeMapEntry(kt, vt, bytes, s, l)
+            case m: PMessage if f.repeated =>
+              val (s, l) = r.lenDelim()
+              val buf = repeats.getOrElseUpdate(field, mutable.ArrayBuffer.empty)
+              buf += decodeMessage(m, bytes, s, l)
+            case m: PMessage =>
+              val (s, l) = r.lenDelim()
+              values(idx(field)) = decodeMessage(m, bytes, s, l)
+            case _ if f.repeated =>
+              val buf = repeats.getOrElseUpdate(field, mutable.ArrayBuffer.empty)
+              if (wire == 2 && packable(f)) {
+                // packed encoding: concatenated scalars in one len-delim
+                val (s, l) = r.lenDelim()
+                val pr = new Reader(bytes, s, s + l)
+                while (pr.hasNext) buf += readScalar(f, pr, scalarWire(f))
+              } else buf += readScalar(f, r, wire)
+            case _ =>
+              values(idx(field)) = readScalar(f, r, wire)
+          }
+      }
+    }
+    // materialize repeated fields (+ sort map entries by key)
+    repeats.foreach { case (field, buf) =>
+      val f = byNumber(field)
+      val data = f.ptype match {
+        case _: PMap => sortEntries(buf)
+        case _ => buf
+      }
+      values(idx(field)) = new GenericArrayData(data.toArray)
+    }
+    new GenericInternalRow(values)
+  }
+
+  private def packable(f: PField): Boolean = f.ptype match {
+    case PString | PBytes | _: PMessage | _: PMap => false
+    case _ => true
+  }
+
+  private def scalarWire(f: PField): Int = f.ptype match {
+    case PFloat => 5
+    case PDouble => 1
+    case _ => f.encoding match {
+      case EFixed32 => 5
+      case EFixed64 => 1
+      case _ => 0
+    }
+  }
+
+  private def readScalar(f: PField, r: Reader, wire: Int): Any = f.ptype match {
+    case PString => val (s, l) = r.lenDelim()
+      UTF8String.fromBytes(java.util.Arrays.copyOfRange(
+        rBytes(r), s, s + l))
+    case PBytes => val (s, l) = r.lenDelim()
+      java.util.Arrays.copyOfRange(rBytes(r), s, s + l)
+    case PBool => r.varint() != 0
+    case PEnum => r.varint().toInt
+    case PFloat => java.lang.Float.intBitsToFloat(r.fixed32())
+    case PDouble => java.lang.Double.longBitsToDouble(r.fixed64())
+    case PInt32 => f.encoding match {
+      case EZigZag => val v = r.varint(); ((v >>> 1) ^ -(v & 1)).toInt
+      case EFixed32 => r.fixed32()
+      case _ => r.varint().toInt
+    }
+    case PInt64 => f.encoding match {
+      case EZigZag => val v = r.varint(); (v >>> 1) ^ -(v & 1)
+      case EFixed64 => r.fixed64()
+      case _ => r.varint()
+    }
+    case PUInt32 => (f.encoding match {
+      case EFixed32 => r.fixed32().toLong
+      case _ => r.varint()
+    }) & 0xffffffffL
+    case PUInt64 =>
+      val raw = f.encoding match {
+        case EFixed64 => r.fixed64()
+        case _ => r.varint()
+      }
+      Decimal(BigDecimal(new java.math.BigDecimal(
+        java.lang.Long.toUnsignedString(raw))), 20, 0)
+    case other => throw new IllegalArgumentException(s"not a scalar: $other")
+  }
+
+  // Reader doesn't expose its buffer; thread it through a tiny accessor to
+  // keep copyOfRange allocation at the leaf.
+  private def rBytes(r: Reader): Array[Byte] = r.buf
+
+  private def decodeMapEntry(
+      kt: PType, vt: PType, bytes: Array[Byte], from: Int, len: Int): InternalRow = {
+    val entryMsg = PMessage("entry", Seq(
+      PField(1, "key", kt, encoding = encodingOf(kt)),
+      PField(2, "value", vt, encoding = encodingOf(vt))))
+    decodeMessage(entryMsg, bytes, from, len)
+  }
+
+  private def sortEntries(buf: mutable.ArrayBuffer[Any]): mutable.ArrayBuffer[Any] =
+    buf.sortBy[String](row =>
+      // GenericInternalRow.get ignores the DataType argument
+      row.asInstanceOf[InternalRow].get(0, null) match {
+        case s: UTF8String => s.toString
+        // sign-flip → unsigned string keeps numeric order incl. negatives
+        case i: Int => numKey(i.toLong)
+        case l: Long => numKey(l)
+        case b: Boolean => b.toString
+        case other => String.valueOf(other)
+      })
+
+  private def numKey(l: Long): String = {
+    val s = java.lang.Long.toUnsignedString(l ^ Long.MinValue)
+    "0" * (20 - s.length) + s
+  }
+}

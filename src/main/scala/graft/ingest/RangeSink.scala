@@ -1,0 +1,129 @@
+package graft.ingest
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Range-partitioned, range-NAMED Parquet sink — the Spark restatement of
+  * the reference's rotating writer (writer.go:122-216), empty-range
+  * backfill (writer.go:246-267) and completed-range guard (writer.go:53,
+  * 209), driven from foreachBatch (SURVEY.md §4.3).
+  *
+  * Layout contract (what the reference produces): the table root holds one
+  * file per block range, named `%0{pad}d-%0{pad}d.parquet`, half-open
+  * ranges, dense from `start` — empty ranges materialize as empty files.
+  *
+  * Mechanics per micro-batch epoch:
+  *  1. stage the epoch's rows under `_open/epoch=N/__range=X/` with
+  *     mode=overwrite — an epoch REPLAY after a crash overwrites its own
+  *     staging deterministically, which upgrades the reference's
+  *     at-most-once cursor (SURVEY.md §2.A#17) to exactly-once;
+  *  2. every range strictly below the high-water range is complete
+  *     (rotation-on-boundary-crossing, writer.go:127-144): merge its
+  *     staged epochs, sort by block, publish as ONE atomically-renamed
+  *     range-named file; re-publish is a no-op (completed-range guard);
+  *  3. ranges with no data between `start` and the high-water mark get
+  *     empty files (dense, gapless backfill).
+  *
+  * Scale: the range is the parallelism unit — publishing K complete
+  * ranges is K independent single-range jobs, and the one-file-per-range
+  * coalesce costs parallelism only within a range (SURVEY.md §7.4.2).
+  * Ordered-merge heaps and upload workers (§2.A#14/#18) are unnecessary:
+  * epochs are totally ordered and rename-publish is the committer.
+  */
+final case class RangeSink(
+    root: String,
+    partitioner: RangePartitioner,
+    blockCol: String = "block_number") {
+
+  private val nameRe = raw"(\d{%d})-(\d{%d})\.parquet".format(
+    partitioner.pad, partitioner.pad).r
+
+  private def rangeExpr =
+    expr(s"${partitioner.start} + ((`$blockCol` - ${partitioner.start})" +
+      s" div ${partitioner.size}) * ${partitioner.size}")
+
+  private def fs(spark: SparkSession): FileSystem =
+    new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  /** Range starts that already have a published file. */
+  def publishedRanges(spark: SparkSession): Set[Long] = {
+    val f = fs(spark)
+    val rootPath = new Path(root)
+    if (!f.exists(rootPath)) Set.empty
+    else f.listStatus(rootPath).toSeq.flatMap { st =>
+      st.getPath.getName match {
+        case nameRe(rs, _) => Some(rs.toLong)
+        case _ => None
+      }
+    }.toSet
+  }
+
+  /** foreachBatch entry point: stage this epoch, then finalize everything
+    * strictly below the high-water range. */
+  def processBatch(df: DataFrame, epochId: Long): Unit = {
+    val spark = df.sparkSession
+    val staged = df.withColumn("__range", rangeExpr)
+    staged.repartition(col("__range"))
+      .sortWithinPartitions(col(blockCol))
+      .write.mode("overwrite").partitionBy("__range")
+      .parquet(s"$root/_open/epoch=$epochId")
+    val hw = df.agg(max(col(blockCol))).collect()(0)
+    if (!hw.isNullAt(0)) {
+      val highWater = partitioner.rangeStart(hw.getLong(0))
+      finalizeBelow(spark, df.schema, highWater)
+    }
+  }
+
+  /** Batch/shutdown path: everything is final (the stop block is known) —
+    * finalize all staged ranges including the clamped last one. */
+  def writeAll(df: DataFrame): Unit = {
+    processBatch(df, epochId = 0L)
+    val spark = df.sparkSession
+    val hw = df.agg(max(col(blockCol))).collect()(0)
+    if (!hw.isNullAt(0))
+      finalizeBelow(spark, df.schema, partitioner.rangeStart(hw.getLong(0)) +
+        partitioner.size)
+  }
+
+  /** Publish every complete range with rangeStart < highWater, plus empty
+    * backfill files for data-less ranges. */
+  private def finalizeBelow(
+      spark: SparkSession, schema: StructType, highWater: Long): Unit = {
+    val f = fs(spark)
+    val done = publishedRanges(spark)
+    // staged ranges present in any epoch dir
+    val openDir = new Path(s"$root/_open")
+    val stagedRanges: Map[Long, Seq[Path]] =
+      if (!f.exists(openDir)) Map.empty
+      else f.globStatus(new Path(s"$root/_open/epoch=*/__range=*")).toSeq
+        .map(_.getPath)
+        .groupBy(p => p.getName.stripPrefix("__range=").toLong)
+        .view.mapValues(_.toSeq).toMap
+    val todo = partitioner.rangeStartsUpTo(highWater - 1)
+      .filterNot(done.contains).filter(_ < highWater)
+    todo.foreach { rs =>
+      val (_, re) = partitioner.rangeFor(rs)
+      val target = new Path(root, partitioner.fileName(rs, re))
+      val tmp = new Path(root, s".${partitioner.fileName(rs, re)}.inprogress")
+      val part = stagedRanges.get(rs) match {
+        case Some(dirs) =>
+          spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
+            .coalesce(1).sortWithinPartitions(col(blockCol))
+        case None => // empty backfill (writer.go:246-267)
+          spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      }
+      part.write.mode("overwrite").parquet(tmp.toString)
+      // single part file → atomic rename publish
+      val partFile = f.listStatus(tmp).map(_.getPath)
+        .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+      if (!f.exists(target)) f.rename(partFile, target)
+      f.delete(tmp, true)
+      // drop consumed staging dirs
+      stagedRanges.get(rs).foreach(_.foreach(f.delete(_, true)))
+    }
+  }
+}

@@ -1,0 +1,58 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.ingest.{Decode, ProtoSchema, RangePartitioner, RangeSink}
+import graft.ingest.ProtoSchema.PMessage
+
+/** The reference's whole pipeline on Structured Streaming (SURVEY.md §3.1
+  * restated): block stream → proto decode → main table (+ per-repeated-
+  * field child tables when exploding) → range-named Parquet sinks, with
+  * checkpointed exactly-once delivery.
+  *
+  * The input is any streaming DataFrame with columns
+  * `(block_number: long, block_id: string, payload: binary)` — a file
+  * source over block parquet in tests, a custom gRPC DSv2 source in a live
+  * deployment (SURVEY.md §7.3: deferred; behaviorally equivalent for
+  * everything testable).
+  *
+  * One foreachBatch writes ALL tables per epoch — a single offset log, the
+  * N-sinks-off-one-source layout the reference approximates with explode
+  * worker fan-out (SURVEY.md §3.2).
+  */
+object BlockPipeline {
+
+  def start(
+      blocks: DataFrame,
+      schema: PMessage,
+      root: String,
+      partitioner: RangePartitioner,
+      checkpoint: String,
+      explode: Boolean = false,
+      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+
+    val mainSink = RangeSink(s"$root/main", partitioner)
+    val childSinks: Seq[(String, RangeSink)] =
+      if (!explode) Seq.empty
+      else ProtoSchema.explodableFields(schema)
+        .map(f => f.name -> RangeSink(s"$root/${f.name}", partitioner))
+
+    blocks.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (df: DataFrame, epochId: Long) =>
+        val batch = df.persist()
+        try {
+          mainSink.processBatch(Decode.mainTable(batch, schema), epochId)
+          if (childSinks.nonEmpty) {
+            val children = Decode.childTables(batch, schema)
+            childSinks.foreach { case (name, sink) =>
+              sink.processBatch(children(name), epochId)
+            }
+          }
+        } finally batch.unpersist()
+      }
+      .start()
+  }
+}

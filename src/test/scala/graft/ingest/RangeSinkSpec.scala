@@ -1,0 +1,111 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Range-named sink fixtures (FIXTURES.md §B scenarios 1, 2, 4; SURVEY.md
+  * §5.2.4): exact file names, dense empty backfill, single sorted file per
+  * range, idempotent re-publish. */
+class RangeSinkSpec extends SparkSuite {
+
+  private def tmpDir(): String =
+    Files.createTempDirectory("rangesink").toString
+
+  private def blocksDF(nums: Seq[Long]): DataFrame = {
+    import spark.implicits._
+    nums.map(n => (n, s"0x$n", n * 10)).toDF("block_number", "block_id", "v")
+  }
+
+  private def published(root: String): Seq[String] =
+    new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.getName).toSeq.sorted
+
+  test("scenario 1: blocks 100..130, size 10 → exact range file names") {
+    val root = tmpDir()
+    val sink = RangeSink(root, RangePartitioner(start = 100, size = 10))
+    sink.writeAll(blocksDF(100L until 130L))
+    assert(published(root) == Seq(
+      "0000000100-0000000110.parquet",
+      "0000000110-0000000120.parquet",
+      "0000000120-0000000130.parquet"))
+    // every range file holds exactly its blocks, sorted
+    val df = spark.read.parquet(s"$root/0000000110-0000000120.parquet")
+    assert(df.select("block_number").collect().map(_.getLong(0)).toSeq ==
+      (110L until 120L))
+    // one physical file per range (single-file contract)
+    assert(new java.io.File(s"$root/0000000110-0000000120.parquet").isFile)
+  }
+
+  test("scenario 2: first block mid-stream → dense empty backfill") {
+    val root = tmpDir()
+    val sink = RangeSink(root, RangePartitioner(start = 100, size = 10))
+    sink.writeAll(blocksDF(Seq(125L, 126L)))
+    assert(published(root) == Seq(
+      "0000000100-0000000110.parquet",
+      "0000000110-0000000120.parquet",
+      "0000000120-0000000130.parquet"))
+    // backfilled ranges are EMPTY but carry the schema
+    val empty = spark.read.parquet(s"$root/0000000100-0000000110.parquet")
+    assert(empty.count() == 0)
+    assert(empty.columns.toSeq == Seq("block_number", "block_id", "v"))
+    val data = spark.read.parquet(s"$root/0000000120-0000000130.parquet")
+    assert(data.count() == 2)
+  }
+
+  test("gap between epochs → interior ranges backfilled") {
+    val root = tmpDir()
+    val sink = RangeSink(root, RangePartitioner(start = 0, size = 10))
+    sink.processBatch(blocksDF(Seq(5L)), epochId = 0)
+    sink.processBatch(blocksDF(Seq(35L)), epochId = 1)
+    // range [30,40) is still open (high-water); [0..30) finalized
+    assert(published(root) == Seq(
+      "0000000000-0000000010.parquet",
+      "0000000010-0000000020.parquet",
+      "0000000020-0000000030.parquet"))
+    assert(spark.read.parquet(s"$root/0000000000-0000000010.parquet").count() == 1)
+    assert(spark.read.parquet(s"$root/0000000010-0000000020.parquet").count() == 0)
+  }
+
+  test("epoch replay is idempotent (exactly-once upgrade, SURVEY §2.A#17)") {
+    val root = tmpDir()
+    val sink = RangeSink(root, RangePartitioner(start = 0, size = 10))
+    sink.processBatch(blocksDF(0L until 15L), epochId = 0)
+    val firstListing = published(root)
+    // crash-replay of the same epoch, then progress
+    sink.processBatch(blocksDF(0L until 15L), epochId = 0)
+    sink.processBatch(blocksDF(15L until 25L), epochId = 1)
+    assert(published(root) == Seq(
+      "0000000000-0000000010.parquet",
+      "0000000010-0000000020.parquet"))
+    assert(firstListing == Seq("0000000000-0000000010.parquet"))
+    // no duplicated rows despite the replayed epoch
+    val df = spark.read.parquet(s"$root/0000000010-0000000020.parquet")
+    assert(df.select("block_number").collect().map(_.getLong(0)).toSeq ==
+      (10L until 20L))
+  }
+
+  test("published files never rewritten (completed-range guard)") {
+    val root = tmpDir()
+    val sink = RangeSink(root, RangePartitioner(start = 0, size = 10))
+    sink.writeAll(blocksDF(0L until 10L))
+    val before = new java.io.File(s"$root/0000000000-0000000010.parquet")
+      .lastModified()
+    Thread.sleep(20)
+    sink.writeAll(blocksDF(0L until 10L)) // full re-run
+    val after = new java.io.File(s"$root/0000000000-0000000010.parquet")
+      .lastModified()
+    assert(before == after)
+  }
+
+  test("stop-block clamps the final range name (scenario 6)") {
+    val root = tmpDir()
+    val sink = RangeSink(root,
+      RangePartitioner(start = 100, size = 10, stop = Some(125)))
+    sink.writeAll(blocksDF(100L until 125L))
+    assert(published(root).last == "0000000120-0000000125.parquet")
+  }
+}

@@ -1,0 +1,65 @@
+package graft.queries
+
+import graft.SparkSuite
+
+/** Invariants for the non-oracled LLM ops (SURVEY.md §2.C-10: MinHash/LSH
+  * and SimHash have no DuckDB equivalent — pinned here instead). */
+class LlmSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("minhash near-dup: pairs are symmetric-free, thresholded, and real") {
+    import spark.implicits._
+    val pairs = Llm.queries("q_minhash_neardup")(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(pairs.nonEmpty, "synthetic corpus contains near-duplicates")
+    // candidate verification really filtered by exact Jaccard
+    assert(pairs.forall(_._3 >= 0.3))
+    // id_a < id_b: no self-pairs, no mirrored duplicates
+    assert(pairs.forall(p => p._1 < p._2))
+    assert(pairs.map(p => (p._1, p._2)).distinct.size == pairs.size)
+  }
+
+  test("minhash finds the token-permuted duplicates exact dedup misses") {
+    import spark.implicits._
+    val pairs = Llm.queries("q_minhash_neardup")(spark, sf)
+      .as[(Long, Long, Double)].collect().toSeq
+    val identical = pairs.filter(_._3 == 1.0)
+    assert(identical.nonEmpty, "jaccard-1.0 pairs exist (reordered tokens)")
+    // ...and exact dedup reports zero text-equal copies on this corpus
+    val exactGroups = Llm.queries("q_dedup_exact")(spark, sf)
+      .where("n_copies > 1").count()
+    assert(exactGroups == 0)
+  }
+
+  test("simhash: deterministic, and near-identical docs land close") {
+    import spark.implicits._
+    val h1 = Llm.queries("q_simhash")(spark, sf).as[(Long, Long)].collect().toMap
+    val h2 = Llm.queries("q_simhash")(spark, sf).as[(Long, Long)].collect().toMap
+    assert(h1 == h2)
+    // simhash is a bag-of-tokens (multiset) function: token-PERMUTED docs
+    // hash identically, different bags (almost surely) don't. The driver
+    // corpus has no true multiset duplicates, so pin the invariant on a
+    // fabricated documents table (queries are sfDir-parameterized).
+    val dir = java.nio.file.Files.createTempDirectory("simhash").toString
+    Seq((1L, "a b b c"), (2L, "b a c b"), (3L, "a b c"))
+      .toDF("doc_id", "text").write.parquet(s"$dir/documents.parquet")
+    val h = Llm.queries("q_simhash")(spark, dir)
+      .as[(Long, Long)].collect().toMap
+    assert(h(1L) == h(2L), "permuted multiset hashes identically")
+    assert(h(1L) != h(3L), "different bag hashes differently")
+  }
+
+  test("lsh ann: every reported neighbor's score is exact; ranks ordered") {
+    import spark.implicits._
+    val res = Llm.queries("q_ann_lsh_topk")(spark, sf)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(res.nonEmpty)
+    res.groupBy(_._1).foreach { case (_, rows) =>
+      val ranks = rows.map(_._2).sorted
+      assert(ranks == (1 to rows.size)) // dense rank sequence per query
+      val byRank = rows.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
+    }
+  }
+}
