@@ -25,12 +25,13 @@ class BlockPipelineSpec extends SparkSuite {
     val stream = MemoryStream[(Long, String, Array[Byte])]
     val blocks = stream.toDF().toDF("block_number", "block_id", "payload")
 
+    // data first: AvailableNow snapshots available offsets at start
+    stream.addData((100L until 115L).map(i => (i, s"0xb$i", payload(i))))
+
     val query = BlockPipeline.start(
       blocks, TestMessages.output, root,
       RangePartitioner(start = 100, size = 10),
       checkpoint, explode = true, trigger = Trigger.AvailableNow())
-
-    stream.addData((100L until 115L).map(i => (i, s"0xb$i", payload(i))))
     query.processAllAvailable()
     query.stop()
 
