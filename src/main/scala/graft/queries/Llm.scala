@@ -154,10 +154,8 @@ object Llm extends QueryFamily {
       val scored = e.crossJoin(broadcast(q))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"),
-          round(aggregate(
-            zip_with(col("embedding"), col("qvec"),
-              (x, y) => x.cast("double") * y.cast("double")),
-            lit(0.0), (acc, x) => acc + x), 6).as("cos"))
+          round(graft.functions.Vectors.dot(col("embedding"), col("qvec")), 6)
+            .as("cos"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id").asc)
       scored.withColumn("rnk", row_number().over(w))
@@ -175,10 +173,7 @@ object Llm extends QueryFamily {
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(aggregate(
-            zip_with(col("va"), col("vb"),
-              (x, y) => x.cast("double") * y.cast("double")),
-            lit(0.0), (acc, x) => acc + x), 6).as("cos"))
+          round(graft.functions.Vectors.dot(col("va"), col("vb")), 6).as("cos"))
         .filter(col("cos") >= 0.4)
         .orderBy("id_a", "id_b")
     },
@@ -186,27 +181,42 @@ object Llm extends QueryFamily {
     "q_minhash_neardup" -> { (s, d) =>
       // MinHash(32 perms) + LSH(8 bands × 4 rows): candidate pairs from
       // band-bucket join, verified with exact Jaccard ≥ 0.3.
-      val sig = Tables.documents(s, d)
-        .select(col("doc_id"), toks.as("tokens"), shingles.as("shingles"))
-        .select(col("doc_id"), col("tokens"), minhashSig(32).as("sig"))
-      val bands = sig.select(col("doc_id"), col("tokens"),
+      //
+      // Plan shape matters: repartition() barriers stop CollapseProject
+      // from inlining the (expensive) shingle/signature expressions into
+      // every downstream band row — each stage is computed exactly once
+      // per doc. The band join carries only (band, hash, doc_id); token
+      // sets re-join on the (small) deduped candidate pairs, so the wide
+      // arrays never shuffle through the bucket join.
+      val docs = Tables.documents(s, d)
+      val shing = docs
+        .select(col("doc_id"), shingles.as("shingles"))
+        .repartition(col("doc_id")) // barrier: shingles computed once
+      val sig = shing
+        .select(col("doc_id"), minhashSig(32).as("sig"))
+        .repartition(col("doc_id")) // barrier: 32-perm signature once
+      val bands = sig.select(col("doc_id"),
           posexplode(expr(
             """transform(sequence(0, 7),
               |  b -> xxhash64(concat_ws(',', slice(sig, int(b) * 4 + 1, 4))))
               |""".stripMargin)))
         .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-      val aSide = bands.select(col("band"), col("band_hash"),
-        col("doc_id").as("id_a"), col("tokens").as("toks_a"))
-      val bSide = bands.select(col("band"), col("band_hash"),
-        col("doc_id").as("id_b"), col("tokens").as("toks_b"))
-      aSide.join(bSide, Seq("band", "band_hash"))
+      val candidates = bands.select(col("band"), col("band_hash"),
+          col("doc_id").as("id_a"))
+        .join(bands.select(col("band"), col("band_hash"),
+          col("doc_id").as("id_b")), Seq("band", "band_hash"))
         .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates("id_a", "id_b") // before the (costlier) verify
+      val tsets = docs.select(col("doc_id"), array_distinct(toks).as("tset"))
+      candidates
+        .join(tsets.select(col("doc_id").as("id_a"), col("tset").as("set_a")),
+          Seq("id_a"))
+        .join(tsets.select(col("doc_id").as("id_b"), col("tset").as("set_b")),
+          Seq("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(size(array_intersect(array_distinct(col("toks_a")),
-                                     array_distinct(col("toks_b")))).cast("double") /
-                size(array_union(array_distinct(col("toks_a")),
-                                 array_distinct(col("toks_b")))), 6).as("jaccard"))
-        .distinct()
+          round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+                size(array_union(col("set_a"), col("set_b"))), 6).as("jaccard"))
         .filter(col("jaccard") >= 0.3)
         .orderBy("id_a", "id_b")
     },
@@ -216,15 +226,13 @@ object Llm extends QueryFamily {
       // (table, bucket) — the shuffle carries bucket keys, never the
       // O(n²) pair space. Candidates deduped, scored exactly, top-10.
       val rnd = new scala.util.Random(42)
-      val planes: Seq[Seq[Double]] =
-        Seq.fill(24)(Seq.fill(64)(rnd.nextGaussian()))
+      val planes: Seq[Seq[Float]] =
+        Seq.fill(24)(Seq.fill(64)(rnd.nextGaussian().toFloat))
+      val sigBits: Column = array(planes.map(p =>
+        when(graft.functions.Vectors.dot(col("embedding"), typedLit(p)) > 0d,
+          lit(1)).otherwise(lit(0))): _*)
       val e = Tables.embeddings(s, d)
-        .withColumn("planes", typedLit(planes))
-        .withColumn("sig", expr(
-          """transform(planes, p ->
-            |  if(aggregate(zip_with(embedding, p,
-            |       (x, y) -> double(x) * y), 0D, (acc, v) -> acc + v) > 0D,
-            |     1, 0))""".stripMargin))
+        .withColumn("sig", sigBits)
         .withColumn("buckets", expr(
           """transform(sequence(0, 3), t ->
             |  aggregate(slice(sig, int(t) * 6 + 1, 6), 0,

@@ -104,10 +104,8 @@ object Scalars extends QueryFamily {
         .select(col("embedding").as("qvec"))
       e.crossJoin(broadcast(q0))
         .select(col("vec_id"),
-          round(aggregate(
-            zip_with(col("embedding"), col("qvec"),
-              (x, y) => x.cast("double") * y.cast("double")),
-            lit(0.0), (acc, x) => acc + x), 6).as("dot"))
+          round(graft.functions.Vectors.dot(col("embedding"), col("qvec")), 6)
+            .as("dot"))
         .orderBy("vec_id")
     }
   )
