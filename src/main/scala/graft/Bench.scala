@@ -1,8 +1,19 @@
 package graft
 
+import java.nio.file.Files
+
+import graft.ingest.{Decode, RangePartitioner, RangeSink, SampleBlocks}
+
 /** Bench harness: wall-clock per declared query on SPARK_GRAFT_SF_DIR,
   * one JSON line on stdout (driver contract). Each query is fully
-  * materialized via count() after a warm-up of the parquet footers. */
+  * materialized via count() after a warm-up of the parquet footers.
+  *
+  * Also measures the reference's OWN workload — ingest throughput:
+  * encoded proto blocks → decode → main + exploded child tables →
+  * range-named parquet files (reference default partition size 5,000,
+  * BASELINE.md) — reported as `ingest_blocks_per_sec`. The reference
+  * publishes no numbers (BASELINE.md), so this documents ours.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -15,10 +26,32 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
+    // ingest throughput: 100k blocks ≈ 100k main + ~100k transfer +
+    // 200k touched rows through decode/explode/range-sink
+    val ingestBps = try {
+      val nBlocks = 100000L
+      val blocks = SampleBlocks.blocksDF(spark, nBlocks).persist()
+      blocks.count() // materialize inputs off the clock
+      val root = Files.createTempDirectory("bench-ingest").toString
+      val pt = RangePartitioner(start = 0, size = 5000)
+      val t0 = System.nanoTime()
+      val dec = Decode.decoded(blocks, SampleBlocks.output).persist()
+      RangeSink(s"$root/main", pt).writeAll(Decode.mainFromDecoded(dec))
+      graft.ingest.ProtoSchema.explodableFields(SampleBlocks.output)
+        .foreach { f =>
+          RangeSink(s"$root/${f.name}", pt)
+            .writeAll(Decode.childFromDecoded(dec, f))
+        }
+      dec.unpersist()
+      val secs = (System.nanoTime() - t0) / 1e9
+      blocks.unpersist()
+      nBlocks / secs
+    } catch { case _: Throwable => -1.0 }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""ingest_blocks_per_sec":${f"$ingestBps%.0f"},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -51,36 +51,44 @@ object Decode {
   def protoDecode(payload: Column, schema: PMessage): Column =
     Bridge.column(ProtoDecodeExpression(Bridge.expression(payload), schema))
 
-  /** Main table: one row per block, provenance columns kept — a deliberate
-    * divergence from the reference, which drops block_number/block_id
-    * (converter_proto.go:53-61 ignores them; SURVEY.md §7.4.3). */
-  def mainTable(blocks: DataFrame, schema: PMessage): DataFrame =
+  /** Blocks decoded once: (block_number, block_id, decoded struct). The
+    * reference decodes each block exactly once and fans out
+    * (sinker.go:195) — callers deriving multiple tables should persist()
+    * this intermediate so Spark doesn't re-decode per table. */
+  def decoded(blocks: DataFrame, schema: PMessage): DataFrame =
     blocks
       .filter(col("payload").isNotNull) // nil-output guard (sinker.go:158-160)
       .select(col("block_number"), col("block_id"),
         protoDecode(col("payload"), schema).as("decoded"))
-      .select(col("block_number"), col("block_id"), col("decoded.*"))
+
+  /** Main table from the decoded intermediate: one row per block,
+    * provenance columns kept — a deliberate divergence from the
+    * reference, which drops block_number/block_id (converter_proto.go:
+    * 53-61 ignores them; SURVEY.md §7.4.3). */
+  def mainFromDecoded(dec: DataFrame): DataFrame =
+    dec.select(col("block_number"), col("block_id"), col("decoded.*"))
+
+  /** One exploded child table (converter_field.go:24-35): message elements
+    * flattened via inline(), scalar elements a single column named after
+    * the field. One level only — no recursion (README.md:68-70). */
+  def childFromDecoded(dec: DataFrame, f: ProtoSchema.PField): DataFrame =
+    f.ptype match {
+      case _: PMessage =>
+        dec.select(col("block_number"), col("block_id"),
+          inline(col(s"decoded.${f.name}")))
+      case _ =>
+        dec.select(col("block_number"), col("block_id"),
+          explode(col(s"decoded.${f.name}")).as(f.name))
+    }
+
+  def mainTable(blocks: DataFrame, schema: PMessage): DataFrame =
+    mainFromDecoded(decoded(blocks, schema))
 
   /** Exploded child tables: one DataFrame per root repeated non-map field
-    * (factory.go:207-220). Message elements are flattened via inline();
-    * scalar elements become a single column named after the field
-    * (converter_field.go:24-35). One level only — no recursion
-    * (README.md:68-70). Provenance columns kept here too. */
+    * (factory.go:207-220). */
   def childTables(blocks: DataFrame, schema: PMessage): Map[String, DataFrame] = {
-    val decoded = blocks
-      .filter(col("payload").isNotNull)
-      .select(col("block_number"), col("block_id"),
-        protoDecode(col("payload"), schema).as("decoded"))
-    ProtoSchema.explodableFields(schema).map { f =>
-      val df = f.ptype match {
-        case _: PMessage =>
-          decoded.select(col("block_number"), col("block_id"),
-            inline(col(s"decoded.${f.name}")))
-        case _ =>
-          decoded.select(col("block_number"), col("block_id"),
-            explode(col(s"decoded.${f.name}")).as(f.name))
-      }
-      f.name -> df
-    }.toMap
+    val dec = decoded(blocks, schema)
+    ProtoSchema.explodableFields(schema)
+      .map(f => f.name -> childFromDecoded(dec, f)).toMap
   }
 }

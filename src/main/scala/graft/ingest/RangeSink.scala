@@ -88,7 +88,17 @@ final case class RangeSink(
   }
 
   /** Publish every complete range with rangeStart < highWater, plus empty
-    * backfill files for data-less ranges. */
+    * backfill files for data-less ranges.
+    *
+    * Publish cost is kept off the Spark scheduler wherever possible:
+    *  - a range staged by a single epoch already IS one sorted parquet
+    *    file (stage repartitions by range and sorts within partitions) —
+    *    publishing it is a pure filesystem rename, no job;
+    *  - empty backfill writes ONE template file and FS-copies it per
+    *    missing range (writer.go:246-267 analog), no job per range;
+    *  - only ranges spanning multiple epochs need a merge job.
+    * At scale this makes publishing K ranges O(K) namenode ops, not K
+    * scheduled jobs. */
   private def finalizeBelow(
       spark: SparkSession, schema: StructType, highWater: Long): Unit = {
     val f = fs(spark)
@@ -103,27 +113,49 @@ final case class RangeSink(
         .view.mapValues(_.toSeq).toMap
     val todo = partitioner.rangeStartsUpTo(highWater - 1)
       .filterNot(done.contains).filter(_ < highWater)
+    if (todo.isEmpty) return
+
+    def partFilesOf(dir: Path): Seq[Path] =
+      f.listStatus(dir).map(_.getPath).toSeq
+        .filter(p => p.getName.startsWith("part-") &&
+          p.getName.endsWith(".parquet"))
+
+    // lazy empty template, written at most once per finalize pass
+    lazy val emptyTemplate: Path = {
+      val tmplDir = new Path(root, "._empty_template")
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .coalesce(1).write.mode("overwrite").parquet(tmplDir.toString)
+      partFilesOf(tmplDir).head
+    }
+    var usedTemplate = false
+
     todo.foreach { rs =>
       val (_, re) = partitioner.rangeFor(rs)
       val target = new Path(root, partitioner.fileName(rs, re))
-      val tmp = new Path(root, s".${partitioner.fileName(rs, re)}.inprogress")
-      val part = stagedRanges.get(rs) match {
+      stagedRanges.get(rs) match {
+        case Some(Seq(dir)) if partFilesOf(dir).size == 1 =>
+          // fast path: already one sorted file — rename-publish, no job
+          if (!f.exists(target)) f.rename(partFilesOf(dir).head, target)
         case Some(dirs) =>
+          // merge path: range spans epochs — one small job
+          val tmp = new Path(root, s".${partitioner.fileName(rs, re)}.inprogress")
           spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
             .coalesce(1).sortWithinPartitions(col(blockCol))
-        case None => // empty backfill (writer.go:246-267)
-          spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+            .write.mode("overwrite").parquet(tmp.toString)
+          if (!f.exists(target)) f.rename(partFilesOf(tmp).head, target)
+          f.delete(tmp, true)
+        case None =>
+          // empty backfill: FS copy of the 0-row template
+          if (!f.exists(target)) {
+            usedTemplate = true
+            org.apache.hadoop.fs.FileUtil.copy(
+              f, emptyTemplate, f, target, false, spark.sparkContext
+                .hadoopConfiguration)
+          }
       }
-      part.write.mode("overwrite").parquet(tmp.toString)
-      // single part file → atomic rename publish
-      val partFile = f.listStatus(tmp).map(_.getPath)
-        .find(p => p.getName.startsWith("part-") && p.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
-      if (!f.exists(target)) f.rename(partFile, target)
-      f.delete(tmp, true)
-      // drop consumed staging dirs
       stagedRanges.get(rs).foreach(_.foreach(f.delete(_, true)))
     }
+    if (usedTemplate) f.delete(new Path(root, "._empty_template"), true)
   }
 }

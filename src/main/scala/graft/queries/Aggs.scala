@@ -97,6 +97,17 @@ object Aggs extends QueryFamily {
           |ORDER BY g_status, g_prio,
           |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin)
     },
+    "q_agg_approx" -> { (s, d) =>
+      // HLL++ approximate distinct (SURVEY.md §2.B aggregations row). No
+      // DuckDB oracle — sketch implementations differ across engines —
+      // so this is declared rows-only; AggsSpec pins the relative error
+      // against exact count_distinct.
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey"), rsd = 0.01).as("approx_parts"),
+             countDistinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")
+    },
     "q_agg_minmax" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_linestatus")

@@ -42,16 +42,18 @@ object BlockPipeline {
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
       .foreachBatch { (df: DataFrame, epochId: Long) =>
-        val batch = df.persist()
+        // decode ONCE per epoch (reference decodes once and fans out,
+        // sinker.go:195); every table derives from the cached result
+        val dec = Decode.decoded(df, schema).persist()
         try {
-          mainSink.processBatch(Decode.mainTable(batch, schema), epochId)
-          if (childSinks.nonEmpty) {
-            val children = Decode.childTables(batch, schema)
-            childSinks.foreach { case (name, sink) =>
-              sink.processBatch(children(name), epochId)
-            }
+          mainSink.processBatch(Decode.mainFromDecoded(dec), epochId)
+          val fieldByName = ProtoSchema.explodableFields(schema)
+            .map(f => f.name -> f).toMap
+          childSinks.foreach { case (name, sink) =>
+            sink.processBatch(
+              Decode.childFromDecoded(dec, fieldByName(name)), epochId)
           }
-        } finally batch.unpersist()
+        } finally dec.unpersist()
       }
       .start()
   }
