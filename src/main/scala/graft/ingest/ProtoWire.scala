@@ -176,6 +176,33 @@ object ProtoWire {
     }
   }
 
+  /** Per-schema decode plan, compiled once and cached: field-number →
+    * slot is an array lookup (the wire loop runs per ROW at ingest — no
+    * per-row map allocation), map-entry sub-messages precomputed. */
+  private final class Compiled(msg: PMessage) {
+    val fields: Array[PField] = msg.fields.toArray
+    private val maxNum = fields.iterator.map(_.number).max
+    val slotByNum: Array[Int] = {
+      val a = Array.fill(maxNum + 1)(-1)
+      fields.zipWithIndex.foreach { case (f, i) => a(f.number) = i }
+      a
+    }
+    def slotOf(num: Int): Int =
+      if (num >= 0 && num <= maxNum) slotByNum(num) else -1
+    // precomputed per-slot map-entry message (for PMap fields)
+    val entryMsg: Array[PMessage] = fields.map(_.ptype match {
+      case PMap(kt, vt) => PMessage("entry", Seq(
+        PField(1, "key", kt, encoding = encodingOf(kt)),
+        PField(2, "value", vt, encoding = encodingOf(vt))))
+      case _ => null
+    })
+  }
+
+  private val compiledCache =
+    new java.util.concurrent.ConcurrentHashMap[PMessage, Compiled]
+  private def compiledOf(msg: PMessage): Compiled =
+    compiledCache.computeIfAbsent(msg, new Compiled(_))
+
   /** Decode `bytes` as `msg`, producing an InternalRow laid out exactly as
     * ProtoSchema.toStructType(msg). */
   def decode(msg: PMessage, bytes: Array[Byte]): InternalRow =
@@ -183,51 +210,60 @@ object ProtoWire {
 
   private def decodeMessage(
       msg: PMessage, bytes: Array[Byte], from: Int, len: Int): InternalRow = {
-    val byNumber = msg.fields.map(f => f.number -> f).toMap
-    val idx = msg.fields.zipWithIndex.map { case (f, i) => f.number -> i }.toMap
-    val values = new Array[Any](msg.fields.length)
-    val repeats = mutable.Map.empty[Int, mutable.ArrayBuffer[Any]]
+    val c = compiledOf(msg)
+    val n = c.fields.length
+    val values = new Array[Any](n)
+    // per-slot repeat buffers, allocated lazily (most fields are scalar)
+    var repeats: Array[mutable.ArrayBuffer[Any]] = null
+    def repeatBuf(slot: Int): mutable.ArrayBuffer[Any] = {
+      if (repeats == null) repeats = new Array(n)
+      if (repeats(slot) == null) repeats(slot) = mutable.ArrayBuffer.empty
+      repeats(slot)
+    }
     val r = new Reader(bytes, from, from + len)
     while (r.hasNext) {
       val key = r.varint()
-      val field = (key >>> 3).toInt
+      val slot = c.slotOf((key >>> 3).toInt)
       val wire = (key & 7).toInt
-      byNumber.get(field) match {
-        case None => r.skip(wire)
-        case Some(f) =>
-          f.ptype match {
-            case PMap(kt, vt) =>
+      if (slot < 0) r.skip(wire)
+      else {
+        val f = c.fields(slot)
+        f.ptype match {
+          case _: PMap =>
+            val (s, l) = r.lenDelim()
+            repeatBuf(slot) += decodeMessage(c.entryMsg(slot), bytes, s, l)
+          case m: PMessage if f.repeated =>
+            val (s, l) = r.lenDelim()
+            repeatBuf(slot) += decodeMessage(m, bytes, s, l)
+          case m: PMessage =>
+            val (s, l) = r.lenDelim()
+            values(slot) = decodeMessage(m, bytes, s, l)
+          case _ if f.repeated =>
+            if (wire == 2 && packable(f)) {
+              // packed encoding: concatenated scalars in one len-delim
               val (s, l) = r.lenDelim()
-              val buf = repeats.getOrElseUpdate(field, mutable.ArrayBuffer.empty)
-              buf += decodeMapEntry(kt, vt, bytes, s, l)
-            case m: PMessage if f.repeated =>
-              val (s, l) = r.lenDelim()
-              val buf = repeats.getOrElseUpdate(field, mutable.ArrayBuffer.empty)
-              buf += decodeMessage(m, bytes, s, l)
-            case m: PMessage =>
-              val (s, l) = r.lenDelim()
-              values(idx(field)) = decodeMessage(m, bytes, s, l)
-            case _ if f.repeated =>
-              val buf = repeats.getOrElseUpdate(field, mutable.ArrayBuffer.empty)
-              if (wire == 2 && packable(f)) {
-                // packed encoding: concatenated scalars in one len-delim
-                val (s, l) = r.lenDelim()
-                val pr = new Reader(bytes, s, s + l)
-                while (pr.hasNext) buf += readScalar(f, pr, scalarWire(f))
-              } else buf += readScalar(f, r, wire)
-            case _ =>
-              values(idx(field)) = readScalar(f, r, wire)
-          }
+              val pr = new Reader(bytes, s, s + l)
+              val buf = repeatBuf(slot)
+              while (pr.hasNext) buf += readScalar(f, pr, scalarWire(f))
+            } else repeatBuf(slot) += readScalar(f, r, wire)
+          case _ =>
+            values(slot) = readScalar(f, r, wire)
+        }
       }
     }
     // materialize repeated fields (+ sort map entries by key)
-    repeats.foreach { case (field, buf) =>
-      val f = byNumber(field)
-      val data = f.ptype match {
-        case _: PMap => sortEntries(buf)
-        case _ => buf
+    if (repeats != null) {
+      var slot = 0
+      while (slot < n) {
+        if (repeats(slot) != null) {
+          val data = c.fields(slot).ptype match {
+            case _: PMap => sortEntries(repeats(slot))
+            case _ => repeats(slot)
+          }
+          values(slot) = new GenericArrayData(data.toArray)
+        }
+        slot += 1
       }
-      values(idx(field)) = new GenericArrayData(data.toArray)
     }
     new GenericInternalRow(values)
   }
@@ -284,14 +320,6 @@ object ProtoWire {
   // Reader doesn't expose its buffer; thread it through a tiny accessor to
   // keep copyOfRange allocation at the leaf.
   private def rBytes(r: Reader): Array[Byte] = r.buf
-
-  private def decodeMapEntry(
-      kt: PType, vt: PType, bytes: Array[Byte], from: Int, len: Int): InternalRow = {
-    val entryMsg = PMessage("entry", Seq(
-      PField(1, "key", kt, encoding = encodingOf(kt)),
-      PField(2, "value", vt, encoding = encodingOf(vt))))
-    decodeMessage(entryMsg, bytes, from, len)
-  }
 
   private def sortEntries(buf: mutable.ArrayBuffer[Any]): mutable.ArrayBuffer[Any] =
     buf.sortBy[String](row =>

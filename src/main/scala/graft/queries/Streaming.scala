@@ -35,6 +35,17 @@ object Streaming extends QueryFamily {
         .select(col("doc_id"), (col("pos") + 1).as("pos"), col("col").as("token"))
         .orderBy("doc_id", "pos")
     },
+    "q_explode_structs" -> { (s, d) =>
+      // Struct-list round trip: per-user struct array (the shape of an
+      // exploded-message child table, converter_field.go:28-35) rebuilt
+      // then inline()'d back to flattened columns.
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("event_id"), col("value"))))
+          .as("evs"))
+        .select(col("user_id"), inline(col("evs")))
+        .orderBy("user_id", "event_id")
+    },
     "q_map_entries" -> { (s, d) =>
       // map → sorted entry-list normalization (the reference's map layout,
       // made deterministic — SURVEY.md §2.A#8).
@@ -93,6 +104,15 @@ object Streaming extends QueryFamily {
         |  unnest(string_split(text, ' ')) AS token
         |FROM documents WHERE doc_id < 100
         |ORDER BY doc_id, pos""".stripMargin,
+    "q_explode_structs" ->
+      """SELECT * FROM (
+        |  SELECT user_id, unnest(evs, recursive := true)
+        |  FROM (
+        |    SELECT user_id,
+        |      list(struct_pack(event_id := event_id, value := value)
+        |           ORDER BY event_id) AS evs
+        |    FROM events GROUP BY user_id))
+        |ORDER BY user_id, event_id""".stripMargin,
     "q_map_entries" ->
       """SELECT event_id,
         |  [struct_pack(key := 'k',
