@@ -32,10 +32,29 @@ import org.apache.spark.sql.types.StructType
   * Ordered-merge heaps and upload workers (§2.A#14/#18) are unnecessary:
   * epochs are totally ordered and rename-publish is the committer.
   */
+/** Parquet physical tuning — the reference's writer knobs (§2.A#19/#20:
+  * --compression[-level], --row-group-rows, --dict-encoding, --page-size;
+  * writer.go:93-117, run.go:43-49) mapped to parquet-mr properties. */
+final case class ParquetTuning(
+    compression: String = "zstd",           // writer.go:373-386 default
+    rowGroupBytes: Option[Long] = None,     // parquet-mr sizes row groups
+                                            // by BYTES (parquet.block.size);
+                                            // the reference's --row-group-rows
+                                            // has no exact parquet-mr analog
+    dictionaryEncoding: Boolean = true,     // writer.go:103
+    pageSizeBytes: Option[Long] = None) {   // writer.go:104-106 (0=default)
+  def options: Map[String, String] = Map(
+    "compression" -> compression,
+    "parquet.enable.dictionary" -> dictionaryEncoding.toString) ++
+    rowGroupBytes.map("parquet.block.size" -> _.toString) ++
+    pageSizeBytes.map("parquet.page.size" -> _.toString)
+}
+
 final case class RangeSink(
     root: String,
     partitioner: RangePartitioner,
-    blockCol: String = "block_number") {
+    blockCol: String = "block_number",
+    tuning: ParquetTuning = ParquetTuning()) {
 
   private val nameRe = raw"(\d{%d})-(\d{%d})\.parquet".format(
     partitioner.pad, partitioner.pad).r
@@ -68,6 +87,7 @@ final case class RangeSink(
     staged.repartition(col("__range"))
       .sortWithinPartitions(col(blockCol))
       .write.mode("overwrite").partitionBy("__range")
+      .options(tuning.options)
       .parquet(s"$root/_open/epoch=$epochId")
     val hw = df.agg(max(col(blockCol))).collect()(0)
     if (!hw.isNullAt(0)) {
@@ -125,7 +145,8 @@ final case class RangeSink(
       val tmplDir = new Path(root, "._empty_template")
       spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        .coalesce(1).write.mode("overwrite").parquet(tmplDir.toString)
+        .coalesce(1).write.mode("overwrite").options(tuning.options)
+        .parquet(tmplDir.toString)
       partFilesOf(tmplDir).head
     }
     var usedTemplate = false
@@ -142,7 +163,8 @@ final case class RangeSink(
           val tmp = new Path(root, s".${partitioner.fileName(rs, re)}.inprogress")
           spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
             .coalesce(1).sortWithinPartitions(col(blockCol))
-            .write.mode("overwrite").parquet(tmp.toString)
+            .write.mode("overwrite").options(tuning.options)
+            .parquet(tmp.toString)
           if (!f.exists(target)) f.rename(partFilesOf(tmp).head, target)
           f.delete(tmp, true)
         case None =>
