@@ -48,6 +48,42 @@ object Scalars extends QueryFamily {
           element_at(split(col("text"), " "), 1).as("first_token"))
         .orderBy("doc_id")
     },
+    "q_str_more" -> { (s, d) =>
+      Tables.customer(s, d)
+        .select(col("c_custkey"),
+          lower(col("c_name")).as("lname"),
+          initcap(col("c_mktsegment")).as("seg_cap"),
+          lpad(col("c_custkey").cast("string"), 8, "0").as("padded"),
+          trim(concat(lit("  "), col("c_mktsegment"), lit(" "))).as("trimmed"),
+          reverse(col("c_mktsegment")).as("rev"),
+          translate(col("c_mktsegment"), "AEIOU", "aeiou").as("translated"),
+          instr(col("c_name"), "1").as("pos1"))
+        .orderBy("c_custkey")
+    },
+    "q_date_more" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_add(col("o_orderdate").cast("date"), 30).as("due"),
+          add_months(col("o_orderdate").cast("date"), 2).as("plus2m"),
+          last_day(col("o_orderdate")).as("month_end"),
+          dayofweek(col("o_orderdate")).as("dow"),
+          quarter(col("o_orderdate")).as("q"),
+          unix_timestamp(col("o_orderdate")).as("epoch_s"))
+        .orderBy("o_orderkey")
+    },
+    "q_cond_expr" -> { (s, d) =>
+      // CASE/WHEN, coalesce, nullif, greatest/least — conditional surface.
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          when(col("l_quantity") < 10, "low")
+            .when(col("l_quantity") < 40, "mid")
+            .otherwise("high").as("qty_band"),
+          coalesce(nullif(col("l_returnflag"), lit("N")), lit("none"))
+            .as("flag_or_none"),
+          greatest(col("l_discount"), col("l_tax")).as("max_rate"),
+          least(col("l_discount"), col("l_tax")).as("min_rate"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
     "q_date_parts" -> { (s, d) =>
       Tables.orders(s, d)
         .select(col("o_orderkey"),
@@ -130,6 +166,33 @@ object Scalars extends QueryFamily {
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         |  string_split(text, ' ')[1] AS first_token
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_str_more" ->
+      """SELECT c_custkey, lower(c_name) AS lname,
+        |  upper(substr(c_mktsegment, 1, 1)) || lower(substr(c_mktsegment, 2))
+        |    AS seg_cap,
+        |  lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+        |  trim('  ' || c_mktsegment || ' ') AS trimmed,
+        |  reverse(c_mktsegment) AS rev,
+        |  translate(c_mktsegment, 'AEIOU', 'aeiou') AS translated,
+        |  instr(c_name, '1') AS pos1
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "q_date_more" ->
+      """SELECT o_orderkey,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS DATE) AS due,
+        |  CAST(CAST(o_orderdate AS DATE) + INTERVAL 2 MONTH AS DATE) AS plus2m,
+        |  last_day(o_orderdate) AS month_end,
+        |  dayofweek(o_orderdate) + 1 AS dow,
+        |  quarter(o_orderdate) AS q,
+        |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_cond_expr" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity < 10 THEN 'low'
+        |       WHEN l_quantity < 40 THEN 'mid' ELSE 'high' END AS qty_band,
+        |  coalesce(nullif(l_returnflag, 'N'), 'none') AS flag_or_none,
+        |  greatest(l_discount, l_tax) AS max_rate,
+        |  least(l_discount, l_tax) AS min_rate
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_date_parts" ->
       """SELECT o_orderkey,
         |  year(o_orderdate) AS y, month(o_orderdate) AS m,
