@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Vectors
+
+/** IVF (inverted-file) approximate nearest neighbor — the coarse-quantizer
+  * scale path for embedding search (driver north star; complements the
+  * sign-LSH variant in graft.queries.Llm).
+  *
+  * Index: k-means cells over the corpus. Centroids are MODEL STATE — k×dim
+  * floats — so Lloyd iterations keep per-dim means distributed (explode →
+  * groupBy(cell, dim) → avg, a shuffle of k·dim aggregates) and only the
+  * k×dim centroid table ever reaches the driver. Assignments stay in a
+  * DataFrame keyed by cell.
+  *
+  * Search: score the query against k centroids (driver math on model
+  * state), probe the `nprobe` nearest cells — the corpus scan is
+  * `nprobe/k` of the data, scored exactly with the codegen'd vec_dot, then
+  * windowed top-k. At 100 TB the assignment table is partitioned (or
+  * bucketed) by cell_id, so a probe reads only its cells' files.
+  *
+  * Determinism: centroid init = first k vectors by vec_id; Lloyd means are
+  * exact per-dim averages — no RNG anywhere.
+  */
+object Ann {
+
+  final case class IvfIndex(
+      assignments: DataFrame,             // (vec_id, embedding, cell_id)
+      centroids: Array[Array[Float]])     // model state, k×dim
+
+  private def nearestCellExpr(centroids: Array[Array[Float]]): Column = {
+    // argmin over cells of -dot (unit-norm ⇒ max dot = nearest)
+    val scores = centroids.zipWithIndex.map { case (c, i) =>
+      struct(Vectors.dot(col("embedding"), typedLit(c.toSeq)).as("dot"),
+        lit(i).as("cell"))
+    }
+    array_max(array(scores.toIndexedSeq: _*)).getField("cell")
+  }
+
+  def buildIvf(embeddings: DataFrame, k: Int, iters: Int): IvfIndex = {
+    import embeddings.sparkSession.implicits._
+    val corpus = embeddings.select(col("vec_id"), col("embedding")).persist()
+    // deterministic init: first k vectors
+    var centroids: Array[Array[Float]] = corpus.orderBy("vec_id").limit(k)
+      .select("embedding").as[Seq[Float]].collect().map(_.toArray)
+    var it = 0
+    while (it < iters) {
+      // assign + per-dimension mean, all distributed; k·dim rows collect
+      val assigned = corpus.withColumn("cell_id", nearestCellExpr(centroids))
+      val dims = assigned
+        .select(col("cell_id"), posexplode(col("embedding")))
+        .groupBy(col("cell_id"), col("pos"))
+        .agg(avg(col("col")).as("m"))
+        .as[(Int, Int, Double)].collect()
+      val next = centroids.map(_.clone())
+      dims.foreach { case (cell, pos, m) => next(cell)(pos) = m.toFloat }
+      centroids = next
+      it += 1
+    }
+    val index = corpus.withColumn("cell_id", nearestCellExpr(centroids))
+    corpus.unpersist()
+    IvfIndex(index, centroids)
+  }
+
+  /** Top-k per query vector, probing the nprobe nearest cells. `queries`
+    * is (q_id, qvec); small enough to broadcast. */
+  def search(index: IvfIndex, queries: DataFrame, topK: Int, nprobe: Int)
+      : DataFrame = {
+    // query → probed cells, from model state (k dots per query, driver)
+    val probes = queries.select(col("q_id"), col("qvec"),
+      explode(probeCellsExpr(index.centroids, nprobe)).as("cell_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    index.assignments
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        round(Vectors.dot(col("embedding"), col("qvec")), 6).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select("q_id", "rnk", "vec_id", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
+  private def probeCellsExpr(
+      centroids: Array[Array[Float]], nprobe: Int): Column = {
+    // rank cells by dot(qvec, centroid); take the nprobe best
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      struct(Vectors.dot(col("qvec"), typedLit(c.toSeq)).as("dot"),
+        lit(i).as("cell"))
+    }
+    slice(reverse(array_sort(array(scored.toIndexedSeq: _*))), 1, nprobe)
+      .getField("cell")
+  }
+}
