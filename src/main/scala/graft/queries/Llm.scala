@@ -37,11 +37,12 @@ object Llm extends QueryFamily {
       |                      element_at(split(text, ' '), int(i) + 2)))
       |""".stripMargin)
 
-  /** MinHash signature: nPerm permutations simulated by salting xxhash64. */
+  /** MinHash signature: nPerm permutations simulated by seeding xxhash64
+    * with the permutation index (hashed as a second column — no per-hash
+    * string building). */
   private def minhashSig(nPerm: Int): Column = expr(
     s"""transform(sequence(0, ${nPerm - 1}),
-       |  j -> array_min(transform(shingles,
-       |         s -> xxhash64(concat(s, '#', cast(j as string))))))
+       |  j -> array_min(transform(shingles, s -> xxhash64(s, j))))
        |""".stripMargin)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -198,7 +199,7 @@ object Llm extends QueryFamily {
       val bands = sig.select(col("doc_id"),
           posexplode(expr(
             """transform(sequence(0, 7),
-              |  b -> xxhash64(concat_ws(',', slice(sig, int(b) * 4 + 1, 4))))
+              |  b -> xxhash64(slice(sig, int(b) * 4 + 1, 4)))
               |""".stripMargin)))
         .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
       val candidates = bands.select(col("band"), col("band_hash"),
