@@ -118,14 +118,30 @@ object Llm extends QueryFamily {
         .orderBy("doc_id")
     },
     "q_fingerprint" -> { (s, d) =>
-      // Content-defined fingerprints: md5 of full text + of the sorted
-      // distinct token set (order-insensitive near-dup key).
+      // Content-defined fingerprints: md5 of full text, md5 of the sorted
+      // distinct token set (order-insensitive near-dup key), and a
+      // token-level rolling polynomial hash (engine-agnostic arithmetic,
+      // kept under 2^31 per step so both engines stay in exact range).
       Tables.documents(s, d)
         .select(col("doc_id"),
           md5(col("text")).as("fp_exact"),
           md5(concat_ws(" ", array_sort(array_distinct(toks))))
-            .as("fp_tokenset"))
+            .as("fp_tokenset"),
+          expr(
+            """aggregate(split(text, ' '), 7L, (acc, t) ->
+              |  (acc * 131 + ascii(substring(t, 1, 1)) * 7 + length(t))
+              |    % 2147483647)""".stripMargin).as("fp_rolling"))
         .orderBy("doc_id")
+    },
+    "q_ann_ivf_topk" -> { (s, d) =>
+      // IVF coarse-quantized ANN (graft.operators.Ann) as a declared
+      // query: index 16 cells, probe 6, top-10 for 5 query vectors. No
+      // DuckDB oracle (k-means model state); AnnSpec pins recall.
+      val e = Tables.embeddings(s, d)
+      val index = graft.operators.Ann.buildIvf(e, k = 16, iters = 2)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      graft.operators.Ann.search(index, queries, topK = 10, nprobe = 6)
     },
     "q_jaccard_pairs" -> { (s, d) =>
       // Token-set Jaccard over a bounded candidate set (doc_id < 40):
@@ -320,7 +336,11 @@ object Llm extends QueryFamily {
     "q_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_exact,
         |  md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' '))
-        |    AS fp_tokenset
+        |    AS fp_tokenset,
+        |  list_reduce(list_prepend(CAST(7 AS BIGINT),
+        |    list_transform(string_split(text, ' '),
+        |      t -> CAST(ascii(substring(t, 1, 1)) * 7 + length(t) AS BIGINT))),
+        |    (acc, x) -> (acc * 131 + x) % 2147483647) AS fp_rolling
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_jaccard_pairs" ->
       """WITH docs AS (
