@@ -18,7 +18,8 @@ import ProtoSchema._
   * decode inside the executor task (no UDF serialization overhead, null
   * in → null out for the reference's nil-output guard, sinker.go:158-160).
   */
-final case class ProtoDecodeExpression(child: Expression, schema: PMessage)
+final case class ProtoDecodeExpression(child: Expression, schema: PMessage,
+    lenient: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ProtoSchema.toStructType(schema)
@@ -34,8 +35,15 @@ final case class ProtoDecodeExpression(child: Expression, schema: PMessage)
         s"proto_decode needs BINARY input, got ${child.dataType.sql}")
   }
 
+  /** Strict mode (default) surfaces malformed payloads as task failures —
+    * the reference's behavior (decode error fails the block,
+    * sinker.go:163-165). Lenient mode yields null instead, for
+    * quarantine-and-continue pipelines (filter decoded IS NULL to a
+    * dead-letter sink). */
   override protected def nullSafeEval(input: Any): Any =
-    ProtoWire.decode(schema, input.asInstanceOf[Array[Byte]])
+    if (!lenient) ProtoWire.decode(schema, input.asInstanceOf[Array[Byte]])
+    else try ProtoWire.decode(schema, input.asInstanceOf[Array[Byte]])
+    catch { case _: RuntimeException | _: ArrayIndexOutOfBoundsException => null }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
@@ -48,8 +56,10 @@ final case class ProtoDecodeExpression(child: Expression, schema: PMessage)
 object Decode {
 
   /** payload bytes → typed struct column. */
-  def protoDecode(payload: Column, schema: PMessage): Column =
-    Bridge.column(ProtoDecodeExpression(Bridge.expression(payload), schema))
+  def protoDecode(payload: Column, schema: PMessage,
+      lenient: Boolean = false): Column =
+    Bridge.column(
+      ProtoDecodeExpression(Bridge.expression(payload), schema, lenient))
 
   /** Blocks decoded once: (block_number, block_id, decoded struct). The
     * reference decodes each block exactly once and fans out

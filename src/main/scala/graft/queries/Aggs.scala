@@ -108,6 +108,18 @@ object Aggs extends QueryFamily {
              countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag")
     },
+    "q_agg_percentile" -> { (s, d) =>
+      // exact interpolated percentiles (Spark `percentile` ↔ DuckDB
+      // quantile_cont); rounded per §7.5
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 6).as("p50_qty"),
+          round(expr("percentile(l_extendedprice, 0.9)"), 6).as("p90_price"),
+          round(expr("percentile(l_extendedprice, array(0.25, 0.75))[1]"), 6)
+            .as("p75_price"))
+        .orderBy("l_returnflag")
+    },
     "q_agg_minmax" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_linestatus")
@@ -169,6 +181,12 @@ object Aggs extends QueryFamily {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY g_status, g_prio,
         |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_agg_percentile" ->
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,
+        |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
+        |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_minmax" ->
       """SELECT l_linestatus,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

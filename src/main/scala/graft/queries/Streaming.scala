@@ -85,6 +85,19 @@ object Streaming extends QueryFamily {
         .select(col("w.start").as("ws"), col("n"), col("sum_value"))
         .orderBy("ws")
     },
+    "q_stream_session" -> { (s, d) =>
+      // Batch session_window (30-min gap) — oracled via the classic
+      // gaps-and-islands SQL: a new session starts when the gap since the
+      // previous event is >= the timeout (session windows are half-open:
+      // an event landing exactly at the previous session's end opens a
+      // new one).
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(tsCol, "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("user_id"), col("sw.start").as("session_start"),
+          col("sw.end").as("session_end"), col("n"))
+        .orderBy("user_id", "session_start")
+    },
     "q_stream_dedup_latest" -> { (s, d) =>
       // Streaming dropDuplicates analog: latest event per (user, type) —
       // the batch shape of `dropDuplicates` + max-ts state (§2.B stateful).
@@ -138,6 +151,23 @@ object Streaming extends QueryFamily {
         |  SELECT time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'
         |    AS ws, value FROM events)
         |GROUP BY ws ORDER BY ws""".stripMargin,
+    "q_stream_session" ->
+      """WITH marks AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |grouped AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marks)
+        |SELECT user_id, min(ts) AS session_start,
+        |  max(ts) + INTERVAL 30 MINUTE AS session_end, count(*) AS n
+        |FROM grouped GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_stream_dedup_latest" ->
       """SELECT user_id, event_type, epoch_us(max(ts)) AS last_us,
         |  count(*) AS n_events
