@@ -95,6 +95,20 @@ object Llm extends QueryFamily {
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("token").asc)
     },
+    "q_ngrams" -> { (s, d) =>
+      // corpus bigram counts, top-100: n-gram generation distributed
+      // map-side, shuffle carries (bigram, count) partials
+      Tables.documents(s, d)
+        .select(explode(expr(
+          """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),
+            |  i -> concat_ws(' ', element_at(split(text, ' '), int(i)),
+            |                      element_at(split(text, ' '), int(i) + 1)))
+            |""".stripMargin)).as("bigram"))
+        .groupBy("bigram")
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram").asc)
+        .limit(100)
+    },
     "q_lang_id" -> { (s, d) =>
       // Heuristic language-ID: score tokens against fixed per-lang marker
       // sets, argmax with deterministic tie-break, 'und' when no signal.
@@ -317,6 +331,14 @@ object Llm extends QueryFamily {
       """SELECT token, count(*) AS n
         |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
         |GROUP BY token ORDER BY n DESC, token ASC""".stripMargin,
+    "q_ngrams" ->
+      """SELECT bigram, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')), 1)),
+        |    i -> string_split(text, ' ')[i] || ' ' ||
+        |         string_split(text, ' ')[i + 1])) AS bigram
+        |  FROM documents)
+        |GROUP BY bigram ORDER BY n DESC, bigram ASC LIMIT 100""".stripMargin,
     "q_lang_id" ->
       """WITH scored AS (
         |  SELECT doc_id, lang,

@@ -1,0 +1,41 @@
+package graft
+
+/** Driver-contract guards: the exact invariants the harness depends on. */
+class SparkEntrySpec extends SparkSuite {
+
+  /** Queries intentionally declared WITHOUT a DuckDB oracle (sketches /
+    * model state / LSH — each pinned by a dedicated spec instead). */
+  private val specPinned = Set(
+    "q_agg_approx",      // HLL sketch            → AggsSpec
+    "q_minhash_neardup", // LSH                   → LlmSpec
+    "q_simhash",         // bag-hash              → LlmSpec
+    "q_ann_lsh_topk",    // LSH ANN               → LlmSpec
+    "q_ann_ivf_topk")    // k-means model state   → AnnSpec
+
+  test("every oracle key is a declared query") {
+    val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"oracle without query: $orphans")
+  }
+
+  test("every query is oracled or explicitly spec-pinned") {
+    val unchecked =
+      SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet -- specPinned
+    assert(unchecked.isEmpty,
+      s"declared without oracle or spec pin: $unchecked")
+    assert(specPinned.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry() answers on sf0.001 (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every declared query returns rows at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      // q_join_anti/q_join_theta legitimately return 0 at tiny SF — the
+      // rest must produce data for the driver's rows-only check
+      if (name != "q_join_anti" && name != "q_join_theta")
+        assert(fn(spark, "/root/testdata/sf0.001").limit(1).count() == 1,
+          s"$name returned no rows")
+    }
+  }
+}

@@ -1,0 +1,47 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkSuite}
+
+/** Plan-shape regression guards (PLANS.md): the properties that make
+  * these queries scale are asserted, not just documented. */
+class PlanSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def executedPlan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString()
+
+  test("q_scan_filter pushes the predicate into the parquet scan") {
+    val plan = executedPlan("q_scan_filter")
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity), LessThan(l_quantity,10.0)]"),
+      s"filter not pushed:\n${plan.take(2000)}")
+  }
+
+  test("q1 reads only referenced columns (pruning)") {
+    val plan = executedPlan("q1_pricing_summary")
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("l_orderkey") &&
+      !readSchema.contains("l_partkey") && readSchema.contains("l_quantity"),
+      s"column pruning regressed: $readSchema")
+  }
+
+  test("q_join_star broadcasts every dimension") {
+    val plan = executedPlan("q_join_star")
+    assert(plan.split("BroadcastHashJoin").length >= 5, // 4 joins
+      "star join stopped broadcasting dims")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q_win_topk_per_group keeps the partial WindowGroupLimit") {
+    val plan = executedPlan("q_win_topk_per_group")
+    assert(plan.split("WindowGroupLimit").length >= 3, // partial + final
+      "rank-limit pushdown (WindowGroupLimit) regressed")
+  }
+
+  test("q_dedup_exact shuffles fingerprints with partial aggregation") {
+    val plan = executedPlan("q_dedup_exact")
+    assert(plan.split("HashAggregate").length >= 3, // partial + final
+      "partial aggregation regressed")
+  }
+}
