@@ -96,10 +96,13 @@ object Windows extends QueryFamily {
     "q_win_cume" -> { (s, d) =>
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
+      // floor(x·1e6), not round(x, 6): rank fractions like 333/640 land
+      // exactly on a .5 tie at the 6th decimal, and Spark (HALF_UP) and
+      // DuckDB disagree on ties; floor of identical IEEE doubles can't.
       Tables.customer(s, d)
         .select(col("c_nationkey"), col("c_custkey"),
-          round(percent_rank().over(w), 6).as("pr"),
-          round(cume_dist().over(w), 6).as("cd"))
+          floor(percent_rank().over(w) * 1000000).cast("long").as("pr_u"),
+          floor(cume_dist().over(w) * 1000000).cast("long").as("cd_u"))
         .orderBy("c_nationkey", "c_custkey")
     }
   )
@@ -157,8 +160,8 @@ object Windows extends QueryFamily {
         |ORDER BY o_orderkey""".stripMargin,
     "q_win_cume" ->
       """SELECT c_nationkey, c_custkey,
-        |  round(percent_rank() OVER w, 6) AS pr,
-        |  round(cume_dist() OVER w, 6) AS cd
+        |  CAST(floor(percent_rank() OVER w * 1000000) AS BIGINT) AS pr_u,
+        |  CAST(floor(cume_dist() OVER w * 1000000) AS BIGINT) AS cd_u
         |FROM customer
         |WINDOW w AS (PARTITION BY c_nationkey
         |  ORDER BY c_acctbal ASC, c_custkey ASC)
