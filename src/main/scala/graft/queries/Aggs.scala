@@ -37,9 +37,15 @@ object Aggs extends QueryFamily {
         // truncates, Spark's rounds — round(x, s) agrees on both engines.
         round(sum(price * discF), 4).cast("decimal(18,4)").as("sum_disc_price"),
         round(sum(price * discF * taxF), 4).cast("decimal(18,4)").as("sum_charge"),
-        round(sum(dec("l_quantity")).cast("double") / count(lit(1)), 6).as("avg_qty"),
-        round(sum(dec("l_extendedprice")).cast("double") / count(lit(1)), 6).as("avg_price"),
-        round(sum(dec("l_discount")).cast("double") / count(lit(1)), 6).as("avg_disc"),
+        // floor(x·1e6) not round(x, 6): decimal_sum/count is a rational
+        // whose double can land exactly on a rounding tie, where Spark
+        // (HALF_UP) and DuckDB disagree; floor of identical doubles can't
+        floor(sum(dec("l_quantity")).cast("double") / count(lit(1)) * 1000000)
+          .cast("long").as("avg_qty_u"),
+        floor(sum(dec("l_extendedprice")).cast("double") / count(lit(1)) * 1000000)
+          .cast("long").as("avg_price_u"),
+        floor(sum(dec("l_discount")).cast("double") / count(lit(1)) * 1000000)
+          .cast("long").as("avg_disc_u"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }
@@ -139,9 +145,9 @@ object Aggs extends QueryFamily {
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_base_price,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4))), 4) AS DECIMAL(18,4)) AS sum_disc_price,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4)) * CAST(1 + CAST(l_tax AS DECIMAL(18,4)) AS DECIMAL(8,4))), 4) AS DECIMAL(18,4)) AS sum_charge,
-        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_qty,
-        |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_price,
-        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 6) AS avg_disc,
+        |  CAST(floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*) * 1000000) AS BIGINT) AS avg_qty_u,
+        |  CAST(floor(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / count(*) * 1000000) AS BIGINT) AS avg_price_u,
+        |  CAST(floor(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*) * 1000000) AS BIGINT) AS avg_disc_u,
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '1998-09-02'

@@ -77,13 +77,17 @@ object Llm extends QueryFamily {
       val stop = expr(
         """size(filter(split(text, ' '),
           |  t -> array_contains(array('a', 'the', 'of', 'dup'), t)))""".stripMargin)
+      // ratio outputs floor-scaled (tie-free across engines, see Windows
+      // q_win_cume note): k/n with n = 2^a·5^b token counts can land
+      // exactly on a round-half tie
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           length(col("text")).as("n_chars_actual"),
           nTok.as("n_tokens"),
-          round(length(regexp_replace(col("text"), " ", ""))
-            .cast("double") / nTok, 6).as("avg_token_len"),
-          round(stop.cast("double") / nTok, 6).as("stopword_ratio"))
+          floor(length(regexp_replace(col("text"), " ", ""))
+            .cast("double") / nTok * 1000000).cast("long").as("avg_tok_len_u"),
+          floor(stop.cast("double") / nTok * 1000000).cast("long")
+            .as("stopword_ratio_u"))
         .orderBy("doc_id")
     },
     "q_token_counts" -> { (s, d) =>
@@ -169,9 +173,10 @@ object Llm extends QueryFamily {
       val b = docs.select(col("doc_id").as("id_b"), col("tset").as("set_b"))
       a.join(b, col("id_a") < col("id_b"))
         .select(col("id_a"), col("id_b"),
-          round(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
-                size(array_union(col("set_a"), col("set_b"))), 6).as("jaccard"))
-        .filter(col("jaccard") >= 0.5)
+          floor(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+                size(array_union(col("set_a"), col("set_b"))) * 1000000)
+            .cast("long").as("jaccard_u"))
+        .filter(col("jaccard_u") >= 500000)
         .orderBy("id_a", "id_b")
     },
     // ---- similarity search ------------------------------------------
@@ -321,11 +326,11 @@ object Llm extends QueryFamily {
       """SELECT doc_id, lang,
         |  length(text) AS n_chars_actual,
         |  len(string_split(text, ' ')) AS n_tokens,
-        |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE)
-        |    / len(string_split(text, ' ')), 6) AS avg_token_len,
-        |  round(CAST(len(list_filter(string_split(text, ' '),
+        |  CAST(floor(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+        |    / len(string_split(text, ' ')) * 1000000) AS BIGINT) AS avg_tok_len_u,
+        |  CAST(floor(CAST(len(list_filter(string_split(text, ' '),
         |      t -> list_contains(['a', 'the', 'of', 'dup'], t))) AS DOUBLE)
-        |    / len(string_split(text, ' ')), 6) AS stopword_ratio
+        |    / len(string_split(text, ' ')) * 1000000) AS BIGINT) AS stopword_ratio_u
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_token_counts" ->
       """SELECT token, count(*) AS n
@@ -367,18 +372,17 @@ object Llm extends QueryFamily {
     "q_jaccard_pairs" ->
       """WITH docs AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
-        |  FROM documents WHERE doc_id < 40)
-        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(CAST(len(list_filter(a.tset, t -> list_contains(b.tset, t)))
-        |      AS DOUBLE)
-        |    / (len(a.tset) + len(b.tset)
-        |       - len(list_filter(a.tset, t -> list_contains(b.tset, t)))), 6)
-        |    AS jaccard
-        |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
-        |WHERE round(CAST(len(list_filter(a.tset, t -> list_contains(b.tset, t)))
-        |      AS DOUBLE)
-        |    / (len(a.tset) + len(b.tset)
-        |       - len(list_filter(a.tset, t -> list_contains(b.tset, t)))), 6) >= 0.5
+        |  FROM documents WHERE doc_id < 40),
+        |scored AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(floor(CAST(len(list_filter(a.tset, t -> list_contains(b.tset, t)))
+        |        AS DOUBLE)
+        |      / (len(a.tset) + len(b.tset)
+        |         - len(list_filter(a.tset, t -> list_contains(b.tset, t))))
+        |      * 1000000) AS BIGINT) AS jaccard_u
+        |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, jaccard_u FROM scored
+        |WHERE jaccard_u >= 500000
         |ORDER BY id_a, id_b""".stripMargin,
     "q_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
