@@ -91,10 +91,22 @@ final case class RangeSink(
       .parquet(s"$root/_open/epoch=$epochId")
     val hw = df.agg(max(col(blockCol))).collect()(0)
     if (!hw.isNullAt(0)) {
-      val highWater = partitioner.rangeStart(hw.getLong(0))
+      val highWater = partitioner.rangeStart(blockNumOf(hw))
       finalizeBelow(spark, df.schema, highWater)
     }
   }
+
+  /** Block numbers may arrive widened (uint64 policy → Decimal(20,0),
+    * SURVEY.md §7.4.1) or as any integral type. */
+  private def blockNumOf(row: org.apache.spark.sql.Row): Long =
+    row.get(0) match {
+      case l: Long => l
+      case i: Int => i.toLong
+      case d: java.math.BigDecimal => d.longValueExact()
+      case d: BigDecimal => d.toLongExact
+      case other => throw new IllegalArgumentException(
+        s"unsupported block column type: ${other.getClass}")
+    }
 
   /** Batch/shutdown path: everything is final (the stop block is known) —
     * finalize all staged ranges including the clamped last one. */
@@ -103,7 +115,7 @@ final case class RangeSink(
     val spark = df.sparkSession
     val hw = df.agg(max(col(blockCol))).collect()(0)
     if (!hw.isNullAt(0))
-      finalizeBelow(spark, df.schema, partitioner.rangeStart(hw.getLong(0)) +
+      finalizeBelow(spark, df.schema, partitioner.rangeStart(blockNumOf(hw)) +
         partitioner.size)
   }
 

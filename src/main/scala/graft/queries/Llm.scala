@@ -90,6 +90,20 @@ object Llm extends QueryFamily {
             .as("stopword_ratio_u"))
         .orderBy("doc_id")
     },
+    "q_tokenize_regex" -> { (s, d) =>
+      // BPE-ish regex tokenization (word / number / punctuation classes —
+      // the pre-tokenizer split BPE vocabularies are trained on) vs plain
+      // whitespace counting, per doc.
+      val pat = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws_tokens"),
+          size(regexp_extract_all(col("text"), lit(pat), lit(0)))
+            .as("n_re_tokens"),
+          element_at(regexp_extract_all(col("text"), lit(pat), lit(0)), 1)
+            .as("first_re_token"))
+        .orderBy("doc_id")
+    },
     "q_token_counts" -> { (s, d) =>
       // Corpus token frequencies — partial-aggregated map-side, so the
       // shuffle carries (token, count) not token instances.
@@ -331,6 +345,12 @@ object Llm extends QueryFamily {
         |  CAST(floor(CAST(len(list_filter(string_split(text, ' '),
         |      t -> list_contains(['a', 'the', 'of', 'dup'], t))) AS DOUBLE)
         |    / len(string_split(text, ' ')) * 1000000) AS BIGINT) AS stopword_ratio_u
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_tokenize_regex" ->
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS n_re_tokens,
+        |  regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\s]')[1] AS first_re_token
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_token_counts" ->
       """SELECT token, count(*) AS n
