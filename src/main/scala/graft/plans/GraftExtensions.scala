@@ -1,0 +1,34 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.FloatVectorDot
+
+/** SparkSessionExtensions entry point:
+  * `.withExtensions(new GraftExtensions)` or
+  * `spark.sql.extensions=graft.plans.GraftExtensions`.
+  *
+  * Registers the engine's custom expressions into the SQL function
+  * registry, so `spark.sql("SELECT vec_dot(a, b) ...")` works alongside
+  * the Column DSL (graft.functions.Vectors.dot).
+  *
+  * Deliberately NO custom optimizer rules or strategies: the reference
+  * has no optimizer surface to reproduce (SURVEY.md §4.1), and every
+  * declared operator plans well on stock Catalyst (PLANS.md). This class
+  * is the seam where a `injectOptimizerRule` / `injectPlannerStrategy`
+  * would go if a future operator needs one.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatVectorDot].getName, "vec_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "vec_dot(a, b) takes two arguments")
+        FloatVectorDot(children.head, children(1))
+      }))
+  }
+}
