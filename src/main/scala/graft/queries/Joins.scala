@@ -114,6 +114,48 @@ object Joins extends QueryFamily {
              round(sum(dec("value")), 4).cast("decimal(18,4)").as("sum_value"))
         .orderBy("lo")
     },
+    "q_join_merge" -> { (s, d) =>
+      // sort-merge path, explicitly hinted: the physical join a fact⋈fact
+      // falls back to at scale when neither side broadcasts
+      val l = Tables.lineitem(s, d).hint("merge")
+      val o = Tables.orders(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec("l_quantity")).cast("decimal(18,4)").as("sum_qty"))
+        .orderBy("o_orderstatus")
+    },
+    "q_join_nullsafe" -> { (s, d) =>
+      // null-safe equality (<=> ↔ IS NOT DISTINCT FROM) over a derived
+      // nullable key: status P mapped to NULL on both sides
+      val o = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          when(col("o_orderstatus") === "P", lit(null))
+            .otherwise(col("o_orderstatus")).as("k"))
+      val dim = s.createDataFrame(Seq(
+          (Option("F"), "finished"), (Option("O"), "open"),
+          (Option.empty[String], "pending"))).toDF("k", "label")
+      o.join(dim, o("k") <=> dim("k"))
+        .select(col("o_orderkey"), col("label"))
+        .orderBy("o_orderkey")
+    },
+    "q_scalar_subquery" -> { (s, d) =>
+      Tables.orders(s, d).createOrReplaceTempView("orders_sq")
+      s.sql(
+        """SELECT o_orderkey, o_totalprice FROM orders_sq
+          |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders_sq)
+          |ORDER BY o_orderkey""".stripMargin)
+    },
+    "q_pivot" -> { (s, d) =>
+      // pivot with a FIXED value list (dynamic pivot can't hash-compare);
+      // oracle = conditional aggregation with the same column names
+      Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("F", "O", "P"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("o_orderpriority")
+    },
     "q_join_asof" -> { (s, d) =>
       // As-of join: each purchase matched to the latest signup of the same
       // user at or before it. Spark-first shape: union-free equi join on
@@ -189,6 +231,32 @@ object Joins extends QueryFamily {
         |FROM events e JOIN (SELECT range AS id FROM range(0, 10)) b
         |  ON e.value >= b.id * 10 AND e.value < (b.id + 1) * 10
         |GROUP BY 1 ORDER BY lo""".stripMargin,
+    "q_join_merge" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q_join_nullsafe" ->
+      """SELECT o_orderkey, label FROM
+        |  (SELECT o_orderkey,
+        |     CASE WHEN o_orderstatus = 'P' THEN NULL
+        |          ELSE o_orderstatus END AS k
+        |   FROM orders) o
+        |JOIN (VALUES ('F', 'finished'), ('O', 'open'), (NULL, 'pending'))
+        |  AS dim(k, label)
+        |  ON o.k IS NOT DISTINCT FROM dim.k
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_scalar_subquery" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_totalprice > 2 * (SELECT avg(o_totalprice) FROM orders)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  count(*) FILTER (o_orderstatus = 'F') AS "F",
+        |  count(*) FILTER (o_orderstatus = 'O') AS "O",
+        |  count(*) FILTER (o_orderstatus = 'P') AS "P"
+        |FROM orders GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "q_join_asof" ->
       """SELECT p.user_id AS p_user, p.event_id AS p_event,
         |  epoch_us(p.ts) AS p_ts_us, max(epoch_us(s.ts)) AS asof_signup_us
