@@ -126,6 +126,46 @@ object Aggs extends QueryFamily {
             .as("p75_price"))
         .orderBy("l_returnflag")
     },
+    "q_agg_collect" -> { (s, d) =>
+      // ordered list / string aggregation (collect_list ↔ DuckDB list();
+      // §7.5: never without array_sort)
+      Tables.orders(s, d)
+        .filter(col("o_custkey") < 30)
+        .groupBy("o_custkey")
+        .agg(
+          array_sort(collect_list(col("o_orderkey"))).as("order_keys"),
+          concat_ws(",", array_sort(collect_list(col("o_orderstatus"))))
+            .as("statuses"))
+        .orderBy("o_custkey")
+    },
+    "q_unpivot" -> { (s, d) =>
+      // wide → long reshape (unpivot/melt ↔ DuckDB UNPIVOT)
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"),
+          col("s_nationkey").cast("double").as("nation"),
+          col("s_acctbal").as("acctbal"))
+        .unpivot(Array(col("s_suppkey")), Array(col("nation"), col("acctbal")),
+          "metric", "value")
+        .orderBy("s_suppkey", "metric")
+    },
+    "q3_shipping_priority" -> { (s, d) =>
+      // TPC-H Q3 shape: selective filters on both sides of a 3-way join,
+      // revenue aggregation, top-10 — the canonical composite query.
+      val c = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1997-06-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1997-06-01").cast("timestamp"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(12,4)") *
+            (lit(1) - dec("l_discount")).cast("decimal(8,4)")), 4)
+          .cast("decimal(18,4)").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+        .select("l_orderkey", "revenue", "o_orderdate")
+    },
     "q_agg_minmax" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_linestatus")
@@ -193,6 +233,35 @@ object Aggs extends QueryFamily {
         |  round(quantile_cont(l_extendedprice, 0.9), 6) AS p90_price,
         |  round(quantile_cont(l_extendedprice, 0.75), 6) AS p75_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q_agg_collect" ->
+      """SELECT o_custkey,
+        |  list(o_orderkey ORDER BY o_orderkey) AS order_keys,
+        |  array_to_string(list(o_orderstatus ORDER BY o_orderstatus), ',')
+        |    AS statuses
+        |FROM orders WHERE o_custkey < 30
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
+    "q_unpivot" ->
+      """SELECT s_suppkey, metric, value FROM (
+        |  UNPIVOT (SELECT s_suppkey,
+        |             CAST(s_nationkey AS DOUBLE) AS nation,
+        |             s_acctbal AS acctbal
+        |           FROM supplier)
+        |  ON nation, acctbal INTO NAME metric VALUE value)
+        |ORDER BY s_suppkey, metric""".stripMargin,
+    "q3_shipping_priority" ->
+      """SELECT l_orderkey,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |    CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4))), 4)
+        |    AS DECIMAL(18,4)) AS revenue,
+        |  o_orderdate
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1997-06-01'
+        |  AND l_shipdate > TIMESTAMP '1997-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
     "q_agg_minmax" ->
       """SELECT l_linestatus,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,

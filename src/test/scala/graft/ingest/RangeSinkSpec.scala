@@ -101,6 +101,16 @@ class RangeSinkSpec extends SparkSuite {
     assert(before == after)
   }
 
+  test("widened (uint64 → Decimal) block numbers are accepted") {
+    import org.apache.spark.sql.functions._
+    val root = tmpDir()
+    val sink = RangeSink(root, RangePartitioner(start = 0, size = 10))
+    val dec = blocksDF(0L until 15L)
+      .withColumn("block_number", col("block_number").cast("decimal(20,0)"))
+    sink.processBatch(dec, epochId = 0)
+    assert(published(root) == Seq("0000000000-0000000010.parquet"))
+  }
+
   test("stop-block clamps the final range name (scenario 6)") {
     val root = tmpDir()
     val sink = RangeSink(root,
