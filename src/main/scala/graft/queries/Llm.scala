@@ -117,10 +117,12 @@ object Llm extends QueryFamily {
       // corpus bigram counts, top-100: n-gram generation distributed
       // map-side, shuffle carries (bigram, count) partials
       Tables.documents(s, d)
+        .select(col("doc_id"), toks.as("tokens"))
+        .repartition(col("doc_id")) // barrier: split() evaluated once
         .select(explode(expr(
-          """transform(sequence(1, greatest(size(split(text, ' ')) - 1, 0)),
-            |  i -> concat_ws(' ', element_at(split(text, ' '), int(i)),
-            |                      element_at(split(text, ' '), int(i) + 1)))
+          """transform(sequence(1, greatest(size(tokens) - 1, 0)),
+            |  i -> concat_ws(' ', element_at(tokens, int(i)),
+            |                      element_at(tokens, int(i) + 1)))
             |""".stripMargin)).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("n"))
