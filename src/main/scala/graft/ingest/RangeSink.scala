@@ -161,35 +161,49 @@ final case class RangeSink(
         .parquet(tmplDir.toString)
       partFilesOf(tmplDir).head
     }
-    var usedTemplate = false
+    val usedTemplate = new java.util.concurrent.atomic.AtomicBoolean(false)
 
-    todo.foreach { rs =>
-      val (_, re) = partitioner.rangeFor(rs)
-      val target = new Path(root, partitioner.fileName(rs, re))
-      stagedRanges.get(rs) match {
-        case Some(Seq(dir)) if partFilesOf(dir).size == 1 =>
-          // fast path: already one sorted file — rename-publish, no job
-          if (!f.exists(target)) f.rename(partFilesOf(dir).head, target)
-        case Some(dirs) =>
-          // merge path: range spans epochs — one small job
-          val tmp = new Path(root, s".${partitioner.fileName(rs, re)}.inprogress")
-          spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
-            .coalesce(1).sortWithinPartitions(col(blockCol))
-            .write.mode("overwrite").options(tuning.options)
-            .parquet(tmp.toString)
-          if (!f.exists(target)) f.rename(partFilesOf(tmp).head, target)
-          f.delete(tmp, true)
-        case None =>
-          // empty backfill: FS copy of the 0-row template
-          if (!f.exists(target)) {
-            usedTemplate = true
-            org.apache.hadoop.fs.FileUtil.copy(
-              f, emptyTemplate, f, target, false, spark.sparkContext
-                .hadoopConfiguration)
-          }
-      }
-      stagedRanges.get(rs).foreach(_.foreach(f.delete(_, true)))
-    }
-    if (usedTemplate) f.delete(new Path(root, "._empty_template"), true)
+    // Ranges publish independently (distinct targets + staging) — fan the
+    // filesystem work out over a bounded pool. On an object store each
+    // publish is a round-trip; serial K-range backfills would be
+    // latency-bound (the reference async-uploads for the same reason,
+    // writer.go:350-371).
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.min(8, math.max(1, todo.size)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val publishes = todo.map { rs => Future {
+        val (_, re) = partitioner.rangeFor(rs)
+        val target = new Path(root, partitioner.fileName(rs, re))
+        stagedRanges.get(rs) match {
+          case Some(Seq(dir)) if partFilesOf(dir).size == 1 =>
+            // fast path: already one sorted file — rename-publish, no job
+            if (!f.exists(target)) f.rename(partFilesOf(dir).head, target)
+          case Some(dirs) =>
+            // merge path: range spans epochs — one small job
+            val tmp = new Path(root,
+              s".${partitioner.fileName(rs, re)}.inprogress")
+            spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
+              .coalesce(1).sortWithinPartitions(col(blockCol))
+              .write.mode("overwrite").options(tuning.options)
+              .parquet(tmp.toString)
+            if (!f.exists(target)) f.rename(partFilesOf(tmp).head, target)
+            f.delete(tmp, true)
+          case None =>
+            // empty backfill: FS copy of the 0-row template
+            if (!f.exists(target)) {
+              usedTemplate.set(true)
+              org.apache.hadoop.fs.FileUtil.copy(
+                f, emptyTemplate, f, target, false, spark.sparkContext
+                  .hadoopConfiguration)
+            }
+        }
+        stagedRanges.get(rs).foreach(_.foreach(f.delete(_, true)))
+      }}
+      Await.result(Future.sequence(publishes), Duration.Inf)
+    } finally pool.shutdown()
+    if (usedTemplate.get) f.delete(new Path(root, "._empty_template"), true)
   }
 }

@@ -50,6 +50,26 @@ class MediaSpec extends SparkSuite {
       .toSeq == Seq(0, 1, 2, 3)))
   }
 
+  test("extracted features flow into the similarity search path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // decode → features → brute-force cosine top-k, the same operator
+    // pipeline the text/embedding path uses (graft.functions.Vectors)
+    val feats = extractFeatures(sampleMedia, dim = 16)
+      .select(col("media_id"), col("features"))
+    val q = feats.filter(col("media_id") === 0)
+      .select(col("features").as("qvec"))
+    val topk = feats.crossJoin(broadcast(q))
+      .filter(col("media_id") =!= 0)
+      .select(col("media_id"),
+        graft.functions.Vectors.dot(col("features"), col("qvec")).as("sim"))
+      .orderBy(col("sim").desc, col("media_id").asc)
+      .limit(5)
+      .as[(Long, Double)].collect()
+    assert(topk.length == 5)
+    assert(topk.map(_._2).toSeq == topk.map(_._2).sorted.reverse.toSeq)
+  }
+
   test("metadata predicate prunes without touching payloads") {
     val df = sampleMedia.toDF()
     val big = selectLargeImages(df, minPixels = 100000)
