@@ -18,9 +18,14 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.get("graft-bench")
-    // Warm the JVM + file-listing caches so per-query numbers measure the
-    // query, not first-touch classloading.
+    // Warm-up: run EVERY query once at the smallest SF first, so the
+    // timed pass measures execution, not first-touch classloading,
+    // Catalyst analysis caches, or codegen compilation.
     SparkEntry.entry(spark).count()
+    SparkEntry.queries.foreach { case (_, fn) =>
+      try fn(spark, "/root/testdata/sf0.001").count()
+      catch { case _: Throwable => () }
+    }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
