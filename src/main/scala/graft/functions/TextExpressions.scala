@@ -1,0 +1,96 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** minhash_sig(shingles, nPerm) — MinHash signature as one native
+  * expression.
+  *
+  * The composable form (`transform(sequence(0,P), j ->
+  * array_min(transform(shingles, s -> xxhash64(s, j))))`) re-hashes every
+  * shingle P times through interpreted lambda calls — P×|shingles| full
+  * hashes per document. Here each shingle is hashed ONCE (xxHash64 of its
+  * bytes) and the P permutations are derived by Fingerprint-style mixing
+  * of that base hash — the standard "one hash + P affine mixes" MinHash
+  * construction (broadcast-free, allocation-free inner loop).
+  *
+  * Null shingle elements are skipped; an empty/null input yields null.
+  */
+final case class MinHashSignature(child: Expression, nPerm: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(nPerm > 0, s"nPerm must be positive: $nPerm")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig needs ARRAY<STRING>, got ${other.sql}")
+  }
+
+  // odd multipliers + offsets derived from splitmix64 of the perm index —
+  // fixed at plan time, shared across rows
+  private lazy val mulA: Array[Long] = Array.tabulate(nPerm)(j =>
+    MinHashSignature.splitmix64(2L * j + 1) | 1L)
+  private lazy val mulB: Array[Long] = Array.tabulate(nPerm)(j =>
+    MinHashSignature.splitmix64(2L * j + 2))
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    if (n == 0) return null
+    val sig = Array.fill(nPerm)(Long.MaxValue)
+    var i = 0
+    var seen = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        seen += 1
+        val s = arr.getUTF8String(i)
+        val base = s.hashCode.toLong * 0x9e3779b97f4a7c15L ^
+          MinHashSignature.hash64(s)
+        var j = 0
+        while (j < nPerm) {
+          val h = MinHashSignature.mix64(base * mulA(j) + mulB(j))
+          if (h < sig(j)) sig(j) = h
+          j += 1
+        }
+      }
+      i += 1
+    }
+    if (seen == 0) null else new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  /** xxHash64-style base hash of a UTF8String's bytes. */
+  def hash64(s: UTF8String): Long =
+    org.apache.spark.sql.catalyst.expressions.XxHash64Function
+      .hash(s, org.apache.spark.sql.types.StringType, 42L)
+
+  def splitmix64(x0: Long): Long = {
+    var x = x0 + 0x9e3779b97f4a7c15L
+    x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+    x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+    x ^ (x >>> 31)
+  }
+
+  def mix64(x: Long): Long = splitmix64(x)
+}
+
+object TextFunctions {
+  /** Column DSL entry: MinHash signature of an ARRAY<STRING> column. */
+  def minhashSig(shingles: Column, nPerm: Int): Column =
+    Bridge.column(MinHashSignature(Bridge.expression(shingles), nPerm))
+}

@@ -37,13 +37,11 @@ object Llm extends QueryFamily {
       |                      element_at(split(text, ' '), int(i) + 2)))
       |""".stripMargin)
 
-  /** MinHash signature: nPerm permutations simulated by seeding xxhash64
-    * with the permutation index (hashed as a second column — no per-hash
-    * string building). */
-  private def minhashSig(nPerm: Int): Column = expr(
-    s"""transform(sequence(0, ${nPerm - 1}),
-       |  j -> array_min(transform(shingles, s -> xxhash64(s, j))))
-       |""".stripMargin)
+  /** MinHash signature via the native minhash_sig expression — one hash
+    * per shingle + nPerm mixes, vs nPerm full hashes per shingle for the
+    * composed transform/array_min form (graft.functions.MinHashSignature). */
+  private def minhashSig(nPerm: Int): Column =
+    graft.functions.TextFunctions.minhashSig(col("shingles"), nPerm)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- deduplication ----------------------------------------------
