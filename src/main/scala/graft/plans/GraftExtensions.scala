@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.FloatVectorDot
+import graft.functions.{FloatVectorDot, MinHashSignature}
 
 /** SparkSessionExtensions entry point:
   * `.withExtensions(new GraftExtensions)` or
@@ -29,6 +29,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "vec_dot(a, b) takes two arguments")
         FloatVectorDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSignature].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "minhash_sig(shingles, nPerm) takes two arguments")
+        val n = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+          case other => throw new IllegalArgumentException(
+            s"nPerm must be an integer literal, got $other")
+        }
+        MinHashSignature(children.head, n)
       }))
   }
 }
