@@ -156,6 +156,19 @@ object Joins extends QueryFamily {
         .na.fill(0L)
         .orderBy("o_orderpriority")
     },
+    "q_join_lateral" -> { (s, d) =>
+      // correlated LATERAL subquery: each nation's two richest customers
+      Tables.nation(s, d).createOrReplaceTempView("nation_lat")
+      Tables.customer(s, d).createOrReplaceTempView("customer_lat")
+      s.sql(
+        """SELECT n.n_name, t.c_custkey, t.c_acctbal
+          |FROM nation_lat n,
+          |LATERAL (
+          |  SELECT c_custkey, c_acctbal FROM customer_lat
+          |  WHERE c_nationkey = n.n_nationkey
+          |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t
+          |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin)
+    },
     "q_join_asof" -> { (s, d) =>
       // As-of join: each purchase matched to the latest signup of the same
       // user at or before it. Spark-first shape: union-free equi join on
@@ -257,6 +270,14 @@ object Joins extends QueryFamily {
         |  count(*) FILTER (o_orderstatus = 'P') AS "P"
         |FROM orders GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    "q_join_lateral" ->
+      """SELECT n.n_name, t.c_custkey, t.c_acctbal
+        |FROM nation n,
+        |LATERAL (
+        |  SELECT c_custkey, c_acctbal FROM customer
+        |  WHERE c_nationkey = n.n_nationkey
+        |  ORDER BY c_acctbal DESC, c_custkey ASC LIMIT 2) t
+        |ORDER BY n.n_name, t.c_acctbal DESC, t.c_custkey""".stripMargin,
     "q_join_asof" ->
       """SELECT p.user_id AS p_user, p.event_id AS p_event,
         |  epoch_us(p.ts) AS p_ts_us, max(epoch_us(s.ts)) AS asof_signup_us

@@ -76,6 +76,20 @@ object Windows extends QueryFamily {
           count(lit(1)).over(w).as("near_n"))
         .orderBy("o_orderkey")
     },
+    "q_win_ignore_nulls" -> { (s, d) =>
+      // lag/last_value over a sparse (nullable) series with IGNORE NULLS —
+      // "previous known value" gap filling
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").asc, col("event_id").asc)
+      Tables.events(s, d)
+        .withColumn("big_val",
+          when(col("value") >= 50, col("value")))
+        .select(col("user_id"), col("event_id"),
+          lag(col("big_val"), 1, null, ignoreNulls = true).over(w)
+            .as("prev_big"),
+          last(col("big_val"), ignoreNulls = true).over(w).as("last_big"))
+        .orderBy("event_id")
+    },
     "q_win_ntile" -> { (s, d) =>
       val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
       Tables.orders(s, d)
@@ -145,6 +159,15 @@ object Windows extends QueryFamily {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ASC
         |  RANGE BETWEEN 5 PRECEDING AND CURRENT ROW)
         |ORDER BY o_orderkey""".stripMargin,
+    "q_win_ignore_nulls" ->
+      """SELECT user_id, event_id,
+        |  lag(big_val IGNORE NULLS) OVER w AS prev_big,
+        |  last_value(big_val IGNORE NULLS) OVER w AS last_big
+        |FROM (SELECT user_id, event_id, ts,
+        |        CASE WHEN value >= 50 THEN value END AS big_val
+        |      FROM events)
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        |ORDER BY event_id""".stripMargin,
     "q_win_ntile" ->
       """SELECT o_orderkey, o_totalprice,
         |  ntile(4) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
