@@ -114,6 +114,15 @@ object Aggs extends QueryFamily {
              countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag")
     },
+    "q_agg_bool" -> { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          bool_and(col("l_quantity") > 0).as("all_positive"),
+          bool_or(col("l_discount") > 0.05).as("any_discounted"),
+          count_if(col("l_tax") > 0.04).as("n_taxed"))
+        .orderBy("l_returnflag")
+    },
     "q_agg_percentile" -> { (s, d) =>
       // exact interpolated percentiles (Spark `percentile` ↔ DuckDB
       // quantile_cont); rounded per §7.5
@@ -227,6 +236,12 @@ object Aggs extends QueryFamily {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY g_status, g_prio,
         |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_agg_bool" ->
+      """SELECT l_returnflag,
+        |  bool_and(l_quantity > 0) AS all_positive,
+        |  bool_or(l_discount > 0.05) AS any_discounted,
+        |  count(*) FILTER (l_tax > 0.04) AS n_taxed
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_percentile" ->
       """SELECT l_returnflag,
         |  round(quantile_cont(l_quantity, 0.5), 6) AS p50_qty,

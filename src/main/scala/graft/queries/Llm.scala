@@ -175,6 +175,21 @@ object Llm extends QueryFamily {
         .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
       graft.operators.Ann.search(index, queries, topK = 10, nprobe = 6)
     },
+    "q_edit_distance" -> { (s, d) =>
+      // Levenshtein on bounded prefixes — the fuzzy-dedup primitive for
+      // short fields (titles/names); O(m·n) per pair so inputs are CAPPED
+      // (prefix 24 chars) and the pair space is a bounded candidate set.
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") < 30)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("prefix"))
+      val a = docs.select(col("doc_id").as("id_a"), col("prefix").as("pa"))
+      val b = docs.select(col("doc_id").as("id_b"), col("prefix").as("pb"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("pa"), col("pb")).as("dist"))
+        .filter(col("dist") <= 10)
+        .orderBy("id_a", "id_b")
+    },
     "q_jaccard_pairs" -> { (s, d) =>
       // Token-set Jaccard over a bounded candidate set (doc_id < 40):
       // the exact-verification stage of a near-dup pipeline. At scale the
@@ -389,6 +404,15 @@ object Llm extends QueryFamily {
         |      t -> CAST(ascii(substring(t, 1, 1)) * 7 + length(t) AS BIGINT))),
         |    (acc, x) -> (acc * 131 + x) % 2147483647) AS fp_rolling
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_edit_distance" ->
+      """WITH docs AS (
+        |  SELECT doc_id, substring(text, 1, 24) AS prefix
+        |  FROM documents WHERE doc_id < 30)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  levenshtein(a.prefix, b.prefix) AS dist
+        |FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+        |WHERE levenshtein(a.prefix, b.prefix) <= 10
+        |ORDER BY id_a, id_b""".stripMargin,
     "q_jaccard_pairs" ->
       """WITH docs AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset

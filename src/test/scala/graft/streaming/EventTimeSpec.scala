@@ -75,6 +75,40 @@ class EventTimeSpec extends SparkSuite {
     assert(rows("2024-01-01 10:30:00") == 1L)
   }
 
+  test("stream-stream join with watermarked state (purchase ⋈ signup)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val signups = MemoryStream[(Timestamp, String)]
+    val purchases = MemoryStream[(Timestamp, String)]
+    val sdf = signups.toDF().toDF("s_ts", "user")
+      .withWatermark("s_ts", "1 hour")
+    val pdf = purchases.toDF().toDF("p_ts", "p_user")
+      .withWatermark("p_ts", "1 hour")
+    // time-bounded equi join: purchase within 1h after the signup —
+    // the bound lets Spark expire join state past the watermark
+    val joined = pdf.join(sdf,
+      expr("user = p_user AND p_ts >= s_ts AND p_ts <= s_ts + INTERVAL 1 HOUR"))
+      .select(col("p_user"), col("p_ts").cast("string").as("pt"))
+
+    val query = joined.writeStream
+      .format("memory").queryName("ssj_test")
+      .outputMode("append")
+      .trigger(Trigger.ProcessingTime(0))
+      .start()
+
+    signups.addData((ts(0), "u1"), (ts(5), "u2"))
+    purchases.addData((ts(30), "u1"))    // within u1's hour → match
+    query.processAllAvailable()
+    purchases.addData((ts(10), "u3"))    // no signup → no row
+    query.processAllAvailable()
+    query.stop()
+
+    val rows = spark.table("ssj_test")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows == Set(("u1", "2024-01-01 10:30:00")))
+  }
+
   test("streaming dropDuplicates with watermark (stateful dedup)") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
