@@ -114,6 +114,18 @@ object Aggs extends QueryFamily {
              countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag")
     },
+    "q_agg_stats" -> { (s, d) =>
+      // statistical aggregates; stddev rounded to 2 (Welford merge order
+      // differs across engines at ~1e-9 abs), corr to 6 (bounded [-1,1])
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_extendedprice")), 2).as("std_price"),
+          round(stddev_pop(col("l_quantity")), 6).as("stdp_qty"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+            .as("qty_price_corr"))
+        .orderBy("l_returnflag")
+    },
     "q_agg_bool" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
@@ -236,6 +248,12 @@ object Aggs extends QueryFamily {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY g_status, g_prio,
         |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q_agg_stats" ->
+      """SELECT l_returnflag,
+        |  round(stddev_samp(l_extendedprice), 2) AS std_price,
+        |  round(stddev_pop(l_quantity), 6) AS stdp_qty,
+        |  round(corr(l_quantity, l_extendedprice), 6) AS qty_price_corr
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q_agg_bool" ->
       """SELECT l_returnflag,
         |  bool_and(l_quantity > 0) AS all_positive,

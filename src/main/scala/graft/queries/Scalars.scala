@@ -71,6 +71,13 @@ object Scalars extends QueryFamily {
           unix_timestamp(col("o_orderdate")).as("epoch_s"))
         .orderBy("o_orderkey")
     },
+    "q_date_format" -> { (s, d) =>
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM").as("ym"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd HH:mm:ss").as("full"))
+        .orderBy("o_orderkey")
+    },
     "q_cond_expr" -> { (s, d) =>
       // CASE/WHEN, coalesce, nullif, greatest/least — conditional surface.
       Tables.lineitem(s, d)
@@ -184,6 +191,11 @@ object Scalars extends QueryFamily {
         |  dayofweek(o_orderdate) + 1 AS dow,
         |  quarter(o_orderdate) AS q,
         |  CAST(epoch(o_orderdate) AS BIGINT) AS epoch_s
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_date_format" ->
+      """SELECT o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m') AS ym,
+        |  strftime(o_orderdate, '%Y-%m-%d %H:%M:%S') AS "full"
         |FROM orders ORDER BY o_orderkey""".stripMargin,
     "q_cond_expr" ->
       """SELECT l_orderkey, l_linenumber,
