@@ -114,6 +114,30 @@ object Aggs extends QueryFamily {
              countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag")
     },
+    "q5_local_supplier" -> { (s, d) =>
+      // TPC-H Q5 shape: 6-way join with the local-supplier constraint
+      // (customer and supplier in the SAME nation) — the join-order /
+      // broadcast stress test.
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      val su = Tables.supplier(s, d)
+      val n = Tables.nation(s, d)
+      val r = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey") &&
+          su("s_nationkey") === c("c_nationkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(12,4)") *
+            (lit(1) - col("l_discount").cast("decimal(12,4)"))
+              .cast("decimal(8,4)")), 4)
+          .cast("decimal(18,4)").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    },
     "q_agg_stats" -> { (s, d) =>
       // statistical aggregates; stddev rounded to 2 (Welford merge order
       // differs across engines at ~1e-9 abs), corr to 6 (bounded [-1,1])
@@ -248,6 +272,19 @@ object Aggs extends QueryFamily {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY g_status, g_prio,
         |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |    CAST(1 - CAST(l_discount AS DECIMAL(12,4)) AS DECIMAL(8,4))), 4)
+        |    AS DECIMAL(18,4)) AS revenue,
+        |  count(*) AS n_items
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name ASC""".stripMargin,
     "q_agg_stats" ->
       """SELECT l_returnflag,
         |  round(stddev_samp(l_extendedprice), 2) AS std_price,

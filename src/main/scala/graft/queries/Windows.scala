@@ -107,6 +107,15 @@ object Windows extends QueryFamily {
           last(col("o_orderkey")).over(wAll).as("last_order"))
         .orderBy("o_orderkey")
     },
+    "q_win_nth" -> { (s, d) =>
+      val wAll = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .select(col("o_custkey"), col("o_orderkey"),
+          nth_value(col("o_orderkey"), 2).over(wAll).as("second_best"))
+        .orderBy("o_orderkey")
+    },
     "q_win_cume" -> { (s, d) =>
       val w = Window.partitionBy(col("c_nationkey"))
         .orderBy(col("c_acctbal").asc, col("c_custkey").asc)
@@ -179,6 +188,14 @@ object Windows extends QueryFamily {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey
         |  ORDER BY o_orderdate ASC, o_orderkey ASC
+        |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_orderkey""".stripMargin,
+    "q_win_nth" ->
+      """SELECT o_custkey, o_orderkey,
+        |  nth_value(o_orderkey, 2) OVER w AS second_best
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey ASC
         |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
         |ORDER BY o_orderkey""".stripMargin,
     "q_win_cume" ->
