@@ -41,7 +41,7 @@ object Joins extends QueryFamily {
         .agg(
           round(sum(dec("l_extendedprice") *
             (lit(1) - dec("l_discount")).cast("decimal(8,4)")), 4)
-            .cast("decimal(18,4)").as("revenue"),
+            .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
         .orderBy("r_name")
     },
@@ -111,7 +111,7 @@ object Joins extends QueryFamily {
       e.join(broadcast(buckets), e("value") >= col("lo") && e("value") < col("hi"))
         .groupBy(col("lo"))
         .agg(count(lit(1)).as("n_events"),
-             round(sum(dec("value")), 4).cast("decimal(18,4)").as("sum_value"))
+             round(sum(dec("value")), 4).cast("double").as("sum_value"))
         .orderBy("lo")
     },
     "q_join_merge" -> { (s, d) =>
@@ -122,7 +122,7 @@ object Joins extends QueryFamily {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .groupBy(col("o_orderstatus"))
         .agg(count(lit(1)).as("n"),
-          sum(dec("l_quantity")).cast("decimal(18,4)").as("sum_qty"))
+          sum(dec("l_quantity")).cast("double").as("sum_qty"))
         .orderBy("o_orderstatus")
     },
     "q_join_nullsafe" -> { (s, d) =>
@@ -201,7 +201,7 @@ object Joins extends QueryFamily {
         |ORDER BY o_orderkey""".stripMargin,
     "q_join_star" ->
       """SELECT r_name,
-        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l_discount AS DECIMAL(12,4)) AS DECIMAL(8,4))), 4) AS DECIMAL(18,4)) AS revenue,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - CAST(l_discount AS DECIMAL(12,4)) AS DECIMAL(8,4))), 4) AS DOUBLE) AS revenue,
         |  count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -240,13 +240,13 @@ object Joins extends QueryFamily {
         |ORDER BY s_suppkey, c_custkey""".stripMargin,
     "q_join_range" ->
       """SELECT CAST(b.id * 10 AS DOUBLE) AS lo, count(*) AS n_events,
-        |  CAST(round(sum(CAST(value AS DECIMAL(12,4))), 4) AS DECIMAL(18,4)) AS sum_value
+        |  CAST(round(sum(CAST(value AS DECIMAL(12,4))), 4) AS DOUBLE) AS sum_value
         |FROM events e JOIN (SELECT range AS id FROM range(0, 10)) b
         |  ON e.value >= b.id * 10 AND e.value < (b.id + 1) * 10
         |GROUP BY 1 ORDER BY lo""".stripMargin,
     "q_join_merge" ->
       """SELECT o_orderstatus, count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS sum_qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(12,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
     "q_join_nullsafe" ->

@@ -108,7 +108,7 @@ object Scalars extends QueryFamily {
                  month(col("l_shipdate")).as("ship_month"))
         .agg(count(lit(1)).as("n"),
              sum(col("l_quantity").cast("decimal(18,4)"))
-               .cast("decimal(18,4)").as("sum_qty"))
+               .cast("double").as("sum_qty"))
         .orderBy("ship_year", "ship_month")
     },
     "q_math" -> { (s, d) =>
@@ -130,11 +130,17 @@ object Scalars extends QueryFamily {
         .orderBy("event_id")
     },
     "q_arr_basic" -> { (s, d) =>
+      // head4 emitted as floor-scaled longs joined to one string: the
+      // harness compare can't sort/hash list cells, and float→string
+      // formatting differs across engines while floor(x·1e6) of identical
+      // IEEE floats can't.
       Tables.embeddings(s, d)
         .select(col("vec_id"),
           size(col("embedding")).as("dim"),
-          element_at(col("embedding"), 1).as("e1"),
-          slice(col("embedding"), 1, 4).as("head4"))
+          element_at(col("embedding"), 1).cast("double").as("e1"),
+          concat_ws(",", transform(slice(col("embedding"), 1, 4),
+            x => floor(x.cast("double") * 1000000).cast("long").cast("string")))
+            .as("head4"))
         .orderBy("vec_id")
     },
     "q_arr_dot" -> { (s, d) =>
@@ -215,7 +221,7 @@ object Scalars extends QueryFamily {
     "q_date_agg" ->
       """SELECT year(l_shipdate) AS ship_year, month(l_shipdate) AS ship_month,
         |  count(*) AS n,
-        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DECIMAL(18,4)) AS sum_qty
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1, 2 ORDER BY ship_year, ship_month""".stripMargin,
     "q_math" ->
       """SELECT l_orderkey, l_linenumber,
@@ -234,7 +240,10 @@ object Scalars extends QueryFamily {
         |ORDER BY event_id""".stripMargin,
     "q_arr_basic" ->
       """SELECT vec_id, len(embedding) AS dim,
-        |  embedding[1] AS e1, embedding[1:4] AS head4
+        |  CAST(embedding[1] AS DOUBLE) AS e1,
+        |  array_to_string(list_transform(embedding[1:4],
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)), ',')
+        |    AS head4
         |FROM embeddings ORDER BY vec_id""".stripMargin,
     "q_arr_dot" ->
       """SELECT e.vec_id,

@@ -27,7 +27,7 @@ object Scans extends QueryFamily {
           col("o_orderkey"),
           col("o_custkey"),
           round(col("o_totalprice").cast("decimal(18,4)") * lit(2), 4)
-            .cast("decimal(18,4)").as("double_price"))
+            .cast("double").as("double_price"))
         .orderBy("o_orderkey")
     },
     "q_scan_topk" -> { (s, d) =>
@@ -60,7 +60,7 @@ object Scans extends QueryFamily {
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_scan_project" ->
       """SELECT o_orderkey, o_custkey,
-        |  CAST(round(CAST(o_totalprice AS DECIMAL(18,4)) * 2, 4) AS DECIMAL(18,4)) AS double_price
+        |  CAST(round(CAST(o_totalprice AS DECIMAL(18,4)) * 2, 4) AS DOUBLE) AS double_price
         |FROM orders WHERE o_orderstatus = 'F'
         |ORDER BY o_orderkey""".stripMargin,
     "q_scan_topk" ->

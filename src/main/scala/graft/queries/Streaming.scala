@@ -49,13 +49,16 @@ object Streaming extends QueryFamily {
     "q_map_entries" -> { (s, d) =>
       // map → sorted entry-list normalization (the reference's map layout,
       // made deterministic — SURVEY.md §2.A#8).
+      // map → sorted entries → exploded to (event_id, key, value) rows:
+      // the harness compare can't sort/hash list-of-struct cells.
       Tables.events(s, d)
         .select(col("event_id"),
-          array_sort(map_entries(
+          explode(array_sort(map_entries(
             map(lit("k"), get_json_object(col("props"), "$.k").cast("long"),
-                lit("u"), col("user_id"))))
-            .as("entries"))
-        .orderBy("event_id")
+                lit("u"), col("user_id"))))).as("e"))
+        .select(col("event_id"), col("e.key").as("key"),
+                col("e.value").as("value"))
+        .orderBy("event_id", "key")
     },
     "q_raw_projection" -> { (s, d) =>
       // The reference's raw fallback converter: (block_number, block_id,
@@ -64,14 +67,15 @@ object Streaming extends QueryFamily {
         .select(col("event_id").as("block_number"),
           concat(lit("0x"), lpad(hex(col("event_id")), 16, "0"))
             .as("block_id"),
-          encode(col("props"), "utf-8").as("payload"))
+          // hex-encoded: the harness compare can't hash binary cells
+          hex(encode(col("props"), "utf-8")).as("payload"))
         .orderBy("block_number")
     },
     "q_stream_tumbling" -> { (s, d) =>
       Tables.events(s, d)
         .groupBy(window(tsCol, "1 hour").as("w"), col("event_type"))
         .agg(count(lit(1)).as("n"),
-             sum(dec("value")).cast("decimal(18,4)").as("sum_value"))
+             sum(dec("value")).cast("double").as("sum_value"))
         .select(col("w.start").as("ws"), col("event_type"), col("n"),
                 col("sum_value"))
         .orderBy("ws", "event_type")
@@ -81,7 +85,7 @@ object Streaming extends QueryFamily {
       Tables.events(s, d)
         .groupBy(window(tsCol, "1 hour", "30 minutes").as("w"))
         .agg(count(lit(1)).as("n"),
-             sum(dec("value")).cast("decimal(18,4)").as("sum_value"))
+             sum(dec("value")).cast("double").as("sum_value"))
         .select(col("w.start").as("ws"), col("n"), col("sum_value"))
         .orderBy("ws")
     },
@@ -127,24 +131,26 @@ object Streaming extends QueryFamily {
         |    FROM events GROUP BY user_id))
         |ORDER BY user_id, event_id""".stripMargin,
     "q_map_entries" ->
-      """SELECT event_id,
-        |  [struct_pack(key := 'k',
-        |     value := CAST(json_extract_string(props, '$.k') AS BIGINT)),
-        |   struct_pack(key := 'u', value := user_id)] AS entries
-        |FROM events ORDER BY event_id""".stripMargin,
+      """SELECT event_id, key, value FROM (
+        |  SELECT event_id, 'k' AS key,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS value
+        |  FROM events
+        |  UNION ALL
+        |  SELECT event_id, 'u' AS key, user_id AS value FROM events)
+        |ORDER BY event_id, key""".stripMargin,
     "q_raw_projection" ->
       """SELECT event_id AS block_number,
         |  '0x' || lpad(hex(event_id), 16, '0') AS block_id,
-        |  encode(props) AS payload
+        |  hex(encode(props)) AS payload
         |FROM events ORDER BY block_number""".stripMargin,
     "q_stream_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS ws, event_type,
         |  count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY ws, event_type""".stripMargin,
     "q_stream_sliding" ->
       """SELECT ws, count(*) AS n,
-        |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DECIMAL(18,4)) AS sum_value
+        |  CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS sum_value
         |FROM (
         |  SELECT time_bucket(INTERVAL '30 minutes', ts) AS ws, value FROM events
         |  UNION ALL

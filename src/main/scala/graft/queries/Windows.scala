@@ -61,7 +61,7 @@ object Windows extends QueryFamily {
         .rowsBetween(-2, 0)
       Tables.events(s, d)
         .select(col("user_id"), col("event_id"),
-          sum(dec("value")).over(w).cast("decimal(18,4)").as("moving_sum"))
+          sum(dec("value")).over(w).cast("double").as("moving_sum"))
         .orderBy("event_id")
     },
     "q_win_range_between" -> { (s, d) =>
@@ -72,7 +72,7 @@ object Windows extends QueryFamily {
         .rangeBetween(-5, 0)
       Tables.orders(s, d)
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(dec("o_totalprice")).over(w).cast("decimal(18,4)").as("near_sum"),
+          sum(dec("o_totalprice")).over(w).cast("double").as("near_sum"),
           count(lit(1)).over(w).as("near_n"))
         .orderBy("o_orderkey")
     },
@@ -155,14 +155,14 @@ object Windows extends QueryFamily {
         |ORDER BY event_id""".stripMargin,
     "q_win_moving_sum" ->
       """SELECT user_id, event_id,
-        |  CAST(sum(CAST(value AS DECIMAL(12,4))) OVER w AS DECIMAL(18,4)) AS moving_sum
+        |  CAST(sum(CAST(value AS DECIMAL(12,4))) OVER w AS DOUBLE) AS moving_sum
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC
         |  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
     "q_win_range_between" ->
       """SELECT o_custkey, o_orderkey,
-        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) OVER w AS DECIMAL(18,4)) AS near_sum,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(12,4))) OVER w AS DOUBLE) AS near_sum,
         |  count(*) OVER w AS near_n
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey ASC

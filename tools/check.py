@@ -21,10 +21,12 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm(v):
+    # Driver-faithful: floats compared at FULL precision (repr), because the
+    # driver hashes exact values — a last-ulp difference is a real FAIL.
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        return f"{v:.9g}"
+        return repr(v)
     if isinstance(v, Decimal):
         return str(v.normalize())
     if isinstance(v, bytes):
@@ -34,6 +36,22 @@ def norm(v):
     if isinstance(v, dict):
         return tuple(sorted((k, norm(x)) for k, x in v.items()))
     return v
+
+
+# Output column types that crash or type-mismatch the driver's pandas-based
+# compare (CORRECTNESS_r01): lists/maps/binary are unhashable in its sort;
+# DECIMAL reaches pandas as Decimal from Spark parquet but float64 from
+# DuckDB, so equal values still hash-mismatch (trailing-zero repr).
+def risky_cols(schema):
+    import pyarrow.types as pt
+    out = []
+    for f in schema:
+        t = f.type
+        if (pt.is_decimal(t) or pt.is_list(t) or pt.is_large_list(t)
+                or pt.is_map(t) or pt.is_binary(t) or pt.is_large_binary(t)
+                or pt.is_struct(t)):
+            out.append((f.name, str(t)))
+    return out
 
 
 def rows_of(table):
@@ -57,6 +75,11 @@ def main():
         try:
             spark_tbl = pq.read_table(f"{out_dir}/{name}")
             duck_tbl = con.execute(sql).fetch_arrow_table()
+            risky = risky_cols(spark_tbl.schema)
+            if risky:
+                print(f"FAIL {name}: driver-hostile output column types {risky}")
+                n_fail += 1
+                continue
             scols, srows = rows_of(spark_tbl)
             dcols, drows = rows_of(duck_tbl)
             if scols != dcols:
