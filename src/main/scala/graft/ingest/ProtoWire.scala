@@ -141,9 +141,17 @@ object ProtoWire {
 
   private final class Reader(val buf: Array[Byte], var pos: Int, val end: Int) {
     def hasNext: Boolean = pos < end
+    // Every read is bounded by the LOGICAL `end` (a nested message's
+    // extent), not the buffer length: a truncated nested message must fail
+    // instead of silently decoding sibling bytes of the shared buffer.
+    private def need(n: Int): Unit =
+      if (n < 0 || pos + n > end)
+        throw new IllegalArgumentException(
+          s"truncated message: need $n bytes at $pos, logical end $end")
     def varint(): Long = {
       var shift = 0; var result = 0L
       while (true) {
+        need(1)
         val b = buf(pos); pos += 1
         result |= (b & 0x7fL) << shift
         if ((b & 0x80) == 0) return result
@@ -153,25 +161,29 @@ object ProtoWire {
       result
     }
     def fixed32(): Int = {
+      need(4)
       val v = ByteBuffer.wrap(buf, pos, 4).order(ByteOrder.LITTLE_ENDIAN).getInt
       pos += 4; v
     }
     def fixed64(): Long = {
+      need(8)
       val v = ByteBuffer.wrap(buf, pos, 8).order(ByteOrder.LITTLE_ENDIAN).getLong
       pos += 8; v
     }
     def lenDelim(): (Int, Int) = {
       val len = varint().toInt
+      // need() also rejects len < 0 (a corrupt varint would move pos
+      // BACKWARDS and the decode loop would never terminate)
+      need(len)
       val start = pos
       pos += len
-      if (pos > end) throw new IllegalArgumentException("truncated length-delimited")
       (start, len)
     }
     def skip(wire: Int): Unit = wire match {
       case 0 => varint()
-      case 1 => pos += 8
+      case 1 => need(8); pos += 8
       case 2 => val _ = lenDelim()
-      case 5 => pos += 4
+      case 5 => need(4); pos += 4
       case other => throw new IllegalArgumentException(s"unsupported wire type $other")
     }
   }

@@ -173,6 +173,16 @@ final case class RangeSink(
     val pool = java.util.concurrent.Executors.newFixedThreadPool(
       math.min(8, math.max(1, todo.size)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    // FileSystem.rename reports most failures (missing target parent,
+    // cross-FS, races) by returning FALSE, not throwing — an unchecked
+    // rename would let finalizeBelow delete the staging dirs below and
+    // silently replace the range's data with an empty backfill file.
+    def renameOrDie(src: Path, target: Path): Unit = {
+      f.rename(src, target)
+      if (!f.exists(target))
+        throw new IllegalStateException(
+          s"publish rename $src -> $target failed; staging kept for replay")
+    }
     try {
       val publishes = todo.map { rs => Future {
         val (_, re) = partitioner.rangeFor(rs)
@@ -180,7 +190,7 @@ final case class RangeSink(
         stagedRanges.get(rs) match {
           case Some(Seq(dir)) if partFilesOf(dir).size == 1 =>
             // fast path: already one sorted file — rename-publish, no job
-            if (!f.exists(target)) f.rename(partFilesOf(dir).head, target)
+            if (!f.exists(target)) renameOrDie(partFilesOf(dir).head, target)
           case Some(dirs) =>
             // merge path: range spans epochs — one small job
             val tmp = new Path(root,
@@ -189,7 +199,7 @@ final case class RangeSink(
               .coalesce(1).sortWithinPartitions(col(blockCol))
               .write.mode("overwrite").options(tuning.options)
               .parquet(tmp.toString)
-            if (!f.exists(target)) f.rename(partFilesOf(tmp).head, target)
+            if (!f.exists(target)) renameOrDie(partFilesOf(tmp).head, target)
             f.delete(tmp, true)
           case None =>
             // empty backfill: FS copy of the 0-row template
@@ -200,6 +210,11 @@ final case class RangeSink(
                   .hadoopConfiguration)
             }
         }
+        // staging is dropped only once the published file is confirmed
+        // present — a failed publish must leave the epoch replayable
+        if (!f.exists(target))
+          throw new IllegalStateException(
+            s"range $rs publish did not materialize $target")
         stagedRanges.get(rs).foreach(_.foreach(f.delete(_, true)))
       }}
       Await.result(Future.sequence(publishes), Duration.Inf)

@@ -17,6 +17,11 @@ final class UndoBuffer[T](k: Int, blockNumOf: T => Long) {
   require(k >= 0, s"buffer size must be >= 0: $k")
 
   private val held = mutable.TreeMap.empty[Long, T]
+  // Highest block number ever released downstream. Tracked independently of
+  // `held` so an undo below the release horizon is a hard error even when
+  // the buffer is momentarily empty (after flush(), with k=0, or when
+  // exactly all held blocks were just released).
+  private var maxReleased: Long = Long.MinValue
 
   /** Number of blocks currently held back. */
   def heldCount: Int = held.size
@@ -29,17 +34,19 @@ final class UndoBuffer[T](k: Int, blockNumOf: T => Long) {
     while (held.size > k) {
       val (num, b) = held.head
       held.remove(num)
+      maxReleased = math.max(maxReleased, num)
       released += b
     }
     released.toSeq
   }
 
   /** Chain reorg: drop held blocks with number > lastValidBlock. Throws if
-    * the reorg reaches below the buffer (blocks already released). */
+    * the reorg reaches below the buffer (blocks already released —
+    * reference hard-errors the same way, sinker.go:142-148). */
   def handleUndo(lastValidBlock: Long): Unit = {
-    if (held.nonEmpty && held.head._1 > lastValidBlock + 1)
+    if (lastValidBlock < maxReleased)
       throw new IllegalStateException(
-        s"undo to $lastValidBlock below buffered horizon ${held.head._1} — " +
+        s"undo to $lastValidBlock below released horizon $maxReleased — " +
           "blocks already released (increase the buffer size)")
     held.keys.toSeq.filter(_ > lastValidBlock).foreach(held.remove)
   }
@@ -48,6 +55,7 @@ final class UndoBuffer[T](k: Int, blockNumOf: T => Long) {
   def flush(): Seq[T] = {
     val out = held.values.toSeq
     held.clear()
+    out.foreach(b => maxReleased = math.max(maxReleased, blockNumOf(b)))
     out
   }
 }

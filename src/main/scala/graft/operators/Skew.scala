@@ -38,17 +38,24 @@ object Skew {
     def merge(p: Column): Column = max(p)
   }
 
+  /** Deterministic spread (a random salt would break retry idempotence):
+    * hash of the whole row PLUS spark_partition_id() — hot keys are often
+    * exact-duplicate rows (identical events/transfers), and a row-content
+    * hash alone would send every duplicate to ONE salt bucket, collapsing
+    * the mitigation precisely for its target workload. Mixing in the input
+    * partition id spreads duplicates across as many buckets as source
+    * partitions while staying deterministic for a given scan split. */
+  private[graft] def saltOf(df: DataFrame, saltBuckets: Int): Column =
+    pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*),
+      spark_partition_id()), lit(saltBuckets))
+
   def saltedAgg(
       df: DataFrame,
       key: Column,
       saltBuckets: Int,
       aggs: Seq[(String, ReAgg)]): DataFrame = {
     require(saltBuckets > 0 && aggs.nonEmpty)
-    // deterministic spread: hash of the whole row modulo buckets (a
-    // random salt would break retry idempotence)
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)),
-        lit(saltBuckets)))
+    val salted = df.withColumn("__salt", saltOf(df, saltBuckets))
     val phase1 = salted
       .groupBy(key.as("__key"), col("__salt"))
       .agg(aggs.head._2.partial.as(s"__p_${aggs.head._1}"),
@@ -69,9 +76,7 @@ object Skew {
       k: Int,
       saltBuckets: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val salted = df.withColumn("__salt",
-      pmod(xxhash64(struct(df.columns.map(col).toIndexedSeq: _*)),
-        lit(saltBuckets)))
+    val salted = df.withColumn("__salt", saltOf(df, saltBuckets))
     val w1 = Window.partitionBy(key, col("__salt")).orderBy(order)
     val partial = salted.withColumn("__rn", row_number().over(w1))
       .filter(col("__rn") <= k).drop("__rn", "__salt")

@@ -29,13 +29,17 @@ object Llm extends QueryFamily {
 
   private def toks: Column = split(col("text"), " ")
 
-  /** 3-gram word shingles (falls back to whole-doc for tiny docs). */
+  /** 3-gram word shingles; docs with <3 tokens fall back to ONE whole-doc
+    * shingle via an explicit CASE — the old greatest(size-2, 1) bound still
+    * evaluated element_at past the array end, which under ANSI (Spark 4
+    * default) is INVALID_ARRAY_INDEX_IN_ELEMENT_AT, not null. */
   private def shingles: Column = expr(
-    """transform(sequence(1, greatest(size(split(text, ' ')) - 2, 1)),
+    """case when size(split(text, ' ')) < 3 then array(text)
+      |else transform(sequence(1, size(split(text, ' ')) - 2),
       |  i -> concat_ws(' ', element_at(split(text, ' '), int(i)),
       |                      element_at(split(text, ' '), int(i) + 1),
       |                      element_at(split(text, ' '), int(i) + 2)))
-      |""".stripMargin)
+      |end""".stripMargin)
 
   /** MinHash signature via the native minhash_sig expression — one hash
     * per shingle + nPerm mixes, vs nPerm full hashes per shingle for the
@@ -98,8 +102,11 @@ object Llm extends QueryFamily {
           size(split(col("text"), " ")).as("n_ws_tokens"),
           size(regexp_extract_all(col("text"), lit(pat), lit(0)))
             .as("n_re_tokens"),
-          element_at(regexp_extract_all(col("text"), lit(pat), lit(0)), 1)
-            .as("first_re_token"))
+          // try_element_at: a doc with no pattern match yields an EMPTY
+          // array, and ANSI element_at(arr, 1) on it crashes — null here
+          // matches the DuckDB oracle's arr[1] semantics
+          try_element_at(regexp_extract_all(col("text"), lit(pat), lit(0)),
+            lit(1)).as("first_re_token"))
         .orderBy("doc_id")
     },
     "q_token_counts" -> { (s, d) =>
@@ -117,11 +124,15 @@ object Llm extends QueryFamily {
       Tables.documents(s, d)
         .select(col("doc_id"), toks.as("tokens"))
         .repartition(col("doc_id")) // barrier: split() evaluated once
+        // explicit empty-array branch: sequence(1, 0) is DESCENDING [1, 0]
+        // in Spark, not empty — a 1-token doc would evaluate
+        // element_at(tokens, 0) and crash under ANSI
         .select(explode(expr(
-          """transform(sequence(1, greatest(size(tokens) - 1, 0)),
+          """case when size(tokens) < 2 then array()
+            |else transform(sequence(1, size(tokens) - 1),
             |  i -> concat_ws(' ', element_at(tokens, int(i)),
             |                      element_at(tokens, int(i) + 1)))
-            |""".stripMargin)).as("bigram"))
+            |end""".stripMargin)).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc)

@@ -149,4 +149,26 @@ class ProtoWireSpec extends AnyFunSuite {
       assert(keys == keys.sorted)
     }
   }
+  test("truncated buffer fails loudly instead of decoding garbage") {
+    val bytes = ProtoWire.encode(output, samplePayload(5))
+    intercept[IllegalArgumentException](
+      ProtoWire.decode(output, bytes.dropRight(3)))
+  }
+
+  test("truncated nested message does not read sibling bytes") {
+    // field 6 (meta), wire 2, len 2; inner: field 1 varint left UNTERMINATED
+    // (0x80 continuation byte at the nested end) — the decoder must fail at
+    // the nested extent, not continue into the sibling bytes that follow
+    val buf = Array[Byte](0x32, 2, 0x08, 0x80.toByte, 0x08, 0x05)
+    intercept[IllegalArgumentException](ProtoWire.decode(output, buf))
+  }
+
+  test("corrupt negative length-delimited varint terminates with an error") {
+    // field 1, wire 2, then a 10-byte varint decoding to -1: before the
+    // bounds check this moved the cursor BACKWARDS (non-terminating loop)
+    val neg = Array.fill(9)(0xFF.toByte) :+ 0x01.toByte
+    val buf = Array[Byte](0x0A) ++ neg
+    intercept[IllegalArgumentException](ProtoWire.decode(output, buf))
+  }
+
 }

@@ -60,4 +60,18 @@ class UndoBufferSpec extends AnyFunSuite {
     assert(b.flush() == Seq(101L, 103L, 105L))
     assert(b.heldCount == 0)
   }
+  test("undo below the released horizon throws even when the buffer is empty") {
+    val b = buf(2)
+    (100L to 104L).foreach(b.addBlock) // 100..102 released
+    b.flush()                          // 103, 104 released; buffer empty
+    intercept[IllegalStateException](b.handleUndo(103)) // 104 already out
+    b.handleUndo(104)                  // exactly at the horizon is a no-op
+  }
+
+  test("k=0: horizon guard fires with nothing ever held") {
+    val b = buf(0)
+    assert(b.addBlock(10) == Seq(10L))
+    intercept[IllegalStateException](b.handleUndo(9))
+  }
+
 }

@@ -47,4 +47,18 @@ class SkewSpec extends SparkSuite {
       .as[(Long, Long)].collect().toSeq
     assert(salted == direct)
   }
+  test("exact-duplicate hot-key rows spread across salt buckets") {
+    import spark.implicits._
+    // 512 IDENTICAL rows: a row-content-only salt would put them all in
+    // one bucket, degenerating the mitigation for its target workload
+    val dup = Seq.fill(512)((0L, 7L)).toDF("user_id", "v").repartition(8)
+    val n = dup.select(Skew.saltOf(dup, 16).as("s")).distinct().count()
+    assert(n > 1, s"expected duplicates spread over >1 salt bucket, got $n")
+    // and the aggregate over pure duplicates is still exact
+    val agg = Skew.saltedAgg(dup, col("user_id"), 16,
+        Seq("n" -> Skew.CountRows(), "sum_v" -> Skew.SumOf(col("v"))))
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(agg == Seq((0L, 512L, 512L * 7L)))
+  }
+
 }

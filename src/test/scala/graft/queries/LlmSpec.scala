@@ -62,4 +62,29 @@ class LlmSpec extends SparkSuite {
       assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b })
     }
   }
+  test("1-2-token and empty docs survive ANSI mode across the text family") {
+    // real corpora contain tiny documents; under ANSI (Spark 4 default)
+    // sequence(1,0) is DESCENDING and element_at past the end throws —
+    // every query here crashed (or would) before the explicit guards
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("shortdocs").toString
+    Seq((1L, "", "en"), (2L, "one", "en"), (3L, "two tokens", "en"),
+        (4L, "now three tokens", "en"), (5L, "...", "en"))
+      .toDF("doc_id", "text", "lang")
+      .write.parquet(s"$dir/documents.parquet")
+    val bigrams = Llm.queries("q_ngrams")(spark, dir)
+      .as[(String, Long)].collect().toMap
+    assert(bigrams ==
+      Map("two tokens" -> 1L, "now three" -> 1L, "three tokens" -> 1L))
+    val tok = Llm.queries("q_tokenize_regex")(spark, dir)
+      .select("doc_id", "first_re_token")
+      .as[(Long, Option[String])].collect().toMap
+    assert(tok(1L).isEmpty)         // no regex match -> null, not a crash
+    assert(tok(2L).contains("one"))
+    assert(Llm.queries("q_simhash")(spark, dir).count() == 5)
+    assert(Llm.queries("q_text_quality")(spark, dir).count() == 5)
+    // whole-doc shingle fallback feeds minhash without index errors
+    assert(Llm.queries("q_minhash_neardup")(spark, dir).count() >= 0)
+  }
+
 }
