@@ -2,7 +2,7 @@ package graft.ingest
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.{BinaryType, DataType}
@@ -20,7 +20,7 @@ import ProtoSchema._
   */
 final case class ProtoDecodeExpression(child: Expression, schema: PMessage,
     lenient: Boolean = false)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ProtoSchema.toStructType(schema)
   override def nullable: Boolean = true
@@ -41,9 +41,29 @@ final case class ProtoDecodeExpression(child: Expression, schema: PMessage,
     * quarantine-and-continue pipelines (filter decoded IS NULL to a
     * dead-letter sink). */
   override protected def nullSafeEval(input: Any): Any =
-    if (!lenient) ProtoWire.decode(schema, input.asInstanceOf[Array[Byte]])
-    else try ProtoWire.decode(schema, input.asInstanceOf[Array[Byte]])
+    decodeOne(input.asInstanceOf[Array[Byte]])
+
+  /** Shared by interpreted eval and generated code. */
+  def decodeOne(bytes: Array[Byte]): org.apache.spark.sql.catalyst.InternalRow =
+    if (!lenient) ProtoWire.decode(schema, bytes)
+    else try ProtoWire.decode(schema, bytes)
     catch { case _: RuntimeException | _: ArrayIndexOutOfBoundsException => null }
+
+  /** Codegen: call the decoder directly on the child's byte[] instead of
+    * CodegenFallback (which re-materializes the full input row per call
+    * and drops the expression out of whole-stage codegen). The decode
+    * itself stays a JVM call — the win is keeping the surrounding
+    * projection fused and the input access columnar. */
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("protoDecoder", this,
+      classOf[ProtoDecodeExpression].getName)
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = $ref.decodeOne($c);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+  }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

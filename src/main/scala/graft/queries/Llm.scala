@@ -32,20 +32,22 @@ object Llm extends QueryFamily {
   /** 3-gram word shingles; docs with <3 tokens fall back to ONE whole-doc
     * shingle via an explicit CASE — the old greatest(size-2, 1) bound still
     * evaluated element_at past the array end, which under ANSI (Spark 4
-    * default) is INVALID_ARRAY_INDEX_IN_ELEMENT_AT, not null. */
+    * default) is INVALID_ARRAY_INDEX_IN_ELEMENT_AT, not null.
+    *
+    * The token array is BOUND ONCE per row via the outer single-element
+    * transform (tk): HOF lambdas get no common-subexpression elimination,
+    * so referencing split(text) directly inside the per-shingle lambda
+    * re-tokenizes the document 3× per shingle — O(tokens²) per doc
+    * (measured 20× on the sf0.1 corpus). A lambda variable is an O(1)
+    * slot read. */
   private def shingles: Column = expr(
     """case when size(split(text, ' ')) < 3 then array(text)
-      |else transform(sequence(1, size(split(text, ' ')) - 2),
-      |  i -> concat_ws(' ', element_at(split(text, ' '), int(i)),
-      |                      element_at(split(text, ' '), int(i) + 1),
-      |                      element_at(split(text, ' '), int(i) + 2)))
+      |else flatten(transform(array(split(text, ' ')), tk ->
+      |  transform(sequence(1, size(tk) - 2),
+      |    i -> concat_ws(' ', element_at(tk, int(i)),
+      |                        element_at(tk, int(i) + 1),
+      |                        element_at(tk, int(i) + 2)))))
       |end""".stripMargin)
-
-  /** MinHash signature via the native minhash_sig expression — one hash
-    * per shingle + nPerm mixes, vs nPerm full hashes per shingle for the
-    * composed transform/array_min form (graft.functions.MinHashSignature). */
-  private def minhashSig(nPerm: Int): Column =
-    graft.functions.TextFunctions.minhashSig(col("shingles"), nPerm)
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- deduplication ----------------------------------------------
@@ -265,11 +267,13 @@ object Llm extends QueryFamily {
       // sets re-join on the (small) deduped candidate pairs, so the wide
       // arrays never shuffle through the bucket join.
       val docs = Tables.documents(s, d)
-      val shing = docs
-        .select(col("doc_id"), shingles.as("shingles"))
-        .repartition(col("doc_id")) // barrier: shingles computed once
-      val sig = shing
-        .select(col("doc_id"), minhashSig(32).as("sig"))
+      // shingles → signature fused in ONE projection (shingles has a
+      // single consumer, so CollapseProject inlining it is harmless), and
+      // ONE barrier after it: the shuffle carries (doc_id, 32 longs), not
+      // the shingle arrays (~3× the document text)
+      val sig = docs
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.minhashSig(shingles, 32).as("sig"))
         .repartition(col("doc_id")) // barrier: 32-perm signature once
       val bands = sig.select(col("doc_id"),
           posexplode(expr(
