@@ -249,10 +249,12 @@ object Llm extends QueryFamily {
       val e = Tables.embeddings(s, d)
       val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      a.join(b, col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          round(graft.functions.Vectors.dot(col("va"), col("vb")), 6).as("cos"))
-        .filter(col("cos") >= 0.4)
+      val cos = round(graft.functions.Vectors.dot(col("va"), col("vb")), 6)
+      // threshold INSIDE the join condition: the nested-loop join then
+      // rejects ~all of the O(n²) pairs before materializing joined rows
+      // (the dot is recomputed in the projection only for survivors)
+      a.join(b, col("id_a") < col("id_b") && cos >= 0.4)
+        .select(col("id_a"), col("id_b"), cos.as("cos"))
         .orderBy("id_a", "id_b")
     },
     // ---- Spark-only (no DuckDB oracle; LlmSpec pins semantics) ------
