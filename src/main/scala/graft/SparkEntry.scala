@@ -18,7 +18,8 @@ object SparkEntry {
     q.SetOps,
     q.Scalars,
     q.Streaming,
-    q.Llm
+    q.Llm,
+    q.Pipeline
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,188 @@
+package graft.queries
+
+import graft.{QueryFamily, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline operators beyond the reference's surface
+  * (SURVEY.md §2.C-10 extensions): deterministic dataset splitting,
+  * context-window sequence packing, benchmark-contamination checks,
+  * intra-document repetition signals, and PII scrubbing. All DuckDB-
+  * oracled — cross-engine determinism comes from integer/md5 arithmetic
+  * (no engine-specific hashes) and floor-scaled ratios (§7.5).
+  *
+  * Scale design (100 TB):
+  *  - split/scrub/repetition are map-only (or one partial-agg shuffle) —
+  *    embarrassingly parallel;
+  *  - packing is windowed per SHARD, never a global single-partition
+  *    window — each shard packs independently, so 1000 executors pack
+  *    1000 shards concurrently;
+  *  - contamination broadcasts the (small) benchmark n-gram set and
+  *    aggregates map-side, so the corpus never shuffles its n-grams.
+  */
+object Pipeline extends QueryFamily {
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Word bigrams with the token array bound ONCE per row (see
+    * Llm.shingles: HOF lambdas get no CSE — an unbound split(text) would
+    * re-tokenize per element). Empty for docs with <2 tokens. */
+  private def bigrams: Column = expr(
+    """case when size(split(text, ' ')) < 2 then array()
+      |else flatten(transform(array(split(text, ' ')), tk ->
+      |  transform(sequence(1, size(tk) - 1),
+      |    i -> concat_ws(' ', element_at(tk, int(i)),
+      |                        element_at(tk, int(i) + 1)))))
+      |end""".stripMargin)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_split_hash" -> { (s, d) =>
+      // Deterministic train/val/test assignment from a content hash —
+      // stable across runs, engines, and partitionings (a random split
+      // would leak val docs into train on every re-run). Buckets from the
+      // first 8 hex digits of md5: engine-agnostic, uniform.
+      val h = conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")
+      Tables.documents(s, d)
+        .select(col("doc_id"), pmod(h, lit(1000)).as("bucket"))
+        .select(col("doc_id"), col("bucket"),
+          when(col("bucket") < 900, "train")
+            .when(col("bucket") < 950, "val")
+            .otherwise("test").as("split"))
+        .orderBy("doc_id")
+    },
+    "q_pack_sequences" -> { (s, d) =>
+      // Greedy context-window packing: running token total per shard,
+      // window id = floor(preceding_total / ctx). Sharded window — the
+      // global-order variant would serialize on one partition at scale.
+      val shard = pmod(col("doc_id"), lit(8))
+      val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), shard.as("shard"),
+          size(toks).as("n_tokens"))
+        .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id",
+          floor((col("cum_tokens") - col("n_tokens")) / lit(2048.0))
+            .cast("long"))
+        .orderBy("doc_id")
+    },
+    "q_contamination" -> { (s, d) =>
+      // Benchmark-contamination check: corpus docs sharing word bigrams
+      // with a held-out benchmark set (doc_id < 20 stands in). The
+      // benchmark n-gram set is broadcast; the corpus side aggregates
+      // map-side — its n-grams never shuffle.
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") < 20)
+        .select(explode(bigrams).as("bigram")).distinct()
+      val corpus = docs.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), explode(bigrams).as("bigram")).distinct()
+      corpus.join(broadcast(bench), Seq("bigram"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared_bigrams"))
+        .orderBy("doc_id")
+    },
+    "q_repetition" -> { (s, d) =>
+      // Intra-doc repetition signals (the boilerplate/spam filter):
+      // distinct-token ratio and the hottest token's share. Two partial
+      // aggregations — token instances never leave their executor
+      // un-combined. Ratios floor-scaled per §7.5.
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("token"))
+        .groupBy("doc_id", "token")
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum("cnt").as("n_tokens"),
+             count(lit(1)).as("n_distinct"),
+             max("cnt").as("top_cnt"))
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct"),
+          floor(col("n_distinct").cast("double") / col("n_tokens") * 1000000)
+            .cast("long").as("distinct_ratio_u"),
+          floor(col("top_cnt").cast("double") / col("n_tokens") * 1000000)
+            .cast("long").as("top_token_ratio_u"))
+        .orderBy("doc_id")
+    },
+    "q_pii_scrub" -> { (s, d) =>
+      // PII scrubbing: count + redact email-shaped and long-digit tokens
+      // (map-only; the scrubbed text is fingerprinted so the compare
+      // carries 32 bytes/doc, not documents)
+      val email = "[a-z0-9]+@[a-z0-9]+\\.[a-z]+"
+      val num = "[0-9]{3,}"
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(email), lit(0)))
+            .as("n_emails"),
+          size(regexp_extract_all(col("text"), lit(num), lit(0)))
+            .as("n_longnums"),
+          md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
+            num, "<NUM>")).as("fp_scrubbed"))
+        .orderBy("doc_id")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_split_hash" -> {
+      // hex → int without engine-specific casts: positional polynomial
+      // over the first 8 md5 nibbles (16^7 … 16^0)
+      val nib = (i: Int) =>
+        s"(strpos('0123456789abcdef', substring(md5(text), $i, 1)) - 1)"
+      val h = (1 to 8).map(i =>
+        s"${nib(i)} * ${math.pow(16, 8 - i).toLong}").mkString(" + ")
+      s"""SELECT doc_id, bucket,
+         |  CASE WHEN bucket < 900 THEN 'train'
+         |       WHEN bucket < 950 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM (SELECT doc_id, ($h) % 1000 AS bucket FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    },
+    "q_pack_sequences" ->
+      """SELECT doc_id, shard, n_tokens, cum_tokens,
+        |  CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS pack_id
+        |FROM (
+        |  SELECT doc_id, doc_id % 8 AS shard,
+        |    len(string_split(text, ' ')) AS n_tokens,
+        |    CAST(sum(len(string_split(text, ' '))) OVER (
+        |      PARTITION BY doc_id % 8 ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS cum_tokens
+        |  FROM documents)
+        |ORDER BY doc_id""".stripMargin,
+    "q_contamination" ->
+      """WITH bg AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |    range(1, greatest(len(string_split(text, ' ')), 1)),
+        |    i -> string_split(text, ' ')[i] || ' ' ||
+        |         string_split(text, ' ')[i + 1])) AS bigram
+        |  FROM documents),
+        |bench AS (SELECT DISTINCT bigram FROM bg WHERE doc_id < 20),
+        |corpus AS (SELECT DISTINCT doc_id, bigram FROM bg WHERE doc_id >= 20)
+        |SELECT doc_id, count(*) AS n_shared_bigrams
+        |FROM corpus JOIN bench USING (bigram)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_repetition" ->
+      """SELECT doc_id, n_tokens, n_distinct,
+        |  CAST(floor(CAST(n_distinct AS DOUBLE) / n_tokens * 1000000)
+        |    AS BIGINT) AS distinct_ratio_u,
+        |  CAST(floor(CAST(top_cnt AS DOUBLE) / n_tokens * 1000000)
+        |    AS BIGINT) AS top_token_ratio_u
+        |FROM (
+        |  SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_tokens,
+        |         count(*) AS n_distinct,
+        |         max(cnt) AS top_cnt
+        |  FROM (SELECT doc_id, token, count(*) AS cnt
+        |        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |              FROM documents)
+        |        GROUP BY doc_id, token)
+        |  GROUP BY doc_id)
+        |ORDER BY doc_id""".stripMargin,
+    "q_pii_scrub" ->
+      """SELECT doc_id,
+        |  len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+'))
+        |    AS n_emails,
+        |  len(regexp_extract_all(text, '[0-9]{3,}')) AS n_longnums,
+        |  md5(regexp_replace(
+        |    regexp_replace(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
+        |    '[0-9]{3,}', '<NUM>', 'g')) AS fp_scrubbed
+        |FROM documents ORDER BY doc_id""".stripMargin
+  )
+}
