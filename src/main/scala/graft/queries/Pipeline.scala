@@ -102,6 +102,27 @@ object Pipeline extends QueryFamily {
             .cast("long").as("top_token_ratio_u"))
         .orderBy("doc_id")
     },
+    "q_simhash16" -> { (s, d) =>
+      // Oracle-checkable SimHash: 16-bit fingerprint from md5-derived
+      // token hashes (engine-agnostic, unlike xxhash64 in q_simhash).
+      // Shape = explode → per-(doc, bit) votes as 16 conditional sums in
+      // ONE partial-aggregated pass — the shuffle carries 17 ints per
+      // doc, never token instances.
+      val h = conv(substring(md5(col("token")), 1, 4), 16, 10).cast("int")
+      val votes = (0 until 16).map(b =>
+        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1)) === 1, 1)
+          .otherwise(-1)).as(s"v$b"))
+      val fp = (0 until 16).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(toks).as("token"))
+        .withColumn("h", h)
+        .groupBy("doc_id")
+        .agg(votes.head, votes.tail: _*)
+        .select(col("doc_id"), fp.as("simhash16"))
+        .orderBy("doc_id")
+    },
     "q_pii_scrub" -> { (s, d) =>
       // PII scrubbing: count + redact email-shaped and long-digit tokens
       // (map-only; the scrubbed text is fingerprinted so the compare
@@ -175,6 +196,27 @@ object Pipeline extends QueryFamily {
         |        GROUP BY doc_id, token)
         |  GROUP BY doc_id)
         |ORDER BY doc_id""".stripMargin,
+    "q_simhash16" -> {
+      // token hash = first 4 md5 nibbles as an int (strpos polynomial,
+      // mirrors the Spark conv() exactly)
+      val nib = (i: Int) =>
+        s"(strpos('0123456789abcdef', substring(md5(token), $i, 1)) - 1)"
+      val h = (1 to 4).map(i =>
+        s"${nib(i)} * ${math.pow(16, 4 - i).toLong}").mkString(" + ")
+      val votes = (0 until 16).map(b =>
+        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+        .mkString(",\n        |    ")
+      val fp = (0 until 16).map(b =>
+        s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+      s"""SELECT doc_id, CAST($fp AS BIGINT) AS simhash16 FROM (
+         |  SELECT doc_id,
+         |    $votes
+         |  FROM (SELECT doc_id, ($h) AS h FROM (
+         |          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+         |          FROM documents))
+         |  GROUP BY doc_id)
+         |ORDER BY doc_id""".stripMargin
+    },
     "q_pii_scrub" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+'))

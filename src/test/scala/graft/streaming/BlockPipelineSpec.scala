@@ -105,4 +105,34 @@ class BlockPipelineSpec extends SparkSuite {
     assert(all.select("block_number").as[Long].collect().sorted.toSeq ==
       (0L until 10L))
   }
+  test("uint64-widened (decimal) block numbers flow end-to-end") {
+    // chains with block numbers beyond int64 surface as Decimal(20,0)
+    // (ProtoSchema uint64 mapping); the whole pipeline — partitioner
+    // math, range naming, staging, publish — must accept the widened
+    // type, not just the sink in isolation (RangeSinkSpec).
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+    val root = Files.createTempDirectory("pipeline-u64").toString
+    val checkpoint = Files.createTempDirectory("pipeline-u64-ckpt").toString
+    val stream = MemoryStream[(Long, String, Array[Byte])]
+    val blocks = stream.toDF().toDF("block_number", "block_id", "payload")
+      .withColumn("block_number", col("block_number").cast("decimal(20,0)"))
+
+    stream.addData((100L until 112L).map(i => (i, s"0xb$i", payload(i))))
+    val query = BlockPipeline.start(
+      blocks, TestMessages.output, root,
+      RangePartitioner(start = 100, size = 10),
+      checkpoint, trigger = Trigger.AvailableNow())
+    query.processAllAvailable()
+    query.stop()
+
+    val main = spark.read.parquet(s"$root/main/0000000100-0000000110.parquet")
+    assert(main.count() == 10)
+    // widened provenance column survives to the published file
+    assert(main.schema("block_number").dataType.simpleString == "decimal(20,0)")
+    assert(main.where($"block_hash" === "0xhash107").count() == 1)
+  }
+
 }
