@@ -74,6 +74,47 @@ object Llm extends QueryFamily {
         .select("keep_id", "group_size")
         .orderBy("keep_id")
     },
+    "q_dedup_cluster" -> { (s, d) =>
+      // Dedup-cascade terminal: near-dup PAIRS → connected COMPONENTS →
+      // canonical keeper (min doc_id per component). Min-label
+      // propagation: each iteration joins labels across edges and keeps
+      // the minimum; converges in ≤ component-diameter rounds. The loop
+      // is driver-side CONTROL FLOW only — per-iteration work is one
+      // distributed join+agg; the convergence check is a 1-row count.
+      // At 100 TB: iterations stay O(log n) with path doubling; here
+      // plain propagation (components are tiny).
+      val docs = Tables.documents(s, d)
+        .filter(col("doc_id") < 40)
+        .select(col("doc_id"), array_distinct(toks).as("tset"))
+      val a = docs.select(col("doc_id").as("id_a"), col("tset").as("set_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("tset").as("set_b"))
+      val pairs = a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          floor(size(array_intersect(col("set_a"), col("set_b"))).cast("double") /
+                size(array_union(col("set_a"), col("set_b"))) * 1000000)
+            .cast("long").as("j"))
+        .filter(col("j") >= 500000)
+        .select("id_a", "id_b")
+      val edges = pairs
+        .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
+        .cache()
+      var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
+      var changed = 1L
+      while (changed > 0) {
+        val viaEdges = edges
+          .join(labels, edges("id_b") === labels("doc_id"))
+          .select(col("id_a").as("doc_id"), col("cluster"))
+        val next = labels.select(col("doc_id"), col("cluster"))
+          .union(viaEdges)
+          .groupBy("doc_id").agg(min("cluster").as("cluster"))
+          .cache()
+        changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
+          .filter(col("cluster") =!= col("old")).count()
+        labels = next
+      }
+      edges.unpersist()
+      labels.orderBy("doc_id")
+    },
     // ---- text analysis ----------------------------------------------
     "q_text_quality" -> { (s, d) =>
       // Length / token / stopword-ratio quality signals.
@@ -368,6 +409,29 @@ object Llm extends QueryFamily {
         |      FROM documents)
         |GROUP BY prefix8 HAVING count(*) >= 2
         |ORDER BY keep_id""".stripMargin,
+    "q_dedup_cluster" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS tset
+        |  FROM documents WHERE doc_id < 40),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM docs a JOIN docs b ON a.doc_id < b.doc_id
+        |  WHERE CAST(floor(
+        |      CAST(len(list_filter(a.tset, t -> list_contains(b.tset, t)))
+        |        AS DOUBLE)
+        |      / (len(a.tset) + len(b.tset)
+        |         - len(list_filter(a.tset, t -> list_contains(b.tset, t))))
+        |      * 1000000) AS BIGINT) >= 500000),
+        |edges AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS r FROM docs
+        |  UNION
+        |  SELECT e.id_a AS doc_id, reach.r
+        |  FROM edges e JOIN reach ON e.id_b = reach.doc_id)
+        |SELECT doc_id, min(r) AS cluster
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_text_quality" ->
       """SELECT doc_id, lang,
         |  length(text) AS n_chars_actual,
