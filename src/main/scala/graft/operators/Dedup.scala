@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components for dedup clustering (the terminal stage of the
+  * near-dup cascade: verified pairs → components → one canonical doc per
+  * component).
+  *
+  * Min-label propagation with POINTER JUMPING: each round first takes the
+  * neighborhood minimum (one join + partial-aggregated min), then
+  * replaces every label by its label's label (`comp(u) ← comp(comp(u))`)
+  * — doubling the effective propagation distance, so convergence is
+  * O(log diameter) rounds instead of O(diameter). A 1M-hop chain
+  * converges in ~20 rounds; plain propagation would need 1M.
+  *
+  * The loop is driver-side control flow only: per-round work is two
+  * distributed joins + one aggregation, and the convergence check is a
+  * single count. Nothing is ever collected.
+  */
+object Dedup {
+
+  /** @param edges undirected edge list, columns `(src, dst)`.
+    * @return (id, comp) for every id appearing in `edges`, comp = min id
+    *         of its component. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val sym = edges.select(col("src"), col("dst"))
+      .union(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .cache()
+    var labels = sym.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+    var changed = 1L
+    var it = 0
+    while (changed > 0 && it < maxIter) {
+      // neighborhood minimum (partial agg: per-partition min combines
+      // map-side before the shuffle)
+      val viaEdges = sym.join(labels, sym("dst") === labels("id"))
+        .select(sym("src").as("id"), col("comp"))
+      // re-alias the direct operand: both union children would otherwise
+      // carry the SAME attribute ids (viaEdges embeds `labels`), which
+      // trips Union constraint propagation
+      val m = labels.select(col("id").as("id"), col("comp").as("comp"))
+        .union(viaEdges)
+        .groupBy("id").agg(min("comp").as("comp"))
+      // pointer jump: comp(u) ← comp(comp(u))
+      // localCheckpoint TRUNCATES LINEAGE each round — an iterative plan
+      // otherwise doubles per iteration (the self-join references the
+      // previous round twice) and analysis/explain cost grows
+      // exponentially long before the data does
+      val jumped = m.as("a")
+        .join(m.select(col("id").as("cid"), col("comp").as("ccomp")).as("b"),
+          col("a.comp") === col("b.cid"), "left")
+        .select(col("a.id").as("id"),
+          coalesce(col("b.ccomp"), col("a.comp")).as("comp"))
+        .localCheckpoint()
+      changed = jumped
+        .join(labels.withColumnRenamed("comp", "old"), "id")
+        .filter(col("comp") =!= col("old")).count()
+      labels = jumped
+      it += 1
+    }
+    sym.unpersist()
+    labels
+  }
+}

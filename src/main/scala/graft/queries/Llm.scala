@@ -76,13 +76,9 @@ object Llm extends QueryFamily {
     },
     "q_dedup_cluster" -> { (s, d) =>
       // Dedup-cascade terminal: near-dup PAIRS → connected COMPONENTS →
-      // canonical keeper (min doc_id per component). Min-label
-      // propagation: each iteration joins labels across edges and keeps
-      // the minimum; converges in ≤ component-diameter rounds. The loop
-      // is driver-side CONTROL FLOW only — per-iteration work is one
-      // distributed join+agg; the convergence check is a 1-row count.
-      // At 100 TB: iterations stay O(log n) with path doubling; here
-      // plain propagation (components are tiny).
+      // canonical keeper (min doc_id per component), via
+      // graft.operators.Dedup.connectedComponents (min-label propagation
+      // with pointer jumping — O(log diameter) rounds; see Scaladoc).
       val docs = Tables.documents(s, d)
         .filter(col("doc_id") < 40)
         .select(col("doc_id"), array_distinct(toks).as("tset"))
@@ -95,25 +91,13 @@ object Llm extends QueryFamily {
             .cast("long").as("j"))
         .filter(col("j") >= 500000)
         .select("id_a", "id_b")
-      val edges = pairs
-        .union(pairs.select(col("id_b").as("id_a"), col("id_a").as("id_b")))
-        .cache()
-      var labels = docs.select(col("doc_id"), col("doc_id").as("cluster"))
-      var changed = 1L
-      while (changed > 0) {
-        val viaEdges = edges
-          .join(labels, edges("id_b") === labels("doc_id"))
-          .select(col("id_a").as("doc_id"), col("cluster"))
-        val next = labels.select(col("doc_id"), col("cluster"))
-          .union(viaEdges)
-          .groupBy("doc_id").agg(min("cluster").as("cluster"))
-          .cache()
-        changed = next.join(labels.withColumnRenamed("cluster", "old"), "doc_id")
-          .filter(col("cluster") =!= col("old")).count()
-        labels = next
-      }
-      edges.unpersist()
-      labels.orderBy("doc_id")
+      val cc = graft.operators.Dedup.connectedComponents(
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      // singletons (docs with no near-dup edge) are their own cluster
+      docs.join(cc, docs("doc_id") === cc("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster"))
+        .orderBy("doc_id")
     },
     // ---- text analysis ----------------------------------------------
     "q_text_quality" -> { (s, d) =>

@@ -1,0 +1,55 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Connected-components correctness: compared against a driver-side
+  * union-find oracle on seeded random graphs, plus the adversarial
+  * long-chain case pointer jumping exists for. */
+class DedupSpec extends SparkSuite {
+
+  private def unionFind(n: Int, edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != c) { val nx = parent(c); parent(c) = r; c = nx }
+      r
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    // canonical label = min member id, which union-by-min maintains
+    (0 until n).map(i => i.toLong -> find(i).toLong).toMap
+  }
+
+  test("property: matches union-find on seeded random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 3) {
+      val n = 120
+      val edges = Seq.fill(90)(
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val got = Dedup.connectedComponents(
+          edges.toDF("src", "dst"))
+        .as[(Long, Long)].collect().toMap
+      val want = unionFind(n, edges)
+      got.foreach { case (id, comp) =>
+        assert(comp == want(id), s"node $id: got $comp want ${want(id)}")
+      }
+    }
+  }
+
+  test("long chain: every node reaches the chain head") {
+    import spark.implicits._
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val got = Dedup.connectedComponents(chain.toDF("src", "dst"))
+      .agg(countDistinct(col("comp")), min("comp"), count(lit(1)))
+      .as[(Long, Long, Long)].head()
+    assert(got == ((1L, 0L, 201L))) // one component, labeled by the head
+  }
+}

@@ -44,4 +44,31 @@ class PlanSpec extends SparkSuite {
     assert(plan.split("HashAggregate").length >= 3, // partial + final
       "partial aggregation regressed")
   }
+  test("q_contamination broadcasts the benchmark n-gram set") {
+    val plan = executedPlan("q_contamination")
+    assert(plan.contains("BroadcastHashJoin"),
+      "contamination check stopped broadcasting the bench set")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q_pack_sequences windows per shard, not a global single partition") {
+    val plan = executedPlan("q_pack_sequences")
+    // a global-order window would show an Exchange SinglePartition feeding
+    // the running sum — the sharded form hash-partitions on the shard key
+    val windowIdx = plan.indexOf("RunningWindowFunction") match {
+      case -1 => plan.indexOf("Window")
+      case i => i
+    }
+    assert(windowIdx >= 0)
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"packing window collapsed to one partition:\n${plan.take(2000)}")
+  }
+
+  test("q_split_hash is map-only above the scan (no shuffle before sort)") {
+    val plan = executedPlan("q_split_hash")
+    // exactly one exchange: the final presentation orderBy
+    assert(plan.split("Exchange").length <= 3,
+      s"split assignment gained a shuffle:\n${plan.take(2000)}")
+  }
+
 }
