@@ -48,12 +48,22 @@ object Bench {
       val pt = RangePartitioner(start = 0, size = 5000)
       val t0 = System.nanoTime()
       val dec = Decode.decoded(blocks, SampleBlocks.output).persist()
-      RangeSink(s"$root/main", pt).writeAll(Decode.mainFromDecoded(dec))
-      graft.ingest.ProtoSchema.explodableFields(SampleBlocks.output)
-        .foreach { f =>
+      dec.count() // build the cache once, then fan out concurrently
+      // tables overlap (BlockPipeline does the same per epoch)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val fields = graft.ingest.ProtoSchema.explodableFields(SampleBlocks.output)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(1 + fields.size)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val jobs = Future {
+          RangeSink(s"$root/main", pt).writeAll(Decode.mainFromDecoded(dec))
+        } +: fields.map { f => Future {
           RangeSink(s"$root/${f.name}", pt)
             .writeAll(Decode.childFromDecoded(dec, f))
-        }
+        }}
+        Await.result(Future.sequence(jobs), Duration.Inf)
+      } finally pool.shutdown()
       dec.unpersist()
       val secs = (System.nanoTime() - t0) / 1e9
       blocks.unpersist()

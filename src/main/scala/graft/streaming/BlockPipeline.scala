@@ -46,13 +46,28 @@ object BlockPipeline {
         // sinker.go:195); every table derives from the cached result
         val dec = Decode.decoded(df, schema).persist()
         try {
-          mainSink.processBatch(Decode.mainFromDecoded(dec), epochId)
           val fieldByName = ProtoSchema.explodableFields(schema)
             .map(f => f.name -> f).toMap
-          childSinks.foreach { case (name, sink) =>
-            sink.processBatch(
-              Decode.childFromDecoded(dec, fieldByName(name)), epochId)
-          }
+          // tables are independent sinks off one cached input — write
+          // them CONCURRENTLY (the reference overlaps its exploded
+          // writes the same way, factory.go worker pools). Spark's
+          // scheduler interleaves the jobs; the cache is built once.
+          import scala.concurrent.{Await, ExecutionContext, Future}
+          import scala.concurrent.duration.Duration
+          val writes = 1 + childSinks.size
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(writes)
+          implicit val ec: ExecutionContext =
+            ExecutionContext.fromExecutor(pool)
+          try {
+            val jobs = Future {
+              mainSink.processBatch(Decode.mainFromDecoded(dec), epochId)
+            } +: childSinks.map { case (name, sink) => Future {
+              sink.processBatch(
+                Decode.childFromDecoded(dec, fieldByName(name)), epochId)
+            }}
+            Await.result(Future.sequence(jobs), Duration.Inf)
+            ()
+          } finally pool.shutdown()
         } finally dec.unpersist()
       }
       .start()
