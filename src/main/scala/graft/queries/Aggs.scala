@@ -114,6 +114,50 @@ object Aggs extends QueryFamily {
              countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag")
     },
+    "q7_volume_shipping" -> { (s, d) =>
+      // TPC-H Q7 shape: supplier-nation ↔ customer-nation trade volume by
+      // ship year for a fixed nation pair, either direction. Disjunctive
+      // nation filter + 5-way join + (nation, nation, year) aggregation.
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val su = Tables.supplier(s, d)
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("s_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("c_nk"), col("n_name").as("cust_nation"))
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n1), su("s_nationkey") === n1("s_nk"))
+        .join(broadcast(n2), c("c_nationkey") === n2("c_nk"))
+        .filter((col("supp_nation") === "NATION_3" && col("cust_nation") === "NATION_7") ||
+                (col("supp_nation") === "NATION_7" && col("cust_nation") === "NATION_3"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(12,4)") *
+            (lit(1) - dec("l_discount")).cast("decimal(8,4)")), 4)
+          .cast("double").as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    "q10_returned_items" -> { (s, d) =>
+      // TPC-H Q10 shape: revenue lost to returns per customer, top 20 —
+      // selective fact filter, 3-way join, aggregate, global top-k.
+      val l = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("n_name"))
+        .agg(round(sum(col("l_extendedprice").cast("decimal(12,4)") *
+            (lit(1) - dec("l_discount")).cast("decimal(8,4)")), 4)
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    },
     "q5_local_supplier" -> { (s, d) =>
       // TPC-H Q5 shape: 6-way join with the local-supplier constraint
       // (customer and supplier in the SAME nation) — the join-order /
@@ -275,6 +319,35 @@ object Aggs extends QueryFamily {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY g_status, g_prio,
         |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q7_volume_shipping" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  year(l_shipdate) AS l_year,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |    CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4))), 4)
+        |    AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+        |   OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+        |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
+    "q10_returned_items" ->
+      """SELECT c_custkey, c_name, n_name,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |    CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4))), 4)
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |GROUP BY 1, 2, 3
+        |ORDER BY revenue DESC, c_custkey ASC
+        |LIMIT 20""".stripMargin,
     "q5_local_supplier" ->
       """SELECT n_name,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
