@@ -36,6 +36,27 @@ object Pipeline extends QueryFamily {
       |                        element_at(tk, int(i) + 1)))))
       |end""".stripMargin)
 
+  /** Oracle-checkable SimHash: 16-bit fingerprint from md5-derived token
+    * hashes (engine-agnostic, unlike xxhash64 in Llm.q_simhash). Shape =
+    * explode → per-(doc, bit) votes as 16 conditional sums in ONE
+    * partial-aggregated pass — the shuffle carries 17 ints per doc, never
+    * token instances. */
+  private def simhash16(docs: DataFrame): DataFrame = {
+    val h = conv(substring(md5(col("token")), 1, 4), 16, 10).cast("int")
+    val votes = (0 until 16).map(b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(lit(1)) === 1, 1)
+        .otherwise(-1)).as(s"v$b"))
+    val fp = (0 until 16).map(b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    docs
+      .select(col("doc_id"), explode(toks).as("token"))
+      .withColumn("h", h)
+      .groupBy("doc_id")
+      .agg(votes.head, votes.tail: _*)
+      .select(col("doc_id"), fp.as("simhash16"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_split_hash" -> { (s, d) =>
       // Deterministic train/val/test assignment from a content hash —
@@ -103,25 +124,22 @@ object Pipeline extends QueryFamily {
         .orderBy("doc_id")
     },
     "q_simhash16" -> { (s, d) =>
-      // Oracle-checkable SimHash: 16-bit fingerprint from md5-derived
-      // token hashes (engine-agnostic, unlike xxhash64 in q_simhash).
-      // Shape = explode → per-(doc, bit) votes as 16 conditional sums in
-      // ONE partial-aggregated pass — the shuffle carries 17 ints per
-      // doc, never token instances.
-      val h = conv(substring(md5(col("token")), 1, 4), 16, 10).cast("int")
-      val votes = (0 until 16).map(b =>
-        sum(when(shiftright(col("h"), b).bitwiseAND(lit(1)) === 1, 1)
-          .otherwise(-1)).as(s"v$b"))
-      val fp = (0 until 16).map(b =>
-        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-        .reduce(_ + _)
-      Tables.documents(s, d)
-        .select(col("doc_id"), explode(toks).as("token"))
-        .withColumn("h", h)
-        .groupBy("doc_id")
-        .agg(votes.head, votes.tail: _*)
-        .select(col("doc_id"), fp.as("simhash16"))
-        .orderBy("doc_id")
+      simhash16(Tables.documents(s, d)).orderBy("doc_id")
+    },
+    "q_simhash_pairs" -> { (s, d) =>
+      // SimHash near-dup terminal: pairs within hamming distance ≤ 3 of
+      // the 16-bit fingerprint — bit_count(xor) is a built-in on both
+      // engines, no custom expression needed. All-pairs here (fingerprints
+      // are 1 long/doc); the banded-LSH shape (q_minhash_neardup) is the
+      // scale path when even the fingerprint self-join is too wide.
+      val sh = simhash16(Tables.documents(s, d))
+      val a = sh.select(col("doc_id").as("id_a"), col("simhash16").as("sh_a"))
+      val b = sh.select(col("doc_id").as("id_b"), col("simhash16").as("sh_b"))
+      a.join(b, col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
     },
     "q_pii_scrub" -> { (s, d) =>
       // PII scrubbing: count + redact email-shaped and long-digit tokens
@@ -140,6 +158,26 @@ object Pipeline extends QueryFamily {
         .orderBy("doc_id")
     }
   )
+
+  /** DuckDB mirror of [[simhash16]]: token hash = first 4 md5 nibbles as
+    * an int (strpos polynomial — matches the Spark conv() exactly). */
+  private val simhash16Sql: String = {
+    val nib = (i: Int) =>
+      s"(strpos('0123456789abcdef', substring(md5(token), $i, 1)) - 1)"
+    val h = (1 to 4).map(i =>
+      s"${nib(i)} * ${math.pow(16, 4 - i).toLong}").mkString(" + ")
+    val votes = (0 until 16).map(b =>
+      s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+      .mkString(", ")
+    val fp = (0 until 16).map(b =>
+      s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
+    s"""SELECT doc_id, CAST($fp AS BIGINT) AS simhash16 FROM (
+       |  SELECT doc_id, $votes
+       |  FROM (SELECT doc_id, ($h) AS h FROM (
+       |          SELECT doc_id, unnest(string_split(text, ' ')) AS token
+       |          FROM documents))
+       |  GROUP BY doc_id)""".stripMargin
+  }
 
   def oracle: Map[String, String] = Map(
     "q_split_hash" -> {
@@ -196,27 +234,15 @@ object Pipeline extends QueryFamily {
         |        GROUP BY doc_id, token)
         |  GROUP BY doc_id)
         |ORDER BY doc_id""".stripMargin,
-    "q_simhash16" -> {
-      // token hash = first 4 md5 nibbles as an int (strpos polynomial,
-      // mirrors the Spark conv() exactly)
-      val nib = (i: Int) =>
-        s"(strpos('0123456789abcdef', substring(md5(token), $i, 1)) - 1)"
-      val h = (1 to 4).map(i =>
-        s"${nib(i)} * ${math.pow(16, 4 - i).toLong}").mkString(" + ")
-      val votes = (0 until 16).map(b =>
-        s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
-        .mkString(",\n        |    ")
-      val fp = (0 until 16).map(b =>
-        s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-      s"""SELECT doc_id, CAST($fp AS BIGINT) AS simhash16 FROM (
-         |  SELECT doc_id,
-         |    $votes
-         |  FROM (SELECT doc_id, ($h) AS h FROM (
-         |          SELECT doc_id, unnest(string_split(text, ' ')) AS token
-         |          FROM documents))
-         |  GROUP BY doc_id)
-         |ORDER BY doc_id""".stripMargin
-    },
+    "q_simhash16" -> s"""$simhash16Sql
+         |ORDER BY doc_id""".stripMargin,
+    "q_simhash_pairs" ->
+      s"""WITH sh AS ($simhash16Sql)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.simhash16, b.simhash16)) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
     "q_pii_scrub" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+'))
