@@ -114,6 +114,40 @@ object Aggs extends QueryFamily {
              countDistinct(col("l_partkey")).as("exact_parts"))
         .orderBy("l_returnflag")
     },
+    "q2_min_acctbal" -> { (s, d) =>
+      // TPC-H Q2 shape: correlated scalar-aggregate subquery in WHERE —
+      // suppliers carrying their nation's minimum account balance.
+      // Catalyst rewrites the correlation into an aggregate + join
+      // (RewriteCorrelatedScalarSubquery); no driver-side loop.
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q2")
+      s.sql(
+        """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+          |FROM supplier_q2 s
+          |WHERE s_acctbal = (SELECT min(s2.s_acctbal)
+          |                   FROM supplier_q2 s2
+          |                   WHERE s2.s_nationkey = s.s_nationkey)
+          |ORDER BY s_suppkey""".stripMargin)
+    },
+    "q18_large_orders" -> { (s, d) =>
+      // TPC-H Q18 shape: IN-subquery over a grouped HAVING — orders whose
+      // total quantity exceeds a threshold, with customer context.
+      // Catalyst plans the IN as a left-semi join against the aggregate.
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q18")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q18")
+      Tables.customer(s, d).createOrReplaceTempView("customer_q18")
+      s.sql(
+        """SELECT c_custkey, c_name, o_orderkey,
+          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+          |FROM customer_q18
+          |JOIN orders_q18 ON c_custkey = o_custkey
+          |JOIN lineitem_q18 ON o_orderkey = l_orderkey
+          |WHERE o_orderkey IN (
+          |  SELECT l_orderkey FROM lineitem_q18
+          |  GROUP BY l_orderkey
+          |  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 120)
+          |GROUP BY c_custkey, c_name, o_orderkey
+          |ORDER BY total_qty DESC, o_orderkey ASC""".stripMargin)
+    },
     "q7_volume_shipping" -> { (s, d) =>
       // TPC-H Q7 shape: supplier-nation ↔ customer-nation trade volume by
       // ship year for a fixed nation pair, either direction. Disjunctive
@@ -319,6 +353,25 @@ object Aggs extends QueryFamily {
         |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
         |ORDER BY g_status, g_prio,
         |  o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""".stripMargin,
+    "q2_min_acctbal" ->
+      """SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+        |FROM supplier s
+        |WHERE s_acctbal = (SELECT min(s2.s_acctbal)
+        |                   FROM supplier s2
+        |                   WHERE s2.s_nationkey = s.s_nationkey)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q18_large_orders" ->
+      """SELECT c_custkey, c_name, o_orderkey,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS total_qty
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON o_orderkey = l_orderkey
+        |WHERE o_orderkey IN (
+        |  SELECT l_orderkey FROM lineitem
+        |  GROUP BY l_orderkey
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,4))) > 120)
+        |GROUP BY c_custkey, c_name, o_orderkey
+        |ORDER BY total_qty DESC, o_orderkey ASC""".stripMargin,
     "q7_volume_shipping" ->
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |  year(l_shipdate) AS l_year,

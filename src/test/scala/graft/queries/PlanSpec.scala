@@ -71,4 +71,19 @@ class PlanSpec extends SparkSuite {
       s"split assignment gained a shuffle:\n${plan.take(2000)}")
   }
 
+  test("q18 IN-subquery plans as a semi join, not a nested loop per row") {
+    val plan = executedPlan("q18_large_orders")
+    assert(plan.contains("LeftSemi"),
+      s"IN-subquery lost its semi-join rewrite:\n${plan.take(2000)}")
+  }
+
+  test("q2 correlated subquery is rewritten to an aggregate join") {
+    val plan = executedPlan("q2_min_acctbal")
+    // the correlation must decorrelate: an aggregate feeding a join, no
+    // per-row subquery execution
+    assert(plan.contains("HashAggregate") &&
+      (plan.contains("Join") || plan.contains("BroadcastHashJoin")),
+      s"correlated subquery not decorrelated:\n${plan.take(2000)}")
+  }
+
 }
