@@ -46,6 +46,27 @@ object Streaming extends QueryFamily {
         .select(col("user_id"), inline(col("evs")))
         .orderBy("user_id", "event_id")
     },
+    "q_stream_interval_join" -> { (s, d) =>
+      // Stream-stream INTERVAL JOIN semantics, batch-equivalent oracle:
+      // per user, purchases within 1 hour AFTER a signup. The streaming
+      // form is the watermarked stream-stream join pinned in
+      // StreamJoinSpec; this declares the same equi-key + time-bound
+      // predicate for the hash-match gate. The join is equi on user_id
+      // with the interval as residual — never an unbounded time join.
+      val e = Tables.events(s, d)
+      val signups = e.filter(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("s_ts"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts").as("p_ts"),
+          col("event_id").as("p_id"))
+      signups.join(purchases, Seq("user_id"))
+        .filter(col("p_ts") >= col("s_ts") &&
+          col("p_ts") < col("s_ts") + expr("3600000000000L")) // 1h in ns
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_joined"),
+             min("p_id").as("first_purchase_id"))
+        .orderBy("user_id")
+    },
     "q_map_entries" -> { (s, d) =>
       // map → sorted entry-list normalization (the reference's map layout,
       // made deterministic — SURVEY.md §2.A#8).
@@ -130,6 +151,15 @@ object Streaming extends QueryFamily {
         |           ORDER BY event_id) AS evs
         |    FROM events GROUP BY user_id))
         |ORDER BY user_id, event_id""".stripMargin,
+    "q_stream_interval_join" ->
+      """SELECT s.user_id, count(*) AS n_joined,
+        |  min(p.event_id) AS first_purchase_id
+        |FROM (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+        |JOIN (SELECT user_id, ts, event_id FROM events
+        |      WHERE event_type = 'purchase') p
+        |  ON s.user_id = p.user_id
+        | AND p.ts >= s.ts AND p.ts < s.ts + INTERVAL 1 HOUR
+        |GROUP BY s.user_id ORDER BY s.user_id""".stripMargin,
     "q_map_entries" ->
       """SELECT event_id, key, value FROM (
         |  SELECT event_id, 'k' AS key,
