@@ -126,6 +126,23 @@ object Pipeline extends QueryFamily {
     "q_simhash16" -> { (s, d) =>
       simhash16(Tables.documents(s, d)).orderBy("doc_id")
     },
+    "q_quality_filter" -> { (s, d) =>
+      // The filter cascade every corpus pass runs: cheap signals → keep
+      // or the FIRST failing rule (rule order is part of the contract —
+      // downstream attrition dashboards group by reason). Map-only.
+      val nTok = size(split(col("text"), " "))
+      val uniq = size(array_distinct(split(col("text"), " ")))
+      Tables.documents(s, d)
+        .select(col("doc_id"), nTok.as("n_tokens"), uniq.as("n_distinct"),
+          length(col("text")).as("n_chars"))
+        .withColumn("verdict",
+          when(col("n_chars") < 10, "too_short")
+          .when(col("n_tokens") > lit(4) && // ratio rule needs support
+            col("n_distinct") * 4 < col("n_tokens"), "repetitive")
+          .when(col("n_chars") > col("n_tokens") * 30, "tokens_too_long")
+          .otherwise("keep"))
+        .orderBy("doc_id")
+    },
     "q_simhash_pairs" -> { (s, d) =>
       // SimHash near-dup terminal: pairs within hamming distance ≤ 3 of
       // the 16-bit fingerprint — bit_count(xor) is a built-in on both
@@ -243,6 +260,19 @@ object Pipeline extends QueryFamily {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
+    "q_quality_filter" ->
+      """SELECT doc_id, n_tokens, n_distinct, n_chars,
+        |  CASE WHEN n_chars < 10 THEN 'too_short'
+        |       WHEN n_tokens > 4 AND n_distinct * 4 < n_tokens
+        |         THEN 'repetitive'
+        |       WHEN n_chars > n_tokens * 30 THEN 'tokens_too_long'
+        |       ELSE 'keep' END AS verdict
+        |FROM (SELECT doc_id,
+        |        len(string_split(text, ' ')) AS n_tokens,
+        |        len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |        length(text) AS n_chars
+        |      FROM documents)
+        |ORDER BY doc_id""".stripMargin,
     "q_pii_scrub" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+'))
