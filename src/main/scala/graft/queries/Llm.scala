@@ -272,13 +272,22 @@ object Llm extends QueryFamily {
       // q_ann_lsh_topk. Filter on the ROUNDED score so both engines cut
       // on the identical value.
       val e = Tables.embeddings(s, d)
-      val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      // The corpus parquet is one small split, so without an explicit
+      // exchange the nested-loop join streams EVERY pair through a single
+      // task — the O(n²/2) scoring loop is CPU-bound and must spread
+      // across all cores. Explicit numPartitions: an un-sized
+      // repartition's tiny (~600 KB) shuffle would be AQE-coalesced right
+      // back to one partition. At 100 TB the scan has natural splits and
+      // this exchange is an no-op-sized hash of ids, not embeddings.
+      val a = e.repartition(
+          e.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id").as("id_a"), col("embedding").as("va"))
       val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
       val cos = round(graft.functions.Vectors.dot(col("va"), col("vb")), 6)
       // threshold INSIDE the join condition: the nested-loop join then
       // rejects ~all of the O(n²) pairs before materializing joined rows
       // (the dot is recomputed in the projection only for survivors)
-      a.join(b, col("id_a") < col("id_b") && cos >= 0.4)
+      a.join(broadcast(b), col("id_a") < col("id_b") && cos >= 0.4)
         .select(col("id_a"), col("id_b"), cos.as("cos"))
         .orderBy("id_a", "id_b")
     },
