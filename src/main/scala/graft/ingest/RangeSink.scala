@@ -79,44 +79,37 @@ final case class RangeSink(
     }.toSet
   }
 
-  /** foreachBatch entry point: stage this epoch, then finalize everything
-    * strictly below the high-water range. */
-  def processBatch(df: DataFrame, epochId: Long): Unit = {
-    val spark = df.sparkSession
-    val staged = df.withColumn("__range", rangeExpr)
-    staged.repartition(col("__range"))
+  /** Stage one epoch under `_open/epoch=N/__range=X/` and return the
+    * staged range starts — read from the partition DIRECTORY NAMES, so
+    * discovering the epoch's high-water range costs one listing instead
+    * of a second `agg(max)` pass over the input (which in foreachBatch
+    * recomputes the whole micro-batch, and in the batch path rescans the
+    * source). */
+  private def stageEpoch(df: DataFrame, epochId: Long): Seq[Long] = {
+    df.withColumn("__range", rangeExpr)
+      .repartition(col("__range"))
       .sortWithinPartitions(col(blockCol))
       .write.mode("overwrite").partitionBy("__range")
       .options(tuning.options)
       .parquet(s"$root/_open/epoch=$epochId")
-    val hw = df.agg(max(col(blockCol))).collect()(0)
-    if (!hw.isNullAt(0)) {
-      val highWater = partitioner.rangeStart(blockNumOf(hw))
-      finalizeBelow(spark, df.schema, highWater)
-    }
+    fs(df.sparkSession)
+      .globStatus(new Path(s"$root/_open/epoch=$epochId/__range=*")).toSeq
+      .map(_.getPath.getName.stripPrefix("__range=").toLong)
   }
 
-  /** Block numbers may arrive widened (uint64 policy → Decimal(20,0),
-    * SURVEY.md §7.4.1) or as any integral type. */
-  private def blockNumOf(row: org.apache.spark.sql.Row): Long =
-    row.get(0) match {
-      case l: Long => l
-      case i: Int => i.toLong
-      case d: java.math.BigDecimal => d.longValueExact()
-      case d: BigDecimal => d.toLongExact
-      case other => throw new IllegalArgumentException(
-        s"unsupported block column type: ${other.getClass}")
-    }
+  /** foreachBatch entry point: stage this epoch, then finalize everything
+    * strictly below the high-water range. */
+  def processBatch(df: DataFrame, epochId: Long): Unit = {
+    val ranges = stageEpoch(df, epochId)
+    if (ranges.nonEmpty) finalizeBelow(df.sparkSession, df.schema, ranges.max)
+  }
 
   /** Batch/shutdown path: everything is final (the stop block is known) —
     * finalize all staged ranges including the clamped last one. */
   def writeAll(df: DataFrame): Unit = {
-    processBatch(df, epochId = 0L)
-    val spark = df.sparkSession
-    val hw = df.agg(max(col(blockCol))).collect()(0)
-    if (!hw.isNullAt(0))
-      finalizeBelow(spark, df.schema, partitioner.rangeStart(blockNumOf(hw)) +
-        partitioner.size)
+    val ranges = stageEpoch(df, epochId = 0L)
+    if (ranges.nonEmpty)
+      finalizeBelow(df.sparkSession, df.schema, ranges.max + partitioner.size)
   }
 
   /** Publish every complete range with rangeStart < highWater, plus empty
