@@ -158,6 +158,102 @@ object Pipeline extends QueryFamily {
         .filter(col("hamming") <= 3)
         .orderBy("id_a", "id_b")
     },
+    "q_tfidf" -> { (s, d) =>
+      // Top-3 characteristic terms per doc by tf·idf with a RATIONAL idf
+      // ((N+1)/(df+1), no log): +,*,/ are IEEE correctly-rounded, so the
+      // score is bit-identical across engines — ln() is library-dependent
+      // and could flip ranks at the ulp. Two partial-agg shuffles (term
+      // frequency, document frequency); the df side is vocabulary-sized
+      // and broadcast, so the scoring join never shuffles the corpus.
+      val docs = Tables.documents(s, d)
+      val tf = docs.select(col("doc_id"), explode(toks).as("token"))
+        .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val score = (col("tf") * (col("n_docs") + 1)).cast("double") /
+        (col("df") + 1)
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(score.desc, col("token").asc)
+      tf.join(broadcast(dfreq), "token")
+        .crossJoin(broadcast(nDocs))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("token"),
+          floor(score * 1000000).cast("long").as("tfidf_u"))
+        .orderBy("doc_id", "rnk")
+    },
+    "q_chunk_windows" -> { (s, d) =>
+      // Context-length chunking: overlapping token windows (64 tokens,
+      // stride 48) per document — how corpora are cut for training.
+      // Map-only (posexplode of a per-row transform); chunk text leaves
+      // the operator fingerprinted, not verbatim. Token array bound once
+      // via the outer single-element transform (no-CSE rule, see
+      // bigrams); sequence(1, n, 48) is ascending for every n >= 1 and
+      // size(split(...)) >= 1 even for empty text, so short docs emit
+      // exactly one (possibly partial) chunk.
+      val chunks = expr(
+        """element_at(transform(array(split(text, ' ')), tk ->
+          |  transform(sequence(1, size(tk), 48),
+          |    st -> concat_ws(' ', slice(tk, int(st), 64)))), 1)""".stripMargin)
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(chunks))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_id"),
+          size(split(col("col"), " ")).as("n_chunk_tokens"),
+          md5(col("col")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    "q_mix_sample" -> { (s, d) =>
+      // Deterministic weighted mixture sampling: per-source keep rates
+      // (the data-mixing step of corpus assembly) decided by a content-
+      // independent doc_id hash against a per-source threshold — integer
+      // compare, no RNG, stable across runs/engines/partitionings.
+      // Map-only; at 100 TB this is a free rider on any scan.
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+      val thresh = when(col("source") === "src0", 4294967296L)      // 1.0
+        .when(col("source") === "src1", 2147483648L)                // 0.5
+        .when(col("source") === "src2", 1073741824L)                // 0.25
+        .otherwise(536870912L)                                      // 0.125
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), h.as("h32"), thresh.as("thresh"))
+        .filter(col("h32") < col("thresh"))
+        .select("doc_id", "source", "h32")
+        .orderBy("doc_id")
+    },
+    "q_token_rarity" -> { (s, d) =>
+      // Corpus-frequency doc scoring (the cheap stand-in for LM-based
+      // quality filtering): mean corpus frequency of a doc's tokens.
+      // Integer-exact until ONE final division — float sums would be
+      // aggregation-order-dependent, so the numerator stays a BIGINT sum
+      // of per-token corpus counts. Vocabulary aggregates broadcast; the
+      // corpus token instances shuffle once (partial-aggregated).
+      val docs = Tables.documents(s, d)
+      val inst = docs.select(col("doc_id"), explode(toks).as("token"))
+      val cnts = inst.groupBy("token").agg(count(lit(1)).as("cnt"))
+      val total = cnts.agg(sum(col("cnt")).as("total"))
+      inst.join(broadcast(cnts), "token")
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("sum_cnt"),
+          max(col("total")).as("total"))
+        .select(col("doc_id"), col("n_tokens"),
+          floor(col("sum_cnt").cast("double") * 1000000 /
+            (col("n_tokens") * col("total"))).cast("long")
+            .as("avg_tok_freq_u"))
+        .orderBy("doc_id")
+    },
+    "q_source_cap" -> { (s, d) =>
+      // Per-source document caps (the over-represented-domain guard of
+      // web-corpus pipelines): keep the first 15 docs per source in
+      // doc_id order. One shuffle on source; at scale the window is
+      // per-source-partition and never global.
+      val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 15)
+        .orderBy("doc_id")
+    },
     "q_pii_scrub" -> { (s, d) =>
       // PII scrubbing: count + redact email-shaped and long-digit tokens
       // (map-only; the scrubbed text is fingerprinted so the compare
@@ -273,6 +369,65 @@ object Pipeline extends QueryFamily {
         |        length(text) AS n_chars
         |      FROM documents)
         |ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, token, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |        FROM documents)
+        |  GROUP BY doc_id, token),
+        |dfreq AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, rnk, token, tfidf_u FROM (
+        |  SELECT doc_id, token,
+        |    row_number() OVER (PARTITION BY doc_id
+        |      ORDER BY CAST(tf * (n_docs + 1) AS DOUBLE) / (df + 1) DESC,
+        |               token ASC) AS rnk,
+        |    CAST(floor(CAST(tf * (n_docs + 1) AS DOUBLE) / (df + 1)
+        |      * 1000000) AS BIGINT) AS tfidf_u
+        |  FROM tf JOIN dfreq USING (token) CROSS JOIN n)
+        |WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "q_chunk_windows" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |c AS (SELECT doc_id, tk,
+        |        unnest(range(1, len(tk) + 1, 48)) AS st
+        |      FROM t)
+        |SELECT doc_id, CAST((st - 1) // 48 + 1 AS BIGINT) AS chunk_id,
+        |  len(list_slice(tk, st, st + 63)) AS n_chunk_tokens,
+        |  md5(array_to_string(list_slice(tk, st, st + 63), ' ')) AS chunk_fp
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_mix_sample" -> {
+      val nib = (i: Int) =>
+        s"(strpos('0123456789abcdef', " +
+          s"substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
+      val h = (1 to 8).map(i =>
+        s"${nib(i)} * ${math.pow(16, 8 - i).toLong}").mkString(" + ")
+      s"""SELECT doc_id, source, h32 FROM (
+         |  SELECT doc_id, source, ($h) AS h32,
+         |    CASE WHEN source = 'src0' THEN 4294967296
+         |         WHEN source = 'src1' THEN 2147483648
+         |         WHEN source = 'src2' THEN 1073741824
+         |         ELSE 536870912 END AS thresh
+         |  FROM documents)
+         |WHERE h32 < thresh ORDER BY doc_id""".stripMargin
+    },
+    "q_token_rarity" ->
+      """WITH inst AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |cnts AS (SELECT token, count(*) AS cnt FROM inst GROUP BY token),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM cnts)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(floor(CAST(sum(cnt) AS DOUBLE) * 1000000
+        |    / (count(*) * max(total))) AS BIGINT) AS avg_tok_freq_u
+        |FROM inst JOIN cnts USING (token) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_source_cap" ->
+      """SELECT doc_id, source, rn FROM (
+        |  SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 15 ORDER BY doc_id""".stripMargin,
     "q_pii_scrub" ->
       """SELECT doc_id,
         |  len(regexp_extract_all(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+'))

@@ -47,6 +47,84 @@ class PipelineSpec extends SparkSuite {
     assert(rows.forall(_._2 > 0))
   }
 
+  test("chunk_windows: full coverage, 64-token cap, stride-48 starts") {
+    import spark.implicits._
+    val rows = Pipeline.queries("q_chunk_windows")(spark, sf)
+      .as[(Long, Long, Int, String)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 <= 64))
+    val nTokens = graft.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n")
+      .as[(Long, Int)].collect().toMap
+    rows.groupBy(_._1).foreach { case (doc, cs) =>
+      val byId = cs.sortBy(_._2)
+      assert(byId.map(_._2) == (1L to cs.size))
+      // chunk i covers tokens (i-1)*48+1 .. min((i-1)*48+64, n): sizes
+      // follow exactly (stride < window means the last TWO can be partial)
+      byId.foreach { case (_, cid, sz, _) =>
+        assert(sz == math.min(64, nTokens(doc) - (cid.toInt - 1) * 48))
+      }
+    }
+    // tiny docs chunk without crashing: 1 token -> exactly one chunk
+    val dir = java.nio.file.Files.createTempDirectory("chunks").toString
+    Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/documents.parquet")
+    val tiny = Pipeline.queries("q_chunk_windows")(spark, dir)
+      .as[(Long, Long, Int, String)].collect().toSeq
+    assert(tiny.map(t => (t._1, t._2, t._3)).toSet ==
+      Set((1L, 1L, 1), (2L, 1L, 1)))
+  }
+
+  test("mix_sample: src0 keeps everything, rates fall with the threshold") {
+    import spark.implicits._
+    val kept = Pipeline.queries("q_mix_sample")(spark, sf)
+      .as[(Long, String, Long)].collect().toSeq
+    val bySrc = kept.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(bySrc("src0") == 25)          // weight 1.0: every doc kept
+    assert(bySrc.getOrElse("src1", 0) < 25)
+    // deterministic: second run identical
+    val again = Pipeline.queries("q_mix_sample")(spark, sf)
+      .as[(Long, String, Long)].collect().toSeq
+    assert(kept.sortBy(_._1) == again.sortBy(_._1))
+  }
+
+  test("tfidf: 3 ranked terms per doc, present in the doc") {
+    import spark.implicits._
+    val rows = Pipeline.queries("q_tfidf")(spark, sf)
+      .as[(Long, Int, String, Long)].collect().toSeq
+    rows.groupBy(_._1).foreach { case (_, terms) =>
+      assert(terms.map(_._2).sorted == (1 to terms.size) && terms.size <= 3)
+    }
+    val texts = graft.Tables.documents(spark, sf)
+      .as[(Long, String, String, String, Long)].collect()
+      .map(r => r._1 -> r._2.split(" ").toSet).toMap
+    assert(rows.forall(r => texts(r._1).contains(r._3)))
+  }
+
+  test("source_cap: at most 15 docs per source, lowest ids win") {
+    import spark.implicits._
+    val rows = Pipeline.queries("q_source_cap")(spark, sf)
+      .as[(Long, String, Int)].collect().toSeq
+    val bySrc = rows.groupBy(_._2)
+    assert(bySrc.values.forall(_.size <= 15))
+    val all = graft.Tables.documents(spark, sf)
+      .select("doc_id", "source")
+      .as[(Long, String)].collect().toSeq.groupBy(_._2)
+    bySrc.foreach { case (src, keptRows) =>
+      val expect = all(src).map(_._1).sorted.take(15).toSet
+      assert(keptRows.map(_._1).toSet == expect)
+    }
+  }
+
+  test("token_rarity: scores bounded by the rarest/commonest token") {
+    import spark.implicits._
+    val rows = Pipeline.queries("q_token_rarity")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.size == 500)
+    // avg frequency ratio is a probability: (0, 1] scaled by 1e6
+    assert(rows.forall(r => r._3 > 0 && r._3 <= 1000000))
+  }
+
   test("pii_scrub: redaction counts match what the scrub removed") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("pii").toString
