@@ -70,6 +70,48 @@ class MediaSpec extends SparkSuite {
     assert(topk.map(_._2).toSeq == topk.map(_._2).sorted.reverse.toSeq)
   }
 
+  test("REAL codec seam: JDK ImageIO decodes actual PNGs through the " +
+      "same pipeline shape") {
+    import spark.implicits._
+    import java.awt.image.BufferedImage
+    // genuine PNG payloads, generated with the same codec family a real
+    // corpus would need — this is the swap-the-stub proof
+    def png(w: Int, h: Int, seed: Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, (x * 7 + y * 13 + seed * 31) & 0xffffff)
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(0L, "image", png(32, 24, 0), MediaMeta(32, 24, 0, 0)),
+      MediaRow(1L, "image", png(64, 64, 1), MediaMeta(64, 64, 0, 0)),
+      MediaRow(2L, "image", Array[Byte](1, 2, 3), MediaMeta(0, 0, 0, 0)),
+      MediaRow(3L, "audio", Array[Byte](9, 9), MediaMeta(0, 0, 16000, 5))
+    ).toDS().repartition(2)
+    val out = ImageCodec.extractImageFeatures(rows, gx = 2, gy = 2)
+      .as[(Long, Boolean, Int, Int, Option[Seq[Float]])].collect()
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L)) // audio filtered out
+    // real decode recovers true dimensions from the BYTES, not metadata
+    assert(out(0) match { case (_, true, 32, 24, Some(f)) => f.size == 12
+                          case _ => false })
+    assert(out(1) match { case (_, true, 64, 64, Some(f)) => f.size == 12
+                          case _ => false })
+    // corrupt payload -> lenient null row, no task failure
+    assert(out(2) match { case (_, false, 0, 0, None) => true
+                          case _ => false })
+    // features are normalized channel means
+    val f0 = out(0)._5.get
+    assert(f0.forall(v => v >= 0.0f && v <= 1.0f))
+    // real resize round-trips through the decoder at the target size
+    val resized = ImageCodec.resizePng(ImageCodec.decode(png(64, 64, 2)).get,
+      w = 16, h = 8)
+    val back = ImageCodec.decode(resized).get
+    assert(back.getWidth == 16 && back.getHeight == 8)
+  }
+
   test("metadata predicate prunes without touching payloads") {
     val df = sampleMedia.toDF()
     val big = selectLargeImages(df, minPixels = 100000)
