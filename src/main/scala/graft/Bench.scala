@@ -31,6 +31,10 @@ object Bench {
     // the min is the reproducible throughput number.
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // off-the-clock GC between queries: in a 100+-query shared JVM the
+      // previous queries' garbage otherwise lands as mid-query pauses and
+      // inflated r2 timings 3-12x over the same query run in isolation
+      System.gc()
       val times = (1 to runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => () }

@@ -71,6 +71,37 @@ class PlanSpec extends SparkSuite {
       s"split assignment gained a shuffle:\n${plan.take(2000)}")
   }
 
+  test("q_chunk_windows is map-only above the scan") {
+    val plan = executedPlan("q_chunk_windows")
+    // generate + project only; one exchange for the presentation sort
+    assert(plan.contains("Generate"), "chunking lost its posexplode")
+    assert(plan.split("Exchange").length <= 3,
+      s"chunking gained a shuffle:\n${plan.take(2000)}")
+  }
+
+  test("q_tfidf broadcasts the vocabulary sides, never the corpus") {
+    val plan = executedPlan("q_tfidf")
+    // df join + n_docs cross join both broadcast
+    assert(plan.split("BroadcastHashJoin").length >= 2 ||
+      (plan.contains("BroadcastHashJoin") &&
+        plan.contains("BroadcastNestedLoopJoin")),
+      s"tfidf scoring join stopped broadcasting:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q_token_rarity broadcasts vocabulary aggregates") {
+    val plan = executedPlan("q_token_rarity")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rarity join stopped broadcasting:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q_mix_sample filters map-side (no shuffle before sort)") {
+    val plan = executedPlan("q_mix_sample")
+    assert(plan.split("Exchange").length <= 3,
+      s"mix sampling gained a shuffle:\n${plan.take(2000)}")
+  }
+
   test("q18 IN-subquery plans as a semi join, not a nested loop per row") {
     val plan = executedPlan("q18_large_orders")
     assert(plan.contains("LeftSemi"),
