@@ -301,6 +301,24 @@ object Aggs extends QueryFamily {
           min("l_shipdate").as("min_ship"),
           max("l_shipdate").as("max_ship"))
         .orderBy("l_linestatus")
+    },
+    "q_agg_salted" -> { (s, d) =>
+      // Hot-key-safe aggregation via graft.operators.Skew: two-phase
+      // salted groupBy — the oracle is the PLAIN group-by, proving the
+      // salt/merge decomposition is value-identical. All aggregates are
+      // re-aggregable and integer/extremum-valued (a salted double sum
+      // would be aggregation-order-dependent); value cents via floor.
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          col("event_id"),
+          floor(col("value") * 100).cast("long").as("cents"))
+      graft.operators.Skew.saltedAgg(ev, col("user_id"), saltBuckets = 16,
+          Seq("n_events" -> graft.operators.Skew.CountRows(),
+            "sum_cents" -> graft.operators.Skew.SumOf(col("cents")),
+            "min_event" -> graft.operators.Skew.MinOf(col("event_id")),
+            "max_event" -> graft.operators.Skew.MaxOf(col("event_id"))))
+        .withColumnRenamed("key", "user_id")
+        .orderBy("user_id")
     }
   )
 
@@ -465,6 +483,14 @@ object Aggs extends QueryFamily {
       """SELECT l_linestatus,
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
-        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+        |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    // plain group-by oracle: salting must be value-invisible
+    "q_agg_salted" ->
+      """SELECT user_id,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(floor(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(event_id) AS min_event, max(event_id) AS max_event
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
   )
 }

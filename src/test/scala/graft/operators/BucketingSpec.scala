@@ -1,40 +1,38 @@
 package graft.operators
 
-import java.nio.file.Files
+import graft.{SparkSuite, Tables}
+import org.apache.spark.sql.functions._
 
-import graft.SparkSuite
-
-/** Bucketing = the co-located join story (SURVEY.md §7.2 M6): two tables
-  * bucketed+sorted on the join key join with ZERO shuffle — at 100 TB the
-  * fact⋈fact join this enables is the difference between a network-bound
-  * job and a map-side merge. */
+/** The property bucketing buys: a fact⋈fact equi-join with NO exchange on
+  * either side, and results identical to the shuffle plan. */
 class BucketingSpec extends SparkSuite {
 
-  test("bucketed tables join without an exchange") {
-    import spark.implicits._
-    val dir = Files.createTempDirectory("buckets").toString
-    val left = (0L until 10000L).map(i => (i % 500, i)).toDF("k", "v")
-    val right = (0L until 500L).map(i => (i, s"name$i")).toDF("k", "name")
+  private val sf = "/root/testdata/sf0.001"
 
-    left.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
-      .option("path", s"$dir/left").saveAsTable("bkt_left")
-    right.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
-      .option("path", s"$dir/right").saveAsTable("bkt_right")
-
-    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+  test("bucketed orders⋈lineitem joins shuffle-free with identical results") {
+    val l = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val o = Tables.orders(spark, sf)
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
+    Bucketing.writeBucketed(l, "li_b", "l_orderkey", buckets = 8)
+    Bucketing.writeBucketed(o, "ord_b", "l_orderkey", buckets = 8)
     try {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
-      val joined = spark.table("bkt_left")
-        .join(spark.table("bkt_right"), "k")
-      val plan = joined.queryExecution.executedPlan.toString()
-      assert(plan.contains("SortMergeJoin"))
-      // bucket layout replaces both shuffles: no Exchange anywhere
-      assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
-      assert(joined.count() == 10000)
+      val joined = Bucketing.bucketedJoin(spark, "li_b", "ord_b", "l_orderkey")
+      assert(Bucketing.isShuffleFree(joined),
+        s"bucketed join still shuffles:\n${
+          joined.queryExecution.executedPlan.toString().take(2000)}")
+      // same rows as the plain (shuffling) join
+      val plain = l.join(o, "l_orderkey")
+      assert(joined.count() == plain.count())
+      assert(joined.exceptAll(plain).isEmpty && plain.exceptAll(joined).isEmpty)
+      // groupBy on the bucket key also avoids the exchange
+      val agg = spark.table("li_b").groupBy("l_orderkey")
+        .agg(sum("l_quantity").as("q"))
+      assert(Bucketing.isShuffleFree(agg),
+        "bucketed groupBy gained an exchange")
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
-      spark.sql("DROP TABLE IF EXISTS bkt_left")
-      spark.sql("DROP TABLE IF EXISTS bkt_right")
+      spark.sql("DROP TABLE IF EXISTS li_b")
+      spark.sql("DROP TABLE IF EXISTS ord_b")
     }
   }
 }
