@@ -96,11 +96,15 @@ object Pipeline extends QueryFamily {
       val docs = Tables.documents(s, d)
       val bench = docs.filter(col("doc_id") < 20)
         .select(explode(bigrams).as("bigram")).distinct()
+      // corpus bigrams are NOT pre-distinct'd: that was a full shuffle of
+      // every (doc, bigram) pair. The broadcast join keeps duplicates
+      // map-side and count_distinct dedups them in its partial
+      // aggregation — same result, one corpus shuffle instead of two.
       val corpus = docs.filter(col("doc_id") >= 20)
-        .select(col("doc_id"), explode(bigrams).as("bigram")).distinct()
+        .select(col("doc_id"), explode(bigrams).as("bigram"))
       corpus.join(broadcast(bench), Seq("bigram"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_shared_bigrams"))
+        .agg(count_distinct(col("bigram")).as("n_shared_bigrams"))
         .orderBy("doc_id")
     },
     "q_repetition" -> { (s, d) =>
