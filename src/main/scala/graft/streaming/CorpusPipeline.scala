@@ -1,0 +1,66 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** Streaming corpus ingestion — the LLM-data analog of [[BlockPipeline]]:
+  * a live document stream (web crawl, feed dump) flows through the same
+  * operators the batch pipeline oracle-checks (graft.queries.Pipeline),
+  * continuously:
+  *
+  *   quality filter (map-only)
+  *     → exact dedup on a content fingerprint, stateful WITHIN the
+  *       watermark (`dropDuplicatesWithinWatermark` — state is bounded
+  *       by event time, so the dedup map can't grow unboundedly the way
+  *       an un-watermarked global dedup would at 100 TB/day)
+  *     → context-window chunking (64-token windows, stride 48; map-only
+  *       posexplode)
+  *     → append-mode parquet sink with checkpointed exactly-once.
+  *
+  * Duplicates SEPARATED by more than the watermark are deliberately kept:
+  * bounded state is the scale contract. The batch exact-dedup pass
+  * (q_dedup_exact) remains the global guarantee; the streaming stage is
+  * the cheap first filter that drops the near-in-time duplicate storm
+  * (reposts, crawler revisits) before it costs storage.
+  *
+  * Input schema: (doc_id long, ts timestamp, text string, source string).
+  */
+object CorpusPipeline {
+
+  /** The filter/dedup/chunk transform, shared by the streaming entry and
+    * its batch-equivalence tests (same Dataset code runs in both). */
+  def transform(docs: DataFrame, watermark: String): DataFrame = {
+    val chunks = expr(
+      """element_at(transform(array(split(text, ' ')), tk ->
+        |  transform(sequence(1, size(tk), 48),
+        |    st -> concat_ws(' ', slice(tk, int(st), 64)))), 1)""".stripMargin)
+    docs
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .filter(col("n_chars") >= 10 &&
+        !(col("n_tokens") > 4 &&
+          size(array_distinct(split(col("text"), " "))) * 4 < col("n_tokens")))
+      .withColumn("fp", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("fp")
+      .select(col("doc_id"), col("ts"), col("source"), col("fp"),
+        posexplode(chunks))
+      .select(col("doc_id"), col("ts"), col("source"), col("fp"),
+        (col("pos") + 1).cast("long").as("chunk_id"),
+        col("col").as("chunk_text"))
+  }
+
+  def start(docs: DataFrame, root: String, checkpoint: String,
+            watermark: String = "10 minutes",
+            trigger: Trigger = Trigger.ProcessingTime("1 second"))
+      : StreamingQuery =
+    transform(docs, watermark)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .format("parquet")
+      .option("path", root)
+      .outputMode("append")
+      .start()
+}
