@@ -292,6 +292,110 @@ object Aggs extends QueryFamily {
         .limit(10)
         .select("l_orderkey", "revenue", "o_orderdate")
     },
+    "q4_priority_count" -> { (s, d) =>
+      // TPC-H Q4 shape: EXISTS-correlated subquery → left-semi join with
+      // an extra non-equi conjunct (late shipment), count per priority.
+      // (Fixtures lack l_commitdate; lateness = shipped after order date.)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit("1996-07-01").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+      o.join(l, o("o_orderkey") === l("l_orderkey") &&
+          l("l_shipdate") > o("o_orderdate"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    "q6_forecast_revenue" -> { (s, d) =>
+      // TPC-H Q6 shape: pure filter-aggregate over the fact table — the
+      // scan-efficiency query (predicate pushdown + no shuffle at all
+      // beyond the final single-row combine).
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.02 && col("l_discount") <= 0.06 &&
+          col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice").cast("decimal(12,4)") *
+            dec("l_discount").cast("decimal(8,4)")), 4)
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    "q12_late_priority" -> { (s, d) =>
+      // TPC-H Q12 shape: join + CONDITIONAL aggregation (CASE inside
+      // SUM) — priority mix of late shipments per line status.
+      val o = Tables.orders(s, d)
+      val l = Tables.lineitem(s, d)
+      l.join(o, l("l_orderkey") === o("o_orderkey") &&
+          l("l_shipdate") > o("o_orderdate"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+            .otherwise(0L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    },
+    "q14_promo_revenue" -> { (s, d) =>
+      // TPC-H Q14 shape: conditional revenue RATIO (promo share of a
+      // month's revenue). Both sums decimal-exact and rounded before the
+      // one double division; ratio floor-scaled (§7.5).
+      val l = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      val p = Tables.part(s, d)
+      val rev = col("l_extendedprice").cast("decimal(12,4)") *
+        (lit(1) - dec("l_discount")).cast("decimal(8,4)")
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+        .agg(
+          round(sum(when(col("p_type") === "PROMO", rev)
+            .otherwise(lit(0).cast("decimal(12,4)"))), 4).as("promo"),
+          round(sum(rev), 4).as("total"))
+        .select(
+          col("promo").cast("double").as("promo_revenue"),
+          col("total").cast("double").as("total_revenue"),
+          floor(col("promo").cast("double") * 100000000L /
+            col("total").cast("double")).cast("long").as("promo_pct_u"))
+    },
+    "q19_disjunctive_revenue" -> { (s, d) =>
+      // TPC-H Q19 shape: OR of brand/size/quantity conjunction bands
+      // inside the join — the disjunctive-predicate planning test (each
+      // disjunct must still prune; the join stays a broadcast hash join
+      // on the equi-key with the disjunction as a post-join filter).
+      val l = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      val bands =
+        (p("p_brand") === "Brand#12" && p("p_size").between(1, 5) &&
+          l("l_quantity").between(1, 11)) ||
+        (p("p_brand") === "Brand#23" && p("p_size").between(1, 10) &&
+          l("l_quantity").between(10, 20)) ||
+        (p("p_brand") === "Brand#4" && p("p_size").between(1, 15) &&
+          l("l_quantity").between(20, 30))
+      l.join(broadcast(p), l("l_partkey") === p("p_partkey") && bands)
+        .agg(round(sum(col("l_extendedprice").cast("decimal(12,4)") *
+            (lit(1) - dec("l_discount")).cast("decimal(8,4)")), 4)
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+    },
+    "q22_dormant_customers" -> { (s, d) =>
+      // TPC-H Q22 shape: scalar-subquery threshold (average positive
+      // balance — kept EXACT as decimal-sum/count, one double division)
+      // + anti join (high-balance customers with no RECENT orders —
+      // dormant accounts), aggregated per nation.
+      val c = Tables.customer(s, d)
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+      val thresh = c.filter(col("c_acctbal") > 0)
+        .agg((sum(col("c_acctbal").cast("decimal(12,2)")).cast("double") /
+          count(lit(1))).as("avg_pos"))
+      c.crossJoin(broadcast(thresh))
+        .filter(col("c_acctbal") > col("avg_pos"))
+        .join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_custs"),
+          round(sum(col("c_acctbal").cast("decimal(12,2)")), 2)
+            .cast("double").as("total_bal"))
+        .orderBy("c_nationkey")
+    },
     "q_agg_minmax" -> { (s, d) =>
       Tables.lineitem(s, d)
         .groupBy("l_linestatus")
@@ -484,6 +588,78 @@ object Aggs extends QueryFamily {
         |  min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
         |  min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
         |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q4_priority_count" ->
+      """SELECT o_orderpriority, count(*) AS n_orders
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1996-07-01'
+        |  AND EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey
+        |                AND l_shipdate > o_orderdate)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q6_forecast_revenue" ->
+      """SELECT
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |    CAST(CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4))), 4)
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.02 AND l_discount <= 0.06
+        |  AND l_quantity < 24""".stripMargin,
+    "q12_late_priority" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate
+        |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin,
+    "q14_promo_revenue" ->
+      """SELECT CAST(promo AS DOUBLE) AS promo_revenue,
+        |  CAST(total AS DOUBLE) AS total_revenue,
+        |  CAST(floor(CAST(promo AS DOUBLE) * 100000000 /
+        |    CAST(total AS DOUBLE)) AS BIGINT) AS promo_pct_u
+        |FROM (
+        |  SELECT
+        |    round(sum(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |        CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4))
+        |      ELSE CAST(0 AS DECIMAL(12,4)) END), 4) AS promo,
+        |    round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |      CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4))),
+        |      4) AS total
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01')""".stripMargin,
+    "q19_disjunctive_revenue" ->
+      """SELECT
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |    CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4))), 4)
+        |    AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+        |        AND l_quantity BETWEEN 1 AND 11)
+        |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+        |        AND l_quantity BETWEEN 10 AND 20)
+        |   OR (p_brand = 'Brand#4' AND p_size BETWEEN 1 AND 15
+        |        AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
+    "q22_dormant_customers" ->
+      """SELECT c_nationkey, count(*) AS n_custs,
+        |  CAST(round(sum(CAST(c_acctbal AS DECIMAL(12,2))), 2) AS DOUBLE)
+        |    AS total_bal
+        |FROM customer
+        |WHERE c_acctbal > (
+        |    SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+        |      / count(*)
+        |    FROM customer WHERE c_acctbal > 0)
+        |  AND NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
+        |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
     // plain group-by oracle: salting must be value-invisible
     "q_agg_salted" ->
       """SELECT user_id,
