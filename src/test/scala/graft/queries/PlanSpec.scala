@@ -108,6 +108,35 @@ class PlanSpec extends SparkSuite {
       s"IN-subquery lost its semi-join rewrite:\n${plan.take(2000)}")
   }
 
+  test("q4 EXISTS plans as a semi join with the lateness conjunct") {
+    val plan = executedPlan("q4_priority_count")
+    assert(plan.contains("LeftSemi"),
+      s"EXISTS lost its semi-join rewrite:\n${plan.take(2000)}")
+  }
+
+  test("q6 pushes every filter to the scan and never shuffles rows") {
+    val plan = executedPlan("q6_forecast_revenue")
+    assert(plan.contains("PushedFilters") && plan.contains("l_shipdate"),
+      s"scan filters not pushed:\n${plan.take(2000)}")
+    // single-row combine only: no hash-partitioned exchange
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"pure aggregate gained a hash shuffle:\n${plan.take(2000)}")
+  }
+
+  test("q19 keeps the equi-key broadcast join under the disjunction") {
+    val plan = executedPlan("q19_disjunctive_revenue")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"disjunctive bands broke the hash join:\n${plan.take(2000)}")
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      "join degenerated to a nested loop")
+  }
+
+  test("q22 anti join stays an anti join (no per-row subquery)") {
+    val plan = executedPlan("q22_dormant_customers")
+    assert(plan.contains("LeftAnti"),
+      s"NOT EXISTS lost its anti-join rewrite:\n${plan.take(2000)}")
+  }
+
   test("q2 correlated subquery is rewritten to an aggregate join") {
     val plan = executedPlan("q2_min_acctbal")
     // the correlation must decorrelate: an aggregate feeding a join, no
