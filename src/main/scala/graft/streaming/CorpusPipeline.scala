@@ -29,8 +29,18 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 object CorpusPipeline {
 
   /** The filter/dedup/chunk transform, shared by the streaming entry and
-    * its batch-equivalence tests (same Dataset code runs in both). */
-  def transform(docs: DataFrame, watermark: String): DataFrame = {
+    * its batch-equivalence tests (same Dataset code runs in both).
+    *
+    * @param bagDedup when true, the dedup fingerprint is the md5 of the
+    *   SORTED token multiset instead of the raw text — token-permuted
+    *   duplicates (title/byline reshuffles, the near-dup class the batch
+    *   MinHash stage exists for) collapse too, still exact-match cheap:
+    *   one array_sort per doc, no signatures, no candidate join. */
+  def transform(docs: DataFrame, watermark: String,
+                bagDedup: Boolean = false): DataFrame = {
+    val fp =
+      if (bagDedup) md5(concat_ws(" ", array_sort(split(col("text"), " "))))
+      else md5(col("text"))
     val chunks = expr(
       """element_at(transform(array(split(text, ' ')), tk ->
         |  transform(sequence(1, size(tk), 48),
@@ -41,7 +51,7 @@ object CorpusPipeline {
       .filter(col("n_chars") >= 10 &&
         !(col("n_tokens") > 4 &&
           size(array_distinct(split(col("text"), " "))) * 4 < col("n_tokens")))
-      .withColumn("fp", md5(col("text")))
+      .withColumn("fp", fp)
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("fp")
       .select(col("doc_id"), col("ts"), col("source"), col("fp"),
@@ -53,9 +63,9 @@ object CorpusPipeline {
 
   def start(docs: DataFrame, root: String, checkpoint: String,
             watermark: String = "10 minutes",
-            trigger: Trigger = Trigger.ProcessingTime("1 second"))
-      : StreamingQuery =
-    transform(docs, watermark)
+            trigger: Trigger = Trigger.ProcessingTime("1 second"),
+            bagDedup: Boolean = false): StreamingQuery =
+    transform(docs, watermark, bagDedup)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

@@ -48,4 +48,26 @@ class CorpusPipelineSpec extends SparkSuite {
     // doc 2 (the in-watermark duplicate) is gone
     assert(!out.exists(_._1 == 2L))
   }
+
+  test("bag dedup collapses token-permuted duplicates exact dedup keeps") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("corpus-bag").toString
+    val ckpt = Files.createTempDirectory("corpus-bag-ckpt").toString
+    val text = longText("gamma")
+    val permuted = text.split(" ").reverse.mkString(" ")
+    val in = MemoryStream[(Long, Timestamp, String, String)](spark)
+    in.addData(
+      (1L, ts(0), text, "crawl"),
+      (2L, ts(1), permuted, "crawl"),           // same bag, different order
+      (3L, ts(2), longText("delta"), "crawl"))  // different bag
+    val q = CorpusPipeline.start(
+      in.toDF().toDF("doc_id", "ts", "text", "source"),
+      root, ckpt, watermark = "10 minutes",
+      trigger = Trigger.AvailableNow(), bagDedup = true)
+    q.awaitTermination(120000)
+    val kept = spark.read.parquet(root).select("doc_id").distinct()
+      .as[Long].collect().sorted.toSeq
+    // the permuted copy deduped away; the distinct bag survives
+    assert(kept == Seq(1L, 3L))
+  }
 }
