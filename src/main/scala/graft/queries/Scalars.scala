@@ -111,6 +111,19 @@ object Scalars extends QueryFamily {
                .cast("double").as("sum_qty"))
         .orderBy("ship_year", "ship_month")
     },
+    "q_bitwise" -> { (s, d) =>
+      // Bit manipulation over integer keys (feature-hash packing, flag
+      // fields) — codegen'd built-ins, map-only.
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey").bitwiseAND(col("l_suppkey")).as("k_and"),
+          col("l_partkey").bitwiseOR(col("l_suppkey")).as("k_or"),
+          col("l_partkey").bitwiseXOR(col("l_suppkey")).as("k_xor"),
+          shiftleft(col("l_linenumber"), 3).as("ln_shl"),
+          shiftright(col("l_partkey"), 2).as("pk_shr"),
+          expr("bit_count(l_partkey)").as("pk_bits"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
     "q_math" -> { (s, d) =>
       Tables.lineitem(s, d)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -223,6 +236,15 @@ object Scalars extends QueryFamily {
         |  count(*) AS n,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
         |FROM lineitem GROUP BY 1, 2 ORDER BY ship_year, ship_month""".stripMargin,
+    "q_bitwise" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  l_partkey & l_suppkey AS k_and,
+        |  l_partkey | l_suppkey AS k_or,
+        |  xor(l_partkey, l_suppkey) AS k_xor,
+        |  l_linenumber << 3 AS ln_shl,
+        |  l_partkey >> 2 AS pk_shr,
+        |  bit_count(l_partkey) AS pk_bits
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin,
     "q_math" ->
       """SELECT l_orderkey, l_linenumber,
         |  l_partkey % 7 AS pk_mod7,
