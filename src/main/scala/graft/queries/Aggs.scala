@@ -406,6 +406,27 @@ object Aggs extends QueryFamily {
           max("l_shipdate").as("max_ship"))
         .orderBy("l_linestatus")
     },
+    "q_agg_topk_custom" -> { (s, d) =>
+      // Custom typed Aggregator (graft.functions.TopKAggregator) as a
+      // declared query: per-group top-3 by price through the
+      // bounded-state partial/merge path (each partition keeps only k
+      // candidates — the shuffle carries k rows per group per partition,
+      // never the group's full traffic). Oracle = the row_number window
+      // form, proving the custom aggregate is value-identical.
+      import s.implicits._
+      val ds = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          (col("l_orderkey") * 10 + col("l_linenumber")).as("id"),
+          col("l_extendedprice").as("score"))
+        .as[(String, Long, Double)]
+      ds.groupByKey(_._1)
+        .mapValues(t => graft.functions.TopKAggregator.Scored(t._2, t._3))
+        .agg(graft.functions.TopKAggregator.topK(3).toColumn.name("top"))
+        .flatMap { case (flag, top) => top.zipWithIndex.map {
+          case (sc, i) => (flag, i + 1, sc.id, sc.score) } }
+        .toDF("flag", "rnk", "id", "score")
+        .orderBy("flag", "rnk")
+    },
     "q_agg_salted" -> { (s, d) =>
       // Hot-key-safe aggregation via graft.operators.Skew: two-phase
       // salted groupBy — the oracle is the PLAIN group-by, proving the
@@ -660,6 +681,17 @@ object Aggs extends QueryFamily {
         |                  WHERE o_custkey = c_custkey
         |                    AND o_orderdate >= TIMESTAMP '1999-01-01')
         |GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    // window-form oracle: the custom aggregate must be value-identical
+    "q_agg_topk_custom" ->
+      """SELECT l_returnflag AS flag, rnk, id, score FROM (
+        |  SELECT l_returnflag,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_extendedprice DESC,
+        |               l_orderkey * 10 + l_linenumber ASC) AS rnk,
+        |    l_orderkey * 10 + l_linenumber AS id,
+        |    l_extendedprice AS score
+        |  FROM lineitem)
+        |WHERE rnk <= 3 ORDER BY flag, rnk""".stripMargin,
     // plain group-by oracle: salting must be value-invisible
     "q_agg_salted" ->
       """SELECT user_id,
