@@ -108,6 +108,23 @@ class PlanSpec extends SparkSuite {
       s"IN-subquery lost its semi-join rewrite:\n${plan.take(2000)}")
   }
 
+  test("q_agg_salted runs the two-phase (key,salt)->key aggregation") {
+    val plan = executedPlan("q_agg_salted")
+    // partial+final per phase = 4 HashAggregates, and no phase collapses
+    // to a single partition
+    assert(plan.split("HashAggregate").length >= 5,
+      s"salted agg lost a phase:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange SinglePartition"))
+  }
+
+  test("q_agg_topk_custom keeps the typed aggregator's partial/merge split") {
+    val plan = executedPlan("q_agg_topk_custom")
+    // ObjectHashAggregate partial + final: per-partition top-k state
+    // merges instead of shuffling each group's full traffic
+    assert(plan.split("ObjectHashAggregate").length >= 3,
+      s"typed aggregator lost its partial phase:\n${plan.take(2000)}")
+  }
+
   test("q4 EXISTS plans as a semi join with the lateness conjunct") {
     val plan = executedPlan("q4_priority_count")
     assert(plan.contains("LeftSemi"),
