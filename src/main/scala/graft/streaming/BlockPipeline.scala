@@ -3,7 +3,7 @@ package graft.streaming
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
-import graft.ingest.{Decode, ProtoSchema, RangePartitioner, RangeSink}
+import graft.ingest.{Decode, ParquetTuning, ProtoSchema, RangePartitioner, RangeSink}
 import graft.ingest.ProtoSchema.PMessage
 
 /** The reference's whole pipeline on Structured Streaming (SURVEY.md §3.1
@@ -30,13 +30,15 @@ object BlockPipeline {
       partitioner: RangePartitioner,
       checkpoint: String,
       explode: Boolean = false,
-      trigger: Trigger = Trigger.ProcessingTime("1 second")): StreamingQuery = {
+      trigger: Trigger = Trigger.ProcessingTime("1 second"),
+      tuning: ParquetTuning = ParquetTuning()): StreamingQuery = {
 
-    val mainSink = RangeSink(s"$root/main", partitioner)
+    val mainSink = RangeSink(s"$root/main", partitioner, tuning = tuning)
     val childSinks: Seq[(String, RangeSink)] =
       if (!explode) Seq.empty
       else ProtoSchema.explodableFields(schema)
-        .map(f => f.name -> RangeSink(s"$root/${f.name}", partitioner))
+        .map(f => f.name -> RangeSink(s"$root/${f.name}", partitioner,
+          tuning = tuning))
 
     blocks.writeStream
       .option("checkpointLocation", checkpoint)
