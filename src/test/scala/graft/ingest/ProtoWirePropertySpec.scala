@@ -138,4 +138,37 @@ class ProtoWirePropertySpec extends AnyFunSuite {
       check(schema, payload, row)
     }
   }
+
+  test("fuzz: garbage and truncated bytes never hang or escape the " +
+      "strict/lenient contract") {
+    val rnd = new scala.util.Random(1234)
+    val schema = randSchema(depth = 2, nameSeed = "fuzz")
+    val valid = ProtoWire.encode(schema, randPayload(schema))
+    val cases =
+      // pure garbage
+      (1 to 200).map(_ => Array.fill(rnd.nextInt(64))(rnd.nextInt.toByte)) ++
+      // valid prefix truncations (the interrupted-upload shape)
+      (0 until valid.length).map(valid.take) ++
+      // single-bit corruptions of a valid message
+      (1 to 200).map { _ =>
+        val b = valid.clone()
+        if (b.nonEmpty) {
+          val i = rnd.nextInt(b.length)
+          b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte
+        }
+        b
+      }
+    val strictDecoder = graft.ingest.ProtoDecodeExpression(
+      org.apache.spark.sql.catalyst.expressions.Literal(Array.empty[Byte]),
+      schema, lenient = false)
+    val lenientDecoder = strictDecoder.copy(lenient = true)
+    cases.foreach { bytes =>
+      // strict: decodes or throws IllegalArgumentException — nothing else
+      // (no raw index errors, no negative-length allocations, no loops)
+      try { strictDecoder.decodeOne(bytes); () }
+      catch { case _: IllegalArgumentException => () }
+      // lenient: NEVER throws; null or a row
+      lenientDecoder.decodeOne(bytes)
+    }
+  }
 }
