@@ -46,17 +46,20 @@ object Dedup {
       // localCheckpoint TRUNCATES LINEAGE each round — an iterative plan
       // otherwise doubles per iteration (the self-join references the
       // previous round twice) and analysis/explain cost grows
-      // exponentially long before the data does
+      // exponentially long before the data does. The PREVIOUS label
+      // rides along inside the same checkpointed pass, so the
+      // convergence check below is a filter-count over cached blocks —
+      // one distributed job per round instead of two.
       val jumped = m.as("a")
         .join(m.select(col("id").as("cid"), col("comp").as("ccomp")).as("b"),
           col("a.comp") === col("b.cid"), "left")
+        .join(labels.select(col("id").as("oid"), col("comp").as("old")),
+          col("a.id") === col("oid"))
         .select(col("a.id").as("id"),
-          coalesce(col("b.ccomp"), col("a.comp")).as("comp"))
+          coalesce(col("b.ccomp"), col("a.comp")).as("comp"), col("old"))
         .localCheckpoint()
-      changed = jumped
-        .join(labels.withColumnRenamed("comp", "old"), "id")
-        .filter(col("comp") =!= col("old")).count()
-      labels = jumped
+      changed = jumped.filter(col("comp") =!= col("old")).count()
+      labels = jumped.select("id", "comp")
       it += 1
     }
     sym.unpersist()
