@@ -206,6 +206,31 @@ object Pipeline extends QueryFamily {
           md5(col("col")).as("chunk_fp"))
         .orderBy("doc_id", "chunk_id")
     },
+    "q_chunk_pack" -> { (s, d) =>
+      // Composition of the two sequence-prep stages: context chunking
+      // (q_chunk_windows) feeding sharded greedy packing
+      // (q_pack_sequences) — the actual "prepare training sequences"
+      // pipeline, end-to-end in one plan: map-only generate, then ONE
+      // shuffle for the per-shard packing window.
+      val chunks = expr(
+        """element_at(transform(array(split(text, ' ')), tk ->
+          |  transform(sequence(1, size(tk), 48),
+          |    st -> concat_ws(' ', slice(tk, int(st), 64)))), 1)""".stripMargin)
+      val shard = pmod(col("doc_id"), lit(8))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("doc_id"), col("chunk_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), posexplode(chunks))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("chunk_id"),
+          size(split(col("col"), " ")).as("n_chunk_tokens"))
+        .withColumn("shard", shard)
+        .withColumn("cum_tokens", sum(col("n_chunk_tokens")).over(w))
+        .withColumn("pack_id",
+          floor((col("cum_tokens") - col("n_chunk_tokens")) / lit(2048.0))
+            .cast("long"))
+        .orderBy("doc_id", "chunk_id")
+    },
     "q_mix_sample" -> { (s, d) =>
       // Deterministic weighted mixture sampling: per-source keep rates
       // (the data-mixing step of corpus assembly) decided by a content-
@@ -400,6 +425,26 @@ object Pipeline extends QueryFamily {
         |  len(list_slice(tk, st, st + 63)) AS n_chunk_tokens,
         |  md5(array_to_string(list_slice(tk, st, st + 63), ' ')) AS chunk_fp
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_chunk_pack" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+        |           FROM documents),
+        |c AS (SELECT doc_id, tk,
+        |        unnest(range(1, len(tk) + 1, 48)) AS st
+        |      FROM t),
+        |ch AS (SELECT doc_id,
+        |         CAST((st - 1) // 48 + 1 AS BIGINT) AS chunk_id,
+        |         len(list_slice(tk, st, st + 63)) AS n_chunk_tokens
+        |       FROM c)
+        |SELECT doc_id, chunk_id, n_chunk_tokens, doc_id % 8 AS shard,
+        |  CAST(sum(n_chunk_tokens) OVER (
+        |    PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_tokens,
+        |  CAST(floor((CAST(sum(n_chunk_tokens) OVER (
+        |    PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    - n_chunk_tokens) / 2048.0) AS BIGINT) AS pack_id
+        |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
     "q_mix_sample" -> {
       val nib = (i: Int) =>
         s"(strpos('0123456789abcdef', " +
