@@ -376,6 +376,56 @@ object Aggs extends QueryFamily {
           .cast("double").as("revenue"),
           count(lit(1)).as("n_items"))
     },
+    "q8_market_share" -> { (s, d) =>
+      // TPC-H Q8 shape: one nation's share of regional promo volume per
+      // year — 8-way join, conditional decimal sums, one double division
+      // per group (floor-scaled). Dims broadcast; lineitem⋈orders is the
+      // only fact shuffle.
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q8")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q8")
+      Tables.customer(s, d).createOrReplaceTempView("customer_q8")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q8")
+      Tables.nation(s, d).createOrReplaceTempView("nation_q8")
+      Tables.region(s, d).createOrReplaceTempView("region_q8")
+      Tables.part(s, d).createOrReplaceTempView("part_q8")
+      s.sql(q8Sql("lineitem_q8", "orders_q8", "customer_q8", "supplier_q8",
+        "nation_q8", "region_q8", "part_q8"))
+    },
+    "q13_order_distribution" -> { (s, d) =>
+      // TPC-H Q13 shape: histogram of per-customer order counts — LEFT
+      // join with an extra join-side predicate (so zero-order customers
+      // stay), two-level aggregation.
+      Tables.customer(s, d).createOrReplaceTempView("customer_q13")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q13")
+      s.sql(q13Sql("customer_q13", "orders_q13"))
+    },
+    "q15_top_supplier" -> { (s, d) =>
+      // TPC-H Q15 shape: per-supplier quarterly revenue, then the
+      // max-revenue supplier(s) via an uncorrelated scalar subquery over
+      // the SAME derived table (the view-reuse query).
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q15")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q15")
+      s.sql(q15Sql("lineitem_q15", "supplier_q15"))
+    },
+    "q17_small_qty_revenue" -> { (s, d) =>
+      // TPC-H Q17 shape: brand lines below 20% of their part's average
+      // quantity. The correlated avg is restated DIVISION-FREE
+      // (qty·5·count < sum) so the comparison is exact-integer in both
+      // engines (quantities are integral; no float-average rounding).
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q17")
+      Tables.part(s, d).createOrReplaceTempView("part_q17")
+      s.sql(q17Sql("lineitem_q17", "part_q17"))
+    },
+    "q21_waiting_supplier" -> { (s, d) =>
+      // TPC-H Q21 shape: the supplier that alone held up a multi-supplier
+      // order — per-(order, supplier) lateness rollup, per-order counts,
+      // then the unique-late filter. (Fixtures lack l_commitdate /
+      // receiptdate; late = shipped after the order date, as in q4/q12.)
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q21")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q21")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q21")
+      s.sql(q21Sql("lineitem_q21", "orders_q21", "supplier_q21"))
+    },
     "q22_dormant_customers" -> { (s, d) =>
       // TPC-H Q22 shape: scalar-subquery threshold (average positive
       // balance — kept EXACT as decimal-sum/count, one double division)
@@ -447,7 +497,100 @@ object Aggs extends QueryFamily {
     }
   )
 
+  /** Q8/Q13/Q15/Q17/Q21 run the SAME SQL text on both engines (table
+    * names parameterized: temp views on Spark, parquet files in DuckDB)
+    * — textual parity removes a whole class of translation drift. */
+  private def q8Sql(l: String, o: String, c: String, su: String,
+      n: String, r: String, p: String): String =
+    s"""SELECT o_year,
+       |  CAST(round(sum_target, 4) AS DOUBLE) AS target_vol,
+       |  CAST(round(sum_all, 4) AS DOUBLE) AS total_vol,
+       |  CAST(floor(CAST(round(sum_target, 4) AS DOUBLE) * 1000000
+       |    / CAST(round(sum_all, 4) AS DOUBLE)) AS BIGINT) AS share_u
+       |FROM (
+       |  SELECT year(o_orderdate) AS o_year,
+       |    sum(CASE WHEN n2.n_name = 'NATION_5' THEN
+       |      CAST(l_extendedprice AS DECIMAL(12,4)) *
+       |        CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4))
+       |      ELSE CAST(0 AS DECIMAL(12,4)) END) AS sum_target,
+       |    sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+       |      CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4)))
+       |      AS sum_all
+       |  FROM $l
+       |  JOIN $o ON l_orderkey = o_orderkey
+       |  JOIN $c ON o_custkey = c_custkey
+       |  JOIN $n n1 ON c_nationkey = n1.n_nationkey
+       |  JOIN $r ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+       |  JOIN $p ON l_partkey = p_partkey AND p_type = 'PROMO'
+       |  JOIN $su ON l_suppkey = s_suppkey
+       |  JOIN $n n2 ON s_nationkey = n2.n_nationkey
+       |  WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+       |    AND o_orderdate < TIMESTAMP '1998-01-01'
+       |  GROUP BY year(o_orderdate))
+       |ORDER BY o_year""".stripMargin
+
+  private def q13Sql(c: String, o: String): String =
+    s"""SELECT n_orders, count(*) AS n_custs FROM (
+       |  SELECT c_custkey, count(o_orderkey) AS n_orders
+       |  FROM $c LEFT JOIN $o ON c_custkey = o_custkey
+       |    AND o_orderpriority <> '1-URGENT'
+       |  GROUP BY c_custkey)
+       |GROUP BY n_orders ORDER BY n_orders""".stripMargin
+
+  private def q15Sql(l: String, su: String): String =
+    s"""WITH rev AS (
+       |  SELECT l_suppkey AS supplier_no,
+       |    CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+       |      CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4))),
+       |      4) AS DOUBLE) AS total_rev
+       |  FROM $l
+       |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |    AND l_shipdate < TIMESTAMP '1996-04-01'
+       |  GROUP BY l_suppkey)
+       |SELECT s_suppkey, s_name, total_rev
+       |FROM $su JOIN rev ON s_suppkey = supplier_no
+       |WHERE total_rev = (SELECT max(total_rev) FROM rev)
+       |ORDER BY s_suppkey""".stripMargin
+
+  private def q17Sql(l: String, p: String): String =
+    s"""SELECT
+       |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))), 4)
+       |    AS DOUBLE) AS total_price,
+       |  count(*) AS n_items
+       |FROM $l JOIN $p ON p_partkey = l_partkey
+       |WHERE p_brand = 'Brand#12'
+       |  AND l_quantity * 5 *
+       |    (SELECT count(*) FROM $l l2 WHERE l2.l_partkey = p_partkey)
+       |    < (SELECT sum(l_quantity) FROM $l l3
+       |       WHERE l3.l_partkey = p_partkey)""".stripMargin
+
+  private def q21Sql(l: String, o: String, su: String): String =
+    s"""WITH ol AS (
+       |  SELECT l_orderkey, l_suppkey,
+       |    max(CASE WHEN l_shipdate > o_orderdate THEN 1 ELSE 0 END)
+       |      AS late
+       |  FROM $l JOIN $o ON l_orderkey = o_orderkey
+       |  WHERE o_orderstatus = 'F'
+       |  GROUP BY l_orderkey, l_suppkey),
+       |agg AS (
+       |  SELECT l_orderkey, count(*) AS n_supp,
+       |    CAST(sum(late) AS BIGINT) AS n_late
+       |  FROM ol GROUP BY l_orderkey)
+       |SELECT s_name, count(*) AS numwait
+       |FROM ol
+       |JOIN agg ON ol.l_orderkey = agg.l_orderkey
+       |JOIN $su ON s_suppkey = ol.l_suppkey
+       |WHERE agg.n_supp >= 2 AND agg.n_late = 1 AND ol.late = 1
+       |GROUP BY s_name
+       |ORDER BY numwait DESC, s_name""".stripMargin
+
   def oracle: Map[String, String] = Map(
+    "q8_market_share" -> q8Sql("lineitem", "orders", "customer", "supplier",
+      "nation", "region", "part"),
+    "q13_order_distribution" -> q13Sql("customer", "orders"),
+    "q15_top_supplier" -> q15Sql("lineitem", "supplier"),
+    "q17_small_qty_revenue" -> q17Sql("lineitem", "part"),
+    "q21_waiting_supplier" -> q21Sql("lineitem", "orders", "supplier"),
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
