@@ -553,16 +553,22 @@ object Aggs extends QueryFamily {
        |ORDER BY s_suppkey""".stripMargin
 
   private def q17Sql(l: String, p: String): String =
+    // The two correlated scalar subqueries of the textbook Q17 decorrelate
+    // into TWO separate aggregate+join passes over lineitem; one grouped
+    // subquery computing (count, sum) per partkey halves the lineitem work
+    // — a single partial-aggregated rollup, joined once.
     s"""SELECT
        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(12,4))), 4)
        |    AS DOUBLE) AS total_price,
        |  count(*) AS n_items
-       |FROM $l JOIN $p ON p_partkey = l_partkey
+       |FROM $l
+       |JOIN $p ON p_partkey = l_partkey
+       |JOIN (SELECT l_partkey AS agg_pk, count(*) AS part_cnt,
+       |        sum(l_quantity) AS part_qty
+       |      FROM $l GROUP BY l_partkey) part_stats
+       |  ON agg_pk = l_partkey
        |WHERE p_brand = 'Brand#12'
-       |  AND l_quantity * 5 *
-       |    (SELECT count(*) FROM $l l2 WHERE l2.l_partkey = p_partkey)
-       |    < (SELECT sum(l_quantity) FROM $l l3
-       |       WHERE l3.l_partkey = p_partkey)""".stripMargin
+       |  AND l_quantity * 5 * part_cnt < part_qty""".stripMargin
 
   private def q21Sql(l: String, o: String, su: String): String =
     s"""WITH ol AS (

@@ -147,19 +147,12 @@ object Llm extends QueryFamily {
     },
     "q_ngrams" -> { (s, d) =>
       // corpus bigram counts, top-100: n-gram generation distributed
-      // map-side, shuffle carries (bigram, count) partials
+      // map-side, shuffle carries (bigram, count) partials. Pipeline.bigrams
+      // binds split(text) once via the single-element outer transform — the
+      // previous CSE barrier here was a repartition(doc_id) that shuffled
+      // every token array just to stop re-tokenization.
       Tables.documents(s, d)
-        .select(col("doc_id"), toks.as("tokens"))
-        .repartition(col("doc_id")) // barrier: split() evaluated once
-        // explicit empty-array branch: sequence(1, 0) is DESCENDING [1, 0]
-        // in Spark, not empty — a 1-token doc would evaluate
-        // element_at(tokens, 0) and crash under ANSI
-        .select(explode(expr(
-          """case when size(tokens) < 2 then array()
-            |else transform(sequence(1, size(tokens) - 1),
-            |  i -> concat_ws(' ', element_at(tokens, int(i)),
-            |                      element_at(tokens, int(i) + 1)))
-            |end""".stripMargin)).as("bigram"))
+        .select(explode(Pipeline.bigrams).as("bigram"))
         .groupBy("bigram")
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("bigram").asc)

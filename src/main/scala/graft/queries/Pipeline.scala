@@ -25,10 +25,23 @@ object Pipeline extends QueryFamily {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** Packing shard count — bounds the parallelism of the per-shard packing
+    * window, so it must scale with the cluster instead of being a constant
+    * (a hardcoded 8 caps packing at 8 tasks on a 1000-executor cluster).
+    * Defaults to the host parallelism; overridable via -Dgraft.packShards
+    * (a real deployment sizes it to executors × cores). The oracle SQL
+    * interpolates the SAME value, so the Spark and DuckDB legs agree on
+    * any machine. */
+  private[graft] val packShards: Int =
+    sys.props.get("graft.packShards").map(_.toInt)
+      .getOrElse(math.max(8, Runtime.getRuntime.availableProcessors()))
+
   /** Word bigrams with the token array bound ONCE per row (see
     * Llm.shingles: HOF lambdas get no CSE — an unbound split(text) would
-    * re-tokenize per element). Empty for docs with <2 tokens. */
-  private def bigrams: Column = expr(
+    * re-tokenize per element). Empty for docs with <2 tokens. Shared with
+    * Llm.q_ngrams, where this binding replaces a repartition-as-CSE-barrier
+    * that shuffled full token arrays. */
+  private[queries] def bigrams: Column = expr(
     """case when size(split(text, ' ')) < 2 then array()
       |else flatten(transform(array(split(text, ' ')), tk ->
       |  transform(sequence(1, size(tk) - 1),
@@ -76,7 +89,7 @@ object Pipeline extends QueryFamily {
       // Greedy context-window packing: running token total per shard,
       // window id = floor(preceding_total / ctx). Sharded window — the
       // global-order variant would serialize on one partition at scale.
-      val shard = pmod(col("doc_id"), lit(8))
+      val shard = pmod(col("doc_id"), lit(packShards))
       val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       Tables.documents(s, d)
@@ -216,7 +229,7 @@ object Pipeline extends QueryFamily {
         """element_at(transform(array(split(text, ' ')), tk ->
           |  transform(sequence(1, size(tk), 48),
           |    st -> concat_ws(' ', slice(tk, int(st), 64)))), 1)""".stripMargin)
-      val shard = pmod(col("doc_id"), lit(8))
+      val shard = pmod(col("doc_id"), lit(packShards))
       val w = Window.partitionBy(col("shard"))
         .orderBy(col("doc_id"), col("chunk_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -337,13 +350,13 @@ object Pipeline extends QueryFamily {
          |ORDER BY doc_id""".stripMargin
     },
     "q_pack_sequences" ->
-      """SELECT doc_id, shard, n_tokens, cum_tokens,
+      s"""SELECT doc_id, shard, n_tokens, cum_tokens,
         |  CAST(floor((cum_tokens - n_tokens) / 2048.0) AS BIGINT) AS pack_id
         |FROM (
-        |  SELECT doc_id, doc_id % 8 AS shard,
+        |  SELECT doc_id, doc_id % $packShards AS shard,
         |    len(string_split(text, ' ')) AS n_tokens,
         |    CAST(sum(len(string_split(text, ' '))) OVER (
-        |      PARTITION BY doc_id % 8 ORDER BY doc_id
+        |      PARTITION BY doc_id % $packShards ORDER BY doc_id
         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |      AS cum_tokens
         |  FROM documents)
@@ -426,7 +439,7 @@ object Pipeline extends QueryFamily {
         |  md5(array_to_string(list_slice(tk, st, st + 63), ' ')) AS chunk_fp
         |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
     "q_chunk_pack" ->
-      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
+      s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk
         |           FROM documents),
         |c AS (SELECT doc_id, tk,
         |        unnest(range(1, len(tk) + 1, 48)) AS st
@@ -435,13 +448,13 @@ object Pipeline extends QueryFamily {
         |         CAST((st - 1) // 48 + 1 AS BIGINT) AS chunk_id,
         |         len(list_slice(tk, st, st + 63)) AS n_chunk_tokens
         |       FROM c)
-        |SELECT doc_id, chunk_id, n_chunk_tokens, doc_id % 8 AS shard,
+        |SELECT doc_id, chunk_id, n_chunk_tokens, doc_id % $packShards AS shard,
         |  CAST(sum(n_chunk_tokens) OVER (
-        |    PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id
+        |    PARTITION BY doc_id % $packShards ORDER BY doc_id, chunk_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    AS cum_tokens,
         |  CAST(floor((CAST(sum(n_chunk_tokens) OVER (
-        |    PARTITION BY doc_id % 8 ORDER BY doc_id, chunk_id
+        |    PARTITION BY doc_id % $packShards ORDER BY doc_id, chunk_id
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    - n_chunk_tokens) / 2048.0) AS BIGINT) AS pack_id
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
