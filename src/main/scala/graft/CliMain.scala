@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types.{BinaryType, LongType, StringType, StructField, StructType}
 
-import graft.ingest.{ParquetTuning, RangePartitioner, SampleBlocks, StoreProbe}
+import graft.ingest.{DescriptorSet, ParquetTuning, RangePartitioner, SampleBlocks, StoreProbe}
 import graft.streaming.BlockPipeline
 
 /** The reference's CLI surface (main.go:19-22: `run` + `setup`),
@@ -44,13 +44,24 @@ object CliMain {
         compression = flagVal("--compression").getOrElse("zstd"))
       val checkpoint = flagVal("--checkpoint")
         .getOrElse(s"$outRoot/_checkpoint")
+      // Manifest-driven schema (factory.go:183 / converter_proto.go:24-45):
+      // a FileDescriptorSet (protoc --descriptor_set_out) or substreams
+      // .spkg names the output message; without one the built-in sample
+      // schema stands in (SURVEY.md §7.3).
+      val schema = (flagVal("--descriptor-set"), flagVal("--message")) match {
+        case (Some(ds), Some(m)) => DescriptorSet.load(ds, m)
+        case (Some(_), None) | (None, Some(_)) =>
+          System.err.println("--descriptor-set and --message go together")
+          sys.exit(2)
+        case _ => SampleBlocks.output
+      }
       // only stop a session this command created — under tests (or an
       // embedding app) the session is shared and outlives the command
       val reused =
         org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
       val spark = Sessions.get("graft-run")
       val blocks = spark.readStream.schema(blockSchema).parquet(blocksDir)
-      val q = BlockPipeline.start(blocks, SampleBlocks.output, outRoot, pt,
+      val q = BlockPipeline.start(blocks, schema, outRoot, pt,
         checkpoint, explode = flags.contains("--explode"),
         trigger = Trigger.AvailableNow(), tuning = tuning)
       q.processAllAvailable()
@@ -61,7 +72,7 @@ object CliMain {
         """usage:
           |  graft.CliMain run <blocksDir> <outRoot> [--explode]
           |    [--partition-size N] [--start N] [--compression C]
-          |    [--checkpoint DIR]
+          |    [--checkpoint DIR] [--descriptor-set F --message M]
           |  graft.CliMain setup <store_url>""".stripMargin)
       sys.exit(2)
   }

@@ -139,7 +139,9 @@ object ProtoWire {
 
   // ---------------------------------------------------------------- decode
 
-  private final class Reader(val buf: Array[Byte], var pos: Int, val end: Int) {
+  // private[ingest]: DescriptorSet's recursive descriptor parser reuses the
+  // same bounds-checked reader (manifests are untrusted input too).
+  private[ingest] final class Reader(val buf: Array[Byte], var pos: Int, val end: Int) {
     def hasNext: Boolean = pos < end
     // Every read is bounded by the LOGICAL `end` (a nested message's
     // extent), not the buffer length: a truncated nested message must fail

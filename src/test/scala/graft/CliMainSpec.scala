@@ -32,6 +32,22 @@ class CliMainSpec extends SparkSuite {
     assert(again == mains)
   }
 
+  test("run with a descriptor-set manifest matches the built-in schema run") {
+    val in = Files.createTempDirectory("cli-dsin").toString + "/blocks"
+    SampleBlocks.blocksDF(spark, 1000L).write.parquet(in)
+    val fdset = Files.createTempFile("manifest", ".fdset")
+    Files.write(fdset, graft.ingest.DescriptorFixture.fileDescriptorSetBytes)
+    val viaManifest = Files.createTempDirectory("cli-dsout").toString
+    CliMain.main(Array("run", in, viaManifest, "--partition-size", "500",
+      "--descriptor-set", fdset.toString, "--message", "graft.test.Output"))
+    val viaBuiltin = Files.createTempDirectory("cli-adtout").toString
+    CliMain.main(Array("run", in, viaBuiltin, "--partition-size", "500"))
+    val a = spark.read.parquet(s"$viaManifest/main")
+    val b = spark.read.parquet(s"$viaBuiltin/main")
+    assert(a.schema == b.schema)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
   test("setup probes a writable store URL") {
     val dir = Files.createTempDirectory("cli-probe").toString
     CliMain.main(Array("setup", s"file://$dir"))
