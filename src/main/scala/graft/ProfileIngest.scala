@@ -20,6 +20,7 @@ object ProfileIngest {
       val t0 = System.nanoTime()
       val dec = Decode.decoded(blocks, SampleBlocks.output).persist()
       dec.count()
+      val tDecode = (System.nanoTime() - t0) / 1e9
       import scala.concurrent.{Await, ExecutionContext, Future}
       import scala.concurrent.duration.Duration
       val fields = graft.ingest.ProtoSchema.explodableFields(SampleBlocks.output)
@@ -36,7 +37,8 @@ object ProfileIngest {
       } finally pool.shutdown()
       dec.unpersist()
       val sec = (System.nanoTime() - t0) / 1e9
-      println(f"ingest run$r ${sec}%.3f s  ${nBlocks / sec}%.0f blocks/s")
+      println(f"ingest run$r ${sec}%.3f s  ${nBlocks / sec}%.0f blocks/s" +
+        f"  (decode+cache ${tDecode}%.3f s, sinks ${sec - tDecode}%.3f s)")
     }
     spark.stop()
   }
