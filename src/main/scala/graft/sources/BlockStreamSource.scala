@@ -12,28 +12,28 @@ import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
-import graft.ingest.{ProtoWire, SampleBlocks}
-
 /** `format("graft.sources.BlockStreamProvider")` — a DataSource V2
-  * MicroBatchStream standing in for the reference's Substreams gRPC block
-  * source (SURVEY.md §2.A#1; run.go:100-108). This environment has zero
-  * egress, so the "endpoint" is a deterministic simulated chain; the
-  * offset/batch/finality mechanics are exactly what a live gRPC
-  * implementation would keep, with only the fetch swapped out.
+  * MicroBatchStream over a pluggable [[BlockClient]] (SURVEY.md §2.A#1;
+  * run.go:100-108). The stream owns offsets, batching and finality
+  * policy; the client owns the wire — a live Substreams gRPC client is a
+  * drop-in [[BlockClientFactory]], and the default is the deterministic
+  * simulated chain (zero-egress env).
   *
   * Options:
-  *  - `numBlocks`       total chain length to emit (default 100)
-  *  - `blocksPerBatch`  head advance per micro-batch (default 10)
+  *  - `client`          FQCN of a [[BlockClientFactory]] (default
+  *                      [[SimChainClientFactory]]); receives the whole
+  *                      option map — endpoint/network/manifest options
+  *                      for a live client live here too
   *  - `confirmations`   finality lag K: only blocks ≤ head−K are exposed
   *                      (the SOURCE-side undo buffer of SURVEY.md §7.6 —
   *                      downstream never sees a reorg)
-  *  - `reorgs`          simulated reorg schedule "head:depth[,head:depth]"
-  *                      — when the head first passes `head`, blocks in
-  *                      (head−depth, head] are re-mined with new ids
+  *  - sim-client options: `numBlocks` chain length (default 100),
+  *    `blocksPerBatch` head advance per poll (default 10), `reorgs`
+  *    "head:depth[,head:depth]" re-mine schedule
   *
   * Emitted schema matches the pipeline contract:
   * (block_number long, block_id string, payload binary), payload being a
-  * wire-encoded SampleBlocks.Output message.
+  * wire-encoded output message.
   */
 class BlockStreamProvider extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
@@ -78,28 +78,32 @@ private[sources] case class BlockOffset(exposed: Long) extends Offset {
   override def json(): String = exposed.toString
 }
 
+private[sources] object BlockClients {
+  /** Instantiate the configured factory by FQCN (zero-arg ctor) — runs on
+    * the driver for head polling and on each executor task for fetch. */
+  def create(factoryClass: String, options: Map[String, String]): BlockClient =
+    Class.forName(factoryClass).getDeclaredConstructor().newInstance()
+      .asInstanceOf[BlockClientFactory].create(options)
+}
+
 private[sources] class BlockMicroBatchStream(options: CaseInsensitiveStringMap)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
-  private val numBlocks = options.getLong("numBlocks", 100L)
-  private val blocksPerBatch = options.getLong("blocksPerBatch", 10L)
   private val confirmations = options.getLong("confirmations", 0L)
-  private val reorgs: Seq[(Long, Int)] =
-    Option(options.get("reorgs")).filter(_.nonEmpty).toSeq
-      .flatMap(_.split(',').toSeq.map { s =>
-        val Array(h, d) = s.split(':'); (h.toLong, d.toInt)
-      })
-
-  // simulated chain head; advances per latestOffset() poll like a live
-  // endpoint delivering blocks while we were away
-  private var head = 0L
+  private val factoryClass =
+    options.getOrDefault("client", classOf[SimChainClientFactory].getName)
+  private val optionMap: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    // normalized to lower-case keys: factories do plain Map lookups
+    options.asCaseSensitiveMap().asScala.toMap
+      .map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+  }
+  // driver-side client instance: metadata plane only (head polls)
+  private val client = BlockClients.create(factoryClass, optionMap)
 
   override def initialOffset(): Offset = BlockOffset(0L)
 
-  /** Trigger.AvailableNow: drain the whole (simulated) chain — advance
-    * the head to the end so the final exposed offset covers everything. */
-  override def prepareForTriggerAvailableNow(): Unit =
-    head = numBlocks + confirmations
+  override def prepareForTriggerAvailableNow(): Unit = client.prepareDrain()
 
   override def getDefaultReadLimit
       : org.apache.spark.sql.connector.read.streaming.ReadLimit =
@@ -111,12 +115,10 @@ private[sources] class BlockMicroBatchStream(options: CaseInsensitiveStringMap)
 
   override def latestOffset(start: Offset,
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit)
-      : Offset = {
-    head = math.min(head + blocksPerBatch, numBlocks + confirmations)
+      : Offset =
     // only finalized blocks are exposed: reorgs (bounded by K) can never
     // touch them, so downstream stays reorg-free (SURVEY.md §7.6)
-    BlockOffset(math.max(0L, math.min(head - confirmations, numBlocks)))
-  }
+    BlockOffset(math.max(0L, client.headBlock() - confirmations))
 
   override def deserializeOffset(json: String): Offset =
     BlockOffset(json.toLong)
@@ -126,7 +128,7 @@ private[sources] class BlockMicroBatchStream(options: CaseInsensitiveStringMap)
     val from = start.asInstanceOf[BlockOffset].exposed // exclusive
     val until = end.asInstanceOf[BlockOffset].exposed  // inclusive
     if (until <= from) Array.empty
-    else Array(BlockRangePartition(from + 1, until + 1, reorgs))
+    else Array(BlockRangePartition(from + 1, until + 1, factoryClass, optionMap))
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
@@ -136,29 +138,30 @@ private[sources] class BlockMicroBatchStream(options: CaseInsensitiveStringMap)
     }
 
   override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
+  override def stop(): Unit = client.close()
 }
 
 private[sources] case class BlockRangePartition(
-    fromBlock: Long, untilBlock: Long, reorgs: Seq[(Long, Int)])
+    fromBlock: Long, untilBlock: Long,
+    factoryClass: String, options: Map[String, String])
     extends InputPartition
 
 private[sources] class BlockRangeReader(p: BlockRangePartition)
     extends PartitionReader[InternalRow] {
-  private var n = p.fromBlock - 1
+  // data plane: each task dials its own client and streams its range
+  private val client = BlockClients.create(p.factoryClass, p.options)
+  private val it = client.blocks(p.fromBlock, p.untilBlock)
+  private var current: BlockData = _
 
-  override def next(): Boolean = { n += 1; n < p.untilBlock }
+  override def next(): Boolean = { val has = it.hasNext; if (has) current = it.next(); has }
 
   override def get(): InternalRow = {
-    // block numbering is 1-based on the wire; payload content keyed by n
-    val gen = BlockStreamSource.generation(n, p.reorgs)
     val row = new GenericInternalRow(3)
-    row.update(0, n)
-    row.update(1, UTF8String.fromString(BlockStreamSource.blockId(n, gen)))
-    row.update(2, ProtoWire.encode(SampleBlocks.output,
-      SampleBlocks.samplePayload(n)))
+    row.update(0, current.number)
+    row.update(1, UTF8String.fromString(current.id))
+    row.update(2, current.payload)
     row
   }
 
-  override def close(): Unit = ()
+  override def close(): Unit = client.close()
 }

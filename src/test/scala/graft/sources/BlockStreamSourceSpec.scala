@@ -8,8 +8,26 @@ import graft.SparkSuite
 import graft.ingest.RangePartitioner
 import graft.streaming.BlockPipeline
 
-/** DSv2 block source spec: offsets, finality lag, reorg isolation, and
-  * end-to-end wiring into the range-sink pipeline. */
+/** A stand-in for a live Substreams gRPC client: fixed 25-block chain,
+  * distinctive ids, head advancing 6 per poll, blocks ≥ 20 re-mined
+  * (post-reorg identity at fetch time). Instantiated by FQCN on driver
+  * and executors — exactly how a real client would be plugged in. */
+class StubClientFactory extends BlockClientFactory {
+  override def create(o: Map[String, String]): BlockClient = new BlockClient {
+    private var head = 0L
+    override def headBlock(): Long = { head = math.min(head + 6, 25); head }
+    override def prepareDrain(): Unit = head = 25
+    override def blocks(from: Long, until: Long): Iterator[BlockData] =
+      (from until math.min(until, 26)).iterator.map { n =>
+        val id = if (n >= 20) s"stub-$n-r1" else s"stub-$n"
+        BlockData(n, id, Array[Byte](n.toByte))
+      }
+  }
+}
+
+/** DSv2 block source spec: offsets, finality lag, reorg isolation, the
+  * pluggable client seam, and end-to-end wiring into the range-sink
+  * pipeline. */
 class BlockStreamSourceSpec extends SparkSuite {
 
   private val fmt = "graft.sources.BlockStreamProvider"
@@ -57,6 +75,34 @@ class BlockStreamSourceSpec extends SparkSuite {
     assert(ids(28L) == "0xb28_r1" && ids(29L) == "0xb29_r1" &&
       ids(30L) == "0xb30_r1")
     assert(ids(27L) == "0xb27" && ids(31L) == "0xb31")
+  }
+
+  test("a stubbed client is a drop-in: custom ids, payloads, reorg identities") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("bss-stub").toString
+    val q = spark.readStream.format(fmt)
+      .option("client", classOf[StubClientFactory].getName)
+      .option("confirmations", "3")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", out)
+      .option("checkpointLocation",
+        Files.createTempDirectory("bss-stub-ckpt").toString)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.processAllAvailable(); q.stop()
+    val rows = spark.read.parquet(out)
+      .select("block_number", "block_id").as[(Long, String)]
+      .collect().sortBy(_._1).toSeq
+    // head 25, K=3 → exposure stops at 22; ids are the stub's, with the
+    // fetch-time (post-reorg) identity for re-mined blocks
+    assert(rows.map(_._1) == (1L to 22L))
+    val ids = rows.toMap
+    assert(ids(19L) == "stub-19" && ids(20L) == "stub-20-r1" &&
+      ids(22L) == "stub-22-r1")
+    val payload = spark.read.parquet(out).where($"block_number" === 7L)
+      .select("payload").as[Array[Byte]].head()
+    assert(payload.toSeq == Seq(7.toByte))
   }
 
   test("end-to-end: DSv2 source → decode → range-named tables") {
