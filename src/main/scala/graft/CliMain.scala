@@ -41,7 +41,8 @@ object CliMain {
         start = flagVal("--start").map(_.toLong).getOrElse(0L),
         size = flagVal("--partition-size").map(_.toLong).getOrElse(5000L))
       val tuning = ParquetTuning(
-        compression = flagVal("--compression").getOrElse("zstd"))
+        compression = flagVal("--compression").getOrElse("zstd"),
+        compressionLevel = flagVal("--compression-level").map(_.toInt))
       val checkpoint = flagVal("--checkpoint")
         .getOrElse(s"$outRoot/_checkpoint")
       // Manifest-driven schema (factory.go:183 / converter_proto.go:24-45):
@@ -73,6 +74,7 @@ object CliMain {
           |  graft.CliMain run <blocksDir> <outRoot> [--explode]
           |    [--partition-size N] [--start N] [--compression C]
           |    [--checkpoint DIR] [--descriptor-set F --message M]
+          |    [--compression-level N]
           |  graft.CliMain setup <store_url>""".stripMargin)
       sys.exit(2)
   }

@@ -42,12 +42,15 @@ final case class ParquetTuning(
                                             // the reference's --row-group-rows
                                             // has no exact parquet-mr analog
     dictionaryEncoding: Boolean = true,     // writer.go:103
-    pageSizeBytes: Option[Long] = None) {   // writer.go:104-106 (0=default)
+    pageSizeBytes: Option[Long] = None,     // writer.go:104-106 (0=default)
+    compressionLevel: Option[Int] = None) { // writer.go:96-98; parquet-mr
+                                            // honors it for zstd (and gzip)
   def options: Map[String, String] = Map(
     "compression" -> compression,
     "parquet.enable.dictionary" -> dictionaryEncoding.toString) ++
     rowGroupBytes.map("parquet.block.size" -> _.toString) ++
-    pageSizeBytes.map("parquet.page.size" -> _.toString)
+    pageSizeBytes.map("parquet.page.size" -> _.toString) ++
+    compressionLevel.map(l => s"parquet.compression.codec.$compression.level" -> l.toString)
 }
 
 final case class RangeSink(

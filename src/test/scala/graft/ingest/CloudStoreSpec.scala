@@ -1,0 +1,79 @@
+package graft.ingest
+
+import java.net.URI
+import java.nio.file.Files
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.RawLocalFileSystem
+import org.apache.spark.sql.functions.col
+
+/** A second Hadoop FileSystem SCHEME backed by local disk: registering
+  * `fs.shim.impl` and resolving `shim://` URIs exercises the exact
+  * dispatch path an s3a/gs/abfs deployment uses (URI scheme → FileSystem
+  * impl from configuration) — the Spark-side analogue of the reference's
+  * dstore URL dispatch (store_adapter.go:11-17). No cloud jars exist in
+  * this environment, so the impl is local, but nothing in StoreProbe or
+  * RangeSink knows that. */
+class ShimFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "shim"
+  override def getUri: URI = URI.create("shim:///")
+}
+
+/** §2.A#22 (multi-cloud store) + #19/#20 (writer tuning): probe and
+  * publish on a non-file scheme; compression level reaches the codec. */
+class CloudStoreSpec extends graft.SparkSuite {
+
+  private def withShim[A](f: Configuration => A): A = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    conf.set("fs.shim.impl", classOf[ShimFileSystem].getName)
+    f(conf)
+  }
+
+  test("StoreProbe round-trips on a registered non-file scheme") {
+    withShim { conf =>
+      val dir = Files.createTempDirectory("shim-probe").toString
+      val r = StoreProbe.probe(s"shim://$dir", conf)
+      assert(r.ok, r.detail)
+      assert(r.detail.contains("shim:/"), "probe must have gone through the shim scheme")
+    }
+  }
+
+  test("RangeSink publishes range-named files through a non-file scheme") {
+    withShim { _ =>
+      import spark.implicits._
+      val root = s"shim://${Files.createTempDirectory("shim-sink")}/main"
+      val df = SampleBlocks.blocksDF(spark, 25L)
+      RangeSink(root, RangePartitioner(start = 0, size = 10)).writeAll(
+        Decode.mainFromDecoded(Decode.decoded(df, SampleBlocks.output)))
+      val names = spark.read.format("binaryFile").load(s"$root/*.parquet")
+        .select("path").as[String].collect().map(_.split('/').last).sorted.toSeq
+      assert(names == Seq("0000000000-0000000010.parquet",
+        "0000000010-0000000020.parquet", "0000000020-0000000030.parquet"))
+      // and the published table reads back through the same scheme
+      assert(spark.read.parquet(root).count() == 25L)
+    }
+  }
+
+  test("zstd compression level reaches the codec (writer.go:96-98 parity)") {
+    import spark.implicits._
+    // every value distinct (defeats dictionary/RLE) but with internal
+    // redundancy, so the zstd level visibly changes the encoded size
+    val df = (0 until 20000).map(i =>
+      s"prefix-common-text-$i-" + ("ab" * 40) + i * 31)
+      .toDF("s").coalesce(1)
+    def sizeAt(tuning: ParquetTuning): Long = {
+      val dir = Files.createTempDirectory("lvl").toString + "/t"
+      df.write.options(tuning.options).parquet(dir)
+      new java.io.File(dir).listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+    }
+    val fast = sizeAt(ParquetTuning(compressionLevel = Some(1),
+      dictionaryEncoding = false))
+    val max = sizeAt(ParquetTuning(compressionLevel = Some(19),
+      dictionaryEncoding = false))
+    // direction isn't monotone on page-sized inputs (window/frame
+    // overhead), so assert only that the knob changes the encoding
+    assert(fast != max,
+      s"level must reach the codec: level1=$fast bytes, level19=$max bytes")
+  }
+}
