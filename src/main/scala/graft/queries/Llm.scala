@@ -99,6 +99,50 @@ object Llm extends QueryFamily {
           coalesce(col("comp"), col("doc_id")).as("cluster"))
         .orderBy("doc_id")
     },
+    "q_dedup_cascade" -> { (s, d) =>
+      // The FULL dedup cascade over the WHOLE corpus, end-to-end and
+      // exactly: candidate pairs from an inverted-index self-join over
+      // 3-gram SHINGLE sets (docs sharing ≥1 shingle — complete for any
+      // Jaccard threshold, unlike LSH, whose band recall is
+      // probabilistic and therefore un-oracle-able; shingles, not
+      // tokens, because Jaccard over a small-vocabulary token set is
+      // saturated — every doc shares most tokens with every other),
+      // |intersection| counted BY the index join itself (shingles are
+      // deduped per doc, so count(*) per pair IS the overlap),
+      // threshold J ≥ 0.5 applied in exact integer arithmetic
+      // (3·shared ≥ n_a+n_b ⟺ shared/(n_a+n_b−shared) ≥ ½ — no floats
+      // anywhere), then connected components → canonical cluster per doc.
+      //
+      // Scale shape: the explode shuffles (shingle, doc_id) pairs —
+      // corpus shingle volume, not O(n²); the pair aggregation
+      // partial-aggregates map-side; the size join attaches two small
+      // int columns. Hot shingles (boilerplate) are the known cost
+      // driver at 100 TB — the exact-preserving refinement is
+      // ppjoin-style prefix filtering (sort shingles by global df,
+      // index only each doc's first ⌈(1−J)·n⌉+1 rarest; any pair above
+      // J must share one), which drops the hot-key quadratic term
+      // without losing recall.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(shingles).as("sset"))
+      val sizes = docs.select(col("doc_id"), size(col("sset")).as("n"))
+      val inv = docs.select(col("doc_id"), explode(col("sset")).as("sh"))
+      val shared = inv.select(col("sh"), col("doc_id").as("id_a"))
+        .join(inv.select(col("sh"), col("doc_id").as("id_b")), Seq("sh"))
+        .filter(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+      val edges = shared
+        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")),
+          Seq("id_a"))
+        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")),
+          Seq("id_b"))
+        .filter(col("shared") * 3 >= col("n_a") + col("n_b"))
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val cc = graft.operators.Dedup.connectedComponents(edges)
+      docs.join(cc, docs("doc_id") === cc("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster"))
+        .orderBy("doc_id")
+    },
     // ---- text analysis ----------------------------------------------
     "q_text_quality" -> { (s, d) =>
       // Length / token / stopword-ratio quality signals.
@@ -408,6 +452,35 @@ object Llm extends QueryFamily {
         |      / (len(a.tset) + len(b.tset)
         |         - len(list_filter(a.tset, t -> list_contains(b.tset, t))))
         |      * 1000000) AS BIGINT) >= 500000),
+        |edges AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS r FROM docs
+        |  UNION
+        |  SELECT e.id_a AS doc_id, reach.r
+        |  FROM edges e JOIN reach ON e.id_b = reach.doc_id)
+        |SELECT doc_id, min(r) AS cluster
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_cascade" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [text]
+        |    ELSE list_distinct(list_transform(
+        |      generate_series(1, len(toks) - 2),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) END AS sset
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |sizes AS (SELECT doc_id, len(sset) AS n FROM docs),
+        |inv AS (SELECT doc_id, unnest(sset) AS sh FROM docs),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM shared
+        |  JOIN sizes sa ON sa.doc_id = shared.id_a
+        |  JOIN sizes sb ON sb.doc_id = shared.id_b
+        |  WHERE shared * 3 >= sa.n + sb.n),
         |edges AS (
         |  SELECT id_a, id_b FROM pairs
         |  UNION ALL SELECT id_b, id_a FROM pairs),
