@@ -93,4 +93,22 @@ object TextFunctions {
   /** Column DSL entry: MinHash signature of an ARRAY<STRING> column. */
   def minhashSig(shingles: Column, nPerm: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingles), nPerm))
+
+  /** 3-gram word shingles of a text column; docs with <3 tokens fall back
+    * to ONE whole-doc shingle via an explicit CASE (ANSI-safe — Spark 4
+    * throws on element_at past the array end). The token array is bound
+    * once per row via the single-element outer transform: HOF lambdas get
+    * no CSE, so inlining split(text) into the per-shingle lambda would
+    * re-tokenize the document 3× per shingle (measured 20× slower). */
+  def shingles3(text: Column): Column = {
+    import org.apache.spark.sql.functions._
+    val tk = split(text, " ")
+    when(size(tk) < 3, array(text)).otherwise(
+      flatten(transform(array(tk), tkb =>
+        transform(sequence(lit(1), size(tkb) - 2), i =>
+          concat_ws(" ",
+            element_at(tkb, i.cast("int")),
+            element_at(tkb, i.cast("int") + 1),
+            element_at(tkb, i.cast("int") + 2))))))
+  }
 }

@@ -73,4 +73,62 @@ object CorpusPipeline {
       .option("path", root)
       .outputMode("append")
       .start()
+
+  /** The quality-filter stage alone (shared by the near-dup variant,
+    * which does its own dedup and chunking inside foreachBatch). */
+  private[streaming] def qualityFilter(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("n_chars", length(col("text")))
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+      .filter(col("n_chars") >= 10 &&
+        !(col("n_tokens") > 4 &&
+          size(array_distinct(split(col("text"), " "))) * 4 < col("n_tokens")))
+      .drop("n_chars", "n_tokens")
+
+  private[streaming] def chunked(docs: DataFrame): DataFrame = {
+    val chunks = expr(
+      """element_at(transform(array(split(text, ' ')), tk ->
+        |  transform(sequence(1, size(tk), 48),
+        |    st -> concat_ws(' ', slice(tk, int(st), 64)))), 1)""".stripMargin)
+    docs
+      .select(col("doc_id"), col("ts"), col("source"), posexplode(chunks))
+      .select(col("doc_id"), col("ts"), col("source"),
+        (col("pos") + 1).cast("long").as("chunk_id"),
+        col("col").as("chunk_text"))
+  }
+
+  /** NEAR-dup variant: quality filter → streaming MinHash/LSH dedup
+    * ([[NearDupStage]]: bucket-claim registry, watermark-bounded state)
+    * → chunking → parquet. foreachBatch-driven because the LSH drop
+    * decision is cross-key (see NearDupStage scaladoc); the sink write
+    * is epoch-deterministic, the registry append epoch-idempotent, and
+    * the checkpoint makes the whole composition exactly-once. */
+  def startNearDup(docs: DataFrame, root: String, checkpoint: String,
+                   registryDir: String,
+                   watermark: String = "10 minutes",
+                   trigger: Trigger = Trigger.ProcessingTime("1 second"))
+      : StreamingQuery = {
+    val stage = NearDupStage(registryDir, watermarkMs = parseMs(watermark))
+    qualityFilter(docs)
+      .writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        // per-epoch overwrite dirs (partition-style names): an epoch
+        // replay rewrites its own output instead of appending dups
+        chunked(stage.process(batch, epochId))
+          .write.mode("overwrite").parquet(s"$root/epoch=$epochId")
+      }
+      .start()
+  }
+
+  private[streaming] def parseMs(interval: String): Long = {
+    val m = raw"(\d+)\s*(millisecond|second|minute|hour|day)s?".r
+      .findFirstMatchIn(interval.trim.toLowerCase(java.util.Locale.ROOT))
+      .getOrElse(throw new IllegalArgumentException(
+        s"unparseable interval: $interval"))
+    val unit = Map("millisecond" -> 1L, "second" -> 1000L,
+      "minute" -> 60000L, "hour" -> 3600000L, "day" -> 86400000L)(m.group(2))
+    m.group(1).toLong * unit
+  }
 }
