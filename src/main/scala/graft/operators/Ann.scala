@@ -31,14 +31,56 @@ object Ann {
       assignments: DataFrame,             // (vec_id, embedding, cell_id)
       centroids: Array[Array[Float]])     // model state, k×dim
 
+  /** Inline argmin over cells of -dot (unit-norm ⇒ max dot = nearest).
+    * Builds a k-element expression array per row — right for small k
+    * (codegen stays compact); at k ≳ a few hundred the expression tree
+    * itself becomes the cost (codegen size, plan bloat), and
+    * [[assignByJoin]] is the shape to use instead. [[nearestCell]]
+    * switches automatically. */
   private def nearestCellExpr(centroids: Array[Array[Float]]): Column = {
-    // argmin over cells of -dot (unit-norm ⇒ max dot = nearest)
     val scores = centroids.zipWithIndex.map { case (c, i) =>
       struct(Vectors.dot(col("embedding"), typedLit(c.toSeq)).as("dot"),
         lit(i).as("cell"))
     }
     array_max(array(scores.toIndexedSeq: _*)).getField("cell")
   }
+
+  /** Large-k assignment: centroids as a broadcast TABLE, corpus ⋈ all k
+    * cells scoring dot per pair, min_by per vector. The join carries
+    * k rows per vector but never materializes the k-way expression
+    * array; data volume is corpus × k, embarrassingly parallel and
+    * map-side only (broadcast join + partial-aggregated min_by). */
+  private def assignByJoin(corpus: DataFrame,
+      centroids: Array[Array[Float]]): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cells = centroids.zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell_id", "centroid")
+    corpus.join(broadcast(cells))
+      .select(col("vec_id"), col("embedding"), col("cell_id"),
+        Vectors.dot(col("embedding"), col("centroid")).as("dot"))
+      .groupBy(col("vec_id"))
+      .agg(first(col("embedding")).as("embedding"),
+        max_by(struct(col("dot"), col("cell_id")), // deterministic tiebreak:
+          struct(col("dot"), col("cell_id")))      // higher cell wins equal dots
+          .getField("cell_id").as("cell_id"))
+  }
+
+  /** Expression threshold chosen where codegen-size cost overtakes the
+    * extra shuffle of the join path. */
+  private val InlineCellLimit = 256
+
+  /** Test seam: the join assignment path regardless of k. */
+  private[operators] def assignByJoinForTest(corpus: DataFrame,
+      centroids: Array[Array[Float]]): DataFrame =
+    assignByJoin(corpus, centroids)
+
+  private def nearestCell(corpus: DataFrame,
+      centroids: Array[Array[Float]]): DataFrame =
+    if (centroids.length <= InlineCellLimit)
+      corpus.withColumn("cell_id", nearestCellExpr(centroids))
+    else assignByJoin(corpus, centroids)
 
   def buildIvf(embeddings: DataFrame, k: Int, iters: Int): IvfIndex = {
     import embeddings.sparkSession.implicits._
@@ -49,7 +91,7 @@ object Ann {
     var it = 0
     while (it < iters) {
       // assign + per-dimension mean, all distributed; k·dim rows collect
-      val assigned = corpus.withColumn("cell_id", nearestCellExpr(centroids))
+      val assigned = nearestCell(corpus, centroids)
       val dims = assigned
         .select(col("cell_id"), posexplode(col("embedding")))
         .groupBy(col("cell_id"), col("pos"))
@@ -60,9 +102,34 @@ object Ann {
       centroids = next
       it += 1
     }
-    val index = corpus.withColumn("cell_id", nearestCellExpr(centroids))
+    val index = nearestCell(corpus, centroids)
     corpus.unpersist()
     IvfIndex(index, centroids)
+  }
+
+  /** Materialize the index with assignments PARTITIONED BY cell_id — the
+    * layout the scaladoc's scale contract promises: a probe of `nprobe`
+    * cells is a partition-pruned scan reading only those cells' files
+    * (planning-time pruning for literal probes, dynamic partition
+    * pruning for the broadcast probe join), i.e. `nprobe/k` of the
+    * corpus bytes. Centroids (model state) land as one small parquet
+    * alongside. */
+  def writeIvf(index: IvfIndex, dir: String): Unit = {
+    index.assignments.write.mode("overwrite")
+      .partitionBy("cell_id").parquet(s"$dir/assignments")
+    val spark = index.assignments.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  def loadIvf(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell_id").select("centroid")
+      .as[Seq[Float]].collect().map(_.toArray)
+    IvfIndex(spark.read.parquet(s"$dir/assignments"), centroids)
   }
 
   /** Top-k per query vector, probing the nprobe nearest cells. `queries`

@@ -25,6 +25,54 @@ class AnnSpec extends SparkSuite {
     assert(a1.values.toSet.size > 1)     // non-degenerate clustering
   }
 
+  test("materialized index prunes a probe to its cells' files") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf").toString + "/idx"
+    Ann.writeIvf(Ann.buildIvf(embeddings, k = 16, iters = 2), dir)
+    // layout: one partition dir per cell
+    val cellDirs = new java.io.File(s"$dir/assignments").listFiles()
+      .filter(_.getName.startsWith("cell_id=")).map(_.getName).toSeq
+    assert(cellDirs.size > 1)
+    // a 2-cell probe is partition-pruned at PLANNING time: the predicate
+    // sits in PartitionFilters, and the scan's selected file partitions
+    // are exactly the probed cells
+    val probe = spark.read.parquet(s"$dir/assignments")
+      .filter(col("cell_id").isin(3, 7))
+    val scan = probe.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.get
+    assert(scan.partitionFilters.nonEmpty, "probe must prune at planning time")
+    probe.collect() // execute so the scan's file metrics are populated
+    val probedFiles = Seq(3, 7).map(c =>
+      new java.io.File(s"$dir/assignments/cell_id=$c").listFiles()
+        .count(_.getName.endsWith(".parquet"))).sum
+    assert(scan.metrics("numFiles").value == probedFiles,
+      s"scan read ${scan.metrics("numFiles").value} files, " +
+        s"but the probed cells hold $probedFiles")
+    // and the loaded index searches identically to the in-memory one
+    val queries = embeddings.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    val fromDisk = Ann.search(Ann.loadIvf(spark, dir), queries, 5, 4)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val fromMem = Ann.search(Ann.buildIvf(embeddings, k = 16, iters = 2),
+      queries, 5, 4).as[(Long, Int, Long, Double)].collect().toSeq
+    assert(fromDisk == fromMem)
+  }
+
+  test("join-path assignment (large k) agrees with the inline expression") {
+    import spark.implicits._
+    // same centroids through both assignment shapes must agree — pin by
+    // calling the private paths through buildIvf at k=16 (inline) vs a
+    // forced join assignment on identical centroids
+    val idx = Ann.buildIvf(embeddings, k = 16, iters = 1)
+    val viaJoin = Ann.assignByJoinForTest(
+      embeddings.select(col("vec_id"), col("embedding")), idx.centroids)
+      .select("vec_id", "cell_id").as[(Long, Int)].collect().toMap
+    val inline = idx.assignments.select("vec_id", "cell_id")
+      .as[(Long, Int)].collect().toMap
+    assert(viaJoin == inline)
+  }
+
   test("probed search reaches useful recall vs brute force") {
     import spark.implicits._
     val index = Ann.buildIvf(embeddings, k = 16, iters = 2)
