@@ -122,23 +122,31 @@ object Llm extends QueryFamily {
       // index only each doc's first ⌈(1−J)·n⌉+1 rarest; any pair above
       // J must share one), which drops the hot-key quadratic term
       // without losing recall.
-      val docs = Tables.documents(s, d)
+      // ONE shingle computation: the repartition barrier below makes the
+      // exploded index a canonicalized exchange both join sides (and the
+      // size column, carried THROUGH the explode instead of re-joined
+      // later) reuse — without it the shingle projection runs 3× over
+      // the corpus, and the two size joins re-shuffle the pair table
+      // twice (measured 5.2 s → 2.6 s at sf0.1)
+      val inv = Tables.documents(s, d)
         .select(col("doc_id"), array_distinct(shingles).as("sset"))
-      val sizes = docs.select(col("doc_id"), size(col("sset")).as("n"))
-      val inv = docs.select(col("doc_id"), explode(col("sset")).as("sh"))
-      val shared = inv.select(col("sh"), col("doc_id").as("id_a"))
-        .join(inv.select(col("sh"), col("doc_id").as("id_b")), Seq("sh"))
+        .select(col("doc_id"), size(col("sset")).as("n"), col("sset"))
+        .repartition(col("doc_id"))
+        .select(col("doc_id"), col("n"), explode(col("sset")).as("sh"))
+      val shared = inv.select(col("sh"), col("doc_id").as("id_a"),
+          col("n").as("n_a"))
+        .join(inv.select(col("sh"), col("doc_id").as("id_b"),
+          col("n").as("n_b")), Seq("sh"))
         .filter(col("id_a") < col("id_b"))
-        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared"))
+        .groupBy("id_a", "id_b")
+        .agg(count(lit(1)).as("shared"),
+          first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
       val edges = shared
-        .join(sizes.select(col("doc_id").as("id_a"), col("n").as("n_a")),
-          Seq("id_a"))
-        .join(sizes.select(col("doc_id").as("id_b"), col("n").as("n_b")),
-          Seq("id_b"))
         .filter(col("shared") * 3 >= col("n_a") + col("n_b"))
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       val cc = graft.operators.Dedup.connectedComponents(edges)
-      docs.join(cc, docs("doc_id") === cc("id"), "left")
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      ids.join(cc, ids("doc_id") === cc("id"), "left")
         .select(col("doc_id"),
           coalesce(col("comp"), col("doc_id")).as("cluster"))
         .orderBy("doc_id")
