@@ -120,4 +120,25 @@ class DescriptorSetSpec extends graft.SparkSuite {
     intercept[IllegalArgumentException](
       DescriptorSet.parseFiles(whole.dropRight(3)))
   }
+
+  test("fuzz: corrupt manifests never hang or crash the JVM — they throw") {
+    // manifests are untrusted input (downloaded .spkg files); the parser
+    // must terminate with a clean error on garbage, truncations and bit
+    // flips — same contract the payload decoder's fuzz suite pins
+    val whole = DescriptorFixture.fileDescriptorSetBytes
+    val rnd = new scala.util.Random(7)
+    def attempt(bytes: Array[Byte]): Unit =
+      try { val f = DescriptorSet.parseFiles(bytes); f.size: Unit }
+      catch { case _: IllegalArgumentException => () }
+    for (_ <- 1 to 50) { // random garbage
+      val b = new Array[Byte](rnd.nextInt(200)); rnd.nextBytes(b); attempt(b)
+    }
+    for (_ <- 1 to 100) { // bit flips in a real manifest
+      val b = whole.clone()
+      val i = rnd.nextInt(b.length)
+      b(i) = (b(i) ^ (1 << rnd.nextInt(8))).toByte
+      attempt(b)
+    }
+    for (n <- 0 until whole.length by 7) attempt(whole.take(n)) // truncations
+  }
 }

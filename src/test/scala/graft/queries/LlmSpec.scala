@@ -32,6 +32,35 @@ class LlmSpec extends SparkSuite {
     assert(exactGroups == 0)
   }
 
+  test("lsh recall measured against the exact cascade's edge set") {
+    import spark.implicits._
+    // q_dedup_cascade's inverted-index candidates are COMPLETE, so its
+    // components define ground truth; the LSH path (8 bands × 4 rows)
+    // is the approximate scale-out — pin its recall on the same corpus
+    // so a banding regression can't silently gut it. Compare at the
+    // cascade's own threshold (J ≥ 0.5) where LSH collision probability
+    // is 1−(1−0.5⁴)^8 ≈ 0.40 per band-table... empirically much higher
+    // on real near-dups (J near 1 ⇒ collision ≈ certain).
+    val exact = Llm.queries("q_dedup_cascade")(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+      .groupBy(_._2).values.filter(_.size > 1).toSeq    // clusters
+      .flatMap { c =>
+        for { a <- c; b <- c if a._1 < b._1 } yield (a._1, b._1)
+      }
+      .toSet
+    val lsh = Llm.queries("q_minhash_neardup")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+      .filter(_._3 >= 0.5).map(p => (p._1, p._2)).toSet
+    assert(exact.nonEmpty, "corpus has true near-dup clusters")
+    // every high-jaccard LSH pair is inside one exact cluster
+    // (precision 1.0: LSH verifies with exact Jaccard)
+    assert(lsh.forall(exact.contains))
+    // recall of direct pairs: the synthetic near-dups are J≈1, where
+    // band collision is near-certain
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, s"LSH recall $recall vs exact cascade")
+  }
+
   test("simhash: deterministic, and near-identical docs land close") {
     import spark.implicits._
     val h1 = Llm.queries("q_simhash")(spark, sf).as[(Long, Long)].collect().toMap
