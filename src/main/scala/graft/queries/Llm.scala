@@ -131,7 +131,10 @@ object Llm extends QueryFamily {
       val inv = Tables.documents(s, d)
         .select(col("doc_id"), array_distinct(shingles).as("sset"))
         .select(col("doc_id"), size(col("sset")).as("n"), col("sset"))
-        .repartition(col("doc_id"))
+        .repartition(col("doc_id")) // barrier BEFORE the explode: measured
+        // faster than repartition(sh) after it — hash(doc_id) stays
+        // skew-free where hot shingles aren't, and the join's two hash(sh)
+        // exchanges shuffle skinny post-explode rows anyway
         .select(col("doc_id"), col("n"), explode(col("sset")).as("sh"))
       val shared = inv.select(col("sh"), col("doc_id").as("id_a"),
           col("n").as("n_a"))
