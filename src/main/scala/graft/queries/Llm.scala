@@ -29,25 +29,13 @@ object Llm extends QueryFamily {
 
   private def toks: Column = split(col("text"), " ")
 
-  /** 3-gram word shingles; docs with <3 tokens fall back to ONE whole-doc
-    * shingle via an explicit CASE — the old greatest(size-2, 1) bound still
-    * evaluated element_at past the array end, which under ANSI (Spark 4
-    * default) is INVALID_ARRAY_INDEX_IN_ELEMENT_AT, not null.
-    *
-    * The token array is BOUND ONCE per row via the outer single-element
-    * transform (tk): HOF lambdas get no common-subexpression elimination,
-    * so referencing split(text) directly inside the per-shingle lambda
-    * re-tokenizes the document 3× per shingle — O(tokens²) per doc
-    * (measured 20× on the sf0.1 corpus). A lambda variable is an O(1)
-    * slot read. */
-  private def shingles: Column = expr(
-    """case when size(split(text, ' ')) < 3 then array(text)
-      |else flatten(transform(array(split(text, ' ')), tk ->
-      |  transform(sequence(1, size(tk) - 2),
-      |    i -> concat_ws(' ', element_at(tk, int(i)),
-      |                        element_at(tk, int(i) + 1),
-      |                        element_at(tk, int(i) + 2)))))
-      |end""".stripMargin)
+  /** 3-gram word shingles — the ONE definition shared with the streaming
+    * near-dup stage ([[graft.functions.TextFunctions.shingles3]]), so the
+    * batch LSH queries and NearDupStage can never drift apart on what a
+    * shingle is (ANSI-safe short-doc fallback and the bind-tokens-once
+    * CSE trick documented there). */
+  private def shingles: Column =
+    graft.functions.TextFunctions.shingles3(col("text"))
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- deduplication ----------------------------------------------
