@@ -135,6 +135,18 @@ object DescriptorFixture {
     fld("f_sfixed32", 13, 15), fld("f_sfixed64", 14, 16),
     fld("f_sint32", 15, 17), fld("f_sint64", 16, 18)))
 
+  // map<string, Meta>: entry VALUE is a message — exercises the
+  // recursive map-value resolution branch (converter_proto.go:176-199
+  // appends message map values through the generic value path)
+  private val metaMapMsg = Map[String, Any]("name" -> "MetaMap",
+    "field" -> Seq(
+      fld("by_key", 1, 11, label = LRep,
+        typeName = ".graft.test.MetaMap.ByKeyEntry")),
+    "nested_type" -> Seq(Map[String, Any]("name" -> "ByKeyEntry",
+      "field" -> Seq(fld("key", 1, 9),
+        fld("value", 2, 11, typeName = ".graft.test.Meta")),
+      "options" -> Map[String, Any]("map_entry" -> true))))
+
   private val treeMsg = Map[String, Any]("name" -> "Tree", "field" -> Seq(
     fld("child", 1, 11, typeName = ".graft.test.Tree")))
 
@@ -147,7 +159,7 @@ object DescriptorFixture {
     "syntax" -> "proto3",
     "enum_type" -> Seq(kindEnum),
     "message_type" -> Seq(metaMsg, transferMsg, outputMsg, allTypesMsg,
-      treeMsg, groupedMsg))
+      metaMapMsg, treeMsg, groupedMsg))
 
   /** protoc `--descriptor_set_out` analogue. */
   def fileDescriptorSetBytes: Array[Byte] =

@@ -22,7 +22,8 @@ class DescriptorSetSpec extends graft.SparkSuite {
     assert(f.name == "graft/test/blocks.proto")
     assert(f.pkg == "graft.test")
     assert(f.messages.map(_.name) ==
-      Seq("Meta", "Transfer", "Output", "AllTypes", "Tree", "Grouped"))
+      Seq("Meta", "Transfer", "Output", "AllTypes", "MetaMap", "Tree",
+        "Grouped"))
     assert(f.enums == Seq("Kind"))
     val out = f.messages.find(_.name == "Output").get
     assert(out.nested.map(_.name) == Seq("BalancesEntry"))
@@ -82,6 +83,30 @@ class DescriptorSetSpec extends graft.SparkSuite {
     check("f_sfixed64", PInt64, EFixed64, LongType)
     check("f_sint32", PInt32, EZigZag, IntegerType)
     check("f_sint64", PInt64, EZigZag, LongType)
+  }
+
+  test("map with MESSAGE values resolves and decodes") {
+    val m = DescriptorSet.resolve(files, "graft.test.MetaMap")
+    val mapT = m.fields.head.ptype.asInstanceOf[PMap]
+    assert(mapT.key == PString)
+    assert(mapT.value.isInstanceOf[PMessage])
+    assert(toStructType(m)("by_key").dataType ==
+      ArrayType(StructType(Seq(
+        StructField("key", StringType),
+        StructField("value", StructType(Seq(
+          StructField("seconds", LongType),
+          StructField("nanos", IntegerType)))))), containsNull = true))
+    // round-trip a payload through the resolved schema
+    val payload = ProtoWire.encode(m, Map("by_key" -> Map(
+      "b" -> Map("seconds" -> 7L, "nanos" -> 9),
+      "a" -> Map("seconds" -> 5L, "nanos" -> 3))))
+    val row = ProtoWire.decode(m, payload)
+    val entries = row.getArray(0)
+    assert(entries.numElements() == 2)
+    // entry list sorted by key (determinism contract)
+    val first = entries.getStruct(0, 2)
+    assert(first.getUTF8String(0).toString == "a")
+    assert(first.getStruct(1, 2).getLong(0) == 5L)
   }
 
   test(".spkg Package resolves to the same schema as the descriptor set") {
