@@ -108,6 +108,33 @@ class NearDupStageSpec extends SparkSuite {
     assert(out.count(_._1 == 1L) == 3 && out.count(_._1 == 4L) == 3)
   }
 
+  test("restart on the same checkpoint neither loses nor duplicates") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("ndr-restart").toString
+    val in = MemoryStream[(Long, Timestamp, String, String)](spark)
+    val alpha = longText("alpha")
+    in.addData((1L, ts(0), alpha, "crawl"))
+    def run(): Unit = {
+      val q = CorpusPipeline.startNearDup(
+        in.toDF().toDF("doc_id", "ts", "text", "source"),
+        s"$dir/out", s"$dir/ckpt", s"$dir/registry",
+        watermark = "10 minutes", trigger = Trigger.AvailableNow())
+      q.awaitTermination(120000)
+    }
+    run()
+    // second run, same checkpoint: resumes AFTER doc 1, near-dup of it
+    // (arriving in a later batch, new query instance) still drops
+    in.addData(
+      (2L, ts(4), nearDupOf(alpha), "feed"),
+      (3L, ts(5), longText("epsilon"), "feed"))
+    run()
+    val out = spark.read.parquet(s"$dir/out")
+      .select("doc_id", "chunk_id").as[(Long, Long)].collect().toSeq
+    assert(out.map(_._1).distinct.sorted == Seq(1L, 3L))
+    // no duplicated chunks for doc 1 (it was not reprocessed)
+    assert(out.count(_._1 == 1L) == 3)
+  }
+
   test("interval parsing") {
     assert(CorpusPipeline.parseMs("10 minutes") == 600000L)
     assert(CorpusPipeline.parseMs("1 hour") == 3600000L)
