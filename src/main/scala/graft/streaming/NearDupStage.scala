@@ -39,7 +39,8 @@ final case class NearDupStage(
     registryDir: String,
     watermarkMs: Long,
     nPerm: Int = 32,
-    bands: Int = 8) {
+    bands: Int = 8,
+    compactEvery: Int = 64) {
 
   private val rows = nPerm / bands
   require(rows * bands == nPerm, s"bands must divide nPerm: $nPerm/$bands")
@@ -90,19 +91,22 @@ final case class NearDupStage(
 
     // prior-epoch claims only: the CURRENT epoch's dir may exist from a
     // crashed attempt of this very batch — reading it would make every
-    // doc collide with itself on replay
-    val priorEpochs =
-      if (!fs.exists(new Path(registryDir))) Seq.empty
-      else fs.listStatus(new Path(registryDir)).toSeq
-        .map(_.getPath.getName).filter(_.startsWith("epoch="))
-        .map(_.stripPrefix("epoch=").toLong).filter(_ < epochId)
-        .map(e => registryPath(e))
+    // doc collide with itself on replay. One partition-discovery read of
+    // the registry ROOT (epoch=N is a partition column; `_horizon` and
+    // `.compact-tmp` are ignored by discovery) with `epoch < current` as
+    // a planning-time partition-pruning predicate — NOT an explicit path
+    // list, which would grow per batch and make the per-batch listing
+    // O(epochs) after a day of 1-second triggers
+    val registryExists = fs.exists(new Path(registryDir)) &&
+      fs.listStatus(new Path(registryDir))
+        .exists(_.getPath.getName.startsWith("epoch="))
     val crossBatch =
-      if (priorEpochs.isEmpty) spark.emptyDataFrame.select(
+      if (!registryExists) spark.emptyDataFrame.select(
         lit(0L).as("doc_id")).limit(0)
       else bandsDf.join(
-          spark.read.parquet(priorEpochs: _*)
-            .filter(col("ts").cast("long") * 1000L >= horizon)
+          spark.read.parquet(registryDir)
+            .filter(col("epoch") < epochId &&
+              col("ts").cast("long") * 1000L >= horizon)
             .select(col("band"), col("band_hash")),
           Seq("band", "band_hash"))
         .select("doc_id")
@@ -123,13 +127,27 @@ final case class NearDupStage(
       .select(col("band"), col("band_hash"), col("ts"))
       .write.mode("overwrite").parquet(registryPath(epochId))
     writeHorizon(fs, horizon)
-    survivors
+    // embedded maintenance: every compactEvery epochs, fold the epoch
+    // dirs into one and drop expired claims — bounds both the listing
+    // and disk growth without an external job. The returned survivors
+    // are LAZY and their plan reads the registry files compaction is
+    // about to delete — pin them first or the caller's sink write
+    // evaluates against vanished inputs.
+    if (compactEvery > 0 && epochId > 0 && epochId % compactEvery == 0) {
+      val pinned = survivors.localCheckpoint()
+      compact(spark)
+      pinned
+    } else survivors
   }
 
-  /** Registry maintenance: rewrite claims, dropping everything below the
-    * current horizon. Safe to run between batches; replayed epochs
-    * re-create their dirs deterministically, and re-surfacing an
-    * already-compacted claim only re-drops what was already a dup. */
+  /** Registry maintenance: fold every epoch dir EXCEPT the newest into
+    * `epoch=-1`, dropping sub-horizon claims. The newest epoch is left
+    * alone because it is the only one a crash can replay (micro-batch
+    * N+1 starts only after N's commit): folding its claims into the
+    * base and then replaying it would make the whole batch collide with
+    * itself. epoch=-1 sorts below every real Spark epoch, so prior-epoch
+    * reads always include it and no replayed epoch's mode=overwrite can
+    * wipe it. */
   def compact(spark: org.apache.spark.sql.SparkSession): Unit = {
     val fs = new Path(registryDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -138,16 +156,19 @@ final case class NearDupStage(
     val epochs = fs.listStatus(new Path(registryDir)).toSeq
       .map(_.getPath.getName).filter(_.startsWith("epoch="))
       .map(_.stripPrefix("epoch=").toLong)
-    if (epochs.isEmpty) return
-    val live = spark.read
-      .parquet(epochs.map(registryPath): _*)
-      .filter(col("ts").cast("long") * 1000L >= horizon)
-    // compacted claims land under epoch=-1: below every real Spark epoch,
-    // so prior-epoch reads always include them and no replayed epoch's
-    // mode=overwrite can ever wipe them
+    if (epochs.size < 2) return // nothing foldable below the newest
+    val newest = epochs.max
+    val live = spark.read.parquet(registryDir)
+      .filter(col("epoch") < newest &&
+        col("ts").cast("long") * 1000L >= horizon)
+      .select(col("band"), col("band_hash"), col("ts"))
     val tmp = s"$registryDir/.compact-tmp"
     live.write.mode("overwrite").parquet(tmp)
-    epochs.foreach(e => fs.delete(new Path(registryPath(e)), true))
+    epochs.filter(_ < newest)
+      .foreach(e => fs.delete(new Path(registryPath(e)), true))
     fs.rename(new Path(tmp), new Path(registryPath(-1L)))
+    // the shared FileStatusCache still lists the deleted epoch dirs —
+    // without this, the next batch's registry read hits FILE_NOT_EXIST
+    spark.catalog.refreshByPath(registryDir)
   }
 }

@@ -108,6 +108,29 @@ class NearDupStageSpec extends SparkSuite {
     assert(out.count(_._1 == 1L) == 3 && out.count(_._1 == 4L) == 3)
   }
 
+  test("auto-compaction folds old epochs but never the replayable newest") {
+    import spark.implicits._
+    val reg = Files.createTempDirectory("ndr-auto").toString + "/registry"
+    val stage = NearDupStage(reg, watermarkMs = 60 * 60000L, compactEvery = 2)
+    def batch(id: Long, minute: Int, seed: String) =
+      Seq((id, ts(minute), longText(seed), "crawl"))
+        .toDF("doc_id", "ts", "text", "source")
+    assert(stage.process(batch(1L, 0, "alpha"), 0L).count() == 1)
+    assert(stage.process(batch(2L, 1, "beta"), 1L).count() == 1)
+    assert(stage.process(batch(3L, 2, "gamma"), 2L).count() == 1) // compacts
+    val dirs = new java.io.File(reg).listFiles()
+      .map(_.getName).filter(_.startsWith("epoch=")).sorted.toSeq
+    assert(dirs == Seq("epoch=-1", "epoch=2"),
+      s"epochs 0/1 fold, newest survives: $dirs")
+    // replay of the newest epoch can't self-collide (its claims were NOT
+    // folded into the base)
+    assert(stage.process(batch(3L, 2, "gamma"), 2L).count() == 1)
+    // and claims folded into the base still drop near-dups
+    assert(stage.process(
+      Seq((4L, ts(3), nearDupOf(longText("alpha")), "crawl"))
+        .toDF("doc_id", "ts", "text", "source"), 3L).count() == 0)
+  }
+
   test("restart on the same checkpoint neither loses nor duplicates") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ndr-restart").toString
