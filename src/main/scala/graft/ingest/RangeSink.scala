@@ -216,5 +216,14 @@ final case class RangeSink(
       Await.result(Future.sequence(publishes), Duration.Inf)
     } finally pool.shutdown()
     if (usedTemplate.get) f.delete(new Path(root, "._empty_template"), true)
+    // epoch dirs whose ranges all published hold only write-committer
+    // droppings (_SUCCESS) — drop them, or the epoch=* glob above grows
+    // O(total epochs) per batch on a long-running stream
+    if (f.exists(openDir)) f.listStatus(openDir).foreach { st =>
+      if (st.isDirectory &&
+          !f.listStatus(st.getPath).exists(
+            _.getPath.getName.startsWith("__range=")))
+        f.delete(st.getPath, true)
+    }
   }
 }

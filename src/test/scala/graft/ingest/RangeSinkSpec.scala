@@ -88,6 +88,21 @@ class RangeSinkSpec extends SparkSuite {
       (10L until 20L))
   }
 
+  test("fully-published epoch dirs are reaped from staging") {
+    val root = tmpDir()
+    val sink = RangeSink(root, RangePartitioner(start = 0, size = 10))
+    for (e <- 0 until 5)
+      sink.processBatch(blocksDF(Seq(e * 10L, e * 10L + 5L)), epochId = e)
+    // every range below the high-water published → its epoch dirs gone;
+    // only epochs still holding the open head range may remain
+    val open = new java.io.File(s"$root/_open")
+    val leftover =
+      if (!open.exists()) Seq.empty
+      else open.listFiles().filter(_.isDirectory).map(_.getName).toSeq
+    assert(leftover.size <= 1,
+      s"published epochs must not accumulate in _open: $leftover")
+  }
+
   test("published files never rewritten (completed-range guard)") {
     val root = tmpDir()
     val sink = RangeSink(root, RangePartitioner(start = 0, size = 10))
