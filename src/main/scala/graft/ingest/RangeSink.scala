@@ -69,17 +69,33 @@ final case class RangeSink(
   private def fs(spark: SparkSession): FileSystem =
     new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+  // Published ranges listed ONCE per sink lifetime (restart/crash pays
+  // one listing), then maintained incrementally as publishes succeed —
+  // re-listing the table root every batch would grow O(total published
+  // ranges) over a long-running stream (~75k files/year at 1M blocks/day,
+  // 5000-block ranges). The per-range f.exists(target) check inside each
+  // publish stays the replay guard of record.
+  @volatile private var publishedCache: Set[Long] = _
+
   /** Range starts that already have a published file. */
-  def publishedRanges(spark: SparkSession): Set[Long] = {
-    val f = fs(spark)
-    val rootPath = new Path(root)
-    if (!f.exists(rootPath)) Set.empty
-    else f.listStatus(rootPath).toSeq.flatMap { st =>
-      st.getPath.getName match {
-        case nameRe(rs, _) => Some(rs.toLong)
-        case _ => None
-      }
-    }.toSet
+  def publishedRanges(spark: SparkSession): Set[Long] = synchronized {
+    if (publishedCache == null) {
+      val f = fs(spark)
+      val rootPath = new Path(root)
+      publishedCache =
+        if (!f.exists(rootPath)) Set.empty
+        else f.listStatus(rootPath).toSeq.flatMap { st =>
+          st.getPath.getName match {
+            case nameRe(rs, _) => Some(rs.toLong)
+            case _ => None
+          }
+        }.toSet
+    }
+    publishedCache
+  }
+
+  private def markPublished(rs: Long): Unit = synchronized {
+    if (publishedCache != null) publishedCache += rs
   }
 
   /** Stage one epoch under `_open/epoch=N/__range=X/` and return the
@@ -211,6 +227,7 @@ final case class RangeSink(
         if (!f.exists(target))
           throw new IllegalStateException(
             s"range $rs publish did not materialize $target")
+        markPublished(rs)
         stagedRanges.get(rs).foreach(_.foreach(f.delete(_, true)))
       }}
       Await.result(Future.sequence(publishes), Duration.Inf)
