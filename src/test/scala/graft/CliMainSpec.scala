@@ -48,6 +48,16 @@ class CliMainSpec extends SparkSuite {
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
 
+  test("run honors --compression-level (zstd level plumbed to parquet)") {
+    val in = Files.createTempDirectory("cli-lvl-in").toString + "/blocks"
+    SampleBlocks.blocksDF(spark, 300L).write.parquet(in)
+    val out = Files.createTempDirectory("cli-lvl-out").toString
+    CliMain.main(Array("run", in, out, "--partition-size", "100",
+      "--compression-level", "7"))
+    val main = spark.read.parquet(s"$out/main")
+    assert(main.count() == 200L) // [200,300) is the open head range
+  }
+
   test("setup probes a writable store URL") {
     val dir = Files.createTempDirectory("cli-probe").toString
     CliMain.main(Array("setup", s"file://$dir"))
