@@ -146,7 +146,7 @@ class ProtoWirePropertySpec extends AnyFunSuite {
     val valid = ProtoWire.encode(schema, randPayload(schema))
     val cases =
       // pure garbage
-      (1 to 200).map(_ => Array.fill(rnd.nextInt(64))(rnd.nextInt.toByte)) ++
+      (1 to 200).map(_ => Array.fill(rnd.nextInt(64))(rnd.nextInt().toByte)) ++
       // valid prefix truncations (the interrupted-upload shape)
       (0 until valid.length).map(valid.take) ++
       // single-bit corruptions of a valid message
