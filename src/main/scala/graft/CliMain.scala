@@ -34,6 +34,51 @@ object CliMain {
       val r = StoreProbe.probe(url)
       println(s"${if (r.ok) "OK" else "FAIL"}: ${r.detail}")
       if (!r.ok) sys.exit(1)
+    // corpus <jsonlDir> <outRoot>: the LLM-pipeline analogue of `run` —
+    // stream a JSONL drop directory through quality filter → dedup
+    // (exact, token-bag, or MinHash/LSH near-dup) → chunking → parquet,
+    // with malformed lines quarantined to _dead_letters. Resumable via
+    // the same checkpoint contract as `run`.
+    case "corpus" :: jsonlDir :: outRoot :: flags =>
+      def flagVal(name: String): Option[String] =
+        flags.dropWhile(_ != name).drop(1).headOption
+      val ckpt = flagVal("--checkpoint").getOrElse(s"$outRoot/_checkpoint")
+      val wm = flagVal("--watermark").getOrElse("10 minutes")
+      val reused =
+        org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+      val spark = Sessions.get("graft-corpus")
+      import org.apache.spark.sql.functions.{col, current_timestamp}
+      val raw = spark.readStream.schema(graft.sources.JsonlCorpus.schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt")
+        .json(jsonlDir)
+      // quarantine stream: corrupt lines as-is (doc_id kept so the frame
+      // references more than the internal corrupt column, SPARK-21610)
+      val deadQ = raw.filter(col("_corrupt").isNotNull)
+        .select(col("doc_id"), col("_corrupt"))
+        .writeStream.format("parquet")
+        .option("path", s"$outRoot/_dead_letters")
+        .option("checkpointLocation", s"$ckpt/dead")
+        .trigger(Trigger.AvailableNow()).start()
+      // JSONL interchange carries no event time — processing-time
+      // watermarking bounds the dedup state instead
+      val clean = raw.filter(col("_corrupt").isNull)
+        .select(col("doc_id"), current_timestamp().as("ts"),
+          col("text"), col("source"))
+      val q =
+        if (flags.contains("--near-dup"))
+          graft.streaming.CorpusPipeline.startNearDup(clean,
+            s"$outRoot/chunks", s"$ckpt/main",
+            s"$outRoot/_neardup_registry", watermark = wm,
+            trigger = Trigger.AvailableNow())
+        else
+          graft.streaming.CorpusPipeline.start(clean,
+            s"$outRoot/chunks", s"$ckpt/main", watermark = wm,
+            trigger = Trigger.AvailableNow(),
+            bagDedup = flags.contains("--bag-dedup"))
+      q.awaitTermination()
+      deadQ.awaitTermination()
+      if (!reused) spark.stop()
     case "run" :: blocksDir :: outRoot :: flags =>
       def flagVal(name: String): Option[String] =
         flags.dropWhile(_ != name).drop(1).headOption
@@ -75,6 +120,8 @@ object CliMain {
           |    [--partition-size N] [--start N] [--compression C]
           |    [--checkpoint DIR] [--descriptor-set F --message M]
           |    [--compression-level N]
+          |  graft.CliMain corpus <jsonlDir> <outRoot> [--near-dup]
+          |    [--bag-dedup] [--watermark W] [--checkpoint DIR]
           |  graft.CliMain setup <store_url>""".stripMargin)
       sys.exit(2)
   }

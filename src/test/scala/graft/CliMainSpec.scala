@@ -58,6 +58,27 @@ class CliMainSpec extends SparkSuite {
     assert(main.count() == 200L) // [200,300) is the open head range
   }
 
+  test("corpus lands chunks and quarantines malformed JSONL lines") {
+    val in = Files.createTempDirectory("cli-corpus-in").toString
+    val out = Files.createTempDirectory("cli-corpus-out").toString + "/c"
+    val text = (1 to 100).map(i => s"tok$i").mkString(" ")
+    Files.write(java.nio.file.Paths.get(s"$in/part0.jsonl"), java.util.List.of(
+      s"""{"doc_id": 1, "text": "$text", "lang": "en", "source": "crawl"}""",
+      s"""{"doc_id": 2, "text": "$text", "lang": "en", "source": "crawl"}""",
+      """{"doc_id": 3, "text": "truncated""",
+      s"""{"doc_id": 4, "text": "${text.replace("tok", "kot")}", "lang": "en", "source": "feed"}"""))
+    CliMain.main(Array("corpus", in, out))
+    import spark.implicits._
+    val chunks = spark.read.parquet(s"$out/chunks")
+      .select("doc_id").as[Long].collect().toSeq
+    // doc 2 is an exact dup of 1 → deduped; docs 1 and 4 chunked (3 each)
+    assert(chunks.distinct.sorted == Seq(1L, 4L))
+    assert(chunks.size == 6)
+    val dead = spark.read.parquet(s"$out/_dead_letters")
+    assert(dead.count() == 1)
+    assert(dead.select("_corrupt").as[String].head().contains("truncated"))
+  }
+
   test("setup probes a writable store URL") {
     val dir = Files.createTempDirectory("cli-probe").toString
     CliMain.main(Array("setup", s"file://$dir"))
