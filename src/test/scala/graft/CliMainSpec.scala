@@ -39,13 +39,22 @@ class CliMainSpec extends SparkSuite {
     Files.write(fdset, graft.ingest.DescriptorFixture.fileDescriptorSetBytes)
     val viaManifest = Files.createTempDirectory("cli-dsout").toString
     CliMain.main(Array("run", in, viaManifest, "--partition-size", "500",
+      "--explode",
       "--descriptor-set", fdset.toString, "--message", "graft.test.Output"))
     val viaBuiltin = Files.createTempDirectory("cli-adtout").toString
-    CliMain.main(Array("run", in, viaBuiltin, "--partition-size", "500"))
+    CliMain.main(Array("run", in, viaBuiltin, "--partition-size", "500",
+      "--explode"))
     val a = spark.read.parquet(s"$viaManifest/main")
     val b = spark.read.parquet(s"$viaBuiltin/main")
     assert(a.schema == b.schema)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+    // child tables derive from the manifest's repeated fields too
+    for (child <- Seq("transfers", "touched_accounts")) {
+      val ca = spark.read.parquet(s"$viaManifest/$child")
+      val cb = spark.read.parquet(s"$viaBuiltin/$child")
+      assert(ca.schema == cb.schema, child)
+      assert(ca.count() == cb.count() && ca.count() > 0, child)
+    }
   }
 
   test("run honors --compression-level (zstd level plumbed to parquet)") {
