@@ -1,0 +1,59 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.NearDupStage
+
+/** Developer tool: throughput of the streaming MinHash/LSH near-dup
+  * stage (signature + banding + registry join + claim write), the
+  * corpus analogue of [[ProfileIngest]]. `args`: [nDocs] [runs].
+  *
+  * Synthetic corpus, generated ON the executors: ~100-token documents;
+  * every 5th doc is a near-duplicate (one token changed) of an earlier
+  * doc in the SAME quarter, every 11th an exact duplicate from a
+  * PREVIOUS quarter — so both the in-batch and the cross-batch
+  * collision paths carry real traffic. Each run feeds 4 batches
+  * against a fresh registry.
+  */
+object ProfileCorpus {
+
+  def docs(spark: SparkSession, n: Long): DataFrame = {
+    import spark.implicits._
+    spark.range(0L, n).map { i =>
+      val base = i - (i % 5)    // every 5th doc shadows its group head
+      val seed = if (i % 5 == 0 || i % 11 != 0) base else base % 997
+      val toks = (1 to 100).map(t => s"w${seed}_$t").toArray
+      if (i % 5 != 0 && i % 5 < 3) toks(50) = s"CHANGED$i" // near-dup
+      (i, new java.sql.Timestamp(1700000000000L + i * 1000L),
+        toks.mkString(" "), s"src${i % 7}")
+    }.toDF("doc_id", "ts", "text", "source")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.get("profile-corpus")
+    val nDocs = args.headOption.map(_.toLong).getOrElse(100000L)
+    val runs = args.lift(1).map(_.toInt).getOrElse(3)
+    val corpus = docs(spark, nDocs).persist()
+    corpus.count()
+    val quarter = nDocs / 4
+    for (r <- 1 to runs) {
+      val reg = Files.createTempDirectory("prof-corpus").toString + "/registry"
+      val stage = NearDupStage(reg, watermarkMs = 3600L * 1000L)
+      val t0 = System.nanoTime()
+      var kept = 0L
+      for (e <- 0 until 4) {
+        val batch = corpus
+          .filter(col("doc_id") >= e * quarter &&
+            col("doc_id") < (e + 1) * quarter)
+        kept += stage.process(batch, e.toLong).count()
+      }
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"corpus run$r ${sec}%.3f s  ${nDocs / sec}%.0f docs/s" +
+        f"  kept=$kept dropped=${nDocs - kept}")
+    }
+    spark.stop()
+  }
+}
