@@ -87,7 +87,10 @@ object CliMain {
         size = flagVal("--partition-size").map(_.toLong).getOrElse(5000L))
       val tuning = ParquetTuning(
         compression = flagVal("--compression").getOrElse("zstd"),
-        compressionLevel = flagVal("--compression-level").map(_.toInt))
+        compressionLevel = flagVal("--compression-level").map(_.toInt),
+        rowGroupBytes = flagVal("--row-group-bytes").map(_.toLong),
+        pageSizeBytes = flagVal("--page-size-bytes").map(_.toLong),
+        dictionaryEncoding = !flags.contains("--no-dictionary"))
       val checkpoint = flagVal("--checkpoint")
         .getOrElse(s"$outRoot/_checkpoint")
       // Manifest-driven schema (factory.go:183 / converter_proto.go:24-45):
@@ -119,7 +122,8 @@ object CliMain {
           |  graft.CliMain run <blocksDir> <outRoot> [--explode]
           |    [--partition-size N] [--start N] [--compression C]
           |    [--checkpoint DIR] [--descriptor-set F --message M]
-          |    [--compression-level N]
+          |    [--compression-level N] [--row-group-bytes N]
+          |    [--page-size-bytes N] [--no-dictionary]
           |  graft.CliMain corpus <jsonlDir> <outRoot> [--near-dup]
           |    [--bag-dedup] [--watermark W] [--checkpoint DIR]
           |  graft.CliMain setup <store_url>""".stripMargin)

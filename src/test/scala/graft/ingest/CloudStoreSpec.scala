@@ -54,6 +54,29 @@ class CloudStoreSpec extends graft.SparkSuite {
     }
   }
 
+  test("row-group size tuning reaches the writer (writer.go:93-117 parity)") {
+    import org.apache.hadoop.conf.Configuration
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import spark.implicits._
+    val df = (0 until 200000).map(i => (i.toLong, s"value-$i"))
+      .toDF("id", "s").coalesce(1)
+    def rowGroups(tuning: ParquetTuning): Int = {
+      val dir = Files.createTempDirectory("rg").toString + "/t"
+      df.write.options(tuning.options).parquet(dir)
+      val file = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toString), new Configuration()))
+      try reader.getFooter.getBlocks.size() finally reader.close()
+    }
+    val coarse = rowGroups(ParquetTuning())                       // 128 MB default
+    val fine = rowGroups(ParquetTuning(rowGroupBytes = Some(256 * 1024)))
+    assert(coarse == 1, s"default row-group sizing: $coarse")
+    assert(fine > coarse,
+      s"256 KB row groups must split the file: fine=$fine coarse=$coarse")
+  }
+
   test("zstd compression level reaches the codec (writer.go:96-98 parity)") {
     import spark.implicits._
     // every value distinct (defeats dictionary/RLE) but with internal
