@@ -61,6 +61,33 @@ class LlmSpec extends SparkSuite {
     assert(recall >= 0.8, s"LSH recall $recall vs exact cascade")
   }
 
+  test("lsh cascade refines the exact cascade's clusters") {
+    import spark.implicits._
+    def clusters(q: String): Map[Long, Long] =
+      Llm.queries(q)(spark, sf).as[(Long, Long)].collect().toMap
+    val exact = clusters("q_dedup_cascade")
+    val lsh = clusters("q_dedup_cascade_lsh")
+    assert(exact.keySet == lsh.keySet) // every doc assigned in both
+    // PRECISION 1.0: docs the LSH cascade merges are merged exactly too
+    // (verify is the same exact shingle-Jaccard threshold, so any LSH
+    // edge is an exact edge; components can only be coarser on the
+    // exact side)
+    val lshGroups = lsh.toSeq.groupBy(_._2).values.map(_.map(_._1))
+    for (g <- lshGroups; a <- g; b <- g)
+      assert(exact(a) == exact(b), s"LSH merged $a,$b but exact did not")
+    // RECALL: of the doc pairs the exact cascade clusters together, the
+    // banding finds most (J≈1 near-dups collide with near-certainty)
+    val exactPairs = exact.toSeq.groupBy(_._2).values.filter(_.size > 1)
+      .flatMap(g => for { a <- g; b <- g if a._1 < b._1 } yield (a._1, b._1))
+      .toSet
+    val lshPairs = lsh.toSeq.groupBy(_._2).values.filter(_.size > 1)
+      .flatMap(g => for { a <- g; b <- g if a._1 < b._1 } yield (a._1, b._1))
+      .toSet
+    assert(exactPairs.nonEmpty)
+    val recall = lshPairs.intersect(exactPairs).size.toDouble / exactPairs.size
+    assert(recall >= 0.8, s"cluster recall $recall vs exact cascade")
+  }
+
   test("simhash: deterministic, and near-identical docs land close") {
     import spark.implicits._
     val h1 = Llm.queries("q_simhash")(spark, sf).as[(Long, Long)].collect().toMap
