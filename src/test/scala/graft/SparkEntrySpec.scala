@@ -8,6 +8,7 @@ class SparkEntrySpec extends SparkSuite {
   private val specPinned = Set(
     "q_agg_approx",      // HLL sketch            → AggsSpec
     "q_minhash_neardup", // LSH                   → LlmSpec
+    "q_dedup_cascade_lsh", // LSH cascade (precision/recall vs exact) → LlmSpec
     "q_simhash",         // bag-hash              → LlmSpec
     "q_ann_lsh_topk",    // LSH ANN               → LlmSpec
     "q_ann_ivf_topk")    // k-means model state   → AnnSpec
