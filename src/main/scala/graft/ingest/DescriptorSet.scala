@@ -101,10 +101,22 @@ object DescriptorSet {
     RawFile(name, pkg, msgs.result(), enums.result())
   }
 
+  /** Max message-nesting depth accepted from an untrusted manifest — the
+    * same order as protobuf runtimes' default recursion limit. Without a
+    * cap, a crafted deeply-nested descriptor turns the natural recursion
+    * into StackOverflowError (an Error, not the IllegalArgumentException
+    * the corrupt-manifest contract promises). */
+  private val MaxDepth = 100
+
   /** DescriptorProto: name=1, field=2, nested_type=3, enum_type=4,
-    * options=7 (MessageOptions.map_entry=7). Naturally recursive — protoc
-    * caps nesting, and every read stays inside the parent's extent. */
-  private def parseMessage(buf: Array[Byte], from: Int, len: Int): RawMessage = {
+    * options=7 (MessageOptions.map_entry=7). Naturally recursive — depth
+    * is capped at [[MaxDepth]] because the input is untrusted, and every
+    * read stays inside the parent's extent. */
+  private def parseMessage(buf: Array[Byte], from: Int, len: Int,
+      depth: Int = 0): RawMessage = {
+    if (depth > MaxDepth)
+      throw new IllegalArgumentException(
+        s"descriptor message nesting exceeds $MaxDepth levels")
     val r = new ProtoWire.Reader(buf, from, from + len)
     var name = ""; var mapEntry = false
     val fields = Vector.newBuilder[RawField]
@@ -117,7 +129,7 @@ object DescriptorSet {
         case 2 if wire == 2 =>
           val (s, l) = r.lenDelim(); fields += parseField(buf, s, l)
         case 3 if wire == 2 =>
-          val (s, l) = r.lenDelim(); nested += parseMessage(buf, s, l)
+          val (s, l) = r.lenDelim(); nested += parseMessage(buf, s, l, depth + 1)
         case 4 if wire == 2 =>
           val (s, l) = r.lenDelim(); enums += parseEnumName(buf, s, l)
         case 7 if wire == 2 =>
@@ -209,10 +221,24 @@ object DescriptorSet {
       if (visiting.contains(sym.fqn))
         throw new IllegalArgumentException(
           s"recursive message type ${sym.fqn} cannot map to a static schema")
+      if (visiting.size > MaxDepth)
+        throw new IllegalArgumentException(
+          s"descriptor message nesting exceeds $MaxDepth levels")
       val seen = visiting + sym.fqn
       PMessage(sym.fqn.stripPrefix("."), sym.msg.fields.map { f =>
         val repeated = f.label == 3
-        val (ptype, enc) = f.tpe match {
+        // descriptor.proto: `type` may be UNSET when `type_name` is set
+        // ("If type_name is set, this need not be set") — non-protoc
+        // producers rely on that, so classify via the symbol tables
+        // instead of rejecting tpe=0
+        val effTpe =
+          if (f.tpe == 0 && f.typeName.nonEmpty)
+            if (enums.contains(f.typeName)) TEnum
+            else if (msgs.contains(f.typeName)) TMessage
+            else throw new IllegalArgumentException(
+              s"type ${f.typeName} (field ${f.name}) not in descriptor set")
+          else f.tpe
+        val (ptype, enc) = effTpe match {
           case TDouble   => (PDouble, EFixed64)
           case TFloat    => (PFloat, EFixed32)
           case TInt64    => (PInt64, EVarint)

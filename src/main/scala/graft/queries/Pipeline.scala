@@ -26,15 +26,16 @@ object Pipeline extends QueryFamily {
   private def toks: Column = split(col("text"), " ")
 
   /** Packing shard count — bounds the parallelism of the per-shard packing
-    * window, so it must scale with the cluster instead of being a constant
-    * (a hardcoded 8 caps packing at 8 tasks on a 1000-executor cluster).
-    * Defaults to the host parallelism; overridable via -Dgraft.packShards
-    * (a real deployment sizes it to executors × cores). The oracle SQL
-    * interpolates the SAME value, so the Spark and DuckDB legs agree on
-    * any machine. */
+    * window. The DEFAULT is a fixed 8 so that shard / pack_id assignment is
+    * deterministic across hosts (a host-parallelism default made the output
+    * itself machine-dependent, which poisons pinned results and cross-host
+    * reproducibility). A real deployment opts into cluster-scaled sharding
+    * via -Dgraft.packShards=executors×cores — the contract is that shard
+    * assignment is a FUNCTION OF the configured shard count, documented
+    * here rather than hidden in a bench note. The oracle SQL interpolates
+    * the SAME value, so the Spark and DuckDB legs agree either way. */
   private[graft] val packShards: Int =
-    sys.props.get("graft.packShards").map(_.toInt)
-      .getOrElse(math.max(8, Runtime.getRuntime.availableProcessors()))
+    sys.props.get("graft.packShards").map(_.toInt).getOrElse(8)
 
   /** Word bigrams with the token array bound ONCE per row (see
     * Llm.shingles: HOF lambdas get no CSE — an unbound split(text) would

@@ -111,9 +111,16 @@ final case class NearDupStage(
           Seq("band", "band_hash"))
         .select("doc_id")
 
-    // in-batch: earliest doc_id claims the bucket, later ones drop
-    val inBatch = bandsDf.as("a")
-      .join(bandsDf.as("b"),
+    // in-batch: earliest doc_id claims the bucket, later ones drop.
+    // Docs already dropped by a cross-batch registry collision claim
+    // nothing, so they must not suppress other in-batch docs either —
+    // anti-join them out BEFORE the self-join. Within the batch itself
+    // collisions remain transitive/cluster-style (A<B<C with A–B and
+    // B–C sharing buckets drops both B and C), matching the batch
+    // q_minhash_neardup operator's min-per-bucket semantics.
+    val freshBands = bandsDf.join(crossBatch.distinct(), Seq("doc_id"), "left_anti")
+    val inBatch = freshBands.as("a")
+      .join(freshBands.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_hash") === col("b.band_hash") &&
           col("a.doc_id") > col("b.doc_id"))
@@ -141,13 +148,21 @@ final case class NearDupStage(
   }
 
   /** Registry maintenance: fold every epoch dir EXCEPT the newest into
-    * `epoch=-1`, dropping sub-horizon claims. The newest epoch is left
-    * alone because it is the only one a crash can replay (micro-batch
-    * N+1 starts only after N's commit): folding its claims into the
-    * base and then replaying it would make the whole batch collide with
-    * itself. epoch=-1 sorts below every real Spark epoch, so prior-epoch
-    * reads always include it and no replayed epoch's mode=overwrite can
-    * wipe it. */
+    * a fresh negative base epoch, dropping sub-horizon claims. The
+    * newest epoch is left alone because it is the only one a crash can
+    * replay (micro-batch N+1 starts only after N's commit): folding its
+    * claims into the base and then replaying it would make the whole
+    * batch collide with itself. Negative epochs sort below every real
+    * Spark epoch, so prior-epoch reads always include the base and no
+    * replayed epoch's mode=overwrite can wipe it.
+    *
+    * Crash safety: the compacted data is PROMOTED (renamed into a
+    * visible epoch dir, rename checked) before any folded source epoch
+    * is deleted. A crash between the promote and the deletes leaves the
+    * same claims present twice — harmless, claims form a set — and the
+    * next compaction folds the leftovers. Each compaction picks a base
+    * epoch strictly below every existing one (first -1, then -2, …) so
+    * the promote never has to overwrite the previous base in place. */
   def compact(spark: org.apache.spark.sql.SparkSession): Unit = {
     val fs = new Path(registryDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -158,15 +173,22 @@ final case class NearDupStage(
       .map(_.stripPrefix("epoch=").toLong)
     if (epochs.size < 2) return // nothing foldable below the newest
     val newest = epochs.max
+    val base = math.min(epochs.min, 0L) - 1L
     val live = spark.read.parquet(registryDir)
       .filter(col("epoch") < newest &&
         col("ts").cast("long") * 1000L >= horizon)
       .select(col("band"), col("band_hash"), col("ts"))
     val tmp = s"$registryDir/.compact-tmp"
     live.write.mode("overwrite").parquet(tmp)
+    // promote first, delete second: claims may never transit through a
+    // state where only the dot-prefixed (discovery-invisible) tmp dir
+    // holds them
+    if (!fs.rename(new Path(tmp), new Path(registryPath(base))) ||
+        !fs.exists(new Path(registryPath(base))))
+      throw new java.io.IOException(
+        s"compact: failed to promote $tmp to ${registryPath(base)}")
     epochs.filter(_ < newest)
       .foreach(e => fs.delete(new Path(registryPath(e)), true))
-    fs.rename(new Path(tmp), new Path(registryPath(-1L)))
     // the shared FileStatusCache still lists the deleted epoch dirs —
     // without this, the next batch's registry read hits FILE_NOT_EXIST
     spark.catalog.refreshByPath(registryDir)

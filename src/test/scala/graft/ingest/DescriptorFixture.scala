@@ -1,5 +1,7 @@
 package graft.ingest
 
+import java.nio.charset.StandardCharsets.UTF_8
+
 import ProtoSchema._
 
 /** Builds real `FileDescriptorSet` / substreams-`Package` fixture BYTES
@@ -153,13 +155,22 @@ object DescriptorFixture {
   private val groupedMsg = Map[String, Any]("name" -> "Grouped", "field" -> Seq(
     fld("g", 1, 10 /*group*/, typeName = ".graft.test.Grouped")))
 
+  // `type` deliberately UNSET (only type_name): descriptor.proto allows
+  // this ("If type_name is set, this need not be set") and non-protoc
+  // producers rely on it — resolution must classify via the symbol tables
+  private val looseMsg = Map[String, Any]("name" -> "Loose", "field" -> Seq(
+    Map[String, Any]("name" -> "k", "number" -> 1, "label" -> LOpt,
+      "type_name" -> ".graft.test.Kind"),
+    Map[String, Any]("name" -> "m", "number" -> 2, "label" -> LOpt,
+      "type_name" -> ".graft.test.Meta")))
+
   private val fileValue = Map[String, Any](
     "name" -> "graft/test/blocks.proto",
     "package" -> "graft.test",
     "syntax" -> "proto3",
     "enum_type" -> Seq(kindEnum),
     "message_type" -> Seq(metaMsg, transferMsg, outputMsg, allTypesMsg,
-      metaMapMsg, treeMsg, groupedMsg))
+      metaMapMsg, treeMsg, groupedMsg, looseMsg))
 
   /** protoc `--descriptor_set_out` analogue. */
   def fileDescriptorSetBytes: Array[Byte] =
@@ -173,4 +184,39 @@ object DescriptorFixture {
       "version" -> BigInt("18446744073709551615"), // uint64 max, skipped
       "image" -> Array[Byte](0x50, 0x4e, 0x47, 0x00),
       "network" -> "mainnet"))
+
+  // ---- adversarial fixtures (hand-rolled bytes — the ADT can't nest
+  //      arbitrarily deep, which is exactly the point of these)
+
+  private def varint(n: Int): Array[Byte] = {
+    var v = n; val b = Array.newBuilder[Byte]
+    while ((v & ~0x7f) != 0) { b += ((v & 0x7f) | 0x80).toByte; v >>>= 7 }
+    b += v.toByte; b.result()
+  }
+  private def lenDelim(tag: Int, payload: Array[Byte]): Array[Byte] =
+    Array(((tag << 3) | 2).toByte) ++ varint(payload.length) ++ payload
+
+  /** A FileDescriptorSet whose single message nests `depth` levels of
+    * DescriptorProto.nested_type — the StackOverflowError probe. */
+  def deepNestBytes(depth: Int): Array[Byte] = {
+    val leaf = lenDelim(1, "M".getBytes(UTF_8))
+    val nested = (1 to depth).foldLeft(leaf)((inner, _) =>
+      lenDelim(1, "M".getBytes(UTF_8)) ++ lenDelim(3, inner))
+    val file = lenDelim(1, "deep.proto".getBytes(UTF_8)) ++
+      lenDelim(2, "p".getBytes(UTF_8)) ++ lenDelim(4, nested)
+    lenDelim(1, file)
+  }
+
+  /** A FileDescriptorSet with `n` top-level messages C0→C1→…→C(n-1)
+    * chained by message-typed fields — probes resolve-side depth. */
+  def chainBytes(n: Int): Array[Byte] = {
+    val msgs = (0 until n).map { i =>
+      val f = if (i == n - 1) fld("leaf", 1, 3 /*int64*/ )
+        else fld("next", 1, 11 /*message*/, typeName = s".graft.test.C${i + 1}")
+      Map[String, Any]("name" -> s"C$i", "field" -> Seq(f))
+    }
+    ProtoWire.encode(fileSet, Map("file" -> Seq(Map[String, Any](
+      "name" -> "chain.proto", "package" -> "graft.test",
+      "message_type" -> msgs))))
+  }
 }

@@ -23,7 +23,7 @@ class DescriptorSetSpec extends graft.SparkSuite {
     assert(f.pkg == "graft.test")
     assert(f.messages.map(_.name) ==
       Seq("Meta", "Transfer", "Output", "AllTypes", "MetaMap", "Tree",
-        "Grouped"))
+        "Grouped", "Loose"))
     assert(f.enums == Seq("Kind"))
     val out = f.messages.find(_.name == "Output").get
     assert(out.nested.map(_.name) == Seq("BalancesEntry"))
@@ -138,6 +138,37 @@ class DescriptorSetSpec extends graft.SparkSuite {
     val e = intercept[IllegalArgumentException](
       DescriptorSet.resolve(files, "graft.test.Grouped"))
     assert(e.getMessage.contains("group"))
+  }
+
+  test("type UNSET with type_name set resolves via the symbol tables") {
+    // descriptor.proto: "If type_name is set, this need not be set" —
+    // non-protoc producers emit such descriptors
+    val m = DescriptorSet.resolve(files, "graft.test.Loose")
+    val byName = m.fields.map(f => f.name -> f).toMap
+    assert(byName("k").ptype == PEnum)
+    assert(byName("m").ptype.isInstanceOf[PMessage])
+    assert(byName("m").ptype.asInstanceOf[PMessage].fields.map(_.name) ==
+      Seq("seconds", "nanos"))
+  }
+
+  test("deeply nested descriptors throw IAE, not StackOverflowError") {
+    // shallow nesting parses fine…
+    assert(DescriptorSet.parseFiles(DescriptorFixture.deepNestBytes(50)).nonEmpty)
+    // …but a crafted over-deep manifest must hit the depth cap, keeping
+    // the corrupt-manifest contract (IllegalArgumentException, never an
+    // Error that would kill the executor thread)
+    val e = intercept[IllegalArgumentException](
+      DescriptorSet.parseFiles(DescriptorFixture.deepNestBytes(500)))
+    assert(e.getMessage.contains("nesting"))
+  }
+
+  test("over-deep message reference chains are capped at resolve time") {
+    val shallow = DescriptorSet.parseFiles(DescriptorFixture.chainBytes(50))
+    assert(DescriptorSet.resolve(shallow, "graft.test.C0") != null)
+    val deep = DescriptorSet.parseFiles(DescriptorFixture.chainBytes(150))
+    val e = intercept[IllegalArgumentException](
+      DescriptorSet.resolve(deep, "graft.test.C0"))
+    assert(e.getMessage.contains("nesting"))
   }
 
   test("truncated manifests fail loudly (bounds-checked reader)") {

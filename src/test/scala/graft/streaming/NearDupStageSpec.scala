@@ -131,6 +131,81 @@ class NearDupStageSpec extends SparkSuite {
         .toDF("doc_id", "ts", "text", "source"), 3L).count() == 0)
   }
 
+  /** A doc's (band, band_hash) set, replicating the stage's banding
+    * (nPerm=32, bands=8 ⇒ rows=4) so tests can reason about collisions. */
+  private def bandSet(text: String): Set[(Int, Long)] = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    Seq(text).toDF("text")
+      .select(graft.functions.TextFunctions.minhashSig(
+        graft.functions.TextFunctions.shingles3(col("text")), 32).as("sig"))
+      .select(posexplode(expr(
+        "transform(sequence(0, 7), b -> xxhash64(slice(sig, int(b) * 4 + 1, 4)))")))
+      .as[(Int, Long)].collect().toSet
+  }
+
+  test("docs dropped by the registry claim nothing in-batch either") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val reg = Files.createTempDirectory("ndr-fresh").toString + "/registry"
+    val stage = NearDupStage(reg, watermarkMs = 10 * 60000L)
+
+    // doc2 will collide with the registry on band 0 only; doc3 is a
+    // perturbation of doc2 chosen (deterministic search) so that it
+    // shares >=1 band with doc2 but NOT doc2's band-0 hash — its only
+    // collision is with a doc the registry already dropped
+    val doc2Text = longText("omega")
+    val b2 = bandSet(doc2Text)
+    val claim0 = b2.find(_._1 == 0).get
+    val doc3Text = (0 until 100).iterator.map { i =>
+      val t = doc2Text.split(" "); t(i) = s"PERTURB$i"; t.mkString(" ")
+    }.find { c =>
+      val b3 = bandSet(c)
+      !b3.contains(claim0) && (b3 & b2).exists(_._1 != 0)
+    }.getOrElse(fail("no discriminating perturbation found"))
+
+    // registry claims exactly doc2's band-0 bucket (as if an earlier doc
+    // had claimed it)
+    Seq((claim0._1, claim0._2, ts(0)))
+      .toDF("band", "band_hash", "ts")
+      .write.parquet(s"$reg/epoch=0")
+
+    val b1 = Seq(
+      (2L, ts(1), doc2Text, "crawl"),  // drops: registry collision
+      (3L, ts(2), doc3Text, "crawl"))  // collides only with dropped doc2
+      .toDF("doc_id", "ts", "text", "source")
+    assert(stage.process(b1, 1L).select("doc_id").as[Long].collect().toSeq
+      == Seq(3L),
+      "a registry-dropped doc must not suppress its in-batch peers")
+    // and the survivor's claims were written (it now owns its buckets)
+    assert(spark.read.parquet(s"$reg/epoch=1").count() > 0)
+  }
+
+  test("repeated compactions promote fresh negative bases before deleting") {
+    import spark.implicits._
+    val reg = Files.createTempDirectory("ndr-recompact").toString + "/registry"
+    val stage = NearDupStage(reg, watermarkMs = 60 * 60000L, compactEvery = 2)
+    def batch(id: Long, minute: Int, seed: String) =
+      Seq((id, ts(minute), longText(seed), "crawl"))
+        .toDF("doc_id", "ts", "text", "source")
+    assert(stage.process(batch(1L, 0, "alpha"), 0L).count() == 1)
+    assert(stage.process(batch(2L, 1, "beta"), 1L).count() == 1)
+    assert(stage.process(batch(3L, 2, "gamma"), 2L).count() == 1) // → epoch=-1
+    assert(stage.process(batch(4L, 3, "delta"), 3L).count() == 1)
+    assert(stage.process(batch(5L, 4, "zeta"), 4L).count() == 1)  // → epoch=-2
+    val dirs = new java.io.File(reg).listFiles()
+      .map(_.getName).filter(_.startsWith("epoch=")).sorted.toSeq
+    assert(dirs == Seq("epoch=-2", "epoch=4"),
+      s"second compaction folds the first base into a fresh one: $dirs")
+    // claims from every folded generation are still live
+    assert(stage.process(
+      Seq((6L, ts(5), nearDupOf(longText("alpha")), "crawl"))
+        .toDF("doc_id", "ts", "text", "source"), 5L).count() == 0)
+    assert(stage.process(
+      Seq((7L, ts(6), nearDupOf(longText("delta")), "crawl"))
+        .toDF("doc_id", "ts", "text", "source"), 6L).count() == 0)
+  }
+
   test("restart on the same checkpoint neither loses nor duplicates") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ndr-restart").toString
