@@ -142,6 +142,31 @@ object Llm extends QueryFamily {
           coalesce(col("comp"), col("doc_id")).as("cluster"))
         .orderBy("doc_id")
     },
+    "q_dedup_cascade_ppjoin" -> { (s, d) =>
+      // The exact cascade with ppjoin-style PREFIX-FILTERED candidates
+      // (graft.operators.SetSimJoin) — identical clusters to
+      // q_dedup_cascade (same DuckDB oracle), but candidate generation
+      // indexes only each doc's ⌈n/2⌉+1-rarest shingles, so boilerplate
+      // (hot-shingle) corpora lose the quadratic term that is the naive
+      // inverted index's 100 TB failure mode. See SetSimJoin's scaladoc
+      // for the completeness argument; SetSimJoinSpec pins the ≥10×
+      // candidate reduction on a planted boilerplate corpus.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(shingles).as("sset"))
+        .select(col("doc_id"), size(col("sset")).as("n"), col("sset"))
+        .repartition(col("doc_id")) // one canonicalized exchange feeds the
+        // df pass, the window rank, and the two verify joins — shingles
+        // are computed once, same barrier rationale as q_dedup_cascade
+      val cands = graft.operators.SetSimJoin.candidatesPrefix(docs, 1, 2)
+      val edges = graft.operators.SetSimJoin.verify(cands, docs, 1, 2)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val cc = graft.operators.Dedup.connectedComponents(edges)
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      ids.join(cc, ids("doc_id") === cc("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster"))
+        .orderBy("doc_id")
+    },
     // ---- text analysis ----------------------------------------------
     "q_text_quality" -> { (s, d) =>
       // Length / token / stopword-ratio quality signals.
@@ -506,6 +531,37 @@ object Llm extends QueryFamily {
         |SELECT doc_id, min(r) AS cluster
         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_dedup_cascade" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [text]
+        |    ELSE list_distinct(list_transform(
+        |      generate_series(1, len(toks) - 2),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) END AS sset
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |sizes AS (SELECT doc_id, len(sset) AS n FROM docs),
+        |inv AS (SELECT doc_id, unnest(sset) AS sh FROM docs),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM shared
+        |  JOIN sizes sa ON sa.doc_id = shared.id_a
+        |  JOIN sizes sb ON sb.doc_id = shared.id_b
+        |  WHERE shared * 3 >= sa.n + sb.n),
+        |edges AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS r FROM docs
+        |  UNION
+        |  SELECT e.id_a AS doc_id, reach.r
+        |  FROM edges e JOIN reach ON e.id_b = reach.doc_id)
+        |SELECT doc_id, min(r) AS cluster
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // prefix filtering is result-invariant: the ppjoin variant answers to
+    // the SAME recursive-CTE oracle as the naive-candidate cascade
+    "q_dedup_cascade_ppjoin" ->
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [text]
         |    ELSE list_distinct(list_transform(
