@@ -176,6 +176,34 @@ object Pipeline extends QueryFamily {
         .filter(col("hamming") <= 3)
         .orderBy("id_a", "id_b")
     },
+    "q_simhash_banded" -> { (s, d) =>
+      // q_simhash_pairs without the all-pairs: split the 16-bit
+      // fingerprint into 4 bands of 4 bits — hamming ≤ 3 flips at most 3
+      // bands, so by pigeonhole every qualifying pair agrees on ≥1 whole
+      // band (EXACT, unlike MinHash banding's probabilistic recall).
+      // Candidates join on (band, band_bits) — the shuffle groups docs
+      // per band bucket, never corpus² — then the cheap bit_count verify
+      // runs per candidate. Same contract scaled up: 64-bit simhash with
+      // b bands is exact for hamming ≤ b−1. Output = q_simhash_pairs
+      // row-for-row (PlanSpec pins the no-cartesian plan shape).
+      val sh = simhash16(Tables.documents(s, d))
+      val bands = sh.select(col("doc_id"), col("simhash16"),
+          posexplode(expr(
+            "transform(sequence(0, 3), b -> shiftright(simhash16, int(b) * 4) & 15)")))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits"))
+      val cand = bands.select(col("band"), col("band_bits"),
+          col("doc_id").as("id_a"), col("simhash16").as("sh_a"))
+        .join(bands.select(col("band"), col("band_bits"),
+          col("doc_id").as("id_b"), col("simhash16").as("sh_b")),
+          Seq("band", "band_bits"))
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
+      cand.select(col("id_a"), col("id_b"),
+          expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
+    },
     "q_tfidf" -> { (s, d) =>
       // Top-3 characteristic terms per doc by tf·idf with a RATIONAL idf
       // ((N+1)/(df+1), no log): +,*,/ are IEEE correctly-rounded, so the
@@ -398,6 +426,21 @@ object Pipeline extends QueryFamily {
          |  bit_count(xor(a.simhash16, b.simhash16)) AS hamming
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q_simhash_banded" ->
+      s"""WITH sh AS ($simhash16Sql),
+         |bands AS (
+         |  SELECT doc_id, simhash16, band,
+         |         ((simhash16 >> (band * 4)) & 15) AS band_bits
+         |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS band)),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |         a.simhash16 AS sh_a, b.simhash16 AS sh_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_bits = b.band_bits
+         |   AND a.doc_id < b.doc_id)
+         |SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
+         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
     "q_quality_filter" ->
       """SELECT doc_id, n_tokens, n_distinct, n_chars,

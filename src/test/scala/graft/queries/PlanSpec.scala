@@ -102,6 +102,18 @@ class PlanSpec extends SparkSuite {
       s"mix sampling gained a shuffle:\n${plan.take(2000)}")
   }
 
+  test("q_simhash_banded joins on band buckets — no all-pairs in the plan") {
+    val plan = executedPlan("q_simhash_banded")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"banded simhash regressed to all-pairs:\n${plan.take(2000)}")
+    // and it matches the all-pairs query row-for-row (exactness: hamming
+    // <= 3 with 4 bands can't miss — pigeonhole)
+    val banded = SparkEntry.queries("q_simhash_banded")(spark, sf).collect()
+    val allPairs = SparkEntry.queries("q_simhash_pairs")(spark, sf).collect()
+    assert(banded.toSeq == allPairs.toSeq)
+  }
+
   test("q18 IN-subquery plans as a semi join, not a nested loop per row") {
     val plan = executedPlan("q18_large_orders")
     assert(plan.contains("LeftSemi"),
