@@ -5,8 +5,12 @@ import java.nio.file.Files
 import graft.ingest.{Decode, RangePartitioner, RangeSink, SampleBlocks}
 
 /** Bench harness: wall-clock per declared query on SPARK_GRAFT_SF_DIR,
-  * one JSON line on stdout (driver contract). Each query is fully
-  * materialized via count() after a warm-up of the parquet footers.
+  * one JSON line on stdout (driver contract) — median-of-3 per query,
+  * isolated re-runs of the 5 slowest, and the COMPLETE record (every
+  * per-run sample) additionally written to `BENCH_full.json`
+  * (SPARK_GRAFT_BENCH_FILE) so the durable artifact survives stdout
+  * truncation. Each query is fully materialized via count() after a
+  * warm-up of the parquet footers.
   *
   * Also measures the reference's OWN workload — ingest throughput:
   * encoded proto blocks → decode → main + exploded child tables →
@@ -26,21 +30,34 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").count()
       catch { case _: Throwable => () }
     }
-    // Steady-state timing: best of N runs per query (default 2). A single
-    // cold pass conflates the query with GC pauses and page-cache warm-up;
-    // the min is the reproducible throughput number.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Steady-state timing: median of N runs per query (default 3). A
+    // single cold pass conflates the query with GC pauses and page-cache
+    // warm-up; the median (unlike min) also absorbs one-sided host drift
+    // — the r4 lesson was that suite totals move 20-50% across evening
+    // hours, so every per-run sample is recorded in the full artifact for
+    // cross-round drift diagnosis.
+    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    def time(fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+      val t0 = System.nanoTime()
+      try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+      (System.nanoTime() - t0) / 1e9
+    }
+    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val samples = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // off-the-clock GC between queries: in a 100+-query shared JVM the
       // previous queries' garbage otherwise lands as mid-query pauses and
       // inflated r2 timings 3-12x over the same query run in isolation
       System.gc()
-      val times = (1 to runs).map { _ =>
-        val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
-        (System.nanoTime() - t0) / 1e9
-      }
-      name -> times.min
+      name -> (1 to runs).map(_ => time(fn))
+    }
+    val results = samples.map { case (n, ts) => n -> median(ts) }
+    // isolated re-measure of the 5 slowest: their suite numbers are the
+    // most drift-exposed (longest residence in a heap other queries
+    // polluted); a fresh GC + 3 runs each approximates ProfileQ isolation
+    // inside the same JVM
+    val isolated = results.sortBy(-_._2).take(5).map { case (name, _) =>
+      System.gc()
+      name -> median((1 to 3).map(_ => time(SparkEntry.queries(name))))
     }
     // ingest throughput: 100k blocks ≈ 100k main + ~100k transfer +
     // 200k touched rows through decode/explode/range-sink
@@ -80,8 +97,22 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""ingest_blocks_per_sec":${f"$ingestBps%.0f"},"sf":"$sfDir"}""")
+    val iso = isolated.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .mkString("{", ",", "}")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""isolated_slowest":$iso,""" +
+      s""""ingest_blocks_per_sec":${f"$ingestBps%.0f"},"sf":"$sfDir","runs":$runs}"""
+    println(line)
+    // the COMPLETE artifact (every per-run sample) goes to a file too —
+    // the r4 driver capture kept only the tail of a long stdout line, so
+    // the durable record must not depend on stdout at all
+    val full = samples.map { case (k, ts) =>
+      "\"" + k + "\":[" + ts.map(t => f"$t%.3f").mkString(",") + "]"
+    }.mkString("{", ",", "}")
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_full.json")
+    Files.write(java.nio.file.Paths.get(out),
+      (line.dropRight(1) + s""","queries_runs":$full}""" + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     spark.stop()
   }
 }
