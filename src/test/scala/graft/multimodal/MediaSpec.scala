@@ -112,6 +112,112 @@ class MediaSpec extends SparkSuite {
     assert(back.getWidth == 16 && back.getHeight == 8)
   }
 
+  test("REAL codec seam: JDK javax.sound decodes actual WAVs through " +
+      "the same pipeline shape") {
+    import spark.implicits._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    // genuine WAV payloads (16-bit PCM sine waves), generated with the
+    // same codec family a real corpus would need
+    def wav(hz: Double, ms: Int, rate: Int = 8000, channels: Int = 1)
+        : Array[Byte] = {
+      val n = rate * ms / 1000
+      val bytes = new Array[Byte](n * channels * 2)
+      for (i <- 0 until n; c <- 0 until channels) {
+        val s = (math.sin(2 * math.Pi * hz * i / rate) * 12000).toShort
+        val off = (i * channels + c) * 2
+        bytes(off) = (s & 0xff).toByte
+        bytes(off + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate.toFloat,
+        16, channels, channels * 2, rate.toFloat, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    val rows = Seq(
+      MediaRow(0L, "audio", wav(440.0, 200), MediaMeta(0, 0, 8000, 200)),
+      MediaRow(1L, "audio", wav(55.0, 100, channels = 2),
+        MediaMeta(0, 0, 8000, 100)),
+      MediaRow(2L, "audio", Array[Byte](1, 2, 3), MediaMeta(0, 0, 0, 0)),
+      MediaRow(3L, "image", Array[Byte](9, 9), MediaMeta(8, 8, 0, 0))
+    ).toDS().repartition(2)
+    val out = AudioCodec.extractAudioFeatures(rows, cells = 8)
+      .as[(Long, Boolean, Int, Int, Option[Seq[Float]])].collect()
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(0L, 1L, 2L)) // image filtered out
+    // real decode recovers rate + sample count from the BYTES
+    assert(out(0) match { case (_, true, 8000, 1600, Some(f)) => f.size == 16
+                          case _ => false })
+    // stereo collapses to mono (channel-averaged), same rate
+    assert(out(1) match { case (_, true, 8000, 800, Some(f)) => f.size == 16
+                          case _ => false })
+    // corrupt payload -> lenient null row, no task failure
+    assert(out(2) match { case (_, false, 0, 0, None) => true
+                          case _ => false })
+    val f440 = out(0)._5.get
+    // features bounded per contract
+    assert(f440.forall(v => v >= 0.0f && v <= 1.0f))
+    // a 440 Hz tone has real energy in every cell; its zero-crossing
+    // rate is ~2·440/8000 = 0.11 — distinguishable from the 55 Hz clip
+    val rms440 = f440.indices.collect { case i if i % 2 == 0 => f440(i) }
+    val zcr440 = f440.indices.collect { case i if i % 2 == 1 => f440(i) }
+    val zcr55 = out(1)._5.get.indices.collect {
+      case i if i % 2 == 1 => out(1)._5.get(i) }
+    assert(rms440.forall(_ > 0.1f))
+    assert(zcr440.sum / zcr440.size > zcr55.sum / zcr55.size * 2)
+    // deterministic across runs
+    val again = AudioCodec.extractAudioFeatures(rows, cells = 8)
+      .as[(Long, Boolean, Int, Int, Option[Seq[Float]])].collect().sortBy(_._1)
+    assert(out.map(_._5.map(_.toSeq)).toSeq ==
+      again.map(_._5.map(_.toSeq)).toSeq)
+  }
+
+  test("audio features flow into the similarity search path") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import javax.sound.sampled.{AudioFileFormat, AudioFormat, AudioInputStream, AudioSystem}
+    def tone(hz: Double, seed: Int): Array[Byte] = {
+      val rate = 8000
+      val n = rate / 10
+      val bytes = new Array[Byte](n * 2)
+      for (i <- 0 until n) {
+        val s = (math.sin(2 * math.Pi * hz * i / rate + seed) * 9000).toShort
+        bytes(i * 2) = (s & 0xff).toByte
+        bytes(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+      }
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate.toFloat,
+        16, 1, 2, rate.toFloat, false)
+      val ais = new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmt, n.toLong)
+      val bos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 6 clips: ids 0-2 near 440 Hz, ids 3-5 near 3000 Hz — nearest
+    // neighbours of clip 0 should be its frequency family
+    val rows = (0L until 6L).map { i =>
+      val hz = if (i < 3) 440.0 + i else 3000.0 + i * 10
+      MediaRow(i, "audio", tone(hz, i.toInt), MediaMeta(0, 0, 8000, 100))
+    }.toDS().repartition(2)
+    val feats = AudioCodec.extractAudioFeatures(rows, cells = 8)
+      .filter(col("decoded"))
+      .select(col("media_id"), col("features"))
+    val q = feats.filter(col("media_id") === 0)
+      .select(col("features").as("qvec"))
+    val top = feats.crossJoin(broadcast(q))
+      .filter(col("media_id") =!= 0)
+      .select(col("media_id"),
+        (graft.functions.Vectors.dot(col("features"), col("qvec")) /
+          sqrt(graft.functions.Vectors.dot(col("features"), col("features")) *
+            graft.functions.Vectors.dot(col("qvec"), col("qvec")))).as("sim"))
+      .orderBy(col("sim").desc, col("media_id").asc)
+      .limit(2)
+      .as[(Long, Double)].collect()
+    assert(top.map(_._1).toSet == Set(1L, 2L))
+  }
+
   test("metadata predicate prunes without touching payloads") {
     val df = sampleMedia.toDF()
     val big = selectLargeImages(df, minPixels = 100000)
