@@ -48,7 +48,7 @@ object ProfileCorpus {
         val batch = corpus
           .filter(col("doc_id") >= e * quarter &&
             col("doc_id") < (e + 1) * quarter)
-        kept += stage.process(batch, e.toLong).count()
+        stage.processWith(batch, e.toLong)(s => kept += s.count())
       }
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"corpus run$r ${sec}%.3f s  ${nDocs / sec}%.0f docs/s" +

@@ -364,13 +364,15 @@ object Llm extends QueryFamily {
       // sets re-join on the (small) deduped candidate pairs, so the wide
       // arrays never shuffle through the bucket join.
       val docs = Tables.documents(s, d)
-      // shingles → signature fused in ONE projection (shingles has a
-      // single consumer, so CollapseProject inlining it is harmless), and
-      // ONE barrier after it: the shuffle carries (doc_id, 32 longs), not
-      // the shingle arrays (~3× the document text)
+      // shingles → signature fused in ONE expression (MinHash3GramSignature
+      // builds each 3-gram and feeds the mixer in place — no intermediate
+      // shingle array, no interpreted HOF lambdas; value-identical to
+      // minhashSig(shingles3(text))), and ONE barrier after it: the
+      // shuffle carries (doc_id, 32 longs), not the shingle arrays (~3×
+      // the document text)
       val sig = docs
         .select(col("doc_id"),
-          graft.functions.TextFunctions.minhashSig(shingles, 32).as("sig"))
+          graft.functions.TextFunctions.minhashSig3(col("text"), 32).as("sig"))
         .repartition(col("doc_id")) // barrier: 32-perm signature once
       val bands = sig.select(col("doc_id"),
           posexplode(expr(

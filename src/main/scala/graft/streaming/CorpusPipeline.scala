@@ -115,9 +115,13 @@ object CorpusPipeline {
       .trigger(trigger)
       .foreachBatch { (batch: DataFrame, epochId: Long) =>
         // per-epoch overwrite dirs (partition-style names): an epoch
-        // replay rewrites its own output instead of appending dups
-        chunked(stage.process(batch, epochId))
-          .write.mode("overwrite").parquet(s"$root/epoch=$epochId")
+        // replay rewrites its own output instead of appending dups.
+        // processWith overlaps the registry claim write with this sink
+        // write — independent jobs, both complete before the epoch commits
+        stage.processWith(batch, epochId) { survivors =>
+          chunked(survivors)
+            .write.mode("overwrite").parquet(s"$root/epoch=$epochId")
+        }
       }
       .start()
   }

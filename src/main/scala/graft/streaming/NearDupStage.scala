@@ -40,7 +40,8 @@ final case class NearDupStage(
     watermarkMs: Long,
     nPerm: Int = 32,
     bands: Int = 8,
-    compactEvery: Int = 64) {
+    compactEvery: Int = 64,
+    claimShards: Int = 0) {
 
   private val rows = nPerm / bands
   require(rows * bands == nPerm, s"bands must divide nPerm: $nPerm/$bands")
@@ -64,30 +65,90 @@ final case class NearDupStage(
     try out.write(h.toString.getBytes("UTF-8")) finally out.close()
   }
 
+  // dev knob: -Dgraft.neardup.profile=true (or the env var) prints
+  // per-phase wall times
+  private val profile = java.lang.Boolean.getBoolean("graft.neardup.profile") ||
+    sys.env.get("GRAFT_NEARDUP_PROFILE").exists(_.nonEmpty)
+  private def timed[T](name: String, epochId: Long)(body: => T): T =
+    if (!profile) body
+    else {
+      val t0 = System.nanoTime()
+      val r = body
+      println(f"[neardup] epoch=$epochId $name ${(System.nanoTime() - t0) / 1e9}%.3f s")
+      r
+    }
+
   /** Near-dup survivors of one micro-batch (needs doc_id, ts, text;
     * passes all columns through). */
   def process(batch: DataFrame, epochId: Long): DataFrame = {
+    val (survivors, writeClaims, finish) = plan(batch, epochId)
+    writeClaims()
+    finish()
+    survivors
+  }
+
+  /** [[process]] with the caller's sink write OVERLAPPED with the claim
+    * write: the two are independent Spark jobs over the pinned dropped
+    * set, so running them concurrently hides the shorter one entirely —
+    * micro-batch pipelining without weakening exactly-once (both must
+    * complete before this returns, i.e. before the engine commits the
+    * epoch; a failure of either fails the batch and the replay rewrites
+    * both idempotently). */
+  def processWith(batch: DataFrame, epochId: Long)
+                 (sink: DataFrame => Unit): Unit = {
+    val (survivors, writeClaims, finish) = plan(batch, epochId)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val claims = Future(writeClaims())
+    // if the sink fails, STILL await the in-flight claim job before
+    // propagating: a streaming retry re-runs this epoch, and its
+    // mode=overwrite claim write must not race a dangling first attempt
+    val sinkErr = try { sink(survivors); None } catch {
+      case e: Throwable => Some(e)
+    }
+    try Await.result(claims, Duration.Inf) catch {
+      case e: Throwable if sinkErr.isEmpty => throw e
+      case _: Throwable => // sink failure is the primary error
+    }
+    sinkErr.foreach(throw _)
+    finish()
+  }
+
+  /** Builds the per-epoch plan: (lazy survivors, claim-write action,
+    * horizon/compaction finalizer). Callers run the actions; [[process]]
+    * sequences them, [[processWith]] overlaps the claim write with the
+    * caller's sink. */
+  private def plan(batch: DataFrame, epochId: Long)
+      : (DataFrame, () => Unit, () => Unit) = {
     val spark = batch.sparkSession
     val fs = new Path(registryDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
 
+    val bandsRaw = batch
+      .select(col("doc_id"), col("ts"),
+        TextFunctions.minhashSig3(col("text"), nPerm).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("doc_id"), col("ts"), posexplode(bandHashes))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val bandsDf = timed("signature", epochId) {
+      bandsRaw.localCheckpoint() // signatures once; reused by 3 consumers below
+    }
+
     // monotone horizon: max event time ever seen − watermark (the
     // streaming watermark analogue, kept outside the engine because the
-    // stage runs inside foreachBatch)
-    val batchMax = batch.agg(max(col("ts").cast("long") * 1000L)).head()
+    // stage runs inside foreachBatch). Aggregated over the CHECKPOINTED
+    // bands (an in-memory scan) rather than a second pass over the source
+    // batch; null-text docs carry no claims, so their timestamps don't
+    // advance the horizon — the registry only ever needs to cover docs
+    // that can collide.
+    val batchMax = timed("horizon", epochId) {
+      bandsDf.agg(max(col("ts").cast("long") * 1000L)).head()
+    }
     val horizon0 = readHorizon(fs)
     val horizon =
       if (batchMax.isNullAt(0)) horizon0
       else math.max(horizon0, batchMax.getLong(0) - watermarkMs)
-
-    val bandsDf = batch
-      .select(col("doc_id"), col("ts"),
-        TextFunctions.minhashSig(
-          TextFunctions.shingles3(col("text")), nPerm).as("sig"))
-      .filter(col("sig").isNotNull)
-      .select(col("doc_id"), col("ts"), posexplode(bandHashes))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-      .localCheckpoint() // signatures once; reused by 3 consumers below
 
     // prior-epoch claims only: the CURRENT epoch's dir may exist from a
     // crashed attempt of this very batch — reading it would make every
@@ -114,37 +175,67 @@ final case class NearDupStage(
     // in-batch: earliest doc_id claims the bucket, later ones drop.
     // Docs already dropped by a cross-batch registry collision claim
     // nothing, so they must not suppress other in-batch docs either —
-    // anti-join them out BEFORE the self-join. Within the batch itself
-    // collisions remain transitive/cluster-style (A<B<C with A–B and
-    // B–C sharing buckets drops both B and C), matching the batch
+    // anti-join them out BEFORE the bucket grouping. Within the batch
+    // itself collisions remain transitive/cluster-style (A<B<C with A–B
+    // and B–C sharing buckets drops both B and C), matching the batch
     // q_minhash_neardup operator's min-per-bucket semantics.
-    val freshBands = bandsDf.join(crossBatch.distinct(), Seq("doc_id"), "left_anti")
-    val inBatch = freshBands.as("a")
-      .join(freshBands.as("b"),
-        col("a.band") === col("b.band") &&
-          col("a.band_hash") === col("b.band_hash") &&
-          col("a.doc_id") > col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_id"))
+    //
+    // "Shares a bucket with a smaller doc_id" ⟺ "bucket min < doc_id",
+    // so a window min per (band, band_hash) replaces the self-join this
+    // stage used to run: one shuffle, output linear in the band rows —
+    // where the join materialized O(k²) rows per k-doc bucket, exactly
+    // the hot-bucket blowup a duplicate storm (the workload this stage
+    // exists for) feeds.
+    // ts projected out before the bucket shuffle — the winner decision
+    // needs only (doc_id, band, band_hash); claims re-read ts from the
+    // checkpoint. groupBy-min + join-back rather than a window: the
+    // partial (map-side) aggregate shrinks the shuffle to distinct
+    // buckets and skips the window's per-partition sort, and AQE
+    // broadcasts the winner table back when it's small (falling back to
+    // a shuffled join when a huge trigger makes it big).
+    val freshBands = bandsDf.select("doc_id", "band", "band_hash")
+      .join(crossBatch, Seq("doc_id"), "left_anti")
+    val winners = freshBands
+      .groupBy("band", "band_hash").agg(min(col("doc_id")).as("winner"))
+    val inBatch = freshBands
+      .join(winners, Seq("band", "band_hash"))
+      .filter(col("doc_id") > col("winner"))
+      .select(col("doc_id"))
 
-    val dropped = crossBatch.union(inBatch).distinct()
+    // the dropped doc_id set is tiny relative to the batch and has THREE
+    // consumers below (survivor filter, claim anti-join, caller's sink
+    // write); pin it once so the registry join + bucket window don't
+    // re-evaluate per consumer
+    val dropped = timed("collide", epochId) {
+      crossBatch.union(inBatch).distinct().localCheckpoint()
+    }
     val survivors = batch.join(dropped, Seq("doc_id"), "left_anti")
 
-    // survivors claim their buckets, epoch-idempotently
-    bandsDf.join(dropped, Seq("doc_id"), "left_anti")
-      .select(col("band"), col("band_hash"), col("ts"))
-      .write.mode("overwrite").parquet(registryPath(epochId))
-    writeHorizon(fs, horizon)
+    // survivors claim their buckets, epoch-idempotently. claimShards > 0
+    // caps the files per epoch via a (claim-sized, tiny) repartition
+    // shuffle — NOT coalesce, which would propagate upstream and collapse
+    // the anti-join stage itself to claimShards tasks. Off by default:
+    // compaction already bounds the registry's file count over a long
+    // stream, and the extra stage costs more than small files do until
+    // trigger volumes get large.
+    val writeClaims = () => timed("claim", epochId) {
+      val claims = bandsDf.join(dropped, Seq("doc_id"), "left_anti")
+        .select(col("band"), col("band_hash"), col("ts"))
+      (if (claimShards > 0) claims.repartition(claimShards) else claims)
+        .write.mode("overwrite").parquet(registryPath(epochId))
+    }
     // embedded maintenance: every compactEvery epochs, fold the epoch
     // dirs into one and drop expired claims — bounds both the listing
     // and disk growth without an external job. The returned survivors
-    // are LAZY and their plan reads the registry files compaction is
-    // about to delete — pin them first or the caller's sink write
-    // evaluates against vanished inputs.
-    if (compactEvery > 0 && epochId > 0 && epochId % compactEvery == 0) {
-      val pinned = survivors.localCheckpoint()
-      compact(spark)
-      pinned
-    } else survivors
+    // are lazy but safe across it: their plan filters `batch` against
+    // the CHECKPOINTED dropped set, so nothing downstream reads the
+    // registry files compaction deletes.
+    val finish = () => {
+      writeHorizon(fs, horizon)
+      if (compactEvery > 0 && epochId > 0 && epochId % compactEvery == 0)
+        compact(spark)
+    }
+    (survivors, writeClaims, finish)
   }
 
   /** Registry maintenance: fold every epoch dir EXCEPT the newest into

@@ -238,4 +238,29 @@ class NearDupStageSpec extends SparkSuite {
     assert(CorpusPipeline.parseMs("1 hour") == 3600000L)
     assert(CorpusPipeline.parseMs("500 milliseconds") == 500L)
   }
+
+  test("fused minhashSig3 is value-identical to minhashSig(shingles3)") {
+    // the stage (and the batch LSH queries) switched to the fused
+    // expression for throughput; this pins that no signature — hence no
+    // keep/drop decision — can differ from the composed form, across the
+    // edge cases: <3 tokens (whole-doc shingle), consecutive/leading/
+    // trailing spaces (empty tokens), unicode, empty string, null
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "one two", "single", "", "  ", "a  b c   d", " leading space",
+      "trailing space ", "ünïcødé tøkens héré again",
+      Seq.tabulate(200)(i => s"tok$i").mkString(" "), null
+    )
+    val df = texts.toDF("text")
+    val both = df.select(
+      graft.functions.TextFunctions.minhashSig(
+        graft.functions.TextFunctions.shingles3(col("text")), 32).as("a"),
+      graft.functions.TextFunctions.minhashSig3(col("text"), 32).as("b"))
+      .as[(Option[Seq[Long]], Option[Seq[Long]])].collect()
+    both.zip(texts).foreach { case ((a, b), t) =>
+      assert(a == b, s"signature mismatch for ${Option(t).map(_.take(30))}")
+    }
+  }
 }
