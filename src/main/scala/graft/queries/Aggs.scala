@@ -391,6 +391,42 @@ object Aggs extends QueryFamily {
       s.sql(q8Sql("lineitem_q8", "orders_q8", "customer_q8", "supplier_q8",
         "nation_q8", "region_q8", "part_q8"))
     },
+    "q9_product_profit" -> { (s, d) =>
+      // TPC-H Q9 shape over the derived partsupp (see partsuppCte): the
+      // 6-way join shuffles lineitem once on (partkey, suppkey) for the
+      // partsupp probe; part/supplier/nation broadcast.
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q9")
+      Tables.orders(s, d).createOrReplaceTempView("orders_q9")
+      Tables.part(s, d).createOrReplaceTempView("part_q9")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q9")
+      Tables.nation(s, d).createOrReplaceTempView("nation_q9")
+      s.sql(q9Sql("lineitem_q9", "orders_q9", "part_q9", "supplier_q9",
+        "nation_q9"))
+    },
+    "q11_important_stock" -> { (s, d) =>
+      // TPC-H Q11 shape: two aggregations over the same derived-dim CTE
+      // + an uncorrelated scalar-subquery threshold, exact-integer.
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q11")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q11")
+      Tables.nation(s, d).createOrReplaceTempView("nation_q11")
+      s.sql(q11Sql("lineitem_q11", "supplier_q11", "nation_q11"))
+    },
+    "q16_parts_suppliers" -> { (s, d) =>
+      // TPC-H Q16 shape: count(DISTINCT) per profile + NOT IN anti join.
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q16")
+      Tables.part(s, d).createOrReplaceTempView("part_q16")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q16")
+      s.sql(q16Sql("lineitem_q16", "part_q16", "supplier_q16"))
+    },
+    "q20_promotable_stock" -> { (s, d) =>
+      // TPC-H Q20 shape: nested IN-subqueries (semi joins) over the
+      // derived partsupp and a grouped shipped-quantity subquery.
+      Tables.lineitem(s, d).createOrReplaceTempView("lineitem_q20")
+      Tables.part(s, d).createOrReplaceTempView("part_q20")
+      Tables.supplier(s, d).createOrReplaceTempView("supplier_q20")
+      Tables.nation(s, d).createOrReplaceTempView("nation_q20")
+      s.sql(q20Sql("lineitem_q20", "part_q20", "supplier_q20", "nation_q20"))
+    },
     "q13_order_distribution" -> { (s, d) =>
       // TPC-H Q13 shape: histogram of per-customer order counts — LEFT
       // join with an extra join-side predicate (so zero-order customers
@@ -497,9 +533,104 @@ object Aggs extends QueryFamily {
     }
   )
 
-  /** Q8/Q13/Q15/Q17/Q21 run the SAME SQL text on both engines (table
-    * names parameterized: temp views on Spark, parquet files in DuckDB)
-    * — textual parity removes a whole class of translation drift. */
+  /** The fixtures ship no partsupp table, so the four TPC-H composites
+    * that need one (Q9/Q11/Q16/Q20) DERIVE it — identically in both
+    * engines, inside the shared SQL text: ps keys are the distinct
+    * (l_partkey, l_suppkey) pairs actually traded (so the double-key
+    * joins carry real traffic, as dbgen guarantees), and availqty/
+    * supplycost are modular functions of the keys — pure integer
+    * arithmetic, bit-equal across engines. At scale the derivation is
+    * one partial-aggregated DISTINCT over 16-byte key pairs. */
+  private def partsuppCte(l: String): String =
+    s"""partsupp AS (
+       |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+       |    CAST((l_partkey * 7 + l_suppkey * 11) % 9999 + 1 AS BIGINT)
+       |      AS ps_availqty,
+       |    CAST((l_partkey * 31 + l_suppkey * 17) % 900 + 100 AS BIGINT)
+       |      AS ps_supplycost
+       |  FROM (SELECT DISTINCT l_partkey, l_suppkey FROM $l))""".stripMargin
+
+  private def q9Sql(l: String, o: String, p: String, su: String,
+      n: String): String =
+    // TPC-H Q9 shape: profit = revenue − supply cost per nation × year.
+    // Revenue decimals follow the q1/q8 discipline; the cost term is
+    // integer supplycost × integral quantity — double-exact, fixed to
+    // DECIMAL(18,4) before entering the sum.
+    s"""WITH ${partsuppCte(l)}
+       |SELECT nation, o_year, CAST(round(profit, 4) AS DOUBLE) AS sum_profit
+       |FROM (
+       |  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+       |    sum(CAST(l_extendedprice AS DECIMAL(12,4)) *
+       |        CAST(1 - CAST(l_discount AS DECIMAL(18,4)) AS DECIMAL(8,4))
+       |      - CAST(ps_supplycost * l_quantity AS DECIMAL(18,4))) AS profit
+       |  FROM $l
+       |  JOIN $o ON o_orderkey = l_orderkey
+       |  JOIN partsupp ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+       |  JOIN $p ON p_partkey = l_partkey AND p_name LIKE '%widget%'
+       |  JOIN $su ON s_suppkey = l_suppkey
+       |  JOIN $n ON s_nationkey = n_nationkey
+       |  GROUP BY n_name, year(o_orderdate))
+       |ORDER BY nation, o_year DESC""".stripMargin
+
+  private def q11Sql(l: String, su: String, n: String): String =
+    // TPC-H Q11 shape: per-part stock value in a nation group, kept when
+    // above 0.1% of the total (the value × 1000 > total form keeps the
+    // comparison in exact integers on both engines).
+    s"""WITH ${partsuppCte(l)},
+       |val AS (
+       |  SELECT ps_partkey, sum(ps_supplycost * ps_availqty) AS v
+       |  FROM partsupp
+       |  JOIN $su ON ps_suppkey = s_suppkey
+       |  JOIN $n ON s_nationkey = n_nationkey
+       |  WHERE n_name IN ('NATION_3', 'NATION_7')
+       |  GROUP BY ps_partkey)
+       |SELECT ps_partkey, CAST(v AS BIGINT) AS stock_value
+       |FROM val
+       |WHERE v * 1000 > (SELECT sum(v) FROM val)
+       |ORDER BY stock_value DESC, ps_partkey""".stripMargin
+
+  private def q16Sql(l: String, p: String, su: String): String =
+    // TPC-H Q16 shape: distinct-supplier counts per (brand, type, size)
+    // profile, excluding one brand/type band and "complaint" suppliers
+    // (fixtures lack s_comment; negative account balance stands in).
+    s"""WITH ${partsuppCte(l)}
+       |SELECT p_brand, p_type, p_size,
+       |  count(DISTINCT ps_suppkey) AS supplier_cnt
+       |FROM partsupp
+       |JOIN $p ON p_partkey = ps_partkey
+       |WHERE p_brand <> 'Brand#3' AND p_type <> 'SMALL'
+       |  AND p_size IN (1, 6, 11, 16, 21)
+       |  AND ps_suppkey NOT IN (
+       |    SELECT s_suppkey FROM $su WHERE s_acctbal < 0)
+       |GROUP BY p_brand, p_type, p_size
+       |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  private def q20Sql(l: String, p: String, su: String, n: String): String =
+    // TPC-H Q20 shape: suppliers in a nation group holding overstock
+    // (availqty more than 2× what they shipped of promotable parts in
+    // 1996) — nested IN-subqueries decorrelate to semi joins; the
+    // quantity comparison is exact-integer (quantities are integral).
+    s"""WITH ${partsuppCte(l)}
+       |SELECT s_suppkey, s_name
+       |FROM $su JOIN $n ON s_nationkey = n_nationkey
+       |WHERE n_name IN ('NATION_1', 'NATION_4') AND s_suppkey IN (
+       |  SELECT ps_suppkey FROM partsupp
+       |  JOIN (SELECT l_partkey, l_suppkey,
+       |          CAST(sum(l_quantity) AS BIGINT) AS qty
+       |        FROM $l
+       |        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+       |          AND l_shipdate < TIMESTAMP '1997-01-01'
+       |        GROUP BY l_partkey, l_suppkey) sold
+       |    ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
+       |  WHERE ps_partkey IN (
+       |      SELECT p_partkey FROM $p WHERE p_name LIKE '%bolt%')
+       |    AND ps_availqty > qty * 2)
+       |ORDER BY s_suppkey""".stripMargin
+
+  /** Q8/Q9/Q11/Q13/Q15/Q16/Q17/Q20/Q21 run the SAME SQL text on both
+    * engines (table names parameterized: temp views on Spark, parquet
+    * files in DuckDB) — textual parity removes a whole class of
+    * translation drift. */
   private def q8Sql(l: String, o: String, c: String, su: String,
       n: String, r: String, p: String): String =
     s"""SELECT o_year,
@@ -593,6 +724,12 @@ object Aggs extends QueryFamily {
   def oracle: Map[String, String] = Map(
     "q8_market_share" -> q8Sql("lineitem", "orders", "customer", "supplier",
       "nation", "region", "part"),
+    "q9_product_profit" -> q9Sql("lineitem", "orders", "part", "supplier",
+      "nation"),
+    "q11_important_stock" -> q11Sql("lineitem", "supplier", "nation"),
+    "q16_parts_suppliers" -> q16Sql("lineitem", "part", "supplier"),
+    "q20_promotable_stock" -> q20Sql("lineitem", "part", "supplier",
+      "nation"),
     "q13_order_distribution" -> q13Sql("customer", "orders"),
     "q15_top_supplier" -> q15Sql("lineitem", "supplier"),
     "q17_small_qty_revenue" -> q17Sql("lineitem", "part"),
