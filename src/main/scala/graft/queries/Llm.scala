@@ -37,6 +37,57 @@ object Llm extends QueryFamily {
   private def shingles: Column =
     graft.functions.TextFunctions.shingles3(col("text"))
 
+  /** The 100 TB dedup cascade (declared as q_dedup_cascade_lsh): LSH
+    * candidates → exact shingle-Jaccard verify → connected components →
+    * cluster per doc. Same clustering contract as the exact
+    * q_dedup_cascade (integer-arithmetic J ≥ 0.5 on 3-gram shingle
+    * sets), with candidate generation swapped from the complete inverted
+    * index to MinHash banding — the shape that stays sub-quadratic when
+    * boilerplate makes the index's hot-key term blow up. Probabilistic
+    * band recall ⇒ no DuckDB oracle (rows-only); LlmSpec pins precision
+    * 1.0 and measured recall against the exact cascade's ground truth.
+    *
+    * Takes any (doc_id, text, …) frame so a pipeline can re-cluster a
+    * STREAMED survivor corpus (CorpusPipeline/NearDupStage output)
+    * periodically — the batch leg of the streaming near-dup composition,
+    * spec-pinned in CorpusPipelineSpec.
+    */
+  def lshCascade(documents: DataFrame): DataFrame = {
+    val docs = documents
+      .select(col("doc_id"), array_distinct(shingles).as("sset"))
+      .repartition(col("doc_id")) // barrier: shingle sets computed once,
+                                  // reused by signature AND verify sides
+    val sig = docs.select(col("doc_id"),
+      graft.functions.TextFunctions.minhashSig(col("sset"), 32).as("sig"))
+    val bands = sig.select(col("doc_id"),
+        posexplode(expr(
+          """transform(sequence(0, 7),
+            |  b -> xxhash64(slice(sig, int(b) * 4 + 1, 4)))
+            |""".stripMargin)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    val candidates = bands.select(col("band"), col("band_hash"),
+        col("doc_id").as("id_a"))
+      .join(bands.select(col("band"), col("band_hash"),
+        col("doc_id").as("id_b")), Seq("band", "band_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
+    val edges = candidates
+      .join(docs.select(col("doc_id").as("id_a"), col("sset").as("set_a")),
+        Seq("id_a"))
+      .join(docs.select(col("doc_id").as("id_b"), col("sset").as("set_b")),
+        Seq("id_b"))
+      .filter(size(array_intersect(col("set_a"), col("set_b"))) * 3 >=
+        size(col("set_a")) + size(col("set_b")))
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+    val cc = graft.operators.Dedup.connectedComponents(edges)
+    val ids = documents.select(col("doc_id"))
+    ids.join(cc, ids("doc_id") === cc("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("comp"), col("doc_id")).as("cluster"))
+      .orderBy("doc_id")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- deduplication ----------------------------------------------
     "q_dedup_exact" -> { (s, d) =>
@@ -400,48 +451,7 @@ object Llm extends QueryFamily {
         .orderBy("id_a", "id_b")
     },
     "q_dedup_cascade_lsh" -> { (s, d) =>
-      // The 100 TB cascade: LSH candidates → exact shingle-Jaccard
-      // verify → connected components → cluster per doc. Same clustering
-      // contract as the exact q_dedup_cascade (integer-arithmetic
-      // J ≥ 0.5 on 3-gram shingle sets), with candidate generation
-      // swapped from the complete inverted index to MinHash banding —
-      // the shape that stays sub-quadratic when boilerplate makes the
-      // index's hot-key term blow up. Probabilistic band recall ⇒ no
-      // DuckDB oracle (rows-only); LlmSpec pins precision 1.0 and
-      // measured recall against the exact cascade's ground truth.
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), array_distinct(shingles).as("sset"))
-        .repartition(col("doc_id")) // barrier: shingle sets computed once,
-                                    // reused by signature AND verify sides
-      val sig = docs.select(col("doc_id"),
-        graft.functions.TextFunctions.minhashSig(col("sset"), 32).as("sig"))
-      val bands = sig.select(col("doc_id"),
-          posexplode(expr(
-            """transform(sequence(0, 7),
-              |  b -> xxhash64(slice(sig, int(b) * 4 + 1, 4)))
-              |""".stripMargin)))
-        .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-      val candidates = bands.select(col("band"), col("band_hash"),
-          col("doc_id").as("id_a"))
-        .join(bands.select(col("band"), col("band_hash"),
-          col("doc_id").as("id_b")), Seq("band", "band_hash"))
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-        .dropDuplicates("id_a", "id_b")
-      val edges = candidates
-        .join(docs.select(col("doc_id").as("id_a"), col("sset").as("set_a")),
-          Seq("id_a"))
-        .join(docs.select(col("doc_id").as("id_b"), col("sset").as("set_b")),
-          Seq("id_b"))
-        .filter(size(array_intersect(col("set_a"), col("set_b"))) * 3 >=
-          size(col("set_a")) + size(col("set_b")))
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-      val cc = graft.operators.Dedup.connectedComponents(edges)
-      val ids = Tables.documents(s, d).select(col("doc_id"))
-      ids.join(cc, ids("doc_id") === cc("id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("comp"), col("doc_id")).as("cluster"))
-        .orderBy("doc_id")
+      lshCascade(Tables.documents(s, d))
     },
     "q_ann_lsh_topk" -> { (s, d) =>
       // Approximate NN via sign-random-hyperplane LSH: 4 tables × 6 bits.

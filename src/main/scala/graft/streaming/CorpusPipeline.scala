@@ -103,10 +103,15 @@ object CorpusPipeline {
     * decision is cross-key (see NearDupStage scaladoc); the sink write
     * is epoch-deterministic, the registry append epoch-idempotent, and
     * the checkpoint makes the whole composition exactly-once. */
+  /** @param docsRoot when set, the DOC-level survivor corpus (pre-chunk,
+    *   full rows) also lands there per epoch — the feed for periodic
+    *   batch re-clustering (graft.queries.Llm.lshCascade over the
+    *   survivor corpus), the composition CorpusPipelineSpec pins. */
   def startNearDup(docs: DataFrame, root: String, checkpoint: String,
                    registryDir: String,
                    watermark: String = "10 minutes",
-                   trigger: Trigger = Trigger.ProcessingTime("1 second"))
+                   trigger: Trigger = Trigger.ProcessingTime("1 second"),
+                   docsRoot: Option[String] = None)
       : StreamingQuery = {
     val stage = NearDupStage(registryDir, watermarkMs = parseMs(watermark))
     qualityFilter(docs)
@@ -119,7 +124,16 @@ object CorpusPipeline {
         // processWith overlaps the registry claim write with this sink
         // write — independent jobs, both complete before the epoch commits
         stage.processWith(batch, epochId) { survivors =>
-          chunked(survivors)
+          val pinned =
+            if (docsRoot.isEmpty) survivors
+            else {
+              // both sinks consume survivors: pin once, write docs first
+              val p = survivors.localCheckpoint()
+              p.write.mode("overwrite")
+                .parquet(s"${docsRoot.get}/epoch=$epochId")
+              p
+            }
+          chunked(pinned)
             .write.mode("overwrite").parquet(s"$root/epoch=$epochId")
         }
       }

@@ -49,6 +49,68 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(!out.exists(_._1 == 2L))
   }
 
+  test("cascade-over-stream: streamed near-dup survivors re-cluster " +
+      "identically to the direct survivor corpus") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("cos-out").toString
+    val docsRoot = Files.createTempDirectory("cos-docs").toString
+    val ckpt = Files.createTempDirectory("cos-ckpt").toString
+    val reg = Files.createTempDirectory("cos-reg").toString + "/registry"
+
+    // three epochs of traffic with near-dups WITHIN and ACROSS epochs:
+    //  epoch 0: 1 (alpha), 2 (near-dup of alpha) -> 2 drops in-batch
+    //  epoch 1: 3 (beta), 4 (near-dup of ALPHA)  -> 4 drops cross-batch
+    //  epoch 2: 5 (gamma), 6 (near-dup of beta), 7 (delta cluster seed),
+    //           8 (near-dup of delta)            -> 6, 8 drop
+    def nearDup(t: String): String = {
+      val w = t.split(" "); w(50) = "CHANGED"; w.mkString(" ")
+    }
+    val alpha = longText("alpha"); val beta = longText("beta")
+    val gamma = longText("gamma"); val delta = longText("delta")
+    val epochs = Seq(
+      Seq((1L, ts(0), alpha, "crawl"), (2L, ts(1), nearDup(alpha), "crawl")),
+      Seq((3L, ts(2), beta, "feed"), (4L, ts(3), nearDup(alpha), "feed")),
+      Seq((5L, ts(4), gamma, "crawl"), (6L, ts(5), nearDup(beta), "crawl"),
+        (7L, ts(6), delta, "feed"), (8L, ts(7), nearDup(delta), "feed")))
+    val in = MemoryStream[(Long, Timestamp, String, String)](spark)
+    for (batch <- epochs) {
+      in.addData(batch: _*)
+      val q = CorpusPipeline.startNearDup(
+        in.toDF().toDF("doc_id", "ts", "text", "source"),
+        root, ckpt, reg, watermark = "10 minutes",
+        trigger = Trigger.AvailableNow(), docsRoot = Some(docsRoot))
+      q.awaitTermination(120000)
+    }
+
+    // the streamed survivor corpus is exactly input minus the dropped docs
+    val survivors = spark.read.parquet(docsRoot)
+    val keptIds = survivors.select("doc_id").as[Long].collect().sorted.toSeq
+    assert(keptIds == Seq(1L, 3L, 5L, 7L))
+
+    // periodic re-clustering: the batch LSH cascade runs over the
+    // PARQUET survivor corpus the stream produced...
+    val streamed = graft.queries.Llm.lshCascade(survivors)
+      .as[(Long, Long)].collect().toSeq.sorted
+    // ...and must agree with the same cascade over the direct in-memory
+    // survivor frame (full input semi-joined to the stage's keeps) —
+    // pinning that the epoch-dir parquet round-trip, the chunk-free doc
+    // sink, and replay overwrites neither lose nor duplicate anything
+    // the cascade sees
+    val full = epochs.flatten.toDF("doc_id", "ts", "text", "source")
+    val direct = graft.queries.Llm.lshCascade(
+      full.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi"))
+      .as[(Long, Long)].collect().toSeq.sorted
+    assert(streamed == direct)
+    // survivors are mutually non-near-dup, so every cluster is a singleton
+    assert(streamed == Seq((1L, 1L), (3L, 3L), (5L, 5L), (7L, 7L)))
+
+    // the chunked training sink saw the same docs
+    val chunkIds = spark.read.parquet(root).select("doc_id")
+      .distinct().as[Long].collect().sorted.toSeq
+    assert(chunkIds == keptIds)
+  }
+
   test("bag dedup collapses token-permuted duplicates exact dedup keeps") {
     import spark.implicits._
     val root = Files.createTempDirectory("corpus-bag").toString
