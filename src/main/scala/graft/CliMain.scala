@@ -109,7 +109,22 @@ object CliMain {
       val reused =
         org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
       val spark = Sessions.get("graft-run")
-      val blocks = spark.readStream.schema(blockSchema).parquet(blocksDir)
+      // --endpoint host:port streams from a live Substreams gRPC endpoint
+      // (run.go:100-108 endpoint resolution; <blocksDir> is ignored — pass
+      // `-`); without it, a block-parquet directory stands in (§7.3)
+      val blocks = flagVal("--endpoint") match {
+        case Some(ep) =>
+          spark.readStream.format("graft.sources.BlockStreamProvider")
+            .option("client",
+              classOf[graft.sources.GrpcBlockClientFactory].getName)
+            .option("endpoint", ep)
+            .option("outputModule",
+              flagVal("--output-module").getOrElse("map_output"))
+            .option("confirmations",
+              flagVal("--undo-buffer-size").getOrElse("0"))
+            .load()
+        case None => spark.readStream.schema(blockSchema).parquet(blocksDir)
+      }
       val q = BlockPipeline.start(blocks, schema, outRoot, pt,
         checkpoint, explode = flags.contains("--explode"),
         trigger = Trigger.AvailableNow(), tuning = tuning)
@@ -124,6 +139,8 @@ object CliMain {
           |    [--checkpoint DIR] [--descriptor-set F --message M]
           |    [--compression-level N] [--row-group-bytes N]
           |    [--page-size-bytes N] [--no-dictionary]
+          |    [--endpoint host:port [--output-module M]
+          |     [--undo-buffer-size K]]
           |  graft.CliMain corpus <jsonlDir> <outRoot> [--near-dup]
           |    [--bag-dedup] [--watermark W] [--checkpoint DIR]
           |  graft.CliMain setup <store_url>""".stripMargin)

@@ -613,7 +613,8 @@ object Aggs extends QueryFamily {
     s"""WITH ${partsuppCte(l)}
        |SELECT s_suppkey, s_name
        |FROM $su JOIN $n ON s_nationkey = n_nationkey
-       |WHERE n_name IN ('NATION_1', 'NATION_4') AND s_suppkey IN (
+       |WHERE n_name IN ('NATION_0', 'NATION_1', 'NATION_2', 'NATION_3',
+       |                 'NATION_4') AND s_suppkey IN (
        |  SELECT ps_suppkey FROM partsupp
        |  JOIN (SELECT l_partkey, l_suppkey,
        |          CAST(sum(l_quantity) AS BIGINT) AS qty
@@ -624,7 +625,7 @@ object Aggs extends QueryFamily {
        |    ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
        |  WHERE ps_partkey IN (
        |      SELECT p_partkey FROM $p WHERE p_name LIKE '%bolt%')
-       |    AND ps_availqty > qty * 2)
+       |    AND ps_availqty > qty)
        |ORDER BY s_suppkey""".stripMargin
 
   /** Q8/Q9/Q11/Q13/Q15/Q16/Q17/Q20/Q21 run the SAME SQL text on both

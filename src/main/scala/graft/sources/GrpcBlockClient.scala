@@ -1,0 +1,230 @@
+package graft.sources
+
+import java.util.concurrent.{LinkedBlockingQueue, TimeUnit}
+
+import io.netty.bootstrap.Bootstrap
+import io.netty.buffer.{ByteBufUtil, Unpooled}
+import io.netty.channel.{Channel, ChannelHandlerContext, ChannelInboundHandlerAdapter, ChannelInitializer}
+import io.netty.channel.nio.NioEventLoopGroup
+import io.netty.channel.socket.SocketChannel
+import io.netty.channel.socket.nio.NioSocketChannel
+import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2HeadersFrame, Http2MultiplexHandler, Http2StreamChannel, Http2StreamChannelBootstrap}
+
+import graft.ingest.SubstreamsRpc
+import graft.ingest.SubstreamsRpc.{Data, Event, Other, Request, Undo}
+
+/** A REAL gRPC client for `sf.substreams.rpc.v2.Stream/Blocks`, speaking
+  * the public gRPC-over-HTTP/2 wire protocol on Netty's HTTP/2 codec (the
+  * one transport stack shipped with Spark): h2c prior-knowledge
+  * connection, one HTTP/2 stream per call with
+  * `POST /sf.substreams.rpc.v2.Stream/Blocks`, `content-type:
+  * application/grpc`, `te: trailers`; length-prefixed protobuf messages
+  * in DATA frames; `grpc-status` read from the trailers. No generated
+  * stubs, no grpc-java — the messages are [[SubstreamsRpc]]'s hand-rolled
+  * codec over the fuzz-hardened ProtoWire primitives.
+  *
+  * This closes the [[BlockClient]] seam the way the reference's embedded
+  * sink client does (sinker.go:91; endpoint resolution run.go:100-108):
+  *  - [[headBlock]] — a head probe: `start_block_num = -1`
+  *    (head-relative per the public protocol), read ONE
+  *    BlockScopedData's clock, cancel the stream;
+  *  - [[blocks]] — `[from, until)` with `final_blocks_only = true`; a
+  *    finalized range can never reorg, so an undo signal here is a
+  *    protocol violation and throws;
+  *  - [[live]] — the unfinalized tail: Data AND Undo events, exactly
+  *    what `HandleBlockScopedData`/`HandleBlockUndoSignal`
+  *    (sinker.go:131,142) receive; compose with graft.ingest.UndoBuffer
+  *    for K-confirmation finality.
+  *
+  * One event-loop thread per client; clients are per-task on executors
+  * (the data plane never routes through the driver) and per-stream on
+  * the driver (metadata-only head polls).
+  */
+final class GrpcBlockClient(host: String, port: Int, outputModule: String,
+                            timeoutMs: Long = 30000L) extends BlockClient {
+
+  private val group = new NioEventLoopGroup(1)
+  private val channel: Channel = {
+    val b = new Bootstrap()
+      .group(group)
+      .channel(classOf[NioSocketChannel])
+      .handler(new ChannelInitializer[SocketChannel] {
+        override def initChannel(ch: SocketChannel): Unit =
+          ch.pipeline.addLast(
+            Http2FrameCodecBuilder.forClient().build(),
+            // peer-initiated streams don't exist on a gRPC client
+            new Http2MultiplexHandler(new ChannelInboundHandlerAdapter()))
+      })
+    b.connect(host, port).sync().channel()
+  }
+
+  /** Terminal queue elements. */
+  private case object EndOfStream
+  private final case class StreamError(t: Throwable)
+
+  /** Open one gRPC call; the returned queue yields decoded Events, then
+    * EndOfStream/StreamError. */
+  private def call(req: Request)
+      : (Http2StreamChannel, LinkedBlockingQueue[AnyRef]) = {
+    val queue = new LinkedBlockingQueue[AnyRef]()
+    val sb = new Http2StreamChannelBootstrap(channel)
+    sb.handler(new ChannelInitializer[Channel] {
+      override def initChannel(ch: Channel): Unit =
+        ch.pipeline.addLast(new ChannelInboundHandlerAdapter {
+          private val frames = new SubstreamsRpc.FrameAccumulator
+          private var status: Option[String] = None
+          private var done = false
+
+          override def channelRead(ctx: ChannelHandlerContext, msg: Any): Unit = {
+            msg match {
+              case h: Http2HeadersFrame =>
+                val s = h.headers.get("grpc-status")
+                if (s != null) status = Some(s.toString)
+                if (h.isEndStream) finish(ctx)
+              case d: Http2DataFrame =>
+                try {
+                  val bytes = ByteBufUtil.getBytes(d.content)
+                  frames.feed(bytes).foreach(m =>
+                    queue.put(SubstreamsRpc.decodeResponse(m)))
+                } finally d.release()
+                if (d.isEndStream) finish(ctx)
+              case other =>
+                io.netty.util.ReferenceCountUtil.release(other)
+            }
+          }
+
+          private def finish(ctx: ChannelHandlerContext): Unit = {
+            done = true
+            status match {
+              case Some("0") | None if frames.isEmpty =>
+                queue.put(EndOfStream)
+              case Some("0") | None =>
+                queue.put(StreamError(new IllegalStateException(
+                  "stream ended mid-message (truncated gRPC frame)")))
+              case Some(s) =>
+                queue.put(StreamError(new IllegalStateException(
+                  s"grpc-status $s")))
+            }
+            ctx.close()
+          }
+
+          override def channelInactive(ctx: ChannelHandlerContext): Unit =
+            // RST / connection drop without trailers: report, don't hang
+            if (!done) queue.put(StreamError(new IllegalStateException(
+              "stream closed without grpc trailers")))
+
+          override def exceptionCaught(ctx: ChannelHandlerContext,
+              cause: Throwable): Unit = {
+            if (!done) { done = true; queue.put(StreamError(cause)) }
+            ctx.close()
+          }
+        })
+    })
+    val stream = sb.open().sync().getNow
+    val headers = new DefaultHttp2Headers()
+    headers.method("POST").scheme("http")
+      .path(SubstreamsRpc.BlocksPath).authority(s"$host:$port")
+    headers.set("content-type", "application/grpc")
+    headers.set("te", "trailers")
+    stream.write(new DefaultHttp2HeadersFrame(headers))
+    stream.writeAndFlush(new DefaultHttp2DataFrame(
+      Unpooled.wrappedBuffer(SubstreamsRpc.frame(
+        SubstreamsRpc.encodeRequest(req))), true))
+    (stream, queue)
+  }
+
+  private def awaitEvent(queue: LinkedBlockingQueue[AnyRef]): AnyRef = {
+    val e = queue.poll(timeoutMs, TimeUnit.MILLISECONDS)
+    if (e == null) throw new java.util.concurrent.TimeoutException(
+      s"no gRPC event within ${timeoutMs}ms from $host:$port")
+    e
+  }
+
+  /** Blocking iterator over one call's events; the first StreamError
+    * rethrows, EndOfStream ends iteration. */
+  private def events(req: Request): Iterator[Event] = {
+    val (_, queue) = call(req)
+    new Iterator[Event] {
+      private var nextEv: Option[Event] = None
+      private var done = false
+      private def pump(): Unit =
+        if (!done && nextEv.isEmpty) awaitEvent(queue) match {
+          case EndOfStream => done = true
+          case StreamError(t) => done = true; throw t
+          case e: Event => nextEv = Some(e)
+        }
+      override def hasNext: Boolean = { pump(); nextEv.isDefined }
+      override def next(): Event = {
+        pump()
+        val e = nextEv.getOrElse(throw new NoSuchElementException)
+        nextEv = None
+        e
+      }
+    }
+  }
+
+  /** Head probe: head-relative start, one block, cancel. */
+  override def headBlock(): Long = {
+    val (stream, queue) = call(Request(startBlockNum = -1L, stopBlockNum = 0L,
+      outputModule = outputModule, finalBlocksOnly = false))
+    try {
+      var head = -1L
+      var waiting = true
+      while (waiting) awaitEvent(queue) match {
+        case Data(d) => head = d.clock.number; waiting = false
+        case Undo(_) | _: Other => // keep waiting for a data event
+        case EndOfStream => waiting = false
+        case StreamError(t) => throw t
+      }
+      if (head < 0) throw new IllegalStateException(
+        "head probe got no block before end of stream")
+      head
+    } finally stream.close() // cancel (RST_STREAM) — we only wanted one
+  }
+
+  /** Finalized range [from, until): final_blocks_only streams never carry
+    * undo signals (protocol guarantee), so one is a hard error. */
+  override def blocks(from: Long, until: Long): Iterator[BlockData] =
+    events(Request(startBlockNum = from, stopBlockNum = until,
+      outputModule = outputModule, finalBlocksOnly = true))
+      .flatMap {
+        case Data(d) => Some(BlockData(d.clock.number, d.clock.id, d.payload))
+        case Undo(u) => throw new IllegalStateException(
+          s"undo signal on a final-blocks-only stream (last valid " +
+            s"${u.lastValidNum}) — endpoint violated finality")
+        case _: Other => None
+      }
+
+  /** Live tail from `from`, unfinalized: Data and Undo events as they
+    * come — the sinker.go:131/142 feed; wrap with UndoBuffer for
+    * finality. Ends when the server ends the stream. */
+  def live(from: Long): Iterator[Event] =
+    events(Request(startBlockNum = from, stopBlockNum = 0L,
+      outputModule = outputModule, finalBlocksOnly = false))
+      .filter(!_.isInstanceOf[Other])
+
+  override def close(): Unit = {
+    channel.close().sync()
+    group.shutdownGracefully(0, 100, TimeUnit.MILLISECONDS).sync()
+    ()
+  }
+}
+
+/** The endpoint-resolution factory (source option `client` → FQCN,
+  * run.go:100-108 analogue): reads `endpoint` (host:port) and
+  * `outputmodule` from the source option map. */
+final class GrpcBlockClientFactory extends BlockClientFactory {
+  override def create(o: Map[String, String]): BlockClient = {
+    val endpoint = o.getOrElse("endpoint",
+      throw new IllegalArgumentException(
+        "gRPC client needs an `endpoint` option (host:port)"))
+    val (host, port) = endpoint.split(':') match {
+      case Array(h, p) => (h, p.toInt)
+      case _ => throw new IllegalArgumentException(
+        s"unparseable endpoint: $endpoint")
+    }
+    new GrpcBlockClient(host, port,
+      outputModule = o.getOrElse("outputmodule", "map_output"),
+      timeoutMs = o.getOrElse("rpctimeoutms", "30000").toLong)
+  }
+}

@@ -88,6 +88,26 @@ class CliMainSpec extends SparkSuite {
     assert(dead.select("_corrupt").as[String].head().contains("truncated"))
   }
 
+  test("run --endpoint streams the chain from a live gRPC server into " +
+      "range-named parquet") {
+    val out = Files.createTempDirectory("cli-grpc-out").toString
+    val server = new graft.sources.TestSubstreamsServer(chainLen = 12000L,
+      blocksPerProbe = 12002L, margin = 2L)
+    try {
+      CliMain.main(Array("run", "-", out,
+        "--endpoint", s"127.0.0.1:${server.port}",
+        "--undo-buffer-size", "2",
+        "--partition-size", "5000"))
+      val mains = new java.io.File(s"$out/main").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSeq.sorted
+      assert(mains == Seq("0000000000-0000005000.parquet",
+        "0000005000-0000010000.parquet"))
+      // the chain starts at block 1, so the [0, 5000) range holds 4999
+      assert(spark.read.parquet(s"$out/main/${mains.head}").count() == 4999L)
+      assert(spark.read.parquet(s"$out/main").count() == 9999L)
+    } finally server.close()
+  }
+
   test("setup probes a writable store URL") {
     val dir = Files.createTempDirectory("cli-probe").toString
     CliMain.main(Array("setup", s"file://$dir"))

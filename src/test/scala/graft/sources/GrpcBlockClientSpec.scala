@@ -1,0 +1,134 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.SparkSuite
+import graft.ingest.{SubstreamsRpc, UndoBuffer}
+import graft.ingest.SubstreamsRpc.{BlockScopedData, BlockUndoSignal, Clock, Data, Undo}
+
+/** The gRPC leg of the block source: a REAL client and a REAL in-process
+  * server speaking gRPC-over-HTTP/2 on an actual TCP socket — the
+  * drop-in proof for the BlockClient seam (sinker.go:91 parity), undo
+  * signals included (sinker.go:142-148 via UndoBuffer). */
+class GrpcBlockClientSpec extends SparkSuite {
+
+  test("substreams rpc codec round-trips; frames reassemble at any split") {
+    val req = SubstreamsRpc.Request(startBlockNum = -1L, stopBlockNum = 500L,
+      outputModule = "map_transfers", finalBlocksOnly = true,
+      startCursor = "abc", productionMode = true)
+    assert(SubstreamsRpc.decodeRequest(SubstreamsRpc.encodeRequest(req)) == req)
+
+    val d = BlockScopedData(Clock("0xb7", 7L), Array[Byte](1, 2, 3, 9),
+      cursor = "c7", finalBlockHeight = 6L)
+    SubstreamsRpc.decodeResponse(SubstreamsRpc.encodeData(d)) match {
+      case Data(got) =>
+        assert(got.clock == d.clock && got.cursor == "c7" &&
+          got.finalBlockHeight == 6L &&
+          got.payload.toSeq == d.payload.toSeq)
+      case other => fail(s"expected Data, got $other")
+    }
+    val u = BlockUndoSignal("0xb5", 5L, "c5")
+    assert(SubstreamsRpc.decodeResponse(SubstreamsRpc.encodeUndo(u)) == Undo(u))
+
+    // two messages through the accumulator, fed one byte at a time —
+    // gRPC messages split across DATA frames must reassemble exactly
+    val wire = SubstreamsRpc.frame(SubstreamsRpc.encodeData(d)) ++
+      SubstreamsRpc.frame(SubstreamsRpc.encodeUndo(u))
+    val acc = new SubstreamsRpc.FrameAccumulator
+    val out = wire.flatMap(b => acc.feed(Array(b)))
+    assert(out.length == 2 && acc.isEmpty)
+    assert(SubstreamsRpc.decodeResponse(out(1)) == Undo(u))
+  }
+
+  test("end-to-end: the DSv2 source drains a chain through a real " +
+      "gRPC socket, finality and reorg identities intact") {
+    import spark.implicits._
+    // 40-block fully-mined chain (head probe reaches chainLen+margin at
+    // once — the historical-backfill shape), blocks 19-20 re-mined
+    val server = new TestSubstreamsServer(chainLen = 40L,
+      blocksPerProbe = 43L, margin = 3L, reorgs = Seq((20L, 2)))
+    try {
+      val out = Files.createTempDirectory("grpc-out").toString
+      val q = spark.readStream.format("graft.sources.BlockStreamProvider")
+        .option("client", classOf[GrpcBlockClientFactory].getName)
+        .option("endpoint", s"127.0.0.1:${server.port}")
+        .option("outputModule", "map_output")
+        .option("confirmations", "3")
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          Files.createTempDirectory("grpc-ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+      val rows = spark.read.parquet(out)
+        .select("block_number", "block_id").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+      assert(rows.map(_._1) == (1L to 40L), "gapless, duplicate-free")
+      val ids = rows.toMap
+      assert(ids(19L) == "0xb19_r1" && ids(20L) == "0xb20_r1")
+      assert(ids(18L) == "0xb18" && ids(21L) == "0xb21")
+      // both planes actually hit the socket: driver head probes AND
+      // executor-task range fetches
+      assert(server.probeCalls.get() >= 1 && server.rangeCalls.get() >= 1)
+      // payloads survived the Any/MapModuleOutput wrapping: decode one
+      val payload = spark.read.parquet(out)
+        .filter($"block_number" === 7L)
+        .select("payload").as[Array[Byte]].head()
+      assert(payload.toSeq == graft.ingest.ProtoWire.encode(
+        graft.ingest.SampleBlocks.output,
+        graft.ingest.SampleBlocks.samplePayload(7L)).toSeq)
+    } finally server.close()
+  }
+
+  test("live tail: undo signal crosses the socket and UndoBuffer " +
+      "yields the canonical chain") {
+    // unfinalized feed: 1..8, undo to 5, fork 6..8 re-mined — the
+    // sinker.go:131/142 event sequence
+    def data(n: Long, gen: Int) = Data(BlockScopedData(
+      Clock(BlockStreamSource.blockId(n, gen), n),
+      Array[Byte](n.toByte), s"c$n", math.max(0L, n - 1)))
+    val script =
+      (1L to 8L).map(data(_, 0)) ++
+        Seq(Undo(BlockUndoSignal("0xb5", 5L, "c5"))) ++
+        (6L to 8L).map(data(_, 1))
+    val server = new TestSubstreamsServer(chainLen = 8L,
+      liveScript = script)
+    try {
+      val client = new GrpcBlockClient("127.0.0.1", server.port, "map_output")
+      try {
+        val buf = new UndoBuffer[BlockData](3, _.number)
+        val released = scala.collection.mutable.ArrayBuffer.empty[BlockData]
+        client.live(1L).foreach {
+          case Data(d) =>
+            released ++= buf.addBlock(
+              BlockData(d.clock.number, d.clock.id, d.payload))
+          case Undo(u) => buf.handleUndo(u.lastValidNum)
+          case _ => ()
+        }
+        released ++= buf.flush()
+        assert(released.map(_.number).toSeq == (1L to 8L))
+        val ids = released.map(b => b.number -> b.id).toMap
+        assert(ids(5L) == "0xb5" && ids(6L) == "0xb6_r1" &&
+          ids(8L) == "0xb8_r1")
+      } finally client.close()
+    } finally server.close()
+  }
+
+  test("headBlock probes advance with the simulated mining") {
+    val server = new TestSubstreamsServer(chainLen = 30L,
+      blocksPerProbe = 10L)
+    try {
+      val client = new GrpcBlockClient("127.0.0.1", server.port, "map_output")
+      try {
+        assert(client.headBlock() == 10L)
+        assert(client.headBlock() == 20L)
+        assert(client.headBlock() == 30L)
+        assert(client.headBlock() == 30L) // capped at chain end
+      } finally client.close()
+    } finally server.close()
+  }
+}
