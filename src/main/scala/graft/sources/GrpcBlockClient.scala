@@ -78,6 +78,11 @@ final class GrpcBlockClient(host: String, port: Int, outputModule: String,
           override def channelRead(ctx: ChannelHandlerContext, msg: Any): Unit = {
             msg match {
               case h: Http2HeadersFrame =>
+                // a non-200 :status is a transport-level failure (proxy
+                // error, wrong server) — gRPC errors ride grpc-status
+                val st = h.headers.status()
+                if (st != null && st.toString != "200")
+                  status = Some(s"http ${st.toString}")
                 val s = h.headers.get("grpc-status")
                 if (s != null) status = Some(s.toString)
                 if (h.isEndStream) finish(ctx)
