@@ -94,6 +94,31 @@ object Bench {
       blocks.unpersist()
       bps
     } catch { case _: Throwable => -1.0 }
+    // streaming near-dup throughput (docs/s): 100k synthetic docs with
+    // planted duplicate traffic through NearDupStage via processWith
+    // (signature + banding + registry join + claim write ∥ sink count),
+    // best-of-N steady state — the round-5 2× target's durable record
+    val corpusDps = try {
+      val nDocs = 100000L
+      val corpus = ProfileCorpus.docs(spark, nDocs).persist()
+      corpus.count()
+      import org.apache.spark.sql.functions.col
+      def onePass(): Double = {
+        val reg = Files.createTempDirectory("bench-corpus").toString + "/reg"
+        val stage = graft.streaming.NearDupStage(reg, watermarkMs = 3600000L)
+        val quarter = nDocs / 4
+        val t0 = System.nanoTime()
+        for (e <- 0 until 4) {
+          val batch = corpus.filter(col("doc_id") >= e * quarter &&
+            col("doc_id") < (e + 1) * quarter)
+          stage.processWith(batch, e.toLong)(_.count())
+        }
+        nDocs / ((System.nanoTime() - t0) / 1e9)
+      }
+      val dps = (1 to runs).map(_ => onePass()).max
+      corpus.unpersist()
+      dps
+    } catch { case _: Throwable => -1.0 }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -101,7 +126,8 @@ object Bench {
       .mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""isolated_slowest":$iso,""" +
-      s""""ingest_blocks_per_sec":${f"$ingestBps%.0f"},"sf":"$sfDir","runs":$runs}"""
+      s""""ingest_blocks_per_sec":${f"$ingestBps%.0f"},""" +
+      s""""neardup_docs_per_sec":${f"$corpusDps%.0f"},"sf":"$sfDir","runs":$runs}"""
     println(line)
     // the COMPLETE artifact (every per-run sample) goes to a file too —
     // the r4 driver capture kept only the tail of a long stdout line, so
