@@ -233,6 +233,46 @@ class NearDupStageSpec extends SparkSuite {
     assert(out.count(_._1 == 1L) == 3)
   }
 
+  test("processWith: a failing sink still lands the claims, then " +
+      "propagates — and the epoch replays cleanly") {
+    import spark.implicits._
+    import org.apache.hadoop.fs.Path
+    val reg = Files.createTempDirectory("ndw").toString + "/registry"
+    val stage = NearDupStage(reg, watermarkMs = 10 * 60000L)
+    val b0 = Seq(
+      (1L, ts(0), longText("alpha"), "crawl"),
+      (2L, ts(1), longText("beta"), "crawl"))
+      .toDF("doc_id", "ts", "text", "source")
+    val boom = intercept[RuntimeException] {
+      stage.processWith(b0, 0L) { _ =>
+        throw new RuntimeException("sink exploded")
+      }
+    }
+    assert(boom.getMessage == "sink exploded")
+    // the overlapped claim write was awaited, not abandoned: epoch 0's
+    // claims exist on disk (harmless — the replay overwrites them)
+    val fs = new Path(reg).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(s"$reg/epoch=0")))
+    // the engine replays the epoch after the failure; the survivors the
+    // retry sees must be the same batch, NOT self-collided against the
+    // crashed attempt's claims
+    var kept: Seq[Long] = Seq.empty
+    stage.processWith(b0, 0L) { s =>
+      kept = s.select("doc_id").as[Long].collect().sorted.toSeq
+    }
+    assert(kept == Seq(1L, 2L))
+    // and the cross-batch path still works on top of the replayed claims
+    val b1 = Seq(
+      (3L, ts(3), longText("alpha"), "feed"), // dup of claimed doc 1
+      (4L, ts(4), longText("gamma"), "feed"))
+      .toDF("doc_id", "ts", "text", "source")
+    var kept1: Seq[Long] = Seq.empty
+    stage.processWith(b1, 1L) { s =>
+      kept1 = s.select("doc_id").as[Long].collect().sorted.toSeq
+    }
+    assert(kept1 == Seq(4L))
+  }
+
   test("interval parsing") {
     assert(CorpusPipeline.parseMs("10 minutes") == 600000L)
     assert(CorpusPipeline.parseMs("1 hour") == 3600000L)
