@@ -114,6 +114,42 @@ class PlanSpec extends SparkSuite {
     assert(banded.toSeq == allPairs.toSeq)
   }
 
+  test("q9 scans lineitem once and broadcasts every dimension side " +
+      "(derived partsupp included)") {
+    val plan = executedPlan("q9_product_profit")
+    assert(plan.split("BroadcastHashJoin").length >= 6, // 5 joins
+      s"q9 stopped broadcasting dims:\n${plan.take(1500)}")
+    assert(!plan.contains("SortMergeJoin"))
+    // the derived partsupp dedups pairs with partial aggregation before
+    // its broadcast, never shipping raw lineitem rows to the driver
+    assert(plan.split("HashAggregate").length >= 3)
+  }
+
+  test("q20 nested IN-subqueries plan as joins, no per-row loops") {
+    val plan = executedPlan("q20_promotable_stock")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"q20 fell off the hash-join path:\n${plan.take(1500)}")
+  }
+
+  test("ppjoin candidates: no cartesian, df pass partial-aggregates") {
+    // the cascade's connected-components checkpoint severs the printed
+    // top plan, so pin the candidate stage's plan directly
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_distinct(graft.functions.TextFunctions.shingles3(col("text")))
+          .as("sset"))
+      .select(col("doc_id"), size(col("sset")).as("n"), col("sset"))
+    val plan = graft.operators.SetSimJoin.candidatesPrefix(docs, 1, 2)
+      .queryExecution.executedPlan.toString()
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    // the global df count must split partial/final (map-side combine)
+    assert(plan.split("HashAggregate").length >= 3, s"df pass not " +
+      s"partial-aggregated:\n${plan.take(1500)}")
+  }
+
   test("q18 IN-subquery plans as a semi join, not a nested loop per row") {
     val plan = executedPlan("q18_large_orders")
     assert(plan.contains("LeftSemi"),
