@@ -52,22 +52,32 @@ object SetSimJoin {
 
   /** Prefix-filtered candidates for Jaccard ≥ num/den: complete, and
     * immune to hot elements (they rank last by df and drop out of every
-    * prefix). The prefix condition `rk ≤ n − ⌈t·n⌉ + 1` is evaluated as
-    * the equivalent pure-integer `num·n ≤ den·(n + 1 − rk)`. */
+    * prefix). Prefix size is n − ⌈t·n⌉ + 1 (pure-integer ceil).
+    *
+    * The rarest-first ranking is computed by re-collecting each doc's
+    * (df, element) pairs and array_sort-ing them in place rather than a
+    * row_number window: the per-doc shuffle volume is identical, but the
+    * sort is a bounded in-row operation instead of a whole-partition
+    * window sort, and the prefix `slice` means only prefix elements are
+    * ever exploded back out (the window form materialized every ranked
+    * row first). (df, element) ordering is total, so the prefix set —
+    * and therefore the candidate set — is deterministic either way. */
   def candidatesPrefix(docs: DataFrame, num: Int, den: Int): DataFrame = {
     require(num > 0 && den > 0 && num <= den, s"threshold $num/$den not in (0,1]")
     val inv = docs.select(col("doc_id"), col("n"), explode(col("sset")).as("sh"))
     // global document frequency — one partial-aggregated pass over the
     // exploded index (shuffle carries (element, count), not instances)
     val df = inv.groupBy("sh").agg(count(lit(1)).as("df"))
-    // rank each doc's elements rarest-first; the (df, sh) order is total,
-    // so ranking — and therefore the candidate set — is deterministic
-    val ranked = inv.join(df, Seq("sh"))
-      .withColumn("rk", row_number().over(
-        Window.partitionBy(col("doc_id")).orderBy(col("df"), col("sh"))))
-    val prefix = ranked
-      .filter(col("n") * num <= (col("n") + lit(1) - col("rk")) * den)
-      .select(col("sh"), col("doc_id"))
+    // prefix size: n − ⌈num·n/den⌉ + 1, as integers
+    val prefixLen = (col("n") + lit(1) -
+      floor((col("n") * num + den - 1) / den).cast("int")).cast("int")
+    val prefix = inv.join(df, Seq("sh"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(collect_list(struct(col("df"), col("sh"))).as("elems"))
+      .select(col("doc_id"),
+        explode(slice(array_sort(col("elems")), lit(1), prefixLen))
+          .as("pref"))
+      .select(col("pref.sh").as("sh"), col("doc_id"))
     prefix.select(col("sh"), col("doc_id").as("id_a"))
       .join(prefix.select(col("sh"), col("doc_id").as("id_b")), Seq("sh"))
       .filter(col("id_a") < col("id_b"))
