@@ -55,12 +55,18 @@ object Pipeline extends QueryFamily {
     * explode → per-(doc, bit) votes as 16 conditional sums in ONE
     * partial-aggregated pass — the shuffle carries 17 ints per doc, never
     * token instances. */
-  private def simhash16(docs: DataFrame): DataFrame = {
-    val h = conv(substring(md5(col("token")), 1, 4), 16, 10).cast("int")
-    val votes = (0 until 16).map(b =>
+  private def simhash16(docs: DataFrame): DataFrame =
+    simhashN(docs, 16, "simhash16")
+
+  /** Vote-based SimHash over the first bits/4 md5 nibbles of each token —
+    * engine-portable (the DuckDB oracle mirrors it nibble for nibble). */
+  private def simhashN(docs: DataFrame, bits: Int, outCol: String): DataFrame = {
+    val h = conv(substring(md5(col("token")), 1, bits / 4), 16, 10)
+      .cast("long")
+    val votes = (0 until bits).map(b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(lit(1)) === 1, 1)
         .otherwise(-1)).as(s"v$b"))
-    val fp = (0 until 16).map(b =>
+    val fp = (0 until bits).map(b =>
       when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
     docs
@@ -68,7 +74,7 @@ object Pipeline extends QueryFamily {
       .withColumn("h", h)
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
-      .select(col("doc_id"), fp.as("simhash16"))
+      .select(col("doc_id"), fp.as(outCol))
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -167,7 +173,10 @@ object Pipeline extends QueryFamily {
       // engines, no custom expression needed. All-pairs here (fingerprints
       // are 1 long/doc); the banded-LSH shape (q_minhash_neardup) is the
       // scale path when even the fingerprint self-join is too wide.
-      val sh = simhash16(Tables.documents(s, d))
+      // barrier: the nested-loop join's broadcast side cannot reuse the
+      // stream side's plan — without this the simhash aggregation runs
+      // once per side
+      val sh = simhash16(Tables.documents(s, d)).repartition(col("doc_id"))
       val a = sh.select(col("doc_id").as("id_a"), col("simhash16").as("sh_a"))
       val b = sh.select(col("doc_id").as("id_b"), col("simhash16").as("sh_b"))
       a.join(b, col("id_a") < col("id_b"))
@@ -186,22 +195,57 @@ object Pipeline extends QueryFamily {
       // runs per candidate. Same contract scaled up: 64-bit simhash with
       // b bands is exact for hamming ≤ b−1. Output = q_simhash_pairs
       // row-for-row (PlanSpec pins the no-cartesian plan shape).
-      val sh = simhash16(Tables.documents(s, d))
+      // barrier: the self-join's build side is a BroadcastExchange, which
+      // cannot reuse the probe side's plan — without this, the whole
+      // simhash aggregation (md5 per token) runs once PER SIDE
+      val sh = simhash16(Tables.documents(s, d)).repartition(col("doc_id"))
       val bands = sh.select(col("doc_id"), col("simhash16"),
           posexplode(expr(
             "transform(sequence(0, 3), b -> shiftright(simhash16, int(b) * 4) & 15)")))
         .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits"))
-      val cand = bands.select(col("band"), col("band_bits"),
+      // verify BEFORE distinct: bit_count is a single codegen'd
+      // instruction, so running it on raw band-join output (map-side,
+      // no shuffle) and deduplicating only the few qualifying pairs
+      // beats shuffling every multi-band candidate through a distinct —
+      // the usual LSH order (dedup, then verify) only pays off when the
+      // verify is the expensive side
+      bands.select(col("band"), col("band_bits"),
           col("doc_id").as("id_a"), col("simhash16").as("sh_a"))
         .join(bands.select(col("band"), col("band_bits"),
           col("doc_id").as("id_b"), col("simhash16").as("sh_b")),
           Seq("band", "band_bits"))
         .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
-      cand.select(col("id_a"), col("id_b"),
+        .select(col("id_a"), col("id_b"),
           expr("bit_count(sh_a ^ sh_b)").as("hamming"))
         .filter(col("hamming") <= 3)
+        .distinct()
+        .orderBy("id_a", "id_b")
+    },
+    "q_simhash_banded32" -> { (s, d) =>
+      // The banded contract at a width where banding actually WINS: the
+      // 16-bit demo's 4-bit buckets are vote-bias-skewed (hottest bucket
+      // holds ~40% of the corpus ⇒ 8.5M candidate pairs at sf0.1 —
+      // slower than all-pairs). 8-bit bands split 256 ways: candidates
+      // drop ~40×, and the same pigeonhole (hamming ≤ 3 over 4 bands ⇒
+      // ≥1 band agrees exactly) keeps it exact. This is the production
+      // shape; only the fingerprint width separates it from the 64-bit
+      // scale path.
+      val sh = simhashN(Tables.documents(s, d), 32, "simhash32")
+        .repartition(col("doc_id")) // one fingerprint pass feeds both sides
+      val bands = sh.select(col("doc_id"), col("simhash32"),
+          posexplode(expr(
+            "transform(sequence(0, 3), b -> shiftright(simhash32, int(b) * 8) & 255)")))
+        .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits"))
+      bands.select(col("band"), col("band_bits"),
+          col("doc_id").as("id_a"), col("simhash32").as("sh_a"))
+        .join(bands.select(col("band"), col("band_bits"),
+          col("doc_id").as("id_b"), col("simhash32").as("sh_b")),
+          Seq("band", "band_bits"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+        .filter(col("hamming") <= 3)
+        .distinct()
         .orderBy("id_a", "id_b")
     },
     "q_tfidf" -> { (s, d) =>
@@ -345,23 +389,26 @@ object Pipeline extends QueryFamily {
 
   /** DuckDB mirror of [[simhash16]]: token hash = first 4 md5 nibbles as
     * an int (strpos polynomial — matches the Spark conv() exactly). */
-  private val simhash16Sql: String = {
+  private def simhashSql(bits: Int, outCol: String): String = {
+    val nibbles = bits / 4
     val nib = (i: Int) =>
       s"(strpos('0123456789abcdef', substring(md5(token), $i, 1)) - 1)"
-    val h = (1 to 4).map(i =>
-      s"${nib(i)} * ${math.pow(16, 4 - i).toLong}").mkString(" + ")
-    val votes = (0 until 16).map(b =>
+    val h = (1 to nibbles).map(i =>
+      s"${nib(i)} * ${math.pow(16, nibbles - i).toLong}").mkString(" + ")
+    val votes = (0 until bits).map(b =>
       s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
       .mkString(", ")
-    val fp = (0 until 16).map(b =>
+    val fp = (0 until bits).map(b =>
       s"CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END").mkString(" + ")
-    s"""SELECT doc_id, CAST($fp AS BIGINT) AS simhash16 FROM (
+    s"""SELECT doc_id, CAST($fp AS BIGINT) AS $outCol FROM (
        |  SELECT doc_id, $votes
        |  FROM (SELECT doc_id, ($h) AS h FROM (
        |          SELECT doc_id, unnest(string_split(text, ' ')) AS token
        |          FROM documents))
        |  GROUP BY doc_id)""".stripMargin
   }
+
+  private val simhash16Sql: String = simhashSql(16, "simhash16")
 
   def oracle: Map[String, String] = Map(
     "q_split_hash" -> {
@@ -441,6 +488,19 @@ object Pipeline extends QueryFamily {
          |   AND a.doc_id < b.doc_id)
          |SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
          |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
+    "q_simhash_banded32" ->
+      s"""WITH sh AS (${simhashSql(32, "simhash32")}),
+         |bands AS (
+         |  SELECT doc_id, simhash32, band,
+         |         ((simhash32 >> (band * 8)) & 255) AS band_bits
+         |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS band))
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  bit_count(xor(a.simhash32, b.simhash32)) AS hamming
+         |FROM bands a JOIN bands b
+         |  ON a.band = b.band AND a.band_bits = b.band_bits
+         | AND a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
     "q_quality_filter" ->
       """SELECT doc_id, n_tokens, n_distinct, n_chars,
