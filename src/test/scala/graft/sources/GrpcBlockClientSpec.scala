@@ -118,6 +118,28 @@ class GrpcBlockClientSpec extends SparkSuite {
     } finally server.close()
   }
 
+  test("grpc-status errors and dead endpoints fail loudly, never hang") {
+    // a scripted INTERNAL(13) error surfaces as an exception naming the
+    // status — not a silent empty range
+    val server = new TestSubstreamsServer(chainLen = 10L,
+      errorStatus = Some(13))
+    try {
+      val client = new GrpcBlockClient("127.0.0.1", server.port,
+        "map_output", timeoutMs = 5000L)
+      try {
+        val e = intercept[IllegalStateException] {
+          client.blocks(1L, 5L).toList
+        }
+        assert(e.getMessage.contains("grpc-status 13"))
+      } finally client.close()
+    } finally server.close()
+    // connection refused propagates from the factory promptly
+    intercept[Exception] {
+      new GrpcBlockClientFactory().create(
+        Map("endpoint" -> "127.0.0.1:1")) // reserved port, nothing listens
+    }
+  }
+
   test("headBlock probes advance with the simulated mining") {
     val server = new TestSubstreamsServer(chainLen = 30L,
       blocksPerProbe = 10L)

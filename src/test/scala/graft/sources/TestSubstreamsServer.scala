@@ -35,7 +35,8 @@ final class TestSubstreamsServer(
     blocksPerProbe: Long = 10L,
     margin: Long = 0L,
     reorgs: Seq[(Long, Int)] = Seq.empty,
-    liveScript: Seq[SubstreamsRpc.Event] = Seq.empty) extends AutoCloseable {
+    liveScript: Seq[SubstreamsRpc.Event] = Seq.empty,
+    errorStatus: Option[Int] = None) extends AutoCloseable {
 
   private val boss = new NioEventLoopGroup(1)
   private val workers = new NioEventLoopGroup(2)
@@ -106,6 +107,16 @@ final class TestSubstreamsServer(
                 }
 
                 private def reply(ctx: ChannelHandlerContext): Unit = {
+                  errorStatus.foreach { code =>
+                    // scripted failure: gRPC trailers-only error response
+                    val trailers = new DefaultHttp2Headers()
+                    trailers.status("200")
+                    trailers.set("content-type", "application/grpc")
+                    trailers.set("grpc-status", code.toString)
+                    ctx.writeAndFlush(
+                      new DefaultHttp2HeadersFrame(trailers, true))
+                    return
+                  }
                   if (!pathOk || request.isEmpty) {
                     val trailers = new DefaultHttp2Headers()
                     trailers.status("200")
