@@ -43,10 +43,9 @@ import graft.ingest.SubstreamsRpc.{Data, Event, Other, Request, Undo}
 final class GrpcBlockClient(host: String, port: Int, outputModule: String,
                             timeoutMs: Long = 30000L) extends BlockClient {
 
-  private val group = new NioEventLoopGroup(1)
   private val channel: Channel = {
     val b = new Bootstrap()
-      .group(group)
+      .group(GrpcBlockClient.sharedGroup)
       .channel(classOf[NioSocketChannel])
       .handler(new ChannelInitializer[SocketChannel] {
         override def initChannel(ch: SocketChannel): Unit =
@@ -210,9 +209,25 @@ final class GrpcBlockClient(host: String, port: Int, outputModule: String,
 
   override def close(): Unit = {
     channel.close().sync()
-    group.shutdownGracefully(0, 100, TimeUnit.MILLISECONDS).sync()
     ()
   }
+}
+
+object GrpcBlockClient {
+  /** One daemon event-loop group per JVM, shared by every client: an
+    * executor creates one client PER TASK (the data plane is
+    * task-local), and per-client groups would churn threads at
+    * one-per-task rates. Daemon threads die with the JVM — no shutdown
+    * bookkeeping; close() only closes the client's connection. */
+  private lazy val sharedGroup = new NioEventLoopGroup(2,
+    new java.util.concurrent.ThreadFactory {
+      private val n = new java.util.concurrent.atomic.AtomicInteger
+      override def newThread(r: Runnable): Thread = {
+        val t = new Thread(r, s"graft-grpc-elg-${n.incrementAndGet()}")
+        t.setDaemon(true)
+        t
+      }
+    })
 }
 
 /** The endpoint-resolution factory (source option `client` → FQCN,
