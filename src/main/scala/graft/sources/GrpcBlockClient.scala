@@ -167,8 +167,19 @@ final class GrpcBlockClient(host: String, port: Int, outputModule: String,
     }
   }
 
-  /** Head probe: head-relative start, one block, cancel. */
-  override def headBlock(): Long = {
+  // Trigger.AvailableNow on a live chain: the head keeps advancing, so
+  // an unpinned drain would chase it forever. prepareDrain pins the head
+  // observed at prepare time; the engine then drains to a fixed offset
+  // and terminates deterministically.
+  @volatile private var drainCap: Option[Long] = None
+
+  override def prepareDrain(): Unit = drainCap = Some(probeHead())
+
+  /** Head probe: head-relative start, one block, cancel; pinned after
+    * [[prepareDrain]]. */
+  override def headBlock(): Long = drainCap.getOrElse(probeHead())
+
+  private def probeHead(): Long = {
     val (stream, queue) = call(Request(startBlockNum = -1L, stopBlockNum = 0L,
       outputModule = outputModule, finalBlocksOnly = false))
     try {

@@ -153,4 +153,20 @@ class GrpcBlockClientSpec extends SparkSuite {
       } finally client.close()
     } finally server.close()
   }
+
+  test("prepareDrain pins the head so AvailableNow stops chasing a " +
+      "live chain") {
+    val server = new TestSubstreamsServer(chainLen = 1000L,
+      blocksPerProbe = 10L)
+    try {
+      val client = new GrpcBlockClient("127.0.0.1", server.port, "map_output")
+      try {
+        assert(client.headBlock() == 10L)
+        client.prepareDrain() // pins at the NEXT probe's head (20)
+        assert(client.headBlock() == 20L)
+        assert(client.headBlock() == 20L) // stable despite mining
+        assert(client.headBlock() == 20L)
+      } finally client.close()
+    } finally server.close()
+  }
 }
