@@ -42,7 +42,9 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
       (System.nanoTime() - t0) / 1e9
     }
-    def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    // lower-middle for even run counts: upper-middle would silently
+    // report the WORSE of 2 runs under SPARK_GRAFT_BENCH_RUNS=2
+    def median(xs: Seq[Double]): Double = xs.sorted.apply((xs.size - 1) / 2)
     val samples = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // off-the-clock GC between queries: in a 100+-query shared JVM the
       // previous queries' garbage otherwise lands as mid-query pauses and
@@ -102,20 +104,7 @@ object Bench {
       val nDocs = 100000L
       val corpus = ProfileCorpus.docs(spark, nDocs).persist()
       corpus.count()
-      import org.apache.spark.sql.functions.col
-      def onePass(): Double = {
-        val reg = Files.createTempDirectory("bench-corpus").toString + "/reg"
-        val stage = graft.streaming.NearDupStage(reg, watermarkMs = 3600000L)
-        val quarter = nDocs / 4
-        val t0 = System.nanoTime()
-        for (e <- 0 until 4) {
-          val batch = corpus.filter(col("doc_id") >= e * quarter &&
-            col("doc_id") < (e + 1) * quarter)
-          stage.processWith(batch, e.toLong)(_.count())
-        }
-        nDocs / ((System.nanoTime() - t0) / 1e9)
-      }
-      val dps = (1 to runs).map(_ => onePass()).max
+      val dps = (1 to runs).map(_ => ProfileCorpus.onePass(corpus, nDocs)._1).max
       corpus.unpersist()
       dps
     } catch { case _: Throwable => -1.0 }

@@ -32,26 +32,34 @@ object ProfileCorpus {
     }.toDF("doc_id", "ts", "text", "source")
   }
 
+  /** One measured pass: nDocs in 4 epoch batches through NearDupStage
+    * (fresh registry) via processWith, counting survivors as the sink.
+    * Returns (docs/s, kept). Shared with graft.Bench so the
+    * `neardup_docs_per_sec` metric and this profiler can never diverge. */
+  def onePass(corpus: DataFrame, nDocs: Long): (Double, Long) = {
+    val reg = Files.createTempDirectory("prof-corpus").toString + "/registry"
+    val stage = NearDupStage(reg, watermarkMs = 3600L * 1000L)
+    val quarter = nDocs / 4
+    val t0 = System.nanoTime()
+    var kept = 0L
+    for (e <- 0 until 4) {
+      val batch = corpus
+        .filter(col("doc_id") >= e * quarter &&
+          col("doc_id") < (e + 1) * quarter)
+      stage.processWith(batch, e.toLong)(s => kept += s.count())
+    }
+    (nDocs / ((System.nanoTime() - t0) / 1e9), kept)
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.get("profile-corpus")
     val nDocs = args.headOption.map(_.toLong).getOrElse(100000L)
     val runs = args.lift(1).map(_.toInt).getOrElse(3)
     val corpus = docs(spark, nDocs).persist()
     corpus.count()
-    val quarter = nDocs / 4
     for (r <- 1 to runs) {
-      val reg = Files.createTempDirectory("prof-corpus").toString + "/registry"
-      val stage = NearDupStage(reg, watermarkMs = 3600L * 1000L)
-      val t0 = System.nanoTime()
-      var kept = 0L
-      for (e <- 0 until 4) {
-        val batch = corpus
-          .filter(col("doc_id") >= e * quarter &&
-            col("doc_id") < (e + 1) * quarter)
-        stage.processWith(batch, e.toLong)(s => kept += s.count())
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
-      println(f"corpus run$r ${sec}%.3f s  ${nDocs / sec}%.0f docs/s" +
+      val (dps, kept) = onePass(corpus, nDocs)
+      println(f"corpus run$r ${nDocs / dps}%.3f s  $dps%.0f docs/s" +
         f"  kept=$kept dropped=${nDocs - kept}")
     }
     spark.stop()

@@ -607,9 +607,9 @@ object Aggs extends QueryFamily {
 
   private def q20Sql(l: String, p: String, su: String, n: String): String =
     // TPC-H Q20 shape: suppliers in a nation group holding overstock
-    // (availqty more than 2× what they shipped of promotable parts in
-    // 1996) — nested IN-subqueries decorrelate to semi joins; the
-    // quantity comparison is exact-integer (quantities are integral).
+    // (availqty above what they shipped of promotable parts in 1996) —
+    // nested IN-subqueries decorrelate to semi joins; the quantity
+    // comparison is exact-integer (quantities are integral).
     s"""WITH ${partsuppCte(l)}
        |SELECT s_suppkey, s_name
        |FROM $su JOIN $n ON s_nationkey = n_nationkey

@@ -197,7 +197,7 @@ object Llm extends QueryFamily {
       // The exact cascade with ppjoin-style PREFIX-FILTERED candidates
       // (graft.operators.SetSimJoin) — identical clusters to
       // q_dedup_cascade (same DuckDB oracle), but candidate generation
-      // indexes only each doc's ⌈n/2⌉+1-rarest shingles, so boilerplate
+      // indexes only each doc's ⌊n/2⌋+1 rarest shingles, so boilerplate
       // (hot-shingle) corpora lose the quadratic term that is the naive
       // inverted index's 100 TB failure mode. See SetSimJoin's scaladoc
       // for the completeness argument; SetSimJoinSpec pins the ≥10×

@@ -186,67 +186,22 @@ object Pipeline extends QueryFamily {
         .orderBy("id_a", "id_b")
     },
     "q_simhash_banded" -> { (s, d) =>
-      // q_simhash_pairs without the all-pairs: split the 16-bit
-      // fingerprint into 4 bands of 4 bits — hamming ≤ 3 flips at most 3
-      // bands, so by pigeonhole every qualifying pair agrees on ≥1 whole
-      // band (EXACT, unlike MinHash banding's probabilistic recall).
-      // Candidates join on (band, band_bits) — the shuffle groups docs
-      // per band bucket, never corpus² — then the cheap bit_count verify
-      // runs per candidate. Same contract scaled up: 64-bit simhash with
-      // b bands is exact for hamming ≤ b−1. Output = q_simhash_pairs
+      // q_simhash_pairs without the all-pairs (see simhashBanded):
+      // 16-bit fingerprint × 4-bit bands — output = q_simhash_pairs
       // row-for-row (PlanSpec pins the no-cartesian plan shape).
-      // barrier: the self-join's build side is a BroadcastExchange, which
-      // cannot reuse the probe side's plan — without this, the whole
-      // simhash aggregation (md5 per token) runs once PER SIDE
-      val sh = simhash16(Tables.documents(s, d)).repartition(col("doc_id"))
-      val bands = sh.select(col("doc_id"), col("simhash16"),
-          posexplode(expr(
-            "transform(sequence(0, 3), b -> shiftright(simhash16, int(b) * 4) & 15)")))
-        .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits"))
-      // verify BEFORE distinct: bit_count is a single codegen'd
-      // instruction, so running it on raw band-join output (map-side,
-      // no shuffle) and deduplicating only the few qualifying pairs
-      // beats shuffling every multi-band candidate through a distinct —
-      // the usual LSH order (dedup, then verify) only pays off when the
-      // verify is the expensive side
-      bands.select(col("band"), col("band_bits"),
-          col("doc_id").as("id_a"), col("simhash16").as("sh_a"))
-        .join(bands.select(col("band"), col("band_bits"),
-          col("doc_id").as("id_b"), col("simhash16").as("sh_b")),
-          Seq("band", "band_bits"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          expr("bit_count(sh_a ^ sh_b)").as("hamming"))
-        .filter(col("hamming") <= 3)
-        .distinct()
-        .orderBy("id_a", "id_b")
+      simhashBanded(Tables.documents(s, d), bits = 16, bandBits = 4,
+        outCol = "simhash16")
     },
     "q_simhash_banded32" -> { (s, d) =>
       // The banded contract at a width where banding actually WINS: the
       // 16-bit demo's 4-bit buckets are vote-bias-skewed (hottest bucket
       // holds ~40% of the corpus ⇒ 8.5M candidate pairs at sf0.1 —
       // slower than all-pairs). 8-bit bands split 256 ways: candidates
-      // drop ~40×, and the same pigeonhole (hamming ≤ 3 over 4 bands ⇒
-      // ≥1 band agrees exactly) keeps it exact. This is the production
-      // shape; only the fingerprint width separates it from the 64-bit
-      // scale path.
-      val sh = simhashN(Tables.documents(s, d), 32, "simhash32")
-        .repartition(col("doc_id")) // one fingerprint pass feeds both sides
-      val bands = sh.select(col("doc_id"), col("simhash32"),
-          posexplode(expr(
-            "transform(sequence(0, 3), b -> shiftright(simhash32, int(b) * 8) & 255)")))
-        .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits"))
-      bands.select(col("band"), col("band_bits"),
-          col("doc_id").as("id_a"), col("simhash32").as("sh_a"))
-        .join(bands.select(col("band"), col("band_bits"),
-          col("doc_id").as("id_b"), col("simhash32").as("sh_b")),
-          Seq("band", "band_bits"))
-        .filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"),
-          expr("bit_count(sh_a ^ sh_b)").as("hamming"))
-        .filter(col("hamming") <= 3)
-        .distinct()
-        .orderBy("id_a", "id_b")
+      // drop ~40×, and the same pigeonhole keeps it exact. This is the
+      // production shape; only the fingerprint width separates it from
+      // the 64-bit scale path.
+      simhashBanded(Tables.documents(s, d), bits = 32, bandBits = 8,
+        outCol = "simhash32")
     },
     "q_tfidf" -> { (s, d) =>
       // Top-3 characteristic terms per doc by tf·idf with a RATIONAL idf
@@ -410,6 +365,61 @@ object Pipeline extends QueryFamily {
 
   private val simhash16Sql: String = simhashSql(16, "simhash16")
 
+  /** Banded-hamming SimHash near-dup: split a `bits`-wide fingerprint
+    * into bands of `bandBits`; a pair within hamming ≤ bands−1 flips
+    * fewer bits than there are bands, so by pigeonhole it agrees on ≥1
+    * whole band (EXACT, unlike MinHash banding's probabilistic recall).
+    * Candidates join on (band, band_bits) — the shuffle groups docs per
+    * band bucket, never corpus². Verify BEFORE distinct: bit_count is a
+    * single codegen'd instruction, so scoring raw band-join output
+    * (map-side, no shuffle) and deduplicating only qualifying pairs
+    * beats shuffling every multi-band candidate — the usual LSH order
+    * (dedup, then verify) only pays off when the verify is expensive.
+    * The repartition barrier stops the fingerprint aggregation (md5 per
+    * token) running once per join side (a BroadcastExchange build side
+    * cannot reuse the probe side's plan). */
+  private def simhashBanded(docs: DataFrame, bits: Int, bandBits: Int,
+      outCol: String): DataFrame = {
+    val nBands = bits / bandBits
+    val mask = (1 << bandBits) - 1
+    val sh = simhashN(docs, bits, outCol).repartition(col("doc_id"))
+    val bands = sh.select(col("doc_id"), col(outCol),
+        posexplode(expr(
+          s"""transform(sequence(0, ${nBands - 1}),
+             |  b -> shiftright($outCol, int(b) * $bandBits) & $mask)"""
+            .stripMargin)))
+      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_bits"))
+    bands.select(col("band"), col("band_bits"),
+        col("doc_id").as("id_a"), col(outCol).as("sh_a"))
+      .join(bands.select(col("band"), col("band_bits"),
+        col("doc_id").as("id_b"), col(outCol).as("sh_b")),
+        Seq("band", "band_bits"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        expr("bit_count(sh_a ^ sh_b)").as("hamming"))
+      .filter(col("hamming") <= nBands - 1)
+      .distinct()
+      .orderBy("id_a", "id_b")
+  }
+
+  /** DuckDB oracle for [[simhashBanded]], same parameterization. */
+  private def bandedSql(bits: Int, bandBits: Int, outCol: String): String = {
+    val nBands = bits / bandBits
+    val mask = (1 << bandBits) - 1
+    s"""WITH sh AS (${simhashSql(bits, outCol)}),
+       |bands AS (
+       |  SELECT doc_id, $outCol, band,
+       |         (($outCol >> (band * $bandBits)) & $mask) AS band_bits
+       |  FROM sh, (SELECT unnest(generate_series(0, ${nBands - 1})) AS band))
+       |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       |  bit_count(xor(a.$outCol, b.$outCol)) AS hamming
+       |FROM bands a JOIN bands b
+       |  ON a.band = b.band AND a.band_bits = b.band_bits
+       | AND a.doc_id < b.doc_id
+       |WHERE bit_count(xor(a.$outCol, b.$outCol)) <= ${nBands - 1}
+       |ORDER BY id_a, id_b""".stripMargin
+  }
+
   def oracle: Map[String, String] = Map(
     "q_split_hash" -> {
       // hex → int without engine-specific casts: positional polynomial
@@ -474,34 +484,8 @@ object Pipeline extends QueryFamily {
          |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash16, b.simhash16)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
-    "q_simhash_banded" ->
-      s"""WITH sh AS ($simhash16Sql),
-         |bands AS (
-         |  SELECT doc_id, simhash16, band,
-         |         ((simhash16 >> (band * 4)) & 15) AS band_bits
-         |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS band)),
-         |cand AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |         a.simhash16 AS sh_a, b.simhash16 AS sh_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_bits = b.band_bits
-         |   AND a.doc_id < b.doc_id)
-         |SELECT id_a, id_b, bit_count(xor(sh_a, sh_b)) AS hamming
-         |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 3
-         |ORDER BY id_a, id_b""".stripMargin,
-    "q_simhash_banded32" ->
-      s"""WITH sh AS (${simhashSql(32, "simhash32")}),
-         |bands AS (
-         |  SELECT doc_id, simhash32, band,
-         |         ((simhash32 >> (band * 8)) & 255) AS band_bits
-         |  FROM sh, (SELECT unnest(generate_series(0, 3)) AS band))
-         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
-         |  bit_count(xor(a.simhash32, b.simhash32)) AS hamming
-         |FROM bands a JOIN bands b
-         |  ON a.band = b.band AND a.band_bits = b.band_bits
-         | AND a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash32, b.simhash32)) <= 3
-         |ORDER BY id_a, id_b""".stripMargin,
+    "q_simhash_banded" -> bandedSql(16, 4, "simhash16"),
+    "q_simhash_banded32" -> bandedSql(32, 8, "simhash32"),
     "q_quality_filter" ->
       """SELECT doc_id, n_tokens, n_distinct, n_chars,
         |  CASE WHEN n_chars < 10 THEN 'too_short'

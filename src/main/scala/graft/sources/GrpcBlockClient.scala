@@ -61,6 +61,12 @@ final class GrpcBlockClient(host: String, port: Int, outputModule: String,
   private case object EndOfStream
   private final case class StreamError(t: Throwable)
 
+  /** Messages buffered between the event loop and the consumer before
+    * reads pause. The consumer restarts reads as it drains, so a slow
+    * sink pushes back through HTTP/2 flow control to the server instead
+    * of accumulating the rest of the range on the executor heap. */
+  private val queueCap = 64
+
   /** Open one gRPC call; the returned queue yields decoded Events, then
     * EndOfStream/StreamError. */
   private def call(req: Request)
@@ -68,7 +74,12 @@ final class GrpcBlockClient(host: String, port: Int, outputModule: String,
     val queue = new LinkedBlockingQueue[AnyRef]()
     val sb = new Http2StreamChannelBootstrap(channel)
     sb.handler(new ChannelInitializer[Channel] {
-      override def initChannel(ch: Channel): Unit =
+      override def initChannel(ch: Channel): Unit = {
+        // explicit read-demand: the multiplexed child channel otherwise
+        // auto-replenishes its flow-control window as frames arrive and
+        // the server streams the whole range at network speed regardless
+        // of how fast the consumer drains
+        ch.config.setAutoRead(false)
         ch.pipeline.addLast(new ChannelInboundHandlerAdapter {
           private val frames = new SubstreamsRpc.FrameAccumulator
           private var status: Option[String] = None
@@ -97,6 +108,12 @@ final class GrpcBlockClient(host: String, port: Int, outputModule: String,
             }
           }
 
+          override def channelReadComplete(ctx: ChannelHandlerContext): Unit =
+            // continue reading only while the consumer keeps up; when the
+            // queue is full the consumer's drain restarts the reads (and
+            // HTTP/2 flow control holds the server meanwhile)
+            if (!done && queue.size < queueCap) ctx.read()
+
           private def finish(ctx: ChannelHandlerContext): Unit = {
             done = true
             status match {
@@ -123,6 +140,8 @@ final class GrpcBlockClient(host: String, port: Int, outputModule: String,
             ctx.close()
           }
         })
+        ()
+      }
     })
     val stream = sb.open().sync().getNow
     val headers = new DefaultHttp2Headers()
@@ -134,27 +153,36 @@ final class GrpcBlockClient(host: String, port: Int, outputModule: String,
     stream.writeAndFlush(new DefaultHttp2DataFrame(
       Unpooled.wrappedBuffer(SubstreamsRpc.frame(
         SubstreamsRpc.encodeRequest(req))), true))
+    stream.read() // demand the response headers/first frames
     (stream, queue)
   }
 
-  private def awaitEvent(queue: LinkedBlockingQueue[AnyRef]): AnyRef = {
+  private def awaitEvent(stream: Http2StreamChannel,
+                         queue: LinkedBlockingQueue[AnyRef]): AnyRef = {
     val e = queue.poll(timeoutMs, TimeUnit.MILLISECONDS)
     if (e == null) throw new java.util.concurrent.TimeoutException(
       s"no gRPC event within ${timeoutMs}ms from $host:$port")
+    // drain-side read restart: if the handler paused reads on a full
+    // queue, consuming below half-capacity resumes them (redundant
+    // read() calls while a read is pending are harmless)
+    if (queue.size < queueCap / 2 && stream.isActive) stream.read()
     e
   }
 
   /** Blocking iterator over one call's events; the first StreamError
     * rethrows, EndOfStream ends iteration. */
   private def events(req: Request): Iterator[Event] = {
-    val (_, queue) = call(req)
+    val (stream, queue) = call(req)
+    // a consumer that abandons this iterator mid-stream stops issuing
+    // reads, so HTTP/2 flow control caps what the server can push to
+    // ~queueCap buffered messages until close() tears the connection down
     new Iterator[Event] {
       private var nextEv: Option[Event] = None
       private var done = false
       private def pump(): Unit =
-        if (!done && nextEv.isEmpty) awaitEvent(queue) match {
-          case EndOfStream => done = true
-          case StreamError(t) => done = true; throw t
+        if (!done && nextEv.isEmpty) awaitEvent(stream, queue) match {
+          case EndOfStream => done = true; stream.close()
+          case StreamError(t) => done = true; stream.close(); throw t
           case e: Event => nextEv = Some(e)
         }
       override def hasNext: Boolean = { pump(); nextEv.isDefined }
@@ -185,7 +213,7 @@ final class GrpcBlockClient(host: String, port: Int, outputModule: String,
     try {
       var head = -1L
       var waiting = true
-      while (waiting) awaitEvent(queue) match {
+      while (waiting) awaitEvent(stream, queue) match {
         case Data(d) => head = d.clock.number; waiting = false
         case Undo(_) | _: Other => // keep waiting for a data event
         case EndOfStream => waiting = false

@@ -100,17 +100,42 @@ final case class NearDupStage(
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val claims = Future(writeClaims())
+    // the claim write runs under its own job group so a stream stop /
+    // task interrupt can CANCEL it — it runs on a thread outside the
+    // engine's job group, so query.stop() alone would leave it writing
+    // registryPath(epochId) while the restarted stream's replay
+    // overwrites the same directory
+    val spark = batch.sparkSession
+    val groupId = s"graft-neardup-claims-$epochId"
+    val claims = Future {
+      spark.sparkContext.setJobGroup(groupId,
+        s"near-dup claim write epoch=$epochId", interruptOnCancel = true)
+      try writeClaims() finally spark.sparkContext.clearJobGroup()
+    }
+    def awaitClaims(primary: Option[Throwable]): Unit = {
+      // a sink killed by interrupt means the whole batch is being torn
+      // down — cancel the claim job rather than letting it finish
+      if (primary.exists(_.isInstanceOf[InterruptedException]))
+        spark.sparkContext.cancelJobGroup(groupId)
+      try Await.result(claims, Duration.Inf) catch {
+        case ie: InterruptedException =>
+          // the foreachBatch thread is being killed: cancel the claim
+          // job and wait for it to actually stop before letting the
+          // engine proceed to a replay
+          spark.sparkContext.cancelJobGroup(groupId)
+          try Await.ready(claims, Duration.Inf) catch { case _: Throwable => () }
+          throw ie
+        case e: Throwable if primary.isEmpty => throw e
+        case _: Throwable => // the sink failure is the primary error
+      }
+    }
     // if the sink fails, STILL await the in-flight claim job before
     // propagating: a streaming retry re-runs this epoch, and its
     // mode=overwrite claim write must not race a dangling first attempt
     val sinkErr = try { sink(survivors); None } catch {
       case e: Throwable => Some(e)
     }
-    try Await.result(claims, Duration.Inf) catch {
-      case e: Throwable if sinkErr.isEmpty => throw e
-      case _: Throwable => // sink failure is the primary error
-    }
+    awaitClaims(sinkErr)
     sinkErr.foreach(throw _)
     finish()
   }
