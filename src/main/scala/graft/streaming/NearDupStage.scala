@@ -20,7 +20,8 @@ import graft.functions.TextFunctions
   *   1. signature + band hashes for incoming docs (map-only);
   *   2. cross-batch collisions: bands ⋈ registry claims newer than the
   *      horizon (event-time watermark analogue) — matching docs drop;
-  *   3. in-batch collisions: earliest doc_id per bucket wins (self-join);
+  *   3. in-batch collisions: earliest doc_id per bucket wins
+  *      (partial-aggregated groupBy-min + join-back);
   *   4. SURVIVORS' bands appended to the registry under `epoch=N`
   *      (mode=overwrite ⇒ an epoch REPLAY after a crash rewrites its own
   *      claims deterministically — same exactly-once staging idea as
