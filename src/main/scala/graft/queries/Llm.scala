@@ -206,10 +206,9 @@ object Llm extends QueryFamily {
         .select(col("doc_id"), array_distinct(shingles).as("sset"))
         .select(col("doc_id"), size(col("sset")).as("n"), col("sset"))
         .repartition(col("doc_id")) // one canonicalized exchange feeds the
-        // df pass, the window rank, and the two verify joins — shingles
-        // are computed once, same barrier rationale as q_dedup_cascade
-      val cands = graft.operators.SetSimJoin.candidatesPrefix(docs, 1, 2)
-      val edges = graft.operators.SetSimJoin.verify(cands, docs, 1, 2)
+        // df pass and the ranked-doc build — shingles are computed once,
+        // same barrier rationale as q_dedup_cascade
+      val edges = graft.operators.SetSimJoin.edges(docs, 1, 2)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       val cc = graft.operators.Dedup.connectedComponents(edges)
       val ids = Tables.documents(s, d).select(col("doc_id"))
