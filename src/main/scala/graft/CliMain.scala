@@ -120,8 +120,15 @@ object CliMain {
             .option("endpoint", ep)
             .option("outputModule",
               flagVal("--output-module").getOrElse("map_output"))
+            // --confirmations (alias --undo-buffer-size, kept for
+            // compat): on this DSv2 path the source consumes FINALIZED
+            // ranges only, so the value lags the exposed offset behind
+            // the probed head — no UndoBuffer is engaged here (the
+            // live()/UndoBuffer composition is the streaming client's
+            // unfinalized-tail path)
             .option("confirmations",
-              flagVal("--undo-buffer-size").getOrElse("0"))
+              flagVal("--confirmations")
+                .orElse(flagVal("--undo-buffer-size")).getOrElse("0"))
             .load()
         case None => spark.readStream.schema(blockSchema).parquet(blocksDir)
       }
@@ -140,7 +147,9 @@ object CliMain {
           |    [--compression-level N] [--row-group-bytes N]
           |    [--page-size-bytes N] [--no-dictionary]
           |    [--endpoint host:port [--output-module M]
-          |     [--undo-buffer-size K]]
+          |     [--confirmations K]]  (K: how many blocks the exposed
+          |      offset lags the probed head; finalized ranges only —
+          |      alias: --undo-buffer-size)
           |  graft.CliMain corpus <jsonlDir> <outRoot> [--near-dup]
           |    [--bag-dedup] [--watermark W] [--checkpoint DIR]
           |  graft.CliMain setup <store_url>""".stripMargin)

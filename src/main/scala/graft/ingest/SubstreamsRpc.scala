@@ -245,8 +245,13 @@ object SubstreamsRpc {
   }
 
   /** Stateful reassembler: gRPC messages may split across (or share)
-    * HTTP/2 DATA frames; feed chunks, get complete messages. */
-  final class FrameAccumulator {
+    * HTTP/2 DATA frames; feed chunks, get complete messages.
+    *
+    * `maxMessageBytes` (default 4 MiB — the gRPC default receive cap)
+    * bounds what a byzantine or misconfigured server can make the client
+    * buffer: an advertised multi-GB frame fails the stream at the length
+    * prefix instead of accumulating chunks toward an executor OOM. */
+  final class FrameAccumulator(maxMessageBytes: Int = 4 * 1024 * 1024) {
     private var buf = Array.emptyByteArray
 
     def feed(chunk: Array[Byte]): Seq[Array[Byte]] = {
@@ -258,6 +263,8 @@ object SubstreamsRpc {
         require(buf(pos) == 0, "compressed gRPC messages not supported")
         val len = ByteBuffer.wrap(buf, pos + 1, 4).getInt
         require(len >= 0, s"negative gRPC frame length $len")
+        require(len <= maxMessageBytes,
+          s"gRPC frame length $len exceeds max message size $maxMessageBytes")
         if (buf.length - pos - 5 < len) fits = false
         else {
           out += java.util.Arrays.copyOfRange(buf, pos + 5, pos + 5 + len)

@@ -41,7 +41,9 @@ import graft.ingest.SubstreamsRpc.{Data, Event, Other, Request, Undo}
   * the driver (metadata-only head polls).
   */
 final class GrpcBlockClient(host: String, port: Int, outputModule: String,
-                            timeoutMs: Long = 30000L) extends BlockClient {
+                            timeoutMs: Long = 30000L,
+                            maxMessageBytes: Int = 4 * 1024 * 1024)
+    extends BlockClient {
 
   private val channel: Channel = {
     val b = new Bootstrap()
@@ -81,7 +83,8 @@ final class GrpcBlockClient(host: String, port: Int, outputModule: String,
         // of how fast the consumer drains
         ch.config.setAutoRead(false)
         ch.pipeline.addLast(new ChannelInboundHandlerAdapter {
-          private val frames = new SubstreamsRpc.FrameAccumulator
+          private val frames =
+            new SubstreamsRpc.FrameAccumulator(maxMessageBytes)
           private var status: Option[String] = None
           private var done = false
 
@@ -170,20 +173,32 @@ final class GrpcBlockClient(host: String, port: Int, outputModule: String,
   }
 
   /** Blocking iterator over one call's events; the first StreamError
-    * rethrows, EndOfStream ends iteration. */
-  private def events(req: Request): Iterator[Event] = {
+    * rethrows, EndOfStream ends iteration. Every exceptional exit —
+    * including an awaitEvent timeout — closes the stream (RST_STREAM), so
+    * an abandoned call can't keep its flow-control window and queue alive
+    * until the whole client closes. */
+  private def events(req: Request): Iterator[Event] =
+    eventsAndStream(req)._2
+
+  private def eventsAndStream(req: Request)
+      : (Http2StreamChannel, Iterator[Event]) = {
     val (stream, queue) = call(req)
     // a consumer that abandons this iterator mid-stream stops issuing
     // reads, so HTTP/2 flow control caps what the server can push to
     // ~queueCap buffered messages until close() tears the connection down
-    new Iterator[Event] {
+    val it = new Iterator[Event] {
       private var nextEv: Option[Event] = None
       private var done = false
       private def pump(): Unit =
-        if (!done && nextEv.isEmpty) awaitEvent(stream, queue) match {
-          case EndOfStream => done = true; stream.close()
-          case StreamError(t) => done = true; stream.close(); throw t
-          case e: Event => nextEv = Some(e)
+        if (!done && nextEv.isEmpty) {
+          val ev = try awaitEvent(stream, queue) catch {
+            case t: Throwable => done = true; stream.close(); throw t
+          }
+          ev match {
+            case EndOfStream => done = true; stream.close()
+            case StreamError(t) => done = true; stream.close(); throw t
+            case e: Event => nextEv = Some(e)
+          }
         }
       override def hasNext: Boolean = { pump(); nextEv.isDefined }
       override def next(): Event = {
@@ -193,6 +208,7 @@ final class GrpcBlockClient(host: String, port: Int, outputModule: String,
         e
       }
     }
+    (stream, it)
   }
 
   // Trigger.AvailableNow on a live chain: the head keeps advancing, so
@@ -226,17 +242,23 @@ final class GrpcBlockClient(host: String, port: Int, outputModule: String,
   }
 
   /** Finalized range [from, until): final_blocks_only streams never carry
-    * undo signals (protocol guarantee), so one is a hard error. */
-  override def blocks(from: Long, until: Long): Iterator[BlockData] =
-    events(Request(startBlockNum = from, stopBlockNum = until,
-      outputModule = outputModule, finalBlocksOnly = true))
-      .flatMap {
-        case Data(d) => Some(BlockData(d.clock.number, d.clock.id, d.payload))
-        case Undo(u) => throw new IllegalStateException(
+    * undo signals (protocol guarantee), so one is a hard error — which
+    * also cancels the call, since the throw happens outside the event
+    * iterator's own close-on-error path. */
+  override def blocks(from: Long, until: Long): Iterator[BlockData] = {
+    val (stream, it) = eventsAndStream(Request(startBlockNum = from,
+      stopBlockNum = until, outputModule = outputModule,
+      finalBlocksOnly = true))
+    it.flatMap {
+      case Data(d) => Some(BlockData(d.clock.number, d.clock.id, d.payload))
+      case Undo(u) =>
+        stream.close()
+        throw new IllegalStateException(
           s"undo signal on a final-blocks-only stream (last valid " +
             s"${u.lastValidNum}) — endpoint violated finality")
-        case _: Other => None
-      }
+      case _: Other => None
+    }
+  }
 
   /** Live tail from `from`, unfinalized: Data and Undo events as they
     * come — the sinker.go:131/142 feed; wrap with UndoBuffer for
@@ -277,13 +299,21 @@ final class GrpcBlockClientFactory extends BlockClientFactory {
     val endpoint = o.getOrElse("endpoint",
       throw new IllegalArgumentException(
         "gRPC client needs an `endpoint` option (host:port)"))
-    val (host, port) = endpoint.split(':') match {
-      case Array(h, p) => (h, p.toInt)
-      case _ => throw new IllegalArgumentException(
-        s"unparseable endpoint: $endpoint")
+    // split on the LAST ':' so IPv6 literals ([::1]:9000) parse; brackets
+    // around the host part are stripped
+    val cut = endpoint.lastIndexOf(':')
+    if (cut <= 0 || cut == endpoint.length - 1)
+      throw new IllegalArgumentException(
+        s"unparseable endpoint: $endpoint (want host:port or [ipv6]:port)")
+    val host = endpoint.substring(0, cut).stripPrefix("[").stripSuffix("]")
+    val port = try endpoint.substring(cut + 1).toInt catch {
+      case _: NumberFormatException => throw new IllegalArgumentException(
+        s"unparseable endpoint port: $endpoint")
     }
     new GrpcBlockClient(host, port,
       outputModule = o.getOrElse("outputmodule", "map_output"),
-      timeoutMs = o.getOrElse("rpctimeoutms", "30000").toLong)
+      timeoutMs = o.getOrElse("rpctimeoutms", "30000").toLong,
+      maxMessageBytes =
+        o.getOrElse("maxmessagebytes", (4 * 1024 * 1024).toString).toInt)
   }
 }

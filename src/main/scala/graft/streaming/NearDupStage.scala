@@ -98,9 +98,12 @@ final case class NearDupStage(
   def processWith(batch: DataFrame, epochId: Long)
                  (sink: DataFrame => Unit): Unit = {
     val (survivors, writeClaims, finish) = plan(batch, epochId)
-    import scala.concurrent.{Await, Future}
-    import scala.concurrent.ExecutionContext.Implicits.global
-    import scala.concurrent.duration.Duration
+    import scala.concurrent.{Await, Future, TimeoutException}
+    import scala.concurrent.duration._
+    // dedicated daemon pool, NOT ExecutionContext.global: several
+    // concurrent streaming queries in one JVM would otherwise tie up the
+    // small shared pool with blocking parquet writes
+    implicit val ec: scala.concurrent.ExecutionContext = NearDupStage.claimEc
     // the claim write runs under its own job group so a stream stop /
     // task interrupt can CANCEL it — it runs on a thread outside the
     // engine's job group, so query.stop() alone would leave it writing
@@ -118,7 +121,10 @@ final case class NearDupStage(
       // down — cancel the claim job rather than letting it finish
       if (primary.exists(_.isInstanceOf[InterruptedException]))
         spark.sparkContext.cancelJobGroup(groupId)
-      try Await.result(claims, Duration.Inf) catch {
+      // bounded, not Inf: a claim job stalled after a sink failure (e.g.
+      // a hung store) must not wedge the epoch forever — cancel its job
+      // group on expiry and surface the timeout
+      try Await.result(claims, NearDupStage.claimTimeout) catch {
         case ie: InterruptedException =>
           // the foreachBatch thread is being killed: cancel the claim
           // job and wait for it to actually stop before letting the
@@ -126,6 +132,10 @@ final case class NearDupStage(
           spark.sparkContext.cancelJobGroup(groupId)
           try Await.ready(claims, Duration.Inf) catch { case _: Throwable => () }
           throw ie
+        case te: TimeoutException =>
+          spark.sparkContext.cancelJobGroup(groupId)
+          try Await.ready(claims, 30.seconds) catch { case _: Throwable => () }
+          if (primary.isEmpty) throw te
         case e: Throwable if primary.isEmpty => throw e
         case _: Throwable => // the sink failure is the primary error
       }
@@ -310,4 +320,26 @@ final case class NearDupStage(
     // without this, the next batch's registry read hits FILE_NOT_EXIST
     spark.catalog.refreshByPath(registryDir)
   }
+}
+
+object NearDupStage {
+  /** How long [[NearDupStage.processWith]] waits for an overlapped claim
+    * write before cancelling its job group — generous (a claim write is a
+    * small parquet job), but finite so a hung store can't wedge the epoch
+    * forever. Override with -Dgraft.neardup.claimTimeoutSec. */
+  private[streaming] val claimTimeout: scala.concurrent.duration.Duration =
+    scala.concurrent.duration.Duration(
+      java.lang.Long.getLong("graft.neardup.claimTimeoutSec", 600L),
+      java.util.concurrent.TimeUnit.SECONDS)
+
+  /** Dedicated daemon pool for overlapped claim writes: one blocking
+    * write per active streaming query, so a cached pool stays at the
+    * number of concurrent queries and idle threads die off. */
+  private[streaming] lazy val claimEc: scala.concurrent.ExecutionContext =
+    scala.concurrent.ExecutionContext.fromExecutor(
+      java.util.concurrent.Executors.newCachedThreadPool(r => {
+        val t = new Thread(r, "graft-neardup-claim")
+        t.setDaemon(true)
+        t
+      }))
 }

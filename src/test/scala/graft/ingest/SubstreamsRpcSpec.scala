@@ -49,6 +49,23 @@ class SubstreamsRpcSpec extends AnyFunSuite {
     }
   }
 
+  test("frame accumulator caps advertised message size BEFORE buffering") {
+    // a byzantine server advertising a 1 GiB frame must fail at the
+    // length prefix, not accumulate chunks toward an executor OOM
+    val acc = new FrameAccumulator(maxMessageBytes = 1024)
+    val prefix = java.nio.ByteBuffer.allocate(5)
+      .put(0: Byte).putInt(1 << 30).array()
+    intercept[IllegalArgumentException] { acc.feed(prefix) }
+    // at the cap exactly: accepted and reassembled across split chunks
+    val ok = new FrameAccumulator(maxMessageBytes = 1024)
+    val msg = Array.fill[Byte](1024)(7)
+    val framed = java.nio.ByteBuffer.allocate(5 + 1024)
+      .put(0: Byte).putInt(1024).put(msg).array()
+    assert(ok.feed(framed.take(600)).isEmpty)
+    val out = ok.feed(framed.drop(600))
+    assert(out.size == 1 && out.head.sameElements(msg))
+  }
+
   test("unknown response oneof fields skip; the sink sees Other") {
     // session=1 (a message the sink ignores) wrapped as Response
     val w = new ProtoWire.Writer

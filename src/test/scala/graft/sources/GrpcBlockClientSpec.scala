@@ -140,6 +140,22 @@ class GrpcBlockClientSpec extends SparkSuite {
     }
   }
 
+  test("factory endpoint parsing: IPv6 literals and junk") {
+    val f = new GrpcBlockClientFactory
+    // [::1]:port parses (connection refused is fine — nothing listens on
+    // port 1; the parse must not be the failure)
+    val e6 = intercept[Exception] { f.create(Map("endpoint" -> "[::1]:1")) }
+    assert(!e6.getMessage.contains("unparseable"), e6.getMessage)
+    // bare host (no port), trailing colon, non-numeric port all rejected
+    // with the parse error, not a connect attempt
+    for (bad <- Seq("hostonly", "host:", ":9000", "host:abc")) {
+      val e = intercept[IllegalArgumentException] {
+        f.create(Map("endpoint" -> bad))
+      }
+      assert(e.getMessage.contains("unparseable"), s"$bad -> ${e.getMessage}")
+    }
+  }
+
   test("headBlock probes advance with the simulated mining") {
     val server = new TestSubstreamsServer(chainLen = 30L,
       blocksPerProbe = 10L)
