@@ -9,14 +9,20 @@ import io.netty.channel.nio.NioEventLoopGroup
 import io.netty.channel.socket.SocketChannel
 import io.netty.channel.socket.nio.NioSocketChannel
 import io.netty.handler.codec.http2.{DefaultHttp2DataFrame, DefaultHttp2Headers, DefaultHttp2HeadersFrame, Http2DataFrame, Http2FrameCodecBuilder, Http2HeadersFrame, Http2MultiplexHandler, Http2StreamChannel, Http2StreamChannelBootstrap}
+import io.netty.handler.ssl.{ApplicationProtocolConfig, ApplicationProtocolNames, SslContext, SslContextBuilder, SslHandler}
+import io.netty.handler.ssl.ApplicationProtocolConfig.{Protocol, SelectedListenerFailureBehavior, SelectorFailureBehavior}
+import io.netty.handler.ssl.util.InsecureTrustManagerFactory
 
 import graft.ingest.SubstreamsRpc
 import graft.ingest.SubstreamsRpc.{Data, Event, Other, Request, Undo}
 
 /** A REAL gRPC client for `sf.substreams.rpc.v2.Stream/Blocks`, speaking
   * the public gRPC-over-HTTP/2 wire protocol on Netty's HTTP/2 codec (the
-  * one transport stack shipped with Spark): h2c prior-knowledge
-  * connection, one HTTP/2 stream per call with
+  * one transport stack shipped with Spark): h2c prior-knowledge by
+  * default, or TLS with ALPN-negotiated h2 (`tls=true`, trust from
+  * `trustcert` PEM / the JVM default store — production Substreams
+  * endpoints are TLS, run.go:73-92's plaintext-vs-TLS dispatch); one
+  * HTTP/2 stream per call with
   * `POST /sf.substreams.rpc.v2.Stream/Blocks`, `content-type:
   * application/grpc`, `te: trailers`; length-prefixed protobuf messages
   * in DATA frames; `grpc-status` read from the trailers. No generated
@@ -42,21 +48,62 @@ import graft.ingest.SubstreamsRpc.{Data, Event, Other, Request, Undo}
   */
 final class GrpcBlockClient(host: String, port: Int, outputModule: String,
                             timeoutMs: Long = 30000L,
-                            maxMessageBytes: Int = 4 * 1024 * 1024)
+                            maxMessageBytes: Int = 4 * 1024 * 1024,
+                            tls: Boolean = false,
+                            trustCertPem: Option[String] = None,
+                            tlsInsecure: Boolean = false)
     extends BlockClient {
+
+  /** TLS + ALPN h2 (production Substreams endpoints are TLS; h2c
+    * prior-knowledge stays the plaintext default for local/test use).
+    * Trust comes from `trustCertPem` (a CA / self-signed cert PEM), the
+    * JVM default trust store, or — test rigs only — `tlsInsecure`. */
+  private val sslContext: Option[SslContext] =
+    if (!tls) None
+    else {
+      val b = SslContextBuilder.forClient()
+      trustCertPem.foreach(pem => b.trustManager(new java.io.File(pem)))
+      if (tlsInsecure) b.trustManager(InsecureTrustManagerFactory.INSTANCE)
+      b.applicationProtocolConfig(new ApplicationProtocolConfig(
+        Protocol.ALPN,
+        SelectorFailureBehavior.NO_ADVERTISE,
+        SelectedListenerFailureBehavior.ACCEPT,
+        ApplicationProtocolNames.HTTP_2))
+      Some(b.build())
+    }
 
   private val channel: Channel = {
     val b = new Bootstrap()
       .group(GrpcBlockClient.sharedGroup)
       .channel(classOf[NioSocketChannel])
       .handler(new ChannelInitializer[SocketChannel] {
-        override def initChannel(ch: SocketChannel): Unit =
+        override def initChannel(ch: SocketChannel): Unit = {
+          // TLS first when configured: handshake + ALPN select h2, then
+          // the frame codec reads the negotiated stream
+          sslContext.foreach(c =>
+            ch.pipeline.addLast(c.newHandler(ch.alloc(), host, port)))
           ch.pipeline.addLast(
             Http2FrameCodecBuilder.forClient().build(),
             // peer-initiated streams don't exist on a gRPC client
             new Http2MultiplexHandler(new ChannelInboundHandlerAdapter()))
+        }
       })
-    b.connect(host, port).sync().channel()
+    val ch = b.connect(host, port).sync().channel()
+    if (tls) {
+      // block until the handshake completes and PROVE h2 was negotiated —
+      // writing gRPC frames into an http/1.1-negotiated pipe would fail
+      // with opaque codec errors later
+      val h = ch.pipeline.get(classOf[SslHandler])
+      h.handshakeFuture().sync()
+      val proto = h.applicationProtocol()
+      if (proto != ApplicationProtocolNames.HTTP_2) {
+        ch.close().sync()
+        throw new IllegalStateException(
+          s"ALPN negotiated ${Option(proto).getOrElse("no protocol")} " +
+            "(need h2) with " + s"$host:$port")
+      }
+    }
+    ch
   }
 
   /** Terminal queue elements. */
@@ -148,7 +195,7 @@ final class GrpcBlockClient(host: String, port: Int, outputModule: String,
     })
     val stream = sb.open().sync().getNow
     val headers = new DefaultHttp2Headers()
-    headers.method("POST").scheme("http")
+    headers.method("POST").scheme(if (tls) "https" else "http")
       .path(SubstreamsRpc.BlocksPath).authority(s"$host:$port")
     headers.set("content-type", "application/grpc")
     headers.set("te", "trailers")
@@ -314,6 +361,9 @@ final class GrpcBlockClientFactory extends BlockClientFactory {
       outputModule = o.getOrElse("outputmodule", "map_output"),
       timeoutMs = o.getOrElse("rpctimeoutms", "30000").toLong,
       maxMessageBytes =
-        o.getOrElse("maxmessagebytes", (4 * 1024 * 1024).toString).toInt)
+        o.getOrElse("maxmessagebytes", (4 * 1024 * 1024).toString).toInt,
+      tls = o.getOrElse("tls", "false").toBoolean,
+      trustCertPem = o.get("trustcert"),
+      tlsInsecure = o.getOrElse("tlsinsecure", "false").toBoolean)
   }
 }

@@ -185,4 +185,87 @@ class GrpcBlockClientSpec extends SparkSuite {
       } finally client.close()
     } finally server.close()
   }
+
+  test("TLS + ALPN h2: DSv2 drain with reorg identities over an " +
+      "encrypted socket (self-signed trust, not insecure)") {
+    import spark.implicits._
+    val (sslCtx, pem) = TestTls.serverContextAndCert()
+    val server = new TestSubstreamsServer(chainLen = 40L,
+      blocksPerProbe = 43L, margin = 3L, reorgs = Seq((20L, 2)),
+      sslContext = Some(sslCtx))
+    try {
+      val out = Files.createTempDirectory("grpc-tls-out").toString
+      val q = spark.readStream.format("graft.sources.BlockStreamProvider")
+        .option("client", classOf[GrpcBlockClientFactory].getName)
+        .option("endpoint", s"127.0.0.1:${server.port}")
+        .option("outputModule", "map_output")
+        .option("confirmations", "3")
+        .option("tls", "true")
+        .option("trustcert", pem)
+        .load()
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation",
+          Files.createTempDirectory("grpc-tls-ckpt").toString)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+      val rows = spark.read.parquet(out)
+        .select("block_number", "block_id").as[(Long, String)]
+        .collect().sortBy(_._1).toSeq
+      assert(rows.map(_._1) == (1L to 40L), "gapless, duplicate-free")
+      val ids = rows.toMap
+      assert(ids(19L) == "0xb19_r1" && ids(20L) == "0xb20_r1")
+      assert(ids(18L) == "0xb18" && ids(21L) == "0xb21")
+      assert(server.probeCalls.get() >= 1 && server.rangeCalls.get() >= 1)
+    } finally server.close()
+  }
+
+  test("TLS: live-tail undo crosses the encrypted socket; plaintext " +
+      "client against a TLS server fails, as does an untrusted cert") {
+    def data(n: Long, gen: Int) = Data(BlockScopedData(
+      Clock(BlockStreamSource.blockId(n, gen), n),
+      Array[Byte](n.toByte), s"c$n", math.max(0L, n - 1)))
+    val script =
+      (1L to 8L).map(data(_, 0)) ++
+        Seq(Undo(BlockUndoSignal("0xb5", 5L, "c5"))) ++
+        (6L to 8L).map(data(_, 1))
+    val (sslCtx, pem) = TestTls.serverContextAndCert()
+    val server = new TestSubstreamsServer(chainLen = 8L,
+      liveScript = script, sslContext = Some(sslCtx))
+    try {
+      val client = new GrpcBlockClient("127.0.0.1", server.port,
+        "map_output", tls = true, trustCertPem = Some(pem))
+      try {
+        val buf = new UndoBuffer[BlockData](3, _.number)
+        val released = scala.collection.mutable.ArrayBuffer.empty[BlockData]
+        client.live(1L).foreach {
+          case Data(d) =>
+            released ++= buf.addBlock(
+              BlockData(d.clock.number, d.clock.id, d.payload))
+          case Undo(u) => buf.handleUndo(u.lastValidNum)
+          case _ => ()
+        }
+        released ++= buf.flush()
+        assert(released.map(_.number).toSeq == (1L to 8L))
+        val ids = released.map(b => b.number -> b.id).toMap
+        assert(ids(5L) == "0xb5" && ids(6L) == "0xb6_r1" &&
+          ids(8L) == "0xb8_r1")
+      } finally client.close()
+      // a plaintext client can't speak to the TLS port — it must FAIL
+      // (h2c preface into a TLS listener), not hang or return blocks
+      intercept[Exception] {
+        val pt = new GrpcBlockClient("127.0.0.1", server.port,
+          "map_output", timeoutMs = 5000L)
+        try pt.blocks(1L, 3L).toList finally pt.close()
+      }
+      // and a TLS client WITHOUT the self-signed cert in its trust store
+      // must fail the handshake (proves trustcert is load-bearing)
+      intercept[Exception] {
+        val un = new GrpcBlockClient("127.0.0.1", server.port,
+          "map_output", timeoutMs = 5000L, tls = true)
+        try un.blocks(1L, 3L).toList finally un.close()
+      }
+    } finally server.close()
+  }
 }

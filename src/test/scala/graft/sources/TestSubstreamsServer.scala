@@ -36,7 +36,9 @@ final class TestSubstreamsServer(
     margin: Long = 0L,
     reorgs: Seq[(Long, Int)] = Seq.empty,
     liveScript: Seq[SubstreamsRpc.Event] = Seq.empty,
-    errorStatus: Option[Int] = None) extends AutoCloseable {
+    errorStatus: Option[Int] = None,
+    sslContext: Option[io.netty.handler.ssl.SslContext] = None)
+  extends AutoCloseable {
 
   private val boss = new NioEventLoopGroup(1)
   private val workers = new NioEventLoopGroup(2)
@@ -75,7 +77,8 @@ final class TestSubstreamsServer(
     .group(boss, workers)
     .channel(classOf[NioServerSocketChannel])
     .childHandler(new ChannelInitializer[SocketChannel] {
-      override def initChannel(ch: SocketChannel): Unit =
+      override def initChannel(ch: SocketChannel): Unit = {
+        sslContext.foreach(c => ch.pipeline.addLast(c.newHandler(ch.alloc())))
         ch.pipeline.addLast(
           Http2FrameCodecBuilder.forServer().build(),
           new Http2MultiplexHandler(new ChannelInitializer[Channel] {
@@ -142,6 +145,8 @@ final class TestSubstreamsServer(
                 }
               })
           }))
+        ()
+      }
     })
     .bind("127.0.0.1", 0).sync().channel()
 
