@@ -8,10 +8,13 @@ import org.apache.spark.sql.functions._
   * decode / feature-extract / resize / frame-sample as partition-mapped
   * transforms.
   *
-  * The actual codecs (JPEG/PNG/audio decode) are NOT in this container, so
-  * the `decode*` leaf is a clearly-marked deterministic STUB
-  * ([[MediaCodec]]): it derives pseudo-features from the payload bytes.
-  * Everything AROUND the stub is real and load-bearing at 100 TB:
+  * Real codecs where a stock JRE has one: images via [[ImageCodec]]
+  * (javax.imageio), audio via [[AudioCodec]] (javax.sound WAV/PCM),
+  * multi-frame video via [[VideoCodec]] (ImageIO's GIF reader). The
+  * generic `features`/`resize` leaves of [[MediaCodec]] remain a
+  * clearly-marked deterministic STUB (pseudo-features from payload
+  * bytes) for media kinds with no JRE decoder; real siblings prove the
+  * seams. Everything around the codecs is load-bearing at 100 TB:
   *  - schema: media rows are (id, kind, payload, meta struct) — metadata
   *    travels as columns so filters on width/duration prune BEFORE any
   *    payload byte moves;
@@ -57,13 +60,6 @@ object Media {
       while (i < target) { out(i) = payload(i * payload.length / target); i += 1 }
       out
     }
-
-    def frames(payload: Array[Byte], n: Int): Seq[Array[Byte]] =
-      (0 until n).map { k =>
-        val from = k * payload.length / n
-        val until = (k + 1) * payload.length / n
-        java.util.Arrays.copyOfRange(payload, from, math.max(from + 1, until))
-      }
   }
 
   /** Feature extraction: one codec "session" per partition, streamed
@@ -87,15 +83,13 @@ object Media {
       .toDF("media_id", "resized")
   }
 
-  /** Video frame sampling: one input row → n output rows (flatMap — the
-    * explode analog for binary media). */
-  def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[FrameSample] = {
-    import media.sparkSession.implicits._
-    media.filter(_.kind == "video")
-      .flatMap(r => MediaCodec.frames(r.payload, n).zipWithIndex.map {
-        case (f, i) => FrameSample(r.media_id, i, f)
-      })
-  }
+  /** Video frame sampling: one input row → up to n output rows (flatMap
+    * — the explode analog for binary media), REAL decode via
+    * [[VideoCodec]] (ImageIO multi-frame reader): actual frame count,
+    * evenly-strided original frame indices, PNG-encoded frame bytes;
+    * undecodable payloads yield zero rows. */
+  def sampleFrames(media: Dataset[MediaRow], n: Int): Dataset[FrameSample] =
+    VideoCodec.sampleFrames(media, n)
 
   /** Metadata-pruned scan: predicate on the meta struct only — Catalyst
     * pushes it to the parquet footer, payload bytes for filtered-out rows

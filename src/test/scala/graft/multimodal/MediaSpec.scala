@@ -42,12 +42,83 @@ class MediaSpec extends SparkSuite {
       .forall(b => b.length <= 64 && b.nonEmpty))
   }
 
-  test("sampleFrames: one row per frame (flatMap fan-out)") {
-    val frames = sampleFrames(sampleMedia, n = 4).collect()
-    val videoIds = (0L until 40L).filter(_ % 3 == 2)
-    assert(frames.length == videoIds.size * 4)
-    assert(frames.groupBy(_.media_id).forall(_._2.map(_.frame_idx).sorted
-      .toSeq == Seq(0, 1, 2, 3)))
+  /** A genuine animated GIF (the one multi-frame container a stock JRE
+    * writes AND reads): one solid-color frame per entry of `colors`. */
+  private def gif(w: Int, h: Int, colors: Seq[Int]): Array[Byte] = {
+    import java.awt.image.BufferedImage
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    colors.foreach { c =>
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+      val g = img.createGraphics()
+      try { g.setColor(new java.awt.Color(c)); g.fillRect(0, 0, w, h) }
+      finally g.dispose()
+      writer.writeToSequence(
+        new javax.imageio.IIOImage(img, null, null), null)
+    }
+    writer.endWriteSequence()
+    ios.close()
+    bos.toByteArray
+  }
+
+  test("sampleFrames: REAL multi-frame decode, stride sampling, flatMap " +
+      "fan-out; corrupt payloads yield zero rows") {
+    import spark.implicits._
+    // 6 distinct solid-color frames; 0xff/0x00 channel values survive
+    // GIF palette quantization exactly
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff, 0xffff00, 0x00ffff,
+      0xffffff)
+    val rows = Seq(
+      MediaRow(0L, "video", gif(16, 12, colors), MediaMeta(16, 12, 0, 600)),
+      MediaRow(1L, "video", Array[Byte](1, 2, 3), MediaMeta(0, 0, 0, 0)),
+      MediaRow(2L, "image", gif(8, 8, colors.take(1)), MediaMeta(8, 8, 0, 0))
+    ).toDS().repartition(2)
+    val frames = sampleFrames(rows, n = 4).collect()
+    // only the decodable VIDEO row fans out; stride over 6 frames at n=4
+    // picks original indices k*6/4 = 0,1,3,4
+    assert(frames.map(_.media_id).toSet == Set(0L))
+    assert(frames.map(_.frame_idx).sorted.toSeq == Seq(0, 1, 3, 4))
+    // each sampled frame re-encodes as a real PNG of the source size and
+    // carries THAT frame's color (proof the right frame was read)
+    frames.foreach { f =>
+      val img = ImageCodec.decode(f.frame).get
+      assert(img.getWidth == 16 && img.getHeight == 12)
+      assert((img.getRGB(3, 3) & 0xffffff) == colors(f.frame_idx))
+    }
+    // n >= frame count samples every frame exactly once
+    val all = sampleFrames(rows, n = 10).collect()
+    assert(all.map(_.frame_idx).sorted.toSeq == (0 until 6))
+  }
+
+  test("extractFrameFeatures: per-frame features through the ImageCodec " +
+      "grid path; corrupt -> one decoded=false null row") {
+    import spark.implicits._
+    val colors = Seq(0xff0000, 0x00ff00, 0x0000ff)
+    val rows = Seq(
+      MediaRow(0L, "video", gif(12, 12, colors), MediaMeta(12, 12, 0, 300)),
+      MediaRow(1L, "video", Array[Byte](7, 7, 7), MediaMeta(0, 0, 0, 0))
+    ).toDS().repartition(2)
+    val out = VideoCodec.extractFrameFeatures(rows, n = 3, gx = 2, gy = 2)
+      .as[(Long, Int, Boolean, Int, Option[Seq[Float]])].collect()
+      .sortBy(r => (r._1, r._2))
+    val good = out.filter(_._1 == 0L)
+    assert(good.map(_._2).toSeq == Seq(0, 1, 2))
+    assert(good.forall(r => r._3 && r._4 == 3 && r._5.get.size == 12))
+    // a solid red frame has mean-RGB (1, 0, 0) in every grid cell
+    val red = good.head._5.get
+    assert(red.grouped(3).forall(c =>
+      c(0) > 0.95f && c(1) < 0.05f && c(2) < 0.05f))
+    val green = good(1)._5.get
+    assert(green.grouped(3).forall(c => c(1) > 0.95f && c(0) < 0.05f))
+    // corrupt payload -> lenient marker row, not a task abort
+    assert(out.filter(_._1 == 1L).toSeq match {
+      case Seq((1L, -1, false, 0, None)) => true
+      case _ => false
+    })
   }
 
   test("extracted features flow into the similarity search path") {
