@@ -112,4 +112,58 @@ class CliMainSpec extends SparkSuite {
     val dir = Files.createTempDirectory("cli-probe").toString
     CliMain.main(Array("setup", s"file://$dir"))
   }
+
+  test("run --endpoint e2e: live chain WITH a reorg -> published ranges " +
+      "hold only canonical blocks; checkpoint restart mid-reorg replays " +
+      "clean (sinker.go:142-148 parity)") {
+    import spark.implicits._
+    val out = Files.createTempDirectory("cli-reorg-out").toString
+    // a 300-block chain mining 100 blocks per head probe, blocks 199-200
+    // re-mined (generation 1) — the reorg sits exactly inside the
+    // confirmation lag when the second run pins its head at 200
+    val server = new graft.sources.TestSubstreamsServer(chainLen = 300L,
+      blocksPerProbe = 100L, margin = 3L, reorgs = Seq((200L, 2)))
+    try {
+      def run(): Unit = CliMain.main(Array("run", "-", out,
+        "--endpoint", s"127.0.0.1:${server.port}",
+        "--confirmations", "3",
+        "--partition-size", "50"))
+      def published(): Seq[(Long, String)] =
+        if (!new java.io.File(s"$out/main").exists()) Seq.empty
+        else spark.read.parquet(s"$out/main")
+          .select("block_number", "block_id").as[(Long, String)]
+          .collect().sortBy(_._1).toSeq
+
+      // run 1: head pins at 100, exposes <= 97 -> [0,50) published
+      run()
+      val p1 = published()
+      assert(p1.nonEmpty && p1.map(_._1) == (1L to 49L))
+
+      // run 2 pins at 200: the re-mined blocks 199-200 are INSIDE the
+      // 3-block confirmation lag — this is the mid-reorg restart. The
+      // resume must extend cleanly from the checkpoint and must NOT
+      // publish anything from the unfinalized reorg region.
+      run()
+      val p2 = published()
+      assert(p2.map(_._1) == (1L to 149L), "gapless resume, no dups")
+      assert(p2.map(_._1).max < 198L,
+        "nothing from the unfinalized reorg region may be published")
+
+      // runs 3+4: the reorg region finalizes; published ranges must carry
+      // the CANONICAL (re-mined) identities and stay gapless
+      run()
+      run()
+      val p4 = published()
+      assert(p4.map(_._1) == (1L to 299L), "gapless, duplicate-free")
+      val ids = p4.toMap
+      assert(ids(199L) == "0xb199_r1" && ids(200L) == "0xb200_r1",
+        "reorged blocks published with canonical identities")
+      assert(ids(198L) == "0xb198" && ids(201L) == "0xb201")
+      // range-file naming held across all restarts
+      val files = new java.io.File(s"$out/main").listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getName).toSeq.sorted
+      assert(files.head == "0000000000-0000000050.parquet" &&
+        files.last == "0000000250-0000000300.parquet" && files.size == 6)
+    } finally server.close()
+  }
 }
