@@ -1,0 +1,69 @@
+package graft
+
+/** Fresh-JVM single-query measurement — [[Bench]]'s second opinion for
+  * >2× outliers. A contaminated suite sample (GC debt, page-cache
+  * eviction, host contention mid-suite) does not reproduce in a clean
+  * process; a real regression does.
+  *
+  * `main` protocol: args = (sfDir, queryName); warm-up at sf0.001, then
+  * min-of-3 timed runs; prints exactly one line `BENCHONE <sec>`.
+  */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args(0)
+    val name = args(1)
+    val spark = Sessions.get("graft-bench-one")
+    val fn = SparkEntry.queries(name)
+    fn(spark, "/root/testdata/sf0.001").count() // warm codegen/classes
+    val times = (1 to 3).map { _ =>
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    spark.stop()
+    println(f"BENCHONE ${times.min}%.3f")
+  }
+
+  /** Launch [[main]] in a fresh JVM. Classpath = this class's location +
+    * the Spark jars directory (sbt's own java.class.path is just the
+    * launcher, so it cannot be inherited); JVM flags mirror build.sbt's
+    * JDK-17 module opens. Returns None if the subprocess fails — the
+    * caller then keeps the in-suite sample. */
+  def inFreshJvm(sfDir: String, query: String,
+                 timeoutSec: Long = 300L): Option[Double] =
+    try {
+      val classes = getClass.getProtectionDomain.getCodeSource
+        .getLocation.toURI.getPath
+      val sparkJars = sys.env.getOrElse("SPARK_JARS_DIR", "/opt/spark/jars")
+      val javaExe = Paths.javaBin
+      val opens = Seq(
+        "java.base/java.lang", "java.base/java.lang.invoke",
+        "java.base/java.lang.reflect", "java.base/java.io",
+        "java.base/java.net", "java.base/java.nio",
+        "java.base/java.util", "java.base/java.util.concurrent",
+        "java.base/java.util.concurrent.atomic",
+        "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+        "java.base/sun.security.action", "java.base/sun.util.calendar")
+        .flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+      val cmd = Seq(javaExe) ++ opens ++ Seq(
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+        "-cp", s"$classes:$sparkJars/*",
+        "graft.BenchOne", sfDir, query)
+      val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      if (!done) { p.destroyForcibly(); None }
+      else if (p.exitValue() != 0) None
+      else """BENCHONE ([0-9.]+)""".r.findFirstMatchIn(out)
+        .map(_.group(1).toDouble)
+    } catch { case _: Throwable => None }
+
+  private object Paths {
+    def javaBin: String = {
+      val home = System.getProperty("java.home")
+      val cand = java.nio.file.Paths.get(home, "bin", "java")
+      if (java.nio.file.Files.isExecutable(cand)) cand.toString else "java"
+    }
+  }
+}
