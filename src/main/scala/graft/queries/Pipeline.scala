@@ -339,6 +339,27 @@ object Pipeline extends QueryFamily {
           md5(regexp_replace(regexp_replace(col("text"), email, "<EMAIL>"),
             num, "<NUM>")).as("fp_scrubbed"))
         .orderBy("doc_id")
+    },
+    "q_zorder_layout" -> { (s, d) =>
+      // Z-order (Morton) clustering key for the two-dimensional
+      // (user_id, day) access pattern: quantize each dim to 8 bits over
+      // its observed range, interleave bits — the write-time layout key
+      // that makes parquet min/max stats prune scans on EITHER dim
+      // (operators.ZOrder; ZOrderSpec pins the file-pruning win and the
+      // write path). The min/max frame is a 1-row broadcast, the rest is
+      // map-only shifts/masks inside whole-stage codegen.
+      import graft.operators.ZOrder
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("day"))
+      val b = ev.agg(min("user_id").as("minu"), max("user_id").as("maxu"),
+        min("day").as("mind"), max("day").as("maxd"))
+      ev.crossJoin(broadcast(b))
+        .select(col("event_id"),
+          ZOrder.quantize(col("user_id"), col("minu"), col("maxu")).as("xq"),
+          ZOrder.quantize(col("day"), col("mind"), col("maxd")).as("yq"))
+        .withColumn("zval", ZOrder.zvalue(col("xq"), col("yq")))
+        .orderBy("zval", "event_id")
     }
   )
 
@@ -586,6 +607,35 @@ object Pipeline extends QueryFamily {
         |  md5(regexp_replace(
         |    regexp_replace(text, '[a-z0-9]+@[a-z0-9]+\.[a-z]+', '<EMAIL>', 'g'),
         |    '[0-9]{3,}', '<NUM>', 'g')) AS fp_scrubbed
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_zorder_layout" ->
+      // magic-number Morton spread, nibble-identical to ZOrder.spread16:
+      // masks 0x00FF00FF / 0x0F0F0F0F / 0x33333333 / 0x55555555
+      """WITH b AS (
+        |  SELECT min(user_id) AS minu, max(user_id) AS maxu,
+        |         min(epoch_us(ts) // 86400000000) AS mind,
+        |         max(epoch_us(ts) // 86400000000) AS maxd
+        |  FROM events),
+        |q AS (
+        |  SELECT event_id,
+        |    CAST(floor((user_id - minu) * 255.0
+        |      / greatest(maxu - minu, 1)) AS BIGINT) AS xq,
+        |    CAST(floor(((epoch_us(ts) // 86400000000) - mind) * 255.0
+        |      / greatest(maxd - mind, 1)) AS BIGINT) AS yq
+        |  FROM events, b),
+        |s1 AS (SELECT event_id, xq, yq,
+        |  ((xq | (xq << 8)) & 16711935) AS x1,
+        |  ((yq | (yq << 8)) & 16711935) AS y1 FROM q),
+        |s2 AS (SELECT event_id, xq, yq,
+        |  ((x1 | (x1 << 4)) & 252645135) AS x2,
+        |  ((y1 | (y1 << 4)) & 252645135) AS y2 FROM s1),
+        |s3 AS (SELECT event_id, xq, yq,
+        |  ((x2 | (x2 << 2)) & 858993459) AS x3,
+        |  ((y2 | (y2 << 2)) & 858993459) AS y3 FROM s2),
+        |s4 AS (SELECT event_id, xq, yq,
+        |  ((x3 | (x3 << 1)) & 1431655765) AS x4,
+        |  ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3)
+        |SELECT event_id, xq, yq, (x4 | (y4 << 1)) AS zval
+        |FROM s4 ORDER BY zval, event_id""".stripMargin
   )
 }
