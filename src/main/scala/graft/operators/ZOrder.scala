@@ -52,6 +52,26 @@ object ZOrder {
   def zvalue(x: Column, y: Column): Column =
     spread16(x).bitwiseOR(shiftleft(spread16(y), 1))
 
+  /** Bits per dimension for the 3-D interleave (10 → 30-bit z-values). */
+  val MaxBits3 = 10
+
+  /** Morton spread for the 3-D interleave: bit i of the low 10 bits
+    * lands at bit 3·i (the part1by2 magic numbers). */
+  def spread10(c: Column): Column = {
+    val rounds = Seq(16 -> 0xFF0000FFL, 8 -> 0x0F00F00FL,
+      4 -> 0xC30C30C3L, 2 -> 0x49249249L)
+    rounds.foldLeft(c.bitwiseAND(lit(0x3FFL))) { case (x, (s, m)) =>
+      x.bitwiseOR(shiftleft(x, s)).bitwiseAND(lit(m))
+    }
+  }
+
+  /** 3-D z-value over 10-bit quantized dims — the (source, quality,
+    * time) clustering key of a training corpus: curriculum sampling
+    * filters on any subset of the three and still prunes files. */
+  def zvalue3(x: Column, y: Column, z: Column): Column =
+    spread10(x).bitwiseOR(shiftleft(spread10(y), 1))
+      .bitwiseOR(shiftleft(spread10(z), 2))
+
   /** Affine integer quantization of `c` over [dmin, dmax] to
     * [0, 2^bits): floor((c - dmin) · (2^bits - 1) / (dmax - dmin)).
     * One float divide with fixed operand order — bit-identical across

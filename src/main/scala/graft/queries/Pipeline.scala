@@ -360,6 +360,50 @@ object Pipeline extends QueryFamily {
           ZOrder.quantize(col("day"), col("mind"), col("maxd")).as("yq"))
         .withColumn("zval", ZOrder.zvalue(col("xq"), col("yq")))
         .orderBy("zval", "event_id")
+    },
+    "q_zorder3_layout" -> { (s, d) =>
+      // 3-D z-order curriculum key (user, day, hour-of-day): the
+      // (source, quality, time) clustering shape of a training corpus —
+      // a predicate on ANY of the three dims prunes files. Same
+      // broadcast-frame + codegen'd shift/mask plan as the 2-D query,
+      // with the part1by2 spread (ZOrder.zvalue3, 10 bits/dim).
+      import graft.operators.ZOrder
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("(ts div 1000) div 86400000000").as("day"),
+          expr("((ts div 1000) div 3600000000) % 24").as("hour"))
+      val b = ev.agg(min("user_id").as("minu"), max("user_id").as("maxu"),
+        min("day").as("mind"), max("day").as("maxd"))
+      ev.crossJoin(broadcast(b))
+        .select(col("event_id"),
+          ZOrder.quantize(col("user_id"), col("minu"), col("maxu"), 10)
+            .as("xq"),
+          ZOrder.quantize(col("day"), col("mind"), col("maxd"), 10).as("yq"),
+          ZOrder.quantize(col("hour"), lit(0L), lit(23L), 10).as("zq"))
+        .withColumn("zval3",
+          ZOrder.zvalue3(col("xq"), col("yq"), col("zq")))
+        .orderBy("zval3", "event_id")
+    },
+    "q_unigram_logprob" -> { (s, d) =>
+      // CCNet-style statistical quality score: mean unigram surprisal
+      // −ln p(token) under the corpus's OWN unigram model (p = tf/total).
+      // Low surprisal ⇒ templated/repetitive text, high ⇒ rare-token
+      // noise; the standard perplexity-band filter for training data,
+      // here with the corpus itself as the language model — two
+      // partial-aggregated passes (token tf, then per-doc mean via one
+      // corpus-keyed join), the scalar total a 1-row broadcast.
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val tf = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+      val tot = tf.agg(sum("tf").cast("double").as("total"))
+      toks.join(tf, Seq("token"))
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          round(avg(-log(col("tf").cast("double") / col("total"))), 6)
+            .as("avg_nll"))
+        .orderBy("doc_id")
     }
   )
 
@@ -636,6 +680,53 @@ object Pipeline extends QueryFamily {
         |  ((x3 | (x3 << 1)) & 1431655765) AS x4,
         |  ((y3 | (y3 << 1)) & 1431655765) AS y4 FROM s3)
         |SELECT event_id, xq, yq, (x4 | (y4 << 1)) AS zval
-        |FROM s4 ORDER BY zval, event_id""".stripMargin
+        |FROM s4 ORDER BY zval, event_id""".stripMargin,
+    "q_zorder3_layout" ->
+      // part1by2 Morton spread, nibble-identical to ZOrder.spread10:
+      // masks 0xFF0000FF / 0x0F00F00F / 0xC30C30C3 / 0x49249249
+      """WITH b AS (
+        |  SELECT min(user_id) AS minu, max(user_id) AS maxu,
+        |         min(epoch_us(ts) // 86400000000) AS mind,
+        |         max(epoch_us(ts) // 86400000000) AS maxd
+        |  FROM events),
+        |q AS (
+        |  SELECT event_id,
+        |    CAST(floor((user_id - minu) * 1023.0
+        |      / greatest(maxu - minu, 1)) AS BIGINT) AS xq,
+        |    CAST(floor(((epoch_us(ts) // 86400000000) - mind) * 1023.0
+        |      / greatest(maxd - mind, 1)) AS BIGINT) AS yq,
+        |    CAST(floor(((epoch_us(ts) // 3600000000) % 24) * 1023.0 / 23)
+        |      AS BIGINT) AS zq
+        |  FROM events, b),
+        |s1 AS (SELECT event_id, xq, yq, zq,
+        |  (((xq & 1023) | ((xq & 1023) << 16)) & 4278190335) AS x1,
+        |  (((yq & 1023) | ((yq & 1023) << 16)) & 4278190335) AS y1,
+        |  (((zq & 1023) | ((zq & 1023) << 16)) & 4278190335) AS z1 FROM q),
+        |s2 AS (SELECT event_id, xq, yq, zq,
+        |  ((x1 | (x1 << 8)) & 251719695) AS x2,
+        |  ((y1 | (y1 << 8)) & 251719695) AS y2,
+        |  ((z1 | (z1 << 8)) & 251719695) AS z2 FROM s1),
+        |s3 AS (SELECT event_id, xq, yq, zq,
+        |  ((x2 | (x2 << 4)) & 3272356035) AS x3,
+        |  ((y2 | (y2 << 4)) & 3272356035) AS y3,
+        |  ((z2 | (z2 << 4)) & 3272356035) AS z3 FROM s2),
+        |s4 AS (SELECT event_id, xq, yq, zq,
+        |  ((x3 | (x3 << 2)) & 1227133513) AS x4,
+        |  ((y3 | (y3 << 2)) & 1227133513) AS y4,
+        |  ((z3 | (z3 << 2)) & 1227133513) AS z4 FROM s3)
+        |SELECT event_id, xq, yq, zq,
+        |  (x4 | (y4 << 1) | (z4 << 2)) AS zval3
+        |FROM s4 ORDER BY zval3, event_id""".stripMargin,
+    "q_unigram_logprob" ->
+      """WITH inst AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |inst2 AS (SELECT doc_id, token FROM inst WHERE token <> ''),
+        |tf AS (SELECT token, count(*) AS tf FROM inst2 GROUP BY token),
+        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tf)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  round(avg(-ln(CAST(tf AS DOUBLE) / total)), 6) AS avg_nll
+        |FROM inst2 JOIN tf USING (token) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 }

@@ -38,6 +38,33 @@ class ZOrderSpec extends SparkSuite {
     }
   }
 
+  private def morton3Ref(x: Int, y: Int, z: Int): Long = {
+    var r = 0L
+    for (i <- 0 until 10)
+      r |= (((x >> i) & 1).toLong << (3 * i)) |
+        (((y >> i) & 1).toLong << (3 * i + 1)) |
+        (((z >> i) & 1).toLong << (3 * i + 2))
+    r
+  }
+
+  test("zvalue3 equals the bit-at-a-time 3-D Morton reference") {
+    val rnd = new scala.util.Random(7)
+    val triples = (for (_ <- 1 to 200) yield
+      (rnd.nextInt(1024).toLong, rnd.nextInt(1024).toLong,
+        rnd.nextInt(1024).toLong)) ++
+      Seq((0L, 0L, 0L), (1023L, 1023L, 1023L), (1023L, 0L, 0L),
+        (0L, 1023L, 0L), (0L, 0L, 1023L))
+    val got = triples.toDF("x", "y", "z")
+      .select(col("x"), col("y"), col("z"),
+        ZOrder.zvalue3(col("x"), col("y"), col("z")).as("m"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(3) == morton3Ref(r.getLong(0).toInt,
+        r.getLong(1).toInt, r.getLong(2).toInt),
+        s"(${r.getLong(0)}, ${r.getLong(1)}, ${r.getLong(2)})")
+    }
+  }
+
   test("zvalue masks inputs to 16 bits") {
     val row = Seq((65536L + 3L, (1L << 20) + 5L)).toDF("x", "y")
       .select(ZOrder.zvalue(col("x"), col("y"))).head()

@@ -71,6 +71,24 @@ class PlanSpec extends SparkSuite {
       s"split assignment gained a shuffle:\n${plan.take(2000)}")
   }
 
+  test("q_zorder_layout broadcasts the 1-row min/max frame; z-math is codegen'd") {
+    val plan = executedPlan("q_zorder_layout")
+    // the min/max frame rides a BroadcastNestedLoopJoin against ONE
+    // aggregated row — bounded by construction; the corpus side must
+    // never be the build side of anything bigger
+    assert(plan.contains("BroadcastExchange"),
+      s"min/max frame no longer broadcast:\n${plan.take(2000)}")
+    // the interleave is a native shift/mask expression chain in a
+    // Project (codegen-able), never a UDF / lambda black box
+    assert(plan.contains("shiftleft(") && !plan.contains("UDF"),
+      "z-value math is no longer a native expression chain")
+    // events scan reads only the three referenced columns
+    val readSchema = plan.linesIterator
+      .find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("props") && !readSchema.contains("event_type"),
+      s"column pruning regressed: $readSchema")
+  }
+
   test("q_chunk_windows is map-only above the scan") {
     val plan = executedPlan("q_chunk_windows")
     // generate + project only; one exchange for the presentation sort
