@@ -51,8 +51,17 @@ object BenchOne {
         "-cp", s"$classes:$sparkJars/*",
         "graft.BenchOne", sfDir, query)
       val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      // drain stdout on a daemon thread: a blocking readAllBytes on this
+      // thread would defeat the waitFor timeout when the subprocess hangs
+      val outRef = new java.util.concurrent.atomic.AtomicReference("")
+      val reader = new Thread(() =>
+        try outRef.set(new String(p.getInputStream.readAllBytes(), "UTF-8"))
+        catch { case _: Throwable => () })
+      reader.setDaemon(true)
+      reader.start()
       val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      reader.join(5000)
+      val out = outRef.get()
       if (!done) { p.destroyForcibly(); None }
       else if (p.exitValue() != 0) None
       else """BENCHONE ([0-9.]+)""".r.findFirstMatchIn(out)

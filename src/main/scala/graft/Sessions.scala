@@ -29,6 +29,12 @@ object Sessions {
         sys.env.getOrElse("SPARK_GRAFT_AQE", "true"))
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.autoBroadcastJoinThreshold", 64 * 1024 * 1024)
+      // AQE sizes broadcast candidates from COMPRESSED shuffle bytes; a
+      // side that estimates under the 64 MiB threshold can decompress
+      // past the 1g default result-size cap during the driver collect
+      // (observed: vocabulary-df join at 5M docs). Size the cap to the
+      // driver heap, as on a real cluster.
+      .config("spark.driver.maxResultSize", "4g")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.parquet.compression.codec", "zstd")
 

@@ -31,6 +31,21 @@ import org.apache.spark.sql.functions._
   * All arithmetic is integer (thresholds as rationals), matching the
   * cascade's determinism discipline — no floats anywhere.
   *
+  * Every join in this operator is hinted, because AQE sizes broadcast
+  * candidates from COMPRESSED shuffle bytes — and boilerplate-heavy text
+  * compresses 30-50×, so a corpus-scaled array-carrying side slides
+  * under a 64 MiB threshold and detonates at broadcast-build time
+  * (measured: 10.2 GiB attempted build at 5M boiler docs, PLANS.md
+  * round 6). A join hint takes precedence over AQE's promotion, and
+  * SHUFFLE_HASH with the hint on the side we WANT built keeps the
+  * build per-partition (no driver collect, no 8 GiB cap) at
+  * near-broadcast cost: the built sides here are either the
+  * candidate-bounded pair set or a skinny vocabulary/index slice —
+  * never the full per-doc arrays. The one join whose key IS skewed by
+  * construction — [[candidatesAll]]'s inverted-index self-join, where a
+  * hot element concentrates its quadratic blowup on one key — stays
+  * SHUFFLE_MERGE (spill-safe).
+  *
   * Expected input `docs`: (doc_id: long, n: int = |set|, sset: array) with
   * sset deduplicated (array_distinct) — the same shape q_dedup_cascade
   * builds. Reference anchor: composes SURVEY §2.C-10's near-dup contract;
@@ -44,7 +59,8 @@ object SetSimJoin {
   def candidatesAll(docs: DataFrame): DataFrame = {
     val inv = docs.select(col("doc_id"), explode(col("sset")).as("sh"))
     inv.select(col("sh"), col("doc_id").as("id_a"))
-      .join(inv.select(col("sh"), col("doc_id").as("id_b")), Seq("sh"))
+      .join(inv.select(col("sh"), col("doc_id").as("id_b")).hint("merge"),
+        Seq("sh"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
@@ -65,7 +81,7 @@ object SetSimJoin {
     // global document frequency — one partial-aggregated pass over the
     // exploded index (shuffle carries (element, count), not instances)
     val df = inv.groupBy("sh").agg(count(lit(1)).as("df"))
-    inv.join(df, Seq("sh"))
+    inv.join(df.hint("shuffle_hash"), Seq("sh"))
       .groupBy(col("doc_id"), col("n"))
       .agg(collect_list(struct(col("df"), col("sh"))).as("elems"))
       .select(col("doc_id"), col("n"),
@@ -111,7 +127,8 @@ object SetSimJoin {
     prefix.select(col("sh"), col("doc_id").as("id_a"), col("n").as("n_a"),
         col("pos").as("pa"))
       .join(prefix.select(col("sh"), col("doc_id").as("id_b"),
-        col("n").as("n_b"), col("pos").as("pb")), Seq("sh"))
+        col("n").as("n_b"), col("pos").as("pb")).hint("shuffle_hash"),
+        Seq("sh")) // prefixes exclude hot elements, so this key is not skewed
       .filter(col("id_a") < col("id_b") &&
         greatest(col("n_a"), col("n_b")) * num <=
           least(col("n_a"), col("n_b")) * den)
@@ -145,9 +162,10 @@ object SetSimJoin {
   def edges(docs: DataFrame, num: Int, den: Int): DataFrame = {
     require(num > 0 && den > 0 && num <= den, s"threshold $num/$den not in (0,1]")
     val ranked = rankedDocs(docs)
-    pairStats(ranked, num, den)
+    pairStats(ranked, num, den).hint("shuffle_hash")
       .join(ranked.select(col("doc_id").as("id_a"), col("sorted").as("sa")),
         Seq("id_a"))
+      .hint("shuffle_hash")
       .join(ranked.select(col("doc_id").as("id_b"), col("sorted").as("sb")),
         Seq("id_b"))
       .withColumn("shared", col("c") + size(array_intersect(
@@ -174,9 +192,10 @@ object SetSimJoin {
     * [[pairStats]] and positions are known.) */
   def verify(cands: DataFrame, docs: DataFrame, num: Int, den: Int): DataFrame = {
     val inv = docs.select(col("doc_id"), col("n"), explode(col("sset")).as("sh"))
-    cands
+    cands.hint("shuffle_hash")
       .join(inv.select(col("doc_id").as("id_a"), col("n").as("n_a"),
         col("sh")), Seq("id_a"))
+      .hint("shuffle_hash")
       .join(inv.select(col("doc_id").as("id_b"), col("n").as("n_b"),
         col("sh")), Seq("id_b", "sh"))
       .groupBy("id_a", "id_b")
