@@ -404,6 +404,51 @@ object Pipeline extends QueryFamily {
           round(avg(-log(col("tf").cast("double") / col("total"))), 6)
             .as("avg_nll"))
         .orderBy("doc_id")
+    },
+    "q_span_dedup" -> { (s, d) =>
+      // Span-level (substring) dedup: doc-level dedup misses the long
+      // verbatim passages repeated ACROSS otherwise-distinct documents
+      // (licenses, quoted articles, templates). Every 8-token span is
+      // hashed; a span is a duplicate if the same hash occurs in an
+      // earlier doc (corpus order = doc_id). Per doc: span count, spans
+      // duplicating earlier text, and the removal ratio a span-dedup
+      // pass would cut. Shuffle key is the 16-byte span hash — partial
+      // aggregation on both passes, nothing corpus².
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+      val spans = toks
+        .select(col("doc_id"), col("ts"), posexplode(col("ts")))
+        .filter(col("pos") + 8 <= size(col("ts")))
+        .select(col("doc_id"),
+          md5(array_join(slice(col("ts"), col("pos") + 1, lit(8)), " "))
+            .as("h"))
+      val firsts = spans.groupBy("h").agg(min("doc_id").as("first_doc"))
+      spans.join(firsts, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+            .as("dup_spans"))
+        .withColumn("dup_ratio",
+          round(col("dup_spans").cast("double") / col("n_spans"), 6))
+        .orderBy("doc_id")
+    },
+    "q_corpus_shuffle" -> { (s, d) =>
+      // Deterministic global training-order shuffle, sharded the way a
+      // 100 TB corpus is laid out: hash each doc to one of 64 shards,
+      // rank within the shard by the hash. The shard is the
+      // write-partition unit, the within-shard rank the training
+      // cursor; reruns reproduce the order bit-for-bit and no window
+      // is ever global.
+      val k = md5(concat(lit("shuf42:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), k.as("k"))
+        .withColumn("shard",
+          pmod(conv(substring(col("k"), 1, 4), 16, 10).cast("long"), lit(64)))
+        .withColumn("pos", row_number().over(w))
+        .select("doc_id", "shard", "pos")
+        .orderBy("shard", "pos")
     }
   )
 
@@ -727,6 +772,36 @@ object Pipeline extends QueryFamily {
         |SELECT doc_id, count(*) AS n_tokens,
         |  round(avg(-ln(CAST(tf AS DOUBLE) / total)), 6) AS avg_nll
         |FROM inst2 JOIN tf USING (token) CROSS JOIN tot
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_span_dedup" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '),
+        |                             t -> t <> '') AS ts
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, md5(array_to_string(ts[i:i+7], ' ')) AS h
+        |  FROM toks, unnest(range(1, len(ts) - 6)) AS t(i)),
+        |firsts AS (SELECT h, min(doc_id) AS first_doc FROM spans GROUP BY h)
+        |SELECT doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS dup_spans,
+        |  round(CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
+        |    AS DOUBLE) / count(*), 6) AS dup_ratio
+        |FROM spans JOIN firsts USING (h)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_corpus_shuffle" -> {
+      val nib = (i: Int) =>
+        s"(strpos('0123456789abcdef', substring(k, $i, 1)) - 1)"
+      val h4 = (1 to 4).map(i =>
+        s"${nib(i)} * ${math.pow(16, 4 - i).toLong}").mkString(" + ")
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |         md5(concat('shuf42:', CAST(doc_id AS VARCHAR))) AS k
+         |  FROM documents),
+         |s AS (SELECT doc_id, k, ($h4) % 64 AS shard FROM h)
+         |SELECT doc_id, shard,
+         |  row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+         |FROM s ORDER BY shard, pos""".stripMargin
+    }
   )
 }
