@@ -17,6 +17,13 @@ import org.apache.spark.sql.functions._
   * The loop is driver-side control flow only: per-round work is two
   * distributed joins + one aggregation, and the convergence check is a
   * single count. Nothing is ever collected.
+  *
+  * Every join side here is corpus-scaled (labels and edges), and long
+  * id/label columns delta-compress so well that AQE's compressed-bytes
+  * broadcast promotion would happily pick a multi-GiB side at exactly
+  * the graph sizes this operator exists for (see SetSimJoin's scaladoc
+  * and PLANS.md round 6 for the measured detonation). All joins are
+  * pinned SHUFFLE_HASH with the skinny label table as build side.
   */
 object Dedup {
 
@@ -43,7 +50,8 @@ object Dedup {
     while (changed > 0 && it < maxIter) {
       // neighborhood minimum (partial agg: per-partition min combines
       // map-side before the shuffle)
-      val viaEdges = sym.join(labels, sym("dst") === labels("id"))
+      val viaEdges = sym.join(labels.hint("shuffle_hash"),
+          sym("dst") === labels("id"))
         .select(sym("src").as("id"), col("comp"))
       // re-alias the direct operand: both union children would otherwise
       // carry the SAME attribute ids (viaEdges embeds `labels`), which
@@ -60,9 +68,11 @@ object Dedup {
       // convergence check below is a filter-count over cached blocks —
       // one distributed job per round instead of two.
       val jumped = m.as("a")
-        .join(m.select(col("id").as("cid"), col("comp").as("ccomp")).as("b"),
+        .join(m.select(col("id").as("cid"), col("comp").as("ccomp")).as("b")
+          .hint("shuffle_hash"),
           col("a.comp") === col("b.cid"), "left")
-        .join(labels.select(col("id").as("oid"), col("comp").as("old")),
+        .join(labels.select(col("id").as("oid"), col("comp").as("old"))
+          .hint("shuffle_hash"),
           col("a.id") === col("oid"))
         .select(col("a.id").as("id"),
           coalesce(col("b.ccomp"), col("a.comp")).as("comp"), col("old"))

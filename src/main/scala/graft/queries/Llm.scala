@@ -65,16 +65,21 @@ object Llm extends QueryFamily {
             |  b -> xxhash64(slice(sig, int(b) * 4 + 1, 4)))
             |""".stripMargin)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
+    // corpus-scaled sides pinned SHUFFLE_HASH: AQE's compressed-bytes
+    // broadcast promotion must never pick the band table or the
+    // array-carrying doc sides (see SetSimJoin scaladoc / PLANS round 6)
     val candidates = bands.select(col("band"), col("band_hash"),
         col("doc_id").as("id_a"))
       .join(bands.select(col("band"), col("band_hash"),
-        col("doc_id").as("id_b")), Seq("band", "band_hash"))
+        col("doc_id").as("id_b")).hint("shuffle_hash"),
+        Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
-    val edges = candidates
+    val edges = candidates.hint("shuffle_hash")
       .join(docs.select(col("doc_id").as("id_a"), col("sset").as("set_a")),
         Seq("id_a"))
+      .hint("shuffle_hash")
       .join(docs.select(col("doc_id").as("id_b"), col("sset").as("set_b")),
         Seq("id_b"))
       .filter(size(array_intersect(col("set_a"), col("set_b"))) * 3 >=
@@ -82,7 +87,7 @@ object Llm extends QueryFamily {
       .select(col("id_a").as("src"), col("id_b").as("dst"))
     val cc = graft.operators.Dedup.connectedComponents(edges)
     val ids = documents.select(col("doc_id"))
-    ids.join(cc, ids("doc_id") === cc("id"), "left")
+    ids.join(cc.hint("shuffle_hash"), ids("doc_id") === cc("id"), "left")
       .select(col("doc_id"),
         coalesce(col("comp"), col("doc_id")).as("cluster"))
       .orderBy("doc_id")
@@ -177,8 +182,11 @@ object Llm extends QueryFamily {
         .select(col("doc_id"), col("n"), explode(col("sset")).as("sh"))
       val shared = inv.select(col("sh"), col("doc_id").as("id_a"),
           col("n").as("n_a"))
+        // merge, not shuffle_hash: the naive index's shingle key is
+        // skewed by design (hot shingles), and SMJ spills where a hash
+        // build would not; the hint also blocks AQE broadcast promotion
         .join(inv.select(col("sh"), col("doc_id").as("id_b"),
-          col("n").as("n_b")), Seq("sh"))
+          col("n").as("n_b")).hint("merge"), Seq("sh"))
         .filter(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b")
         .agg(count(lit(1)).as("shared"),
@@ -188,7 +196,7 @@ object Llm extends QueryFamily {
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       val cc = graft.operators.Dedup.connectedComponents(edges)
       val ids = Tables.documents(s, d).select(col("doc_id"))
-      ids.join(cc, ids("doc_id") === cc("id"), "left")
+      ids.join(cc.hint("shuffle_hash"), ids("doc_id") === cc("id"), "left")
         .select(col("doc_id"),
           coalesce(col("comp"), col("doc_id")).as("cluster"))
         .orderBy("doc_id")
@@ -212,7 +220,7 @@ object Llm extends QueryFamily {
         .select(col("id_a").as("src"), col("id_b").as("dst"))
       val cc = graft.operators.Dedup.connectedComponents(edges)
       val ids = Tables.documents(s, d).select(col("doc_id"))
-      ids.join(cc, ids("doc_id") === cc("id"), "left")
+      ids.join(cc.hint("shuffle_hash"), ids("doc_id") === cc("id"), "left")
         .select(col("doc_id"),
           coalesce(col("comp"), col("doc_id")).as("cluster"))
         .orderBy("doc_id")
