@@ -54,15 +54,19 @@ object ProfileDedup {
       .repartition(col("doc_id"))
   }
 
-  /** LSH banding candidates over the set column (32 perms, 8 bands) —
-    * the probabilistic comparison point for the two exact generators. */
-  def lshCandidates(docs: DataFrame): DataFrame = {
+  /** LSH banding candidates over the set column (32 perms split into
+    * `nBands` bands) — the probabilistic comparison point for the two
+    * exact generators. 8 bands × 4 rows is the cheap default; 16 × 2 is
+    * the near-threshold-recall configuration (see Llm.lshCascade). */
+  def lshCandidates(docs: DataFrame, nBands: Int = 8): DataFrame = {
+    val rows = 32 / nBands
     val sig = docs.select(col("doc_id"),
       graft.functions.TextFunctions.minhashSig(col("sset"), 32).as("sig"))
     val bands = sig.select(col("doc_id"),
         posexplode(expr(
-          """transform(sequence(0, 7),
-            |  b -> xxhash64(slice(sig, int(b) * 4 + 1, 4)))""".stripMargin)))
+          s"""transform(sequence(0, ${nBands - 1}),
+             |  b -> xxhash64(slice(sig, int(b) * $rows + 1, $rows)))"""
+            .stripMargin)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
     bands.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
       .join(bands.select(col("band"), col("band_hash"),
@@ -99,8 +103,8 @@ object ProfileDedup {
           // fused end-to-end minus nothing; report it as the total phase
           val (ne, tv) = timed(SetSimJoin.edges(docs, 1, 2).count())
           (nc, ne, tc, tv)
-        case "lsh" =>
-          val c = lshCandidates(docs)
+        case "lsh" | "lsh16" =>
+          val c = lshCandidates(docs, if (variant == "lsh16") 16 else 8)
           val (nc, tc) = timed(c.count())
           val (ne, tv) = timed(SetSimJoin.verify(c, docs, 1, 2).count())
           (nc, ne, tc, tv)

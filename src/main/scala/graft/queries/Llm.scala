@@ -52,25 +52,35 @@ object Llm extends QueryFamily {
     * periodically — the batch leg of the streaming near-dup composition,
     * spec-pinned in CorpusPipelineSpec.
     */
-  def lshCascade(documents: DataFrame): DataFrame = {
+  def lshCascade(documents: DataFrame, bands: Int = 8): DataFrame = {
+    // Banding is the recall dial (32 permutations split into `bands`
+    // bands of 32/bands rows): collision probability at Jaccard J is
+    // 1 − (1 − J^rows)^bands. The default 8×4 is cheap but has a
+    // measured recall CLIFF near the J = 0.5 threshold (42% at J≈0.52
+    // on 1M boiler docs — PLANS.md round 6 sweep); 16×2 lifts that to
+    // ~0.99 at the cost of more (still bounded) candidates. Callers
+    // pick per corpus: 8×4 when dups sit well above threshold, 16×2
+    // when near-threshold recall matters.
+    require(32 % bands == 0, s"bands=$bands must divide 32")
+    val rows = 32 / bands
     val docs = documents
       .select(col("doc_id"), array_distinct(shingles).as("sset"))
       .repartition(col("doc_id")) // barrier: shingle sets computed once,
                                   // reused by signature AND verify sides
     val sig = docs.select(col("doc_id"),
       graft.functions.TextFunctions.minhashSig(col("sset"), 32).as("sig"))
-    val bands = sig.select(col("doc_id"),
+    val bandsDf = sig.select(col("doc_id"),
         posexplode(expr(
-          """transform(sequence(0, 7),
-            |  b -> xxhash64(slice(sig, int(b) * 4 + 1, 4)))
-            |""".stripMargin)))
+          s"""transform(sequence(0, ${bands - 1}),
+             |  b -> xxhash64(slice(sig, int(b) * $rows + 1, $rows)))
+             |""".stripMargin)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
     // corpus-scaled sides pinned SHUFFLE_HASH: AQE's compressed-bytes
     // broadcast promotion must never pick the band table or the
     // array-carrying doc sides (see SetSimJoin scaladoc / PLANS round 6)
-    val candidates = bands.select(col("band"), col("band_hash"),
+    val candidates = bandsDf.select(col("band"), col("band_hash"),
         col("doc_id").as("id_a"))
-      .join(bands.select(col("band"), col("band_hash"),
+      .join(bandsDf.select(col("band"), col("band_hash"),
         col("doc_id").as("id_b")).hint("shuffle_hash"),
         Seq("band", "band_hash"))
       .filter(col("id_a") < col("id_b"))

@@ -397,7 +397,9 @@ object Pipeline extends QueryFamily {
         .filter(col("token") =!= "")
       val tf = toks.groupBy("token").agg(count(lit(1)).as("tf"))
       val tot = tf.agg(sum("tf").cast("double").as("total"))
-      toks.join(tf, Seq("token"))
+      // vocabulary-scaled tf side pinned as the SHJ build (blocks AQE
+      // broadcast promotion; also skips sorting the giant instance side)
+      toks.join(tf.hint("shuffle_hash"), Seq("token"))
         .crossJoin(broadcast(tot))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"),
@@ -424,7 +426,7 @@ object Pipeline extends QueryFamily {
           md5(array_join(slice(col("ts"), col("pos") + 1, lit(8)), " "))
             .as("h"))
       val firsts = spans.groupBy("h").agg(min("doc_id").as("first_doc"))
-      spans.join(firsts, Seq("h"))
+      spans.join(firsts.hint("shuffle_hash"), Seq("h"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_spans"),
           sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))

@@ -61,6 +61,34 @@ class LlmSpec extends SparkSuite {
     assert(recall >= 0.8, s"LSH recall $recall vs exact cascade")
   }
 
+  test("banding is the recall dial: 16x2 recovers near-threshold pairs 8x4 drops") {
+    import spark.implicits._
+    // Planted NEAR-THRESHOLD corpus: 300 pairs at J = 14/26 ≈ 0.538 —
+    // just above the cascade threshold, where 8 bands × 4 rows collide
+    // with probability only 1−(1−J⁴)^8 ≈ 0.47 (the measured 42% recall
+    // cliff at 1M boiler docs, PLANS round 6) while 16 bands × 2 rows
+    // give ≈ 0.993. Minhash is xxhash-seeded — recalls here are fixed
+    // constants of the corpus, not flaky draws.
+    import org.apache.spark.sql.functions.{col, size}
+    val docs = (0 until 300).flatMap { g =>
+      val shared = (0 until 14).map(j => s"s${g}_$j")
+      Seq((2L * g, (shared ++ (0 until 6).map(j => s"a${g}_$j")).toArray),
+        (2L * g + 1, (shared ++ (0 until 6).map(j => s"b${g}_$j")).toArray))
+    }.toDF("doc_id", "sset")
+      .select(col("doc_id"), size(col("sset")).as("n"), col("sset"))
+    val truth = (0 until 300).map(g => (2L * g, 2L * g + 1)).toSet
+    def recall(nBands: Int): Double = {
+      val c = graft.ProfileDedup.lshCandidates(docs, nBands)
+        .as[(Long, Long)].collect().toSet
+      c.intersect(truth).size.toDouble / truth.size
+    }
+    val r8 = recall(8)
+    val r16 = recall(16)
+    assert(r16 > r8, s"16-band recall $r16 not above 8-band $r8")
+    assert(r16 >= 0.9, s"16x2 near-threshold recall $r16 below 0.9")
+    assert(r8 <= 0.8, s"corpus no longer sits on the 8x4 cliff (r8=$r8)")
+  }
+
   test("lsh cascade refines the exact cascade's clusters") {
     import spark.implicits._
     def clusters(q: String): Map[Long, Long] =

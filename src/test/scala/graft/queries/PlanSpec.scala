@@ -89,6 +89,36 @@ class PlanSpec extends SparkSuite {
       s"column pruning regressed: $readSchema")
   }
 
+  test("dedup cascades never broadcast a corpus-scaled side") {
+    // the AQE compressed-bytes broadcast promotion detonation (PLANS
+    // round 6): every cascade join is hinted, so no broadcast operator
+    // of any kind may appear in these plans
+    for (q <- Seq("q_dedup_cascade_ppjoin", "q_dedup_cascade_lsh")) {
+      val plan = executedPlan(q)
+      assert(!plan.contains("BroadcastHashJoin") &&
+        !plan.contains("BroadcastNestedLoopJoin"),
+        s"$q re-grew a broadcast join:\n${plan.take(2000)}")
+      assert(plan.contains("ShuffledHashJoin"),
+        s"$q lost its shuffle-hash pins")
+    }
+  }
+
+  test("q_span_dedup aggregates partially and never broadcasts a corpus side") {
+    val plan = executedPlan("q_span_dedup")
+    assert(plan.split("HashAggregate").length >= 3, // partial + final
+      "span-hash aggregation lost its partial phase")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"first-occurrence join no longer pinned shuffle-hash:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q_corpus_shuffle windows per shard, never globally") {
+    val plan = executedPlan("q_corpus_shuffle")
+    assert(plan.contains("Window"))
+    assert(!plan.contains("Exchange SinglePartition"),
+      s"shuffle rank collapsed to one partition:\n${plan.take(2000)}")
+  }
+
   test("q_chunk_windows is map-only above the scan") {
     val plan = executedPlan("q_chunk_windows")
     // generate + project only; one exchange for the presentation sort
