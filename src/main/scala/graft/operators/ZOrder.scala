@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Z-order (Morton) multi-dimensional clustering — the data-skipping
@@ -95,4 +95,31 @@ object ZOrder {
     df.withColumn("zval", z)
       .repartitionByRange(numFiles, col("zval"))
       .sortWithinPartitions("zval")
+
+  /** OPTIMIZE-style maintenance pass: re-cluster a parquet directory's
+    * accumulated files (streaming ingest writes in ARRIVAL order — over
+    * time no file has locality on any query dimension) into `numFiles`
+    * z-ordered files at `outDir`. The quantization frame is computed
+    * from the data itself and broadcast (1 row); output carries the
+    * input schema plus `zval`. Writing BESIDE the live directory keeps
+    * readers unblocked — atomically swapping the result in is the
+    * caller's publish concern (RangeSink-style staged rename). Returns
+    * the compacted row count so callers can assert conservation before
+    * swapping. */
+  def compact(spark: SparkSession, inDir: String, outDir: String,
+              dimX: String, dimY: String, numFiles: Int,
+              bits: Int = 8): Long = {
+    val df = spark.read.parquet(inDir)
+    val frame = df.agg(min(dimX).as("__minx"), max(dimX).as("__maxx"),
+      min(dimY).as("__miny"), max(dimY).as("__maxy"))
+    df.crossJoin(broadcast(frame))
+      .withColumn("zval", zvalue(
+        quantize(col(dimX), col("__minx"), col("__maxx"), bits),
+        quantize(col(dimY), col("__miny"), col("__maxy"), bits)))
+      .drop("__minx", "__maxx", "__miny", "__maxy")
+      .repartitionByRange(numFiles, col("zval"))
+      .sortWithinPartitions("zval")
+      .write.mode("overwrite").parquet(outDir)
+    spark.read.parquet(outDir).count()
+  }
 }

@@ -126,6 +126,42 @@ class RangeSinkSpec extends SparkSuite {
     assert(published(root) == Seq("0000000000-0000000010.parquet"))
   }
 
+  test("schema evolution across epochs: merged read null-backfills history") {
+    // The reference derives its schema ONCE at startup
+    // (converter_proto.go:24-45) and has no story for a module whose
+    // proto gains a field mid-stream. Ours: restart the pipeline with
+    // the evolved descriptor; published ranges are immutable history,
+    // and a mergeSchema read over the table unions the columns —
+    // pre-evolution ranges null-backfill added fields, post-removal
+    // ranges null-backfill dropped ones.
+    import spark.implicits._
+    val root = tmpDir()
+    val sink = RangeSink(root, RangePartitioner(start = 0, size = 10))
+    sink.processBatch(blocksDF(0L until 10L), epochId = 0)
+    // proto adds `tag`
+    val gained = (10L until 20L).map(n => (n, s"0x$n", n * 10, s"tag$n"))
+      .toDF("block_number", "block_id", "v", "tag")
+    sink.processBatch(gained, epochId = 1)
+    // proto later drops `v`
+    val dropped = (20L until 30L).map(n => (n, s"0x$n", s"tag$n"))
+      .toDF("block_number", "block_id", "tag")
+    sink.processBatch(dropped, epochId = 2)
+    // a block past the boundary closes range 20-30 (rotation semantics —
+    // the open range publishes only when the stream crosses it)
+    sink.processBatch(Seq((30L, "0x30", "tag30"))
+      .toDF("block_number", "block_id", "tag"), epochId = 3)
+    assert(published(root) == Seq("0000000000-0000000010.parquet",
+      "0000000010-0000000020.parquet", "0000000020-0000000030.parquet"))
+    val merged = spark.read.option("mergeSchema", "true").parquet(root)
+    assert(merged.columns.toSet ==
+      Set("block_number", "block_id", "v", "tag"))
+    assert(merged.count() == 30)
+    assert(merged.filter(col("tag").isNull).count() == 10)  // pre-evolution
+    assert(merged.filter(col("v").isNull).count() == 10)    // post-removal
+    assert(merged.filter(col("block_number") < 10 && col("v").isNotNull)
+      .count() == 10)
+  }
+
   test("stop-block clamps the final range name (scenario 6)") {
     val root = tmpDir()
     val sink = RangeSink(root,

@@ -120,4 +120,26 @@ class ZOrderSpec extends SparkSuite {
     assert(lx <= 2, s"x-sorted layout x-predicate touched $lx/16 files")
     assert(ly == 16, s"x-sorted layout y-predicate touched $ly/16 files")
   }
+
+  test("compact re-clusters an arrival-order directory for data skipping") {
+    val grid = spark.range(0L, 4096L)
+      .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+    val root = Files.createTempDirectory("zorder-compact").toString
+    // ingest accumulation: round-robin files have NO locality on either
+    // dim — a point predicate opens every file
+    grid.repartition(16).write.parquet(s"$root/raw")
+    val raw = spark.read.parquet(s"$root/raw")
+    assert(filesTouched(raw, "x", 17L) == 16)
+    assert(filesTouched(raw, "y", 17L) == 16)
+
+    val n = ZOrder.compact(spark, s"$root/raw", s"$root/opt", "x", "y", 16)
+    assert(n == 4096L) // row conservation, asserted before any swap
+    val opt = spark.read.parquet(s"$root/opt")
+    assert(opt.columns.toSet == Set("x", "y", "zval"))
+    assert(opt.select(input_file_name()).distinct().count() == 16)
+    val cx = filesTouched(opt, "x", 17L)
+    val cy = filesTouched(opt, "y", 17L)
+    assert(cx <= 8, s"compacted x-predicate touched $cx/16 files")
+    assert(cy <= 8, s"compacted y-predicate touched $cy/16 files")
+  }
 }
