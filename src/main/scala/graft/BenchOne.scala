@@ -60,9 +60,12 @@ object BenchOne {
       reader.setDaemon(true)
       reader.start()
       val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
+      // kill BEFORE joining the reader: a hung subprocess keeps the pipe
+      // open, so the reader can only reach EOF once the process dies
+      if (!done) p.destroyForcibly()
       reader.join(5000)
       val out = outRef.get()
-      if (!done) { p.destroyForcibly(); None }
+      if (!done) None
       else if (p.exitValue() != 0) None
       else """BENCHONE ([0-9.]+)""".r.findFirstMatchIn(out)
         .map(_.group(1).toDouble)

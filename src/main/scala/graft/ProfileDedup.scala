@@ -54,27 +54,13 @@ object ProfileDedup {
       .repartition(col("doc_id"))
   }
 
-  /** LSH banding candidates over the set column (32 perms split into
-    * `nBands` bands) — the probabilistic comparison point for the two
-    * exact generators. 8 bands × 4 rows is the cheap default; 16 × 2 is
-    * the near-threshold-recall configuration (see Llm.lshCascade). */
-  def lshCandidates(docs: DataFrame, nBands: Int = 8): DataFrame = {
-    val rows = 32 / nBands
-    val sig = docs.select(col("doc_id"),
-      graft.functions.TextFunctions.minhashSig(col("sset"), 32).as("sig"))
-    val bands = sig.select(col("doc_id"),
-        posexplode(expr(
-          s"""transform(sequence(0, ${nBands - 1}),
-             |  b -> xxhash64(slice(sig, int(b) * $rows + 1, $rows)))"""
-            .stripMargin)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-    bands.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
-      .join(bands.select(col("band"), col("band_hash"),
-        col("doc_id").as("id_b")), Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
-  }
+  /** LSH banding candidates — delegates to the shared
+    * [[graft.operators.Lsh.bandCandidates]] (validation + join pins
+    * included), so the sweep measures the production plan. 8 bands ×
+    * 4 rows is the cheap default; 16 × 2 the near-threshold-recall
+    * configuration (see Llm.lshCascade). */
+  def lshCandidates(docs: DataFrame, nBands: Int = 8): DataFrame =
+    graft.operators.Lsh.bandCandidates(docs, nBands)
 
   private def timed[A](f: => A): (A, Double) = {
     val t0 = System.nanoTime()

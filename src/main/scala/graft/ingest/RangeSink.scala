@@ -204,10 +204,15 @@ final case class RangeSink(
             // fast path: already one sorted file — rename-publish, no job
             if (!f.exists(target)) renameOrDie(partFilesOf(dir).head, target)
           case Some(dirs) =>
-            // merge path: range spans epochs — one small job
+            // merge path: range spans epochs — one small job. mergeSchema,
+            // NOT the current batch's schema: when the range straddles a
+            // schema-evolution boundary (descriptor gained/dropped a field
+            // between epochs), forcing the newest schema would silently
+            // drop the older epochs' column values from the published file
             val tmp = new Path(root,
               s".${partitioner.fileName(rs, re)}.inprogress")
-            spark.read.schema(schema).parquet(dirs.map(_.toString): _*)
+            spark.read.option("mergeSchema", "true")
+              .parquet(dirs.map(_.toString): _*)
               .coalesce(1).sortWithinPartitions(col(blockCol))
               .write.mode("overwrite").options(tuning.options)
               .parquet(tmp.toString)

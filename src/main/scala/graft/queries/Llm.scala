@@ -61,31 +61,14 @@ object Llm extends QueryFamily {
     // ~0.99 at the cost of more (still bounded) candidates. Callers
     // pick per corpus: 8×4 when dups sit well above threshold, 16×2
     // when near-threshold recall matters.
-    require(32 % bands == 0, s"bands=$bands must divide 32")
-    val rows = 32 / bands
     val docs = documents
       .select(col("doc_id"), array_distinct(shingles).as("sset"))
       .repartition(col("doc_id")) // barrier: shingle sets computed once,
                                   // reused by signature AND verify sides
-    val sig = docs.select(col("doc_id"),
-      graft.functions.TextFunctions.minhashSig(col("sset"), 32).as("sig"))
-    val bandsDf = sig.select(col("doc_id"),
-        posexplode(expr(
-          s"""transform(sequence(0, ${bands - 1}),
-             |  b -> xxhash64(slice(sig, int(b) * $rows + 1, $rows)))
-             |""".stripMargin)))
-      .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
-    // corpus-scaled sides pinned SHUFFLE_HASH: AQE's compressed-bytes
-    // broadcast promotion must never pick the band table or the
-    // array-carrying doc sides (see SetSimJoin scaladoc / PLANS round 6)
-    val candidates = bandsDf.select(col("band"), col("band_hash"),
-        col("doc_id").as("id_a"))
-      .join(bandsDf.select(col("band"), col("band_hash"),
-        col("doc_id").as("id_b")).hint("shuffle_hash"),
-        Seq("band", "band_hash"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .dropDuplicates("id_a", "id_b")
+    // banding (validation + band self-join pins) lives in operators.Lsh —
+    // the ONE copy the sweep harness shares; array-carrying verify sides
+    // below pinned SHUFFLE_HASH (SetSimJoin scaladoc / PLANS round 6)
+    val candidates = graft.operators.Lsh.bandCandidates(docs, bands)
     val edges = candidates.hint("shuffle_hash")
       .join(docs.select(col("doc_id").as("id_a"), col("sset").as("set_a")),
         Seq("id_a"))

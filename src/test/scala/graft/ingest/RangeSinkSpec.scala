@@ -162,6 +162,28 @@ class RangeSinkSpec extends SparkSuite {
       .count() == 10)
   }
 
+  test("schema evolution MID-RANGE: the merge path unions epoch schemas") {
+    // a range straddling the evolution boundary takes finalizeBelow's
+    // merge path (two staged epoch dirs → one job); reading with the
+    // NEWEST schema there would silently drop the older epoch's column
+    // values — the merged publish must null-backfill instead
+    import spark.implicits._
+    val root = tmpDir()
+    val sink = RangeSink(root, RangePartitioner(start = 0, size = 10))
+    sink.processBatch((0L until 5L).map(n => (n, s"0x$n", n * 10))
+      .toDF("block_number", "block_id", "v"), epochId = 0)
+    // proto drops `v` mid-range; next epoch also closes the range
+    sink.processBatch((5L until 11L).map(n => (n, s"0x$n", s"tag$n"))
+      .toDF("block_number", "block_id", "tag"), epochId = 1)
+    assert(published(root).head == "0000000000-0000000010.parquet")
+    val file = spark.read.parquet(s"$root/0000000000-0000000010.parquet")
+    assert(file.columns.toSet == Set("block_number", "block_id", "v", "tag"))
+    assert(file.count() == 10)
+    // the older epoch's v values survived the merge
+    assert(file.filter(col("v").isNotNull).count() == 5)
+    assert(file.filter(col("tag").isNotNull).count() == 5)
+  }
+
   test("stop-block clamps the final range name (scenario 6)") {
     val root = tmpDir()
     val sink = RangeSink(root,

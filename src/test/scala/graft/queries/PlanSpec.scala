@@ -92,14 +92,30 @@ class PlanSpec extends SparkSuite {
   test("dedup cascades never broadcast a corpus-scaled side") {
     // the AQE compressed-bytes broadcast promotion detonation (PLANS
     // round 6): every cascade join is hinted, so no broadcast operator
-    // of any kind may appear in these plans
-    for (q <- Seq("q_dedup_cascade_ppjoin", "q_dedup_cascade_lsh")) {
-      val plan = executedPlan(q)
+    // may appear. The cascade-level plan is lineage-truncated by
+    // connected components' localCheckpoint (only the final cluster
+    // join survives in it), so the EDGE pipelines — where the 10.2 GiB
+    // build actually happened — are asserted un-truncated.
+    import org.apache.spark.sql.functions._
+    import graft.operators.{Lsh, SetSimJoin}
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("sset"))
+      .select(col("doc_id"), size(col("sset")).as("n"), col("sset"))
+    val plans = Seq(
+      "ppjoin edges" ->
+        SetSimJoin.edges(docs, 1, 2)
+          .queryExecution.executedPlan.toString(),
+      "lsh candidates+verify" ->
+        SetSimJoin.verify(Lsh.bandCandidates(docs, 8), docs, 1, 2)
+          .queryExecution.executedPlan.toString(),
+      "cascade final join" -> executedPlan("q_dedup_cascade_ppjoin"))
+    for ((n, plan) <- plans) {
       assert(!plan.contains("BroadcastHashJoin") &&
         !plan.contains("BroadcastNestedLoopJoin"),
-        s"$q re-grew a broadcast join:\n${plan.take(2000)}")
+        s"$n re-grew a broadcast join:\n${plan.take(2000)}")
       assert(plan.contains("ShuffledHashJoin"),
-        s"$q lost its shuffle-hash pins")
+        s"$n lost its shuffle-hash pins")
     }
   }
 
