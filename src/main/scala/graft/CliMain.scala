@@ -79,6 +79,26 @@ object CliMain {
       q.awaitTermination()
       deadQ.awaitTermination()
       if (!reused) spark.stop()
+    // optimize <inDir> <outDir> --zorder x,y: the maintenance pass —
+    // re-cluster an arrival-order parquet directory on the 2-D z-value
+    // so point/range predicates on either dimension prune files
+    // (operators.ZOrder.compact). Output is written BESIDE the live
+    // directory; swapping it in is the operator's deploy step.
+    case "optimize" :: inDir :: outDir :: flags =>
+      def flagVal(name: String): Option[String] =
+        flags.dropWhile(_ != name).drop(1).headOption
+      val dims = flagVal("--zorder").map(_.split(",")).getOrElse(
+        sys.error("--zorder colX,colY is required"))
+      require(dims.length == 2, "--zorder takes exactly two columns")
+      val reused =
+        org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+      val spark = Sessions.get("graft-optimize")
+      val n = graft.operators.ZOrder.compact(spark, inDir, outDir,
+        dims(0), dims(1),
+        numFiles = flagVal("--files").map(_.toInt).getOrElse(64),
+        bits = flagVal("--bits").map(_.toInt).getOrElse(8))
+      println(s"optimized $n rows -> $outDir")
+      if (!reused) spark.stop()
     case "run" :: blocksDir :: outRoot :: flags =>
       def flagVal(name: String): Option[String] =
         flags.dropWhile(_ != name).drop(1).headOption
@@ -152,6 +172,8 @@ object CliMain {
           |      alias: --undo-buffer-size)
           |  graft.CliMain corpus <jsonlDir> <outRoot> [--near-dup]
           |    [--bag-dedup] [--watermark W] [--checkpoint DIR]
+          |  graft.CliMain optimize <inDir> <outDir> --zorder colX,colY
+          |    [--files N] [--bits B]
           |  graft.CliMain setup <store_url>""".stripMargin)
       sys.exit(2)
   }

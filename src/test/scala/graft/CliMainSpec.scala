@@ -88,6 +88,23 @@ class CliMainSpec extends SparkSuite {
     assert(dead.select("_corrupt").as[String].head().contains("truncated"))
   }
 
+  test("optimize re-clusters a directory so either dimension prunes files") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("cli-opt").toString
+    spark.range(0L, 4096L)
+      .select((col("id") % 64).as("x"), (col("id") / 64).cast("long").as("y"))
+      .repartition(8).write.parquet(s"$root/raw") // arrival order: no locality
+    CliMain.main(Array("optimize", s"$root/raw", s"$root/opt",
+      "--zorder", "x,y", "--files", "16"))
+    val opt = spark.read.parquet(s"$root/opt")
+    assert(opt.count() == 4096L)
+    def touched(dim: String): Long = opt.groupBy(input_file_name())
+      .agg(min(dim).as("lo"), max(dim).as("hi"))
+      .filter(col("lo") <= 17L && col("hi") >= 17L).count()
+    assert(touched("x") <= 8 && touched("y") <= 8,
+      s"pruning not recovered: x=${touched("x")} y=${touched("y")} of 16")
+  }
+
   test("run --endpoint streams the chain from a live gRPC server into " +
       "range-named parquet") {
     val out = Files.createTempDirectory("cli-grpc-out").toString
