@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** MinHash banding — THE shared candidate generator for the LSH dedup
@@ -24,20 +24,29 @@ import org.apache.spark.sql.functions._
   */
 object Lsh {
 
+  /** The banding expression itself — band b ↦ xxhash64 of rows
+    * b·r+1 … b·r+r of the signature column `sig`. Shared by the batch
+    * candidate generator below AND the streaming NearDupStage, so the
+    * slice indexing (whose off-by-one would silently zero recall, not
+    * error) lives in exactly one place. */
+  def bandHashesExpr(perms: Int, nBands: Int): Column = {
+    require(nBands > 0 && perms % nBands == 0,
+      s"nBands=$nBands must divide perms=$perms")
+    val rows = perms / nBands
+    expr(
+      s"""transform(sequence(0, ${nBands - 1}),
+         |  b -> xxhash64(slice(sig, int(b) * $rows + 1, $rows)))"""
+        .stripMargin)
+  }
+
   /** Candidate pairs (id_a < id_b, deduped) for `docs` carrying a
     * distinct-element array column `sset` keyed by `doc_id`. */
   def bandCandidates(docs: DataFrame, nBands: Int,
                      perms: Int = 32): DataFrame = {
-    require(nBands > 0 && perms % nBands == 0,
-      s"nBands=$nBands must divide perms=$perms")
-    val rows = perms / nBands
     val sig = docs.select(col("doc_id"),
       graft.functions.TextFunctions.minhashSig(col("sset"), perms).as("sig"))
     val bands = sig.select(col("doc_id"),
-        posexplode(expr(
-          s"""transform(sequence(0, ${nBands - 1}),
-             |  b -> xxhash64(slice(sig, int(b) * $rows + 1, $rows)))"""
-            .stripMargin)))
+        posexplode(bandHashesExpr(perms, nBands)))
       .withColumnsRenamed(Map("pos" -> "band", "col" -> "band_hash"))
     bands.select(col("band"), col("band_hash"), col("doc_id").as("id_a"))
       .join(bands.select(col("band"), col("band_hash"),

@@ -44,12 +44,10 @@ final case class NearDupStage(
     compactEvery: Int = 64,
     claimShards: Int = 0) {
 
-  private val rows = nPerm / bands
-  require(rows * bands == nPerm, s"bands must divide nPerm: $nPerm/$bands")
-
-  private def bandHashes = expr(
-    s"""transform(sequence(0, ${bands - 1}),
-       |  b -> xxhash64(slice(sig, int(b) * $rows + 1, $rows)))""".stripMargin)
+  // banding math (validation included) shared with the batch family —
+  // graft.operators.Lsh is the one place the slice indexing lives
+  private def bandHashes = graft.operators.Lsh.bandHashesExpr(nPerm, bands)
+  bandHashes // validate (nPerm, bands) at construction, not first batch
 
   private def registryPath(epochId: Long) = s"$registryDir/epoch=$epochId"
   private def horizonFile = new Path(s"$registryDir/_horizon")
