@@ -163,10 +163,82 @@ final case class MinHash3GramSignature(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** span_hashes(tokens, n) — every n-token window fingerprint of a token
+  * array in O(tokens) total, via a rolling polynomial (base B, mod 2^64
+  * by natural overflow) over per-token xxHash64 values; the leading
+  * term is removed each step with a precomputed B^(n-1), so each window
+  * costs O(1) regardless of n.
+  *
+  * The composable form (`md5(array_join(slice(ts, i, n), ' '))` per
+  * position — q_span_dedup's DuckDB-mirrorable shape) rebuilds
+  * O(n)-token strings per position: O(tokens × n) bytes hashed per doc.
+  * This expression is the 100 TB hot path; because downstream dedup
+  * counts depend only on span IDENTITY (the hash never reaches output),
+  * any exact-span method yields identical statistics absent 64-bit
+  * collisions, and the oracled md5 query certifies this one.
+  *
+  * Inputs shorter than n yield an empty array (no spans). Null token
+  * elements hash to a fixed sentinel distinct from real tokens.
+  */
+final case class SpanHashes(child: Expression, n: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  require(n > 0, s"span length must be positive: $n")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "span_hashes"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"span_hashes needs ARRAY<STRING>, got ${other.sql}")
+  }
+
+  private val B = 1099511628211L // odd ⇒ invertible mod 2^64
+  private lazy val bPowN1: Long = {
+    var p = 1L; var i = 1; while (i < n) { p *= B; i += 1 }; p
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val len = arr.numElements()
+    if (len < n) return new GenericArrayData(Array.emptyLongArray)
+    val h = new Array[Long](len)
+    var i = 0
+    while (i < len) {
+      h(i) =
+        if (arr.isNullAt(i)) 0x9e3779b97f4a7c15L // null sentinel
+        else MinHashSignature.hash64(arr.getUTF8String(i))
+      i += 1
+    }
+    val out = new Array[Long](len - n + 1)
+    var w = 0L
+    i = 0
+    while (i < n) { w = w * B + h(i); i += 1 }
+    out(0) = w
+    var j = 1
+    while (j <= len - n) {
+      w = (w - h(j - 1) * bPowN1) * B + h(j + n - 1)
+      out(j) = w
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Column DSL entry: MinHash signature of an ARRAY<STRING> column. */
   def minhashSig(shingles: Column, nPerm: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingles), nPerm))
+
+  /** Column DSL entry: rolling n-token span fingerprints (see
+    * [[SpanHashes]]). */
+  def spanHashes(tokens: Column, n: Int): Column =
+    Bridge.column(SpanHashes(Bridge.expression(tokens), n))
 
   /** Fused `minhashSig(shingles3(text), nPerm)` — value-identical, one
     * tight loop per document (see [[MinHash3GramSignature]]). */

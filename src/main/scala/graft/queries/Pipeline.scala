@@ -435,6 +435,30 @@ object Pipeline extends QueryFamily {
           round(col("dup_spans").cast("double") / col("n_spans"), 6))
         .orderBy("doc_id")
     },
+    "q_span_dedup_rolling" -> { (s, d) =>
+      // q_span_dedup's statistics from O(tokens) rolling-hash span
+      // fingerprints (TextFunctions.spanHashes — one rolling polynomial
+      // pass) instead of the O(tokens×n) per-position md5 strings. Span
+      // IDENTITY is all that reaches the output, so the SAME DuckDB
+      // oracle certifies both paths: absent 64-bit collisions, every
+      // exact-span method yields identical dedup counts. This is the
+      // form the 100 TB pass runs.
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+      val spans = toks.select(col("doc_id"),
+        explode(graft.functions.TextFunctions.spanHashes(col("ts"), 8))
+          .as("h"))
+      val firsts = spans.groupBy("h").agg(min("doc_id").as("first_doc"))
+      spans.join(firsts.hint("shuffle_hash"), Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
+            .as("dup_spans"))
+        .withColumn("dup_ratio",
+          round(col("dup_spans").cast("double") / col("n_spans"), 6))
+        .orderBy("doc_id")
+    },
     "q_corpus_shuffle" -> { (s, d) =>
       // Deterministic global training-order shuffle, sharded the way a
       // 100 TB corpus is laid out: hash each doc to one of 64 shards,
@@ -453,6 +477,25 @@ object Pipeline extends QueryFamily {
         .orderBy("shard", "pos")
     }
   )
+
+  /** One oracle for BOTH span-dedup paths (md5 and rolling-hash): the
+    * output depends only on span identity, never the hash. */
+  private val spanDedupSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, list_filter(string_split(text, ' '),
+      |                             t -> t <> '') AS ts
+      |  FROM documents),
+      |spans AS (
+      |  SELECT doc_id, md5(array_to_string(ts[i:i+7], ' ')) AS h
+      |  FROM toks, unnest(range(1, len(ts) - 6)) AS t(i)),
+      |firsts AS (SELECT h, min(doc_id) AS first_doc FROM spans GROUP BY h)
+      |SELECT doc_id, count(*) AS n_spans,
+      |  CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS dup_spans,
+      |  round(CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
+      |    AS DOUBLE) / count(*), 6) AS dup_ratio
+      |FROM spans JOIN firsts USING (h)
+      |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
   /** DuckDB mirror of [[simhash16]]: token hash = first 4 md5 nibbles as
     * an int (strpos polynomial — matches the Spark conv() exactly). */
@@ -775,22 +818,10 @@ object Pipeline extends QueryFamily {
         |  round(avg(-ln(CAST(tf AS DOUBLE) / total)), 6) AS avg_nll
         |FROM inst2 JOIN tf USING (token) CROSS JOIN tot
         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q_span_dedup" ->
-      """WITH toks AS (
-        |  SELECT doc_id, list_filter(string_split(text, ' '),
-        |                             t -> t <> '') AS ts
-        |  FROM documents),
-        |spans AS (
-        |  SELECT doc_id, md5(array_to_string(ts[i:i+7], ' ')) AS h
-        |  FROM toks, unnest(range(1, len(ts) - 6)) AS t(i)),
-        |firsts AS (SELECT h, min(doc_id) AS first_doc FROM spans GROUP BY h)
-        |SELECT doc_id, count(*) AS n_spans,
-        |  CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
-        |    AS BIGINT) AS dup_spans,
-        |  round(CAST(sum(CASE WHEN first_doc < doc_id THEN 1 ELSE 0 END)
-        |    AS DOUBLE) / count(*), 6) AS dup_ratio
-        |FROM spans JOIN firsts USING (h)
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_span_dedup" -> spanDedupSql,
+    // identical statistics contract — the rolling-hash path must agree
+    // with the md5 path span for span, so one oracle certifies both
+    "q_span_dedup_rolling" -> spanDedupSql,
     "q_corpus_shuffle" -> {
       val nib = (i: Int) =>
         s"(strpos('0123456789abcdef', substring(k, $i, 1)) - 1)"
