@@ -53,17 +53,25 @@ object BenchOne {
       val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
       // drain stdout on a daemon thread: a blocking readAllBytes on this
       // thread would defeat the waitFor timeout when the subprocess hangs
+      val buf = new java.io.ByteArrayOutputStream()
       val outRef = new java.util.concurrent.atomic.AtomicReference("")
-      val reader = new Thread(() =>
-        try outRef.set(new String(p.getInputStream.readAllBytes(), "UTF-8"))
-        catch { case _: Throwable => () })
+      val reader = new Thread(() => {
+        // transferTo appends as bytes arrive, so whatever drained before
+        // a kill/IO error is preserved rather than discarded
+        try p.getInputStream.transferTo(buf)
+        catch { case _: Throwable => () }
+        finally outRef.set(buf.toString("UTF-8"))
+      })
       reader.setDaemon(true)
       reader.start()
       val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
       // kill BEFORE joining the reader: a hung subprocess keeps the pipe
-      // open, so the reader can only reach EOF once the process dies
+      // open, so the reader can only reach EOF once the process dies.
+      // On a normal exit the pipe is at EOF and the reader terminates
+      // promptly — join unbounded so a large stdout finishes draining;
+      // the 5 s bound is only for the killed-process path.
       if (!done) p.destroyForcibly()
-      reader.join(5000)
+      if (done) reader.join() else reader.join(5000)
       val out = outRef.get()
       if (!done) None
       else if (p.exitValue() != 0) None

@@ -32,9 +32,13 @@ object Sessions {
       // AQE sizes broadcast candidates from COMPRESSED shuffle bytes; a
       // side that estimates under the 64 MiB threshold can decompress
       // past the 1g default result-size cap during the driver collect
-      // (observed: vocabulary-df join at 5M docs). Size the cap to the
-      // driver heap, as on a real cluster.
-      .config("spark.driver.maxResultSize", "4g")
+      // (observed: vocabulary-df join at 5M docs). Cap at half the
+      // actual driver heap so a mis-promoted broadcast still fails with
+      // a clean result-size error rather than a driver OOM; overridable
+      // for profiling runs.
+      .config("spark.driver.maxResultSize",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_RESULT",
+          s"${Runtime.getRuntime.maxMemory / (2L * 1024 * 1024)}m"))
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.sql.parquet.compression.codec", "zstd")
 

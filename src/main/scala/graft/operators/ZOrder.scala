@@ -105,11 +105,21 @@ object ZOrder {
     * readers unblocked — atomically swapping the result in is the
     * caller's publish concern (RangeSink-style staged rename). Returns
     * the compacted row count so callers can assert conservation before
-    * swapping. */
+    * swapping.
+    *
+    * Ingest directories can hold files with HETEROGENEOUS schemas (the
+    * RangeSink schema-evolution contract merges columns mid-range), so
+    * the read is `mergeSchema=true`: the output schema is the COLUMN
+    * UNION across all input footers (files missing a column yield
+    * nulls), plus `zval`. A plain footer-schema read would silently
+    * drop columns present only in other files while still conserving
+    * the row count. Row conservation is asserted here, before any
+    * caller could swap the output in for the live directory. */
   def compact(spark: SparkSession, inDir: String, outDir: String,
               dimX: String, dimY: String, numFiles: Int,
               bits: Int = 8): Long = {
-    val df = spark.read.parquet(inDir)
+    val df = spark.read.option("mergeSchema", "true").parquet(inDir)
+    val inCount = df.count()
     val frame = df.agg(min(dimX).as("__minx"), max(dimX).as("__maxx"),
       min(dimY).as("__miny"), max(dimY).as("__maxy"))
     df.crossJoin(broadcast(frame))
@@ -120,6 +130,9 @@ object ZOrder {
       .repartitionByRange(numFiles, col("zval"))
       .sortWithinPartitions("zval")
       .write.mode("overwrite").parquet(outDir)
-    spark.read.parquet(outDir).count()
+    val outCount = spark.read.parquet(outDir).count()
+    require(outCount == inCount,
+      s"compact lost rows: read $inCount from $inDir, wrote $outCount to $outDir")
+    outCount
   }
 }

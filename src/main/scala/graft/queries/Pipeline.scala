@@ -392,6 +392,13 @@ object Pipeline extends QueryFamily {
       // here with the corpus itself as the language model — two
       // partial-aggregated passes (token tf, then per-doc mean via one
       // corpus-keyed join), the scalar total a 1-row broadcast.
+      // Determinism: the mean is aggregated in FIXED POINT — each
+      // token's surprisal is quantized to integer micro-nats
+      // (floor(1e6·−ln p), identical operand order in both engines)
+      // BEFORE summing, so the per-doc aggregate is an exact integer
+      // sum + integer divide. A float avg would hinge on summation
+      // order (partial aggregation vs DuckDB's single pass) whenever
+      // the mean lands near a 1e-6 rounding boundary.
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .filter(col("token") =!= "")
@@ -401,10 +408,13 @@ object Pipeline extends QueryFamily {
       // broadcast promotion; also skips sorting the giant instance side)
       toks.join(tf.hint("shuffle_hash"), Seq("token"))
         .crossJoin(broadcast(tot))
+        .withColumn("nll_fp",
+          floor(lit(1e6) * -log(col("tf").cast("double") / col("total")))
+            .cast("long"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          round(avg(-log(col("tf").cast("double") / col("total"))), 6)
-            .as("avg_nll"))
+        .agg(count(lit(1)).as("n_tokens"), sum(col("nll_fp")).as("sum_fp"))
+        .select(col("doc_id"), col("n_tokens"),
+          expr("sum_fp div n_tokens").as("avg_nll_micro"))
         .orderBy("doc_id")
     },
     "q_span_dedup" -> { (s, d) =>
@@ -813,11 +823,14 @@ object Pipeline extends QueryFamily {
         |  FROM documents),
         |inst2 AS (SELECT doc_id, token FROM inst WHERE token <> ''),
         |tf AS (SELECT token, count(*) AS tf FROM inst2 GROUP BY token),
-        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tf)
+        |tot AS (SELECT CAST(sum(tf) AS DOUBLE) AS total FROM tf),
+        |per AS (SELECT doc_id,
+        |  CAST(floor(1e6 * -ln(CAST(tf AS DOUBLE) / total)) AS BIGINT)
+        |    AS nll_fp
+        |  FROM inst2 JOIN tf USING (token) CROSS JOIN tot)
         |SELECT doc_id, count(*) AS n_tokens,
-        |  round(avg(-ln(CAST(tf AS DOUBLE) / total)), 6) AS avg_nll
-        |FROM inst2 JOIN tf USING (token) CROSS JOIN tot
-        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+        |  CAST(sum(nll_fp) AS BIGINT) // count(*) AS avg_nll_micro
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_span_dedup" -> spanDedupSql,
     // identical statistics contract — the rolling-hash path must agree
     // with the md5 path span for span, so one oracle certifies both
