@@ -547,7 +547,15 @@ object Pipeline extends QueryFamily {
       outCol: String): DataFrame = {
     val nBands = bits / bandBits
     val mask = (1 << bandBits) - 1
-    val sh = simhashN(docs, bits, outCol).repartition(col("doc_id"))
+    // localCheckpoint, not a repartition barrier: the band self-join's
+    // build side is a BroadcastExchange, which can never reuse the probe
+    // side's shuffle — with plain lineage (or a repartition) the whole
+    // fingerprint pass (md5 per token + vote aggregation over the corpus)
+    // ran once PER SIDE (observed in the r6 plan: two full scan→agg
+    // subtrees). Checkpointing the per-doc fingerprint frame (2 longs/doc
+    // — corpus-count rows, not corpus bytes) computes it once and both
+    // sides read the materialized blocks.
+    val sh = simhashN(docs, bits, outCol).localCheckpoint()
     val bands = sh.select(col("doc_id"), col(outCol),
         posexplode(expr(
           s"""transform(sequence(0, ${nBands - 1}),
