@@ -150,7 +150,17 @@ object Bench {
         dec.unpersist()
         nBlocks / ((System.nanoTime() - t0) / 1e9)
       }
-      // best-of-N, matching the per-query steady-state policy
+      // The ingest path reaches JIT/page-cache steady state only after
+      // ~6-8 passes in a JVM (measured r7: run1 ≈ 9-13k blocks/s cold,
+      // runs 8-10 ≈ 63-81k, same code) — the query warm-up above never
+      // touches RangeSink, so an un-warmed best-of-3 samples the warmup
+      // RAMP and lands anywhere in a 2× band. That ramp, not any code
+      // change, was the r5→r6 "regression" (86.0k vs 62.8k driver
+      // artifacts; r5/r6 HEADs measure within variance of each other
+      // back-to-back at steady state — PLANS.md round 7). Warm passes
+      // run off the clock so the timed best-of-N samples steady state.
+      val warmPasses = sys.env.getOrElse("SPARK_GRAFT_INGEST_WARMUP", "4").toInt
+      (1 to warmPasses).foreach(_ => onePass())
       val bps = (1 to runs).map(_ => onePass()).max
       blocks.unpersist()
       bps
@@ -195,8 +205,14 @@ object Bench {
     // only individually-informative ones — the rest are sub-second) plus
     // every scalar; the complete per-query record is in BENCH_full.json,
     // referenced by `queries_full`.
+    // value = total of per-query medians (continuity with r1-r6);
+    // value_min = total of per-query MINs — the contention-robust total
+    // that cross-producer (builder vs driver) comparisons use, per the
+    // round-7 reconciliation protocol in PLANS.md
+    val totalMin = mins.values.sum
     val slowest = results.toSeq.sortBy(-_._2).take(12).sortBy(_._1)
     val line = s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
+      s""""value_min":${f"$totalMin%.2f"},""" +
       s""""queries":${m(slowest, "%.2f")},""" +
       s""""queries_timed":${results.size},"queries_full":"BENCH_full.json",""" +
       tailFields
@@ -208,6 +224,7 @@ object Bench {
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILE", "BENCH_full.json")
     writeJson(out,
       s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
+        s""""value_min":${f"$totalMin%.2f"},""" +
         s""""queries":${m(results.toSeq.sortBy(_._1), "%.2f")},""" +
         tailFields.dropRight(1) +
         s""","queries_median":${m(medians.toSeq.sortBy(_._1), "%.3f")}""" +

@@ -10,25 +10,11 @@ import graft.SparkSuite
   * of it — candidate-pair volume collapsing on a boilerplate-heavy
   * corpus where every doc shares hot shingles. */
 class SetSimJoinSpec extends SparkSuite {
-  import spark.implicits._
 
-  /** Planted corpus: all docs share a boilerplate block (hot shingles,
-    * df = nDocs) + a unique tail; each doc in the first half has a true
-    * near-dup partner (one tail token changed) in the second half. */
-  private def planted(nDocs: Int): DataFrame = {
-    val half = nDocs / 2
-    val boiler = (1 to 12).map(i => s"boiler$i").mkString(" ")
-    def uniq(i: Int) = (1 to 20).map(j => s"u${i}_$j").mkString(" ")
-    val texts = (0 until half).map(i => (i.toLong, s"$boiler ${uniq(i)}")) ++
-      (0 until half).map { i =>
-        val t = s"$boiler ${uniq(i)}".split(" "); t(20) = "CHANGED"
-        ((i + half).toLong, t.mkString(" "))
-      }
-    texts.toDF("doc_id", "text")
-      .select(col("doc_id"), array_distinct(
-        graft.functions.TextFunctions.shingles3(col("text"))).as("sset"))
-      .select(col("doc_id"), size(col("sset")).as("n"), col("sset"))
-  }
+  /** Planted boiler corpus — see [[BoilerCorpus]] (shared with LshSpec
+    * so both guards assert against the same sweep-shaped fixture). */
+  private def planted(nDocs: Int): DataFrame =
+    BoilerCorpus.planted(spark, nDocs)
 
   private def pairSet(df: DataFrame): Set[(Long, Long)] =
     df.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -74,6 +60,45 @@ class SetSimJoinSpec extends SparkSuite {
     val nPre = SetSimJoin.candidatesPrefix(docs, 1, 2).count()
     assert(nAll >= 10 * nPre,
       s"expected >=10x reduction, got all=$nAll prefix=$nPre")
+  }
+
+  // --- sweep regression guards (PLANS.md round-6 5M-doc sweep; verdict
+  // r6 task 6): the sweep's conclusions, pinned at spec scale so a
+  // refactor that breaks one fails a named test, not a 5M-doc profile.
+
+  test("sweep guard: ppjoin precision 1.0 on boilerplate — " +
+      "candidates are exactly the verified edges") {
+    // the sweep measured candidates = edges at EVERY boiler scale
+    // (20k→5M docs): positional+length filters leave nothing for the
+    // verify phase to discard. If a filter weakens, candidates exceed
+    // edges and this fails; if one over-tightens, the planted pairs
+    // (ground truth) go missing.
+    val n = 200
+    val docs = planted(n).localCheckpoint()
+    val cands = pairSet(SetSimJoin.candidatesPrefix(docs, 1, 2))
+    val edges = pairSet(SetSimJoin.edges(docs, 1, 2))
+    assert(edges == BoilerCorpus.plantedPairs(n),
+      "edges must be exactly the planted near-dup pairs")
+    assert(cands == edges,
+      s"ppjoin precision regressed: ${cands.size} candidates vs " +
+        s"${edges.size} edges")
+  }
+
+  test("sweep guard: ppjoin joins stay SHUFFLE_HASH under AQE " +
+      "(no broadcast promotion in the executed plan)") {
+    // AQE sizes broadcast candidates from COMPRESSED shuffle bytes;
+    // boiler text compresses 30-50×, and the unhinted plan detonated at
+    // 5M docs (10.2 GiB broadcast build — PLANS.md round 6). The hints
+    // must survive into the FINAL adaptive plan, where promotion
+    // happens — asserting the pre-execution plan would miss it.
+    val docs = planted(200).localCheckpoint()
+    val df = SetSimJoin.edges(docs, 1, 2)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("ShuffledHashJoin"),
+      s"edges lost its SHUFFLE_HASH pins:\n${plan.take(2000)}")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"AQE promoted a corpus-scaled side to broadcast:\n${plan.take(2000)}")
   }
 
   test("threshold is a rational: stricter thresholds shrink candidates") {
