@@ -132,7 +132,15 @@ object CliMain {
       // --endpoint host:port streams from a live Substreams gRPC endpoint
       // (run.go:100-108 endpoint resolution; <blocksDir> is ignored — pass
       // `-`); without it, a block-parquet directory stands in (§7.3)
-      val blocks = flagVal("--endpoint") match {
+      // --endpoint host:port, or --network <name> resolved through the
+      // registry (run.go:73-92: endpoint > network > manifest network;
+      // env override SUBSTREAMS_ENDPOINTS_CONFIG_<NETWORK>)
+      val endpointOpt = (flagVal("--endpoint"), flagVal("--network")) match {
+        case (None, None) => None
+        case (ep, net) =>
+          Some(graft.sources.Networks.resolve(ep, net))
+      }
+      val blocks = endpointOpt match {
         case Some(ep) =>
           spark.readStream.format("graft.sources.BlockStreamProvider")
             .option("client",
@@ -166,7 +174,8 @@ object CliMain {
           |    [--checkpoint DIR] [--descriptor-set F --message M]
           |    [--compression-level N] [--row-group-bytes N]
           |    [--page-size-bytes N] [--no-dictionary]
-          |    [--endpoint host:port [--output-module M]
+          |    [--endpoint host:port | --network NAME]
+          |    [--output-module M]
           |     [--confirmations K]]  (K: how many blocks the exposed
           |      offset lags the probed head; finalized ranges only —
           |      alias: --undo-buffer-size)

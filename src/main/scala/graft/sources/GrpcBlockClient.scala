@@ -343,9 +343,11 @@ object GrpcBlockClient {
   * `outputmodule` from the source option map. */
 final class GrpcBlockClientFactory extends BlockClientFactory {
   override def create(o: Map[String, String]): BlockClient = {
-    val endpoint = o.getOrElse("endpoint",
-      throw new IllegalArgumentException(
-        "gRPC client needs an `endpoint` option (host:port)"))
+    // explicit endpoint, or a named network through the registry
+    // (run.go:73-92 precedence; Networks.resolve errors when neither
+    // option names a chain)
+    val endpoint = Networks.resolve(
+      o.get("endpoint"), o.get("network"), o.get("manifestnetwork"))
     // split on the LAST ':' so IPv6 literals ([::1]:9000) parse; brackets
     // around the host part are stripped
     val cut = endpoint.lastIndexOf(':')

@@ -15,7 +15,14 @@ import com.sun.net.httpserver.HttpServer
   * Serves, on 127.0.0.1:`port`:
   *   - `/metrics` — Prometheus text format: per-query last batch id,
   *     input/processed rows-per-second, epochs observed;
-  *   - `/healthz` — 200 "ok" (liveness for a supervisor).
+  *   - `/healthz` — 200 "ok" (liveness for a supervisor);
+  *   - `/profile?seconds=N` — the pprof-profile analogue (the reference
+  *     mounts net/http/pprof, main.go:17,26-27): records the JVM for N
+  *     seconds (default 5, capped at 300) with JDK Flight Recorder's
+  *     built-in `profile` configuration and returns the `.jfr` bytes,
+  *     exactly how `GET /debug/pprof/profile?seconds=N` blocks then
+  *     returns a pb.gz. One recording at a time — a concurrent request
+  *     gets 409, matching pprof's "profiling already in progress".
   *
   * JDK-built-in `com.sun.net.httpserver` — no dependency, loopback-only
   * bind (operational surface, not a public API).
@@ -24,6 +31,10 @@ final class MetricsEndpoint(stats: IngestStats, port: Int = 0) {
 
   private val server = HttpServer.create(
     new InetSocketAddress("127.0.0.1", port), 0)
+  // without an executor every handler runs on the single dispatcher
+  // thread — a blocking /profile recording would starve /healthz
+  server.setExecutor(java.util.concurrent.Executors.newCachedThreadPool(
+    r => { val t = new Thread(r, "graft-metrics"); t.setDaemon(true); t }))
 
   /** Bound port (useful when constructed with port=0 → ephemeral). */
   def boundPort: Int = server.getAddress.getPort
@@ -52,6 +63,40 @@ final class MetricsEndpoint(stats: IngestStats, port: Int = 0) {
     b ++= "# TYPE graft_ingest_processed_rows_per_sec gauge\n"
     b ++= s"graft_ingest_processed_rows_per_sec ${last.map(_._3).getOrElse(0.0)}\n"
     respond(ex, 200, b.result())
+  })
+
+  private val profiling = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  server.createContext("/profile", ex => {
+    val seconds = Option(ex.getRequestURI.getQuery).toSeq
+      .flatMap(_.split('&')).collectFirst {
+        case q if q.startsWith("seconds=") => q.stripPrefix("seconds=").toInt
+      }.getOrElse(5).max(1).min(300)
+    if (!profiling.compareAndSet(false, true))
+      respond(ex, 409, "a profile recording is already in progress\n")
+    else try {
+      val rec = new jdk.jfr.Recording(
+        jdk.jfr.Configuration.getConfiguration("profile"))
+      val dump = java.nio.file.Files.createTempFile("graft-profile", ".jfr")
+      val bytes = try {
+        rec.start()
+        Thread.sleep(seconds * 1000L)
+        rec.stop()
+        rec.dump(dump)
+        java.nio.file.Files.readAllBytes(dump)
+      } finally {
+        rec.close()
+        java.nio.file.Files.deleteIfExists(dump)
+      }
+      ex.getResponseHeaders.set("Content-Type", "application/octet-stream")
+      ex.getResponseHeaders.set("Content-Disposition",
+        s"attachment; filename=profile-${seconds}s.jfr")
+      ex.sendResponseHeaders(200, bytes.length.toLong)
+      val os = ex.getResponseBody
+      try os.write(bytes) finally os.close()
+    } catch {
+      case e: Exception => respond(ex, 500, s"profile failed: ${e.getMessage}\n")
+    } finally profiling.set(false)
   })
 
   def start(): MetricsEndpoint = { server.start(); this }

@@ -32,6 +32,39 @@ class MetricsEndpointSpec extends AnyFunSuite {
     } finally ep.stop()
   }
 
+  test("/profile records the JVM and returns JFR bytes (pprof analogue)") {
+    val ep = new MetricsEndpoint(new IngestStats(_ => ())).start()
+    try {
+      val base = s"http://127.0.0.1:${ep.boundPort}"
+      val conn = URI.create(s"$base/profile?seconds=1").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      val bytes = conn.getInputStream.readAllBytes()
+      // JFR chunk magic: 'F' 'L' 'R' \0
+      assert(bytes.length > 4 &&
+        bytes.take(4).sameElements(Array[Byte]('F', 'L', 'R', 0)),
+        s"expected a JFR stream, got ${bytes.take(4).toSeq}")
+      // a recording must not have starved liveness: healthz answers
+      // while nothing else is running
+      assert(get(s"$base/healthz") == (200, "ok\n"))
+    } finally ep.stop()
+  }
+
+  test("concurrent /profile requests get 409, not interleaved recordings") {
+    val ep = new MetricsEndpoint(new IngestStats(_ => ())).start()
+    try {
+      val base = s"http://127.0.0.1:${ep.boundPort}"
+      val first = new Thread(() =>
+        get(s"$base/profile?seconds=2"): Unit)
+      first.start()
+      Thread.sleep(400) // let the first recording start
+      val conn = URI.create(s"$base/profile?seconds=1").toURL
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 409)
+      first.join(15000)
+    } finally ep.stop()
+  }
+
   test("empty stats serve zero-state, not errors") {
     val ep = new MetricsEndpoint(new IngestStats(_ => ())).start()
     try {
