@@ -6,9 +6,11 @@ import org.apache.spark.sql.SparkSession
   * exact configuration the engine is designed for.
   *
   * Notes:
-  *  - `nanosAsLong`: the driver's `events` table carries timestamp[ns],
-  *    which Spark's parquet reader rejects; reading it as epoch-nanos Long
-  *    keeps full precision (DuckDB side uses epoch_ns(ts) to match).
+  *  - `nanosAsLong`: vestigial-safe — earlier driver testdata carried
+  *    timestamp[ns] (rejected by Spark's reader without this conf); the
+  *    current generation writes timestamp[us], which both engines read
+  *    natively as a microsecond timestamp, so the conf no-ops. Kept so a
+  *    ns-era parquet still loads instead of crashing the whole session.
   *  - AQE on: runtime coalescing + skew-join handling is part of the
   *    100 TB design (SURVEY.md §7.2 M6).
   *  - shuffle.partitions defaults to the core count for local runs; on a

@@ -179,17 +179,16 @@ object Joins extends QueryFamily {
                 col("ts").as("p_ts"))
       val signups = e.filter(col("event_type") === "signup")
         .select(col("user_id").as("s_user"), col("ts").as("s_ts"))
-      // Join in native nanos; emit micros — DuckDB's parquet reader only
-      // keeps microsecond precision for timestamp[ns] columns.
+      // Join on native timestamps; emit epoch micros on both sides
+      // (NTZ → cast in the UTC-pinned session ≡ DuckDB epoch_us).
       purchases.join(signups,
           col("p_user") === col("s_user") && col("s_ts") <= col("p_ts"), "left")
         .groupBy(col("p_user"), col("p_event"), col("p_ts"))
-        .agg(max(col("s_ts")).as("asof_ns"))
+        .agg(max(col("s_ts")).as("asof_ts"))
         .select(col("p_user"), col("p_event"),
-                // integer `div`, NOT `/`: long/1000 goes through DOUBLE,
-                // which can't represent epoch-nanos exactly (>2^53).
-                expr("p_ts div 1000").as("p_ts_us"),
-                expr("asof_ns div 1000").as("asof_signup_us"))
+                unix_micros(col("p_ts").cast("timestamp")).as("p_ts_us"),
+                unix_micros(col("asof_ts").cast("timestamp"))
+                  .as("asof_signup_us"))
         .orderBy(col("p_event").asc)
     }
   )

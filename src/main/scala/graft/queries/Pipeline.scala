@@ -351,7 +351,8 @@ object Pipeline extends QueryFamily {
       import graft.operators.ZOrder
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
-          expr("(ts div 1000) div 86400000000").as("day"))
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"))
       val b = ev.agg(min("user_id").as("minu"), max("user_id").as("maxu"),
         min("day").as("mind"), max("day").as("maxd"))
       ev.crossJoin(broadcast(b))
@@ -370,8 +371,10 @@ object Pipeline extends QueryFamily {
       import graft.operators.ZOrder
       val ev = Tables.events(s, d)
         .select(col("event_id"), col("user_id"),
-          expr("(ts div 1000) div 86400000000").as("day"),
-          expr("((ts div 1000) div 3600000000) % 24").as("hour"))
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"),
+          expr("(unix_micros(cast(ts as timestamp)) div 3600000000) % 24")
+            .as("hour"))
       val b = ev.agg(min("user_id").as("minu"), max("user_id").as("maxu"),
         min("day").as("mind"), max("day").as("maxd"))
       ev.crossJoin(broadcast(b))

@@ -14,15 +14,15 @@ import org.apache.spark.sql.functions._
   * the StreamingSpec/IngestSpec ScalaTest fixtures where DuckDB has no
   * equivalent.
   *
-  * Event-time notes: `events.ts` is epoch-nanos LONG in Spark
-  * (nanosAsLong) — converted via timestamp_micros(ts div 1000) so Spark's
-  * window() grid and DuckDB's time_bucket() land on the same epoch-aligned
-  * boundaries.
+  * Event-time notes: `events.ts` is a microsecond TIMESTAMP_NTZ (parquet
+  * timestamp[us], no UTC flag) read natively by both engines; Spark's
+  * window() grid and DuckDB's time_bucket() are both epoch-aligned on the
+  * same wall-clock values (session TZ pinned UTC, SURVEY §7.5).
   */
 object Streaming extends QueryFamily {
 
-  /** events.ts (epoch ns long) as a proper microsecond timestamp. */
-  private def tsCol: Column = timestamp_micros(expr("ts div 1000"))
+  /** events.ts — already a microsecond timestamp in the current testdata. */
+  private def tsCol: Column = col("ts")
 
   private def dec(c: String) = col(c).cast("decimal(12,4)")
 
@@ -61,7 +61,7 @@ object Streaming extends QueryFamily {
           col("event_id").as("p_id"))
       signups.join(purchases, Seq("user_id"))
         .filter(col("p_ts") >= col("s_ts") &&
-          col("p_ts") < col("s_ts") + expr("3600000000000L")) // 1h in ns
+          col("p_ts") < col("s_ts") + expr("INTERVAL 1 HOUR"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_joined"),
              min("p_id").as("first_purchase_id"))
@@ -128,9 +128,12 @@ object Streaming extends QueryFamily {
       // the batch shape of `dropDuplicates` + max-ts state (§2.B stateful).
       Tables.events(s, d)
         .groupBy(col("user_id"), col("event_type"))
-        .agg(max(col("ts")).as("ns"), count(lit(1)).as("n_events"))
+        .agg(max(col("ts")).as("last_ts"), count(lit(1)).as("n_events"))
         .select(col("user_id"), col("event_type"),
-                expr("ns div 1000").as("last_us"), col("n_events"))
+                // NTZ → epoch micros: cast re-interprets the wall time in
+                // the session TZ (pinned UTC) — identical to epoch_us(ts)
+                unix_micros(col("last_ts").cast("timestamp")).as("last_us"),
+                col("n_events"))
         .orderBy("user_id", "event_type")
     }
   )

@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   *
   * Determinism (§7.5): window ORDER BY always carries a unique tie-break
   * column; frame-bounded sums are computed in DECIMAL; rank fractions
-  * rounded to 6 digits. `events.ts` is epoch-nanos long in Spark
-  * (nanosAsLong) and microsecond timestamp in DuckDB — ts appears in
-  * output only as `ts div 1000` ↔ `epoch_us(ts)`.
+  * rounded to 6 digits. `events.ts` is a microsecond timestamp in both
+  * engines — it appears here only as an ORDER BY key (identical total
+  * order), never in output.
   */
 object Windows extends QueryFamily {
 
