@@ -19,7 +19,8 @@ object SparkEntry {
     q.Scalars,
     q.Streaming,
     q.Llm,
-    q.Pipeline
+    q.Pipeline,
+    q.Graph
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

@@ -1,0 +1,149 @@
+package graft.queries
+
+import graft.{QueryFamily, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the relational tables (driver north star: the
+  * query surface a training-data platform needs includes link-graph
+  * signals — page quality via centrality, crawl-frontier ranking).
+  *
+  * Graph: the trade graph from the TPC-H-ish tables — an edge between a
+  * supplier and a customer for every distinct (l_suppkey, o_custkey)
+  * pair that traded, symmetrized (both directions) so every node has
+  * in- and out-edges. Customer node ids are offset by 1,000,000 to keep
+  * the two key spaces disjoint.
+  *
+  * Scale design (100 TB):
+  *  - the edge list is built once (one join + distinct — two shuffles),
+  *    then CACHED and re-partitioned by `src`: every PageRank iteration
+  *    re-joins ranks against the SAME edge partitioning, so the edge
+  *    side never re-shuffles across iterations — only the (node, rank)
+  *    frame (2 longs/node) moves;
+  *  - each iteration is join + partial-aggregated sum (map-side combine
+  *    on dst before the shuffle) — the classic Pregel-as-dataflow shape;
+  *  - `localCheckpoint` after each iteration truncates lineage, keeping
+  *    plan size constant in the iteration count (same reasoning as
+  *    [[graft.operators.Dedup.connectedComponents]]).
+  *
+  * Determinism (SURVEY §7.5): ranks are kept in micro-units (BIGINT,
+  * 1e6 = rank 1.0) with floor division — every iteration is exact
+  * integer arithmetic, so Spark and DuckDB agree bit-for-bit with no
+  * float-summation-order or ln() library risk. The per-edge floor
+  * `floor(pr_u / outdeg)` is safe in double: quotients are rationals
+  * with denominator ≤ max-degree, so non-integer values sit ≥ 1/degree
+  * from the nearest integer — far beyond double rounding error at this
+  * magnitude. Dropped mass from flooring is the documented contract of
+  * the micro-unit variant (both engines drop identically).
+  */
+object Graph extends QueryFamily {
+
+  private val CustOffset = 1000000L
+  private val PrIters = 3
+
+  /** Distinct supplier↔customer trade pairs, symmetrized into a directed
+    * edge list `(src, dst)`. One pass builds both directions (explode of
+    * a 2-element array — the union-of-projections form would run the
+    * upstream join twice; see Dedup.connectedComponents). */
+  private def tradeEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").cast("long").as("s"),
+        (col("o_custkey") + CustOffset).cast("long").as("c"))
+      .distinct()
+    pairs
+      .select(explode(array(
+        struct(col("s").as("src"), col("c").as("dst")),
+        struct(col("c").as("src"), col("s").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+  }
+
+  /** PageRank in exact micro-unit arithmetic: pr ← 0.15 + 0.85·Σ
+    * contrib, as pr_u ← 150000 + (Σ floor(pr_u/outdeg))·17 div 20.
+    * Every node appears as both src and dst (symmetrized edges), so
+    * there are no dangling nodes and the dst aggregate covers all
+    * nodes each round. */
+  def pageRank(s: SparkSession, d: String, iters: Int = PrIters): DataFrame = {
+    // edges cached AND pre-partitioned on src: the per-iteration join
+    // below reuses this exchange every round (only ranks re-shuffle)
+    val edges = tradeEdges(s, d).repartition(col("src")).cache()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
+      .withColumnRenamed("src", "node")
+      .cache()
+    var ranks = deg.select(col("node"), lit(1000000L).as("pr_u"))
+    var it = 0
+    while (it < iters) {
+      // per-node contribution first (node-sized join, both sides keyed by
+      // node) so the edge list is touched by exactly ONE join per round
+      val perNode = ranks.join(deg.hint("shuffle_hash"), "node")
+        .select(col("node"),
+          floor(col("pr_u") / col("outdeg")).as("contrib_u"))
+      ranks = edges
+        .join(perNode.hint("shuffle_hash"), edges("src") === perNode("node"))
+        .select(col("dst"), col("contrib_u"))
+        .groupBy("dst")
+        .agg(sum("contrib_u").as("mass_u"))
+        .select(col("dst").as("node"),
+          (lit(150000L) +
+            floor(col("mass_u") * 17 / lit(20.0)).cast("long")).as("pr_u"))
+        .localCheckpoint()
+      it += 1
+    }
+    val out = ranks.orderBy("node")
+    edges.unpersist(); deg.unpersist()
+    out
+  }
+
+  /** Degree distribution of the trade graph — the cheap structural
+    * profile (one join + two partial-agg shuffles). */
+  def degreeDistribution(s: SparkSession, d: String): DataFrame =
+    tradeEdges(s, d)
+      .groupBy("src").agg(count(lit(1)).as("degree"))
+      .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
+      .orderBy("degree")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pagerank" -> ((s, d) => pageRank(s, d)),
+    "q_graph_degree" -> ((s, d) => degreeDistribution(s, d))
+  )
+
+  /** The oracle unrolls the three iterations as CTEs it1..it3 — same
+    * micro-unit integer arithmetic, so the match is exact, not
+    * tolerance-based. */
+  private val OracleEdges =
+    """pairs AS (
+      |  SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS s,
+      |         CAST(o.o_custkey + 1000000 AS BIGINT) AS c
+      |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
+      |edges AS (SELECT s AS src, c AS dst FROM pairs
+      |          UNION ALL
+      |          SELECT c AS src, s AS dst FROM pairs),
+      |deg AS (SELECT src AS node, count(*) AS outdeg
+      |        FROM edges GROUP BY src)""".stripMargin
+
+  private def prStep(prev: String, out: String): String =
+    s"""$out AS (
+       |  SELECT e.dst AS node,
+       |    CAST(150000 + floor(sum(CAST(floor(CAST(p.pr_u AS DOUBLE) / d.outdeg)
+       |                                 AS BIGINT)) * 17 / 20.0) AS BIGINT)
+       |      AS pr_u
+       |  FROM edges e
+       |  JOIN $prev p ON e.src = p.node
+       |  JOIN deg d ON e.src = d.node
+       |  GROUP BY e.dst)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q_pagerank" ->
+      (s"""WITH $OracleEdges,
+          |pr0 AS (SELECT node, CAST(1000000 AS BIGINT) AS pr_u FROM deg),
+          |${prStep("pr0", "it1")},
+          |${prStep("it1", "it2")},
+          |${prStep("it2", "it3")}
+          |SELECT node, pr_u FROM it3 ORDER BY node""".stripMargin),
+    "q_graph_degree" ->
+      s"""WITH $OracleEdges
+         |SELECT outdeg AS degree, count(*) AS n_nodes
+         |FROM deg GROUP BY outdeg ORDER BY degree""".stripMargin
+  )
+}
