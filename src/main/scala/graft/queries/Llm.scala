@@ -491,6 +491,67 @@ object Llm extends QueryFamily {
         .select("q_id", "rnk", "vec_id", "cos")
         .orderBy("q_id", "rnk")
     },
+    "q_dedup_incremental" -> { (s, d) =>
+      // Cross-RUN incremental dedup — the shape every 100 TB ingestion
+      // actually runs: yesterday's corpus is already deduped and its
+      // fingerprints live in a registry table; today's batch dedupes
+      // against the registry (anti-join) and then within itself (first
+      // doc per fingerprint wins). Here the registry is simulated as the
+      // even doc_ids, the batch as the odd ones. At scale the registry is
+      // a parquet table bucketed by fingerprint, so the anti-join shuffles
+      // 16-byte md5s — never document bodies — and the within-batch
+      // window runs on the same fingerprint partitioning the anti-join
+      // just established (one shuffle serves both).
+      val fps = Tables.documents(s, d)
+        .select(col("doc_id"), md5(col("text")).as("fp"))
+      val registry = fps.filter(col("doc_id") % 2 === 0)
+        .select(col("fp")).distinct()
+      val batch = fps.filter(col("doc_id") % 2 === 1)
+      val w = Window.partitionBy(col("fp")).orderBy(col("doc_id").asc)
+      batch.join(registry.hint("shuffle_hash"), Seq("fp"), "left_anti")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("fp"))
+        .orderBy("doc_id")
+    },
+    "q_bm25_topk" -> { (s, d) =>
+      // BM25 ranking (k1=1.2, b=0.75) for a fixed 3-term query, with the
+      // RATIONAL idf (N−df+0.5)/(df+0.5) — no ln(), so every arithmetic
+      // step is a correctly-rounded IEEE op and the score is bit-identical
+      // across engines (same trick as q_tfidf); ranks match classic BM25
+      // per-term. Plan shape: per-doc tf via higher-order filter (map-only,
+      // no explode/shuffle of the corpus), ONE 1-row global aggregate for
+      // (N, Σdl, df_t) broadcast back, then map-side scoring + top-k.
+      // avgdl never materializes as a float: b·dl/avgdl is computed as
+      // ((0.9·dl)·N)/Σdl from exact integers, one rounding per op.
+      val terms = Seq("spark", "window", "merge")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("tk"))
+        .withColumn("dl", size(col("tk")).cast("long"))
+      val withTf = terms.foldLeft(docs) { (df, t) =>
+        df.withColumn(s"tf_$t",
+          size(filter(col("tk"), x => x === lit(t))).cast("long"))
+      }
+      val aggs = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+        terms.map(t =>
+          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+      val stats = withTf.agg(aggs.head, aggs.tail: _*)
+      def termScore(t: String): Column = {
+        val tf = col(s"tf_$t"); val df = col(s"df_$t")
+        val idf = ((col("n_docs") - df) + lit(0.5)) / (df + lit(0.5))
+        val den = (tf + lit(0.3)) +
+          (((lit(0.9) * col("dl")) * col("n_docs")) / col("sum_dl"))
+        (idf * (tf * lit(2.2))) / den
+      }
+      withTf.crossJoin(broadcast(stats))
+        .withColumn("bm25_u",
+          floor(terms.map(termScore).reduce(_ + _) * lit(1000000.0))
+            .cast("long"))
+        .filter(col("bm25_u") > 0)
+        .select(col("doc_id"), col("bm25_u"))
+        .orderBy(col("bm25_u").desc, col("doc_id").asc)
+        .limit(50)
+    },
     "q_simhash" -> { (s, d) =>
       // 64-bit SimHash from per-token xxhash64 bit votes; near-dup pairs
       // would compare hamming distance ≤ k (LlmSpec).
@@ -687,6 +748,53 @@ object Llm extends QueryFamily {
         |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dedup_incremental" ->
+      """WITH fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
+        |registry AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
+        |batch AS (SELECT doc_id, fp FROM fps WHERE doc_id % 2 = 1),
+        |fresh AS (
+        |  SELECT doc_id, fp FROM batch b
+        |  WHERE NOT EXISTS (SELECT 1 FROM registry r WHERE r.fp = b.fp)),
+        |ranked AS (
+        |  SELECT doc_id, fp,
+        |    row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+        |  FROM fresh)
+        |SELECT doc_id, fp FROM ranked WHERE rn = 1
+        |ORDER BY doc_id""".stripMargin,
+    "q_bm25_topk" ->
+      // double literals written as 5e-1 etc. so DuckDB types them DOUBLE
+      // (a plain 0.5 is DECIMAL there) — the op sequence must be the same
+      // correctly-rounded IEEE steps as the Spark side
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |d AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(tk, x -> x = 'spark')) AS BIGINT) AS tf_spark,
+        |    CAST(len(list_filter(tk, x -> x = 'window')) AS BIGINT) AS tf_window,
+        |    CAST(len(list_filter(tk, x -> x = 'merge')) AS BIGINT) AS tf_merge
+        |  FROM t),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+        |    sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |    sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window,
+        |    sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+        |  FROM d),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(floor((
+        |      ((((n_docs - df_spark) + 5e-1) / (df_spark + 5e-1))
+        |        * (tf_spark * 22e-1))
+        |       / ((tf_spark + 3e-1) + (((9e-1 * dl) * n_docs) / sum_dl))
+        |      + ((((n_docs - df_window) + 5e-1) / (df_window + 5e-1))
+        |        * (tf_window * 22e-1))
+        |       / ((tf_window + 3e-1) + (((9e-1 * dl) * n_docs) / sum_dl))
+        |      + ((((n_docs - df_merge) + 5e-1) / (df_merge + 5e-1))
+        |        * (tf_merge * 22e-1))
+        |       / ((tf_merge + 3e-1) + (((9e-1 * dl) * n_docs) / sum_dl))
+        |      ) * 1e6) AS BIGINT) AS bm25_u
+        |  FROM d, stats)
+        |SELECT doc_id, bm25_u FROM scored WHERE bm25_u > 0
+        |ORDER BY bm25_u DESC, doc_id LIMIT 50""".stripMargin,
     "q_ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qvec
         |           FROM embeddings WHERE vec_id < 5),
