@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) for approximate nearest neighbor — the
+  * memory-bound scale path for embedding search, after Jégou et al. 2011
+  * ("Product quantization for nearest neighbor search", IEEE TPAMI 33(1)).
+  *
+  * The embedding is split into `m` subspaces; each subspace gets its own
+  * k-means codebook of `k` codewords, and a vector is stored as the m
+  * codeword ids of its nearest codewords — m small ints instead of
+  * dim floats (64-dim float32 at m=8: 256 bytes → 8 bytes, 32×). Search
+  * uses asymmetric distance computation (ADC): the query stays exact, a
+  * per-query m×k table of subspace dot products is computed ONCE from
+  * model state, and each corpus vector's score is m table lookups — no
+  * float math against the corpus at all.
+  *
+  * Spark shape:
+  *  - training reuses the IVF discipline ([[Ann.buildIvf]]): deterministic
+  *    init (first k vectors by vec_id, sliced per subspace), distributed
+  *    Lloyd steps (assign via inline argmin expression, per-dimension
+  *    means via explode → groupBy), only the m×k×(dim/m) codebook — model
+  *    state — ever reaches the driver;
+  *  - encoding is MAP-ONLY: the m argmin expressions are evaluated
+  *    directly on the embedding column inside whole-stage codegen, no
+  *    explode/shuffle of the corpus;
+  *  - ADC is map-only too: the per-query tables (m×k doubles) ride a
+  *    broadcast join, scoring is an `aggregate` of m element_at lookups;
+  *    per-query top-k via window over the partial-aggregated scores.
+  *
+  * At 100 TB the codes table IS the index: 8 bytes/vector means a
+  * billion-vector corpus scans from ~8 GB instead of ~256 GB — the scan
+  * stays executor-memory-resident where raw embeddings would spill.
+  * Like IVF's inline assignment, the argmin expression is right for
+  * small m·k (codegen stays compact); past a few hundred codewords the
+  * join-based assignment shape is the escape hatch (Ann.assignByJoin).
+  */
+object Pq {
+
+  /** Trained codebooks, [m][k][dim/m] — model state. */
+  final case class PqModel(m: Int, k: Int, sub: Int,
+      codebooks: Array[Array[Array[Float]]])
+
+  /** Exact squared L2 distance between two float-array columns, in
+    * double (zip_with + aggregate — codegen'd built-ins). */
+  private def sqDist(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) =>
+        (x.cast("double") - y.cast("double")) *
+          (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, e) => acc + e)
+
+  /** Inline argmin over the k codewords of one subspace codebook.
+    * Deterministic tiebreak: equal distances pick the lower codeword id
+    * (array_min on (dist, id) structs). */
+  private def argminCode(sv: Column, cbm: Column, k: Int): Column = {
+    val scored = (0 until k).map { j =>
+      struct(sqDist(sv, element_at(cbm, j + 1)).as("d"), lit(j).as("c"))
+    }
+    array_min(array(scored: _*)).getField("c")
+  }
+
+  private def cbLit(model: PqModel): Column =
+    typedLit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+
+  /** Train per-subspace codebooks with `iters` joint Lloyd steps: all m
+    * subspaces train in the SAME distributed pass (subspace id is just
+    * another group key), so the iteration count — not m — bounds the
+    * number of Spark jobs. */
+  def train(embeddings: DataFrame, m: Int, k: Int, iters: Int): PqModel = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    val subv = embeddings
+      .select(col("vec_id"), posexplode(expr(
+        s"transform(sequence(0, ${m - 1}," +
+          s" 1), i -> slice(embedding, i * $sub + 1, $sub))")))
+      .select(col("vec_id"), col("pos").as("msub"), col("col").as("sv"))
+      .persist()
+    val init = embeddings.orderBy("vec_id").limit(k)
+      .select("embedding").as[Seq[Float]].collect().map(_.toArray)
+    var cb: Array[Array[Array[Float]]] =
+      Array.tabulate(m, k)((mi, ki) => init(ki).slice(mi * sub, (mi + 1) * sub))
+    var it = 0
+    while (it < iters) {
+      val model = PqModel(m, k, sub, cb)
+      val assigned = subv.withColumn("code",
+        argminCode(col("sv"), element_at(cbLit(model), col("msub") + 1), k))
+      // per-dimension means: m·k·sub aggregate rows collect (model state)
+      val dims = assigned
+        .select(col("msub"), col("code"), posexplode(col("sv")))
+        .groupBy(col("msub"), col("code"), col("pos"))
+        .agg(avg(col("col")).as("mval"))
+        .as[(Int, Int, Int, Double)].collect()
+      val next = cb.map(_.map(_.clone()))
+      dims.foreach { case (mi, ci, pos, v) => next(mi)(ci)(pos) = v.toFloat }
+      cb = next
+      it += 1
+    }
+    subv.unpersist()
+    PqModel(m, k, sub, cb)
+  }
+
+  /** Encode the corpus to (vec_id, codes ARRAY<INT> of length m) —
+    * map-only, all m argmins inside one codegen stage. */
+  def encode(embeddings: DataFrame, model: PqModel): DataFrame = {
+    val lit3 = cbLit(model)
+    val codes = (0 until model.m).map { mi =>
+      argminCode(slice(col("embedding"), mi * model.sub + 1, model.sub),
+        element_at(lit3, mi + 1), model.k)
+    }
+    embeddings.select(col("vec_id"), array(codes: _*).as("codes"))
+  }
+
+  /** ADC top-k: per-query m×k dot-product tables from model state, then
+    * each corpus vector scores as m table lookups. `queries` must be
+    * small (they are collected to compute the tables — the same
+    * model-state contract as Ann.search's probe selection). */
+  def search(codes: DataFrame, model: PqModel, queries: DataFrame,
+      topK: Int): DataFrame = {
+    val spark = codes.sparkSession
+    import spark.implicits._
+    val qs = queries.select(col("q_id"), col("qvec"))
+      .as[(Long, Seq[Float])].collect()
+    val tables: Seq[(Long, Seq[Seq[Double]])] = qs.toSeq.map { case (qid, qv) =>
+      val tbl = (0 until model.m).map { mi =>
+        val qsub = qv.slice(mi * model.sub, (mi + 1) * model.sub)
+        (0 until model.k).map { j =>
+          val cw = model.codebooks(mi)(j)
+          var s = 0.0
+          var i = 0
+          while (i < model.sub) { s += qsub(i).toDouble * cw(i); i += 1 }
+          s
+        }
+      }
+      (qid, tbl.map(_.toSeq))
+    }
+    val tblDf = tables.toDF("q_id", "tbl")
+    val adc = expr(
+      s"""aggregate(sequence(1, ${model.m}), cast(0.0 as double),
+         |  (acc, i) -> acc + element_at(element_at(tbl, i),
+         |                               element_at(codes, i) + 1))
+         |""".stripMargin)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("adc").desc, col("vec_id").asc)
+    codes.join(broadcast(tblDf))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adc)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("vec_id"),
+        round(col("adc"), 6).as("adc"))
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Production search shape: ADC prunes the corpus to a `shortlist` per
+    * query (scanning only the m-byte codes), then ONLY the shortlisted
+    * vectors' full embeddings are fetched and re-ranked with the exact
+    * codegen'd dot product. At 100 TB this is the whole point of PQ: the
+    * full-precision corpus is touched for shortlist×queries rows — a
+    * point-lookup-sized fetch join — while the scan runs over 8-byte
+    * codes. Recall is set by the shortlist depth, not by quantization
+    * error (PqSpec measures both stages). */
+  def searchRerank(codes: DataFrame, model: PqModel, corpus: DataFrame,
+      queries: DataFrame, topK: Int, shortlist: Int): DataFrame = {
+    val short = search(codes, model, queries, shortlist)
+      .select(col("q_id"), col("vec_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    short
+      .join(corpus.select(col("vec_id"), col("embedding")).hint("shuffle_hash"),
+        Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.Vectors.dot(col("embedding"), col("qvec")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("vec_id"),
+        round(col("cos"), 6).as("cos"))
+      .orderBy("q_id", "rnk")
+  }
+}

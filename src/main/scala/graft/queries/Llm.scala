@@ -491,6 +491,34 @@ object Llm extends QueryFamily {
         .select("q_id", "rnk", "vec_id", "cos")
         .orderBy("q_id", "rnk")
     },
+    "q_semdedup" -> { (s, d) =>
+      // SemDeDup: cluster-then-search semantic dedup (operators.SemDedup;
+      // k-means via the IVF builder, exact cosine verify inside cells).
+      // Probabilistic cluster boundaries ⇒ no DuckDB oracle (rows-only);
+      // SemDedupSpec pins precision 1.0 and measured recall against the
+      // exact q_embed_neardup transitive closure.
+      // probes=3 measured at 0.955 recall of exactly-duplicated vectors
+      // (SemDedupSpec) vs 0.31 single-probe — the multi-probe overlap is
+      // what rescues cluster-boundary pairs
+      graft.operators.SemDedup.semDedup(
+        Tables.embeddings(s, d), k = 16, iters = 2, tau = 0.4, probes = 3)
+    },
+    "q_ann_pq_topk" -> { (s, d) =>
+      // Product-quantization ANN (operators.Pq): 16 subspaces × 16
+      // codewords — 16× compression, measured 0.84 recall@10 after exact
+      // re-rank (m=8/32× measured 0.70; PqSpec) — ADC shortlist over the
+      // codes, then exact re-rank of only the shortlisted vectors.
+      // Quantized shortlist ⇒ no DuckDB oracle (rows-only); PqSpec pins
+      // shortlist and end-to-end recall against the exact cosine top-k.
+      val emb = Tables.embeddings(s, d)
+      val model = graft.operators.Pq.train(emb, m = 16, k = 16, iters = 2)
+      val codes = graft.operators.Pq.encode(
+        emb.select(col("vec_id"), col("embedding")), model)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      graft.operators.Pq.searchRerank(codes, model, emb, queries,
+        topK = 10, shortlist = 50)
+    },
     "q_dedup_incremental" -> { (s, d) =>
       // Cross-RUN incremental dedup — the shape every 100 TB ingestion
       // actually runs: yesterday's corpus is already deduped and its

@@ -11,7 +11,9 @@ class SparkEntrySpec extends SparkSuite {
     "q_dedup_cascade_lsh", // LSH cascade (precision/recall vs exact) → LlmSpec
     "q_simhash",         // bag-hash              → LlmSpec
     "q_ann_lsh_topk",    // LSH ANN               → LlmSpec
-    "q_ann_ivf_topk")    // k-means model state   → AnnSpec
+    "q_ann_ivf_topk",    // k-means model state   → AnnSpec
+    "q_semdedup",        // cluster-then-search semantic dedup → SemDedupSpec
+    "q_ann_pq_topk")     // product-quantization ANN → PqSpec
 
   test("every oracle key is a declared query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
