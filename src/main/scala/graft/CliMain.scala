@@ -99,6 +99,36 @@ object CliMain {
         bits = flagVal("--bits").map(_.toInt).getOrElse(8))
       println(s"optimized $n rows -> $outDir")
       if (!reused) spark.stop()
+    // index <embeddingsDir> <outDir> --kind ivf|pq: build + materialize
+    // an ANN index from an embeddings parquet — the write side of the
+    // similarity-search story. ivf lands cell-partitioned assignments
+    // (probes become partition-pruned scans, Ann.writeIvf); pq lands the
+    // m-byte codes table + codebooks (ADC scans the codes, Pq.writePq).
+    case "index" :: embDir :: outDir :: flags =>
+      def flagVal(name: String): Option[String] =
+        flags.dropWhile(_ != name).drop(1).headOption
+      val reused =
+        org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+      val spark = Sessions.get("graft-index")
+      val emb = spark.read.parquet(embDir)
+      val iters = flagVal("--iters").map(_.toInt).getOrElse(2)
+      flagVal("--kind").getOrElse("ivf") match {
+        case "ivf" =>
+          val k = flagVal("--k").map(_.toInt).getOrElse(256)
+          val idx = graft.operators.Ann.buildIvf(emb, k, iters)
+          graft.operators.Ann.writeIvf(idx, outDir)
+          println(s"ivf index: $k cells -> $outDir")
+        case "pq" =>
+          val m = flagVal("--m").map(_.toInt).getOrElse(16)
+          val k = flagVal("--k").map(_.toInt).getOrElse(16)
+          val model = graft.operators.Pq.train(emb, m, k, iters)
+          val codes = graft.operators.Pq.encode(
+            emb.selectExpr("vec_id", "embedding"), model)
+          graft.operators.Pq.writePq(model, codes, outDir)
+          println(s"pq index: $m x $k codebooks -> $outDir")
+        case other => sys.error(s"unknown index kind: $other")
+      }
+      if (!reused) spark.stop()
     case "run" :: blocksDir :: outRoot :: flags =>
       def flagVal(name: String): Option[String] =
         flags.dropWhile(_ != name).drop(1).headOption

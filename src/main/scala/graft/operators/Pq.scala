@@ -157,6 +157,32 @@ object Pq {
       .orderBy("q_id", "rnk")
   }
 
+  /** Materialize the index: the m-byte codes table (the thing a 100 TB
+    * deployment scans) plus the codebooks — model state — as one small
+    * parquet alongside, mirroring [[Ann.writeIvf]]'s layout contract. */
+  def writePq(model: PqModel, codes: DataFrame, dir: String): Unit = {
+    codes.write.mode("overwrite").parquet(s"$dir/codes")
+    val spark = codes.sparkSession
+    import spark.implicits._
+    model.codebooks.zipWithIndex.flatMap { case (cb, mi) =>
+      cb.zipWithIndex.map { case (cw, ki) => (mi, ki, cw.toSeq) }
+    }.toSeq.toDF("msub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  def loadPq(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (PqModel, DataFrame) = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .as[(Int, Int, Seq[Float])].collect()
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val cb = Array.ofDim[Array[Float]](m, k)
+    rows.foreach { case (mi, ki, cw) => cb(mi)(ki) = cw.toArray }
+    val model = PqModel(m, k, cb(0)(0).length, cb)
+    (model, spark.read.parquet(s"$dir/codes"))
+  }
+
   /** Production search shape: ADC prunes the corpus to a `shortlist` per
     * query (scanning only the m-byte codes), then ONLY the shortlisted
     * vectors' full embeddings are fetched and re-ranked with the exact

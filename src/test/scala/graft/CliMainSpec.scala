@@ -105,6 +105,36 @@ class CliMainSpec extends SparkSuite {
       s"pruning not recovered: x=${touched("x")} y=${touched("y")} of 16")
   }
 
+  test("index builds and materializes both ANN index kinds") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("cli-idx").toString
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+
+    CliMain.main(Array("index", emb, s"$root/ivf", "--kind", "ivf",
+      "--k", "16"))
+    val assigned = spark.read.parquet(s"$root/ivf/assignments")
+    assert(assigned.count() == 500)
+    assert(assigned.select("cell_id").distinct().count() > 1)
+
+    CliMain.main(Array("index", emb, s"$root/pq", "--kind", "pq",
+      "--m", "16", "--k", "16"))
+    // the loaded index searches identically to an in-memory build
+    val (model, codes) = graft.operators.Pq.loadPq(spark, s"$root/pq")
+    assert(model.m == 16 && model.k == 16)
+    val queries = spark.read.parquet(emb).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    val fromDisk = graft.operators.Pq
+      .search(codes, model, queries, topK = 5).collect().toSeq
+    val memModel = graft.operators.Pq
+      .train(spark.read.parquet(emb), m = 16, k = 16, iters = 2)
+    val memCodes = graft.operators.Pq
+      .encode(spark.read.parquet(emb).selectExpr("vec_id", "embedding"),
+        memModel)
+    val fromMem = graft.operators.Pq
+      .search(memCodes, memModel, queries, topK = 5).collect().toSeq
+    assert(fromDisk == fromMem)
+  }
+
   test("run --endpoint streams the chain from a live gRPC server into " +
       "range-named parquet") {
     val out = Files.createTempDirectory("cli-grpc-out").toString

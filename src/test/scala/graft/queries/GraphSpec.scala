@@ -1,0 +1,41 @@
+package graft.queries
+
+import graft.SparkSuite
+
+/** Iterative-graph guards: the properties that keep PageRank viable at
+  * scale — constant plan size across iterations (lineage truncation)
+  * and bit-exact determinism (integer micro-unit arithmetic). */
+class GraphSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("plan size stays constant in the iteration count") {
+    // without localCheckpoint each round, the plan doubles per iteration
+    // (the join references the previous round's frame) and analysis cost
+    // explodes long before the data does
+    val p3 = Graph.pageRank(spark, sf, iters = 3)
+      .queryExecution.executedPlan.toString()
+    val p6 = Graph.pageRank(spark, sf, iters = 6)
+      .queryExecution.executedPlan.toString()
+    assert(p6.length < p3.length * 2,
+      s"plan grows with iterations: ${p3.length} -> ${p6.length} chars")
+  }
+
+  test("ranks are bit-exact across runs and sane") {
+    import spark.implicits._
+    val r1 = Graph.pageRank(spark, sf).as[(Long, Long)].collect().toSeq
+    val r2 = Graph.pageRank(spark, sf).as[(Long, Long)].collect().toSeq
+    assert(r1 == r2, "integer PageRank must be run-deterministic")
+    // every node retains the teleport floor; total mass is bounded by
+    // the node count (flooring only ever drops mass)
+    assert(r1.forall(_._2 >= 150000L))
+    assert(r1.map(_._2).sum <= r1.size * 1000000L)
+    // suppliers (degree ~ customers/supplier) outrank the average
+    // customer node in this bipartite trade graph
+    val (sup, cust) = r1.partition(_._1 < 1000000L)
+    val avgSup = sup.map(_._2).sum / sup.size
+    val avgCust = cust.map(_._2).sum / cust.size
+    assert(avgSup > avgCust,
+      s"hub nodes should concentrate rank: sup=$avgSup cust=$avgCust")
+  }
+}

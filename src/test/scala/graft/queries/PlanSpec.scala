@@ -275,4 +275,31 @@ class PlanSpec extends SparkSuite {
       s"correlated subquery not decorrelated:\n${plan.take(2000)}")
   }
 
+  test("q_bm25_topk never explodes the corpus; stats ride a broadcast") {
+    val plan = executedPlan("q_bm25_topk")
+    // term frequencies come from higher-order filter() — a Generate node
+    // would mean the corpus exploded into a token shuffle
+    assert(!plan.contains("Generate"),
+      s"bm25 tf went through an explode:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastExchange"),
+      s"1-row stats frame no longer broadcast:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("q_dedup_incremental anti-joins without broadcasting the registry") {
+    val plan = executedPlan("q_dedup_incremental")
+    // the registry is corpus-scaled: the anti join must stay a shuffled
+    // hash join (hinted), and the anti-join + first-wins window share
+    // the fingerprint partitioning — exactly one hashpartitioning(fp)
+    // exchange in the plan
+    assert(plan.contains("LeftAnti"), s"anti join lost:\n${plan.take(2000)}")
+    assert(!plan.contains("BroadcastHashJoin"),
+      s"corpus-scaled registry got broadcast:\n${plan.take(2000)}")
+    val fpExchanges = plan.linesIterator
+      .filter(l => l.contains("Exchange hashpartitioning(fp"))
+      .size
+    assert(fpExchanges <= 2, // one per join side; window reuses them
+      s"anti-join and window stopped sharing the fp shuffle:\n${plan.take(2000)}")
+  }
+
 }
