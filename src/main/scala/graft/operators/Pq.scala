@@ -52,14 +52,20 @@ object Pq {
           (x.cast("double") - y.cast("double"))),
       lit(0.0), (acc, e) => acc + e)
 
-  /** Inline argmin over the k codewords of one subspace codebook.
-    * Deterministic tiebreak: equal distances pick the lower codeword id
-    * (array_min on (dist, id) structs). */
+  /** Inline argmin over the k codewords of one subspace codebook: ONE
+    * transform lambda over the codebook array computes all k distances,
+    * then the code is the position of the minimum. A k-way array of
+    * (dist, id) structs would inline k copies of the distance expression
+    * — k·m of them per row across subspaces — and the resulting
+    * 10^4-node tree made Catalyst analysis/codegen the dominant cost
+    * (measured: the m=16 encode plan alone cost seconds of driver time).
+    * The lambda form is one distance expression evaluated k times.
+    * Deterministic tiebreak: array_position returns the FIRST index of
+    * the minimum (same computed bits), so equal distances pick the
+    * lower codeword id — same contract as the struct-min form. */
   private def argminCode(sv: Column, cbm: Column, k: Int): Column = {
-    val scored = (0 until k).map { j =>
-      struct(sqDist(sv, element_at(cbm, j + 1)).as("d"), lit(j).as("c"))
-    }
-    array_min(array(scored: _*)).getField("c")
+    val dists = transform(cbm, cw => sqDist(sv, cw))
+    (array_position(dists, array_min(dists)) - 1).cast("int")
   }
 
   private def cbLit(model: PqModel): Column =

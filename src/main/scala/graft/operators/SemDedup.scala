@@ -30,10 +30,17 @@ import graft.functions.Vectors
   *    are pinned SHUFFLE_HASH against AQE broadcast mis-promotion (the
   *    SetSimJoin lesson, PLANS round 6);
   *  - every candidate is verified with the EXACT codegen'd cosine before
-  *    becoming an edge — precision is 1.0 by construction, recall dials
-  *    are k (fewer clusters = bigger cells) and probes (more overlap);
-  *  - duplicate groups are closed under transitivity with the shared
-  *    [[Dedup.connectedComponents]]; the survivor is the min vec_id.
+  *    counting — precision is 1.0 by construction, recall dials are k
+  *    (fewer clusters = bigger cells) and probes (more overlap);
+  *  - the keep/drop decision is the paper's GREEDY one, not a transitive
+  *    closure: a vector is dropped iff a verified neighbor with a lower
+  *    vec_id exists, its representative being the LOWEST such neighbor —
+  *    ONE aggregation over the verified edges. The round-8 profile
+  *    showed why this matters: distributed connected components cost
+  *    7.8 s of fixed per-round job overhead on a 785-edge duplicate
+  *    graph (the duplicate graph is always tiny relative to the corpus);
+  *    the engine's transitive-closure contract lives in q_dedup_cluster/
+  *    q_dedup_cascade where clusters, not survivors, are the output.
   *
   * At 100 TB: the probe assignment is written partitioned by cell_id
   * (the writeIvf layout), so the self-join co-locates by construction
@@ -43,9 +50,12 @@ import graft.functions.Vectors
   */
 object SemDedup {
 
-  /** @return (vec_id, cluster, kept): cluster = min vec_id of the
-    *         semantic-duplicate group, kept = this vec_id is the group
-    *         survivor (singletons keep themselves). */
+  /** @return (vec_id, rep, kept): rep = lowest verified intra-cell
+    *         neighbor below vec_id (itself if none), kept = no such
+    *         neighbor exists. Greedy-by-id: along a chain a–b–c where
+    *         a–c is not itself a near-dup, both b and c drop (each has
+    *         a lower neighbor) — one survivor per chain, the paper's
+    *         one-per-duplicate-set behavior with a deterministic pick. */
   def semDedup(embeddings: DataFrame, k: Int, iters: Int, tau: Double,
       probes: Int = 2): DataFrame = {
     val idx = Ann.buildIvf(embeddings, k, iters)
@@ -74,13 +84,15 @@ object SemDedup {
       .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
         Seq("id_b"))
       .filter(Vectors.dot(col("va"), col("vb")) >= tau)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val cc = Dedup.connectedComponents(edges)
+      .select(col("id_a"), col("id_b"))
+    // greedy keep/drop: one partial-aggregated shuffle on the higher id
+    val reps = edges.groupBy(col("id_b").as("vec_id"))
+      .agg(min(col("id_a")).as("low"))
     val ids = embeddings.select(col("vec_id"))
-    ids.join(cc.hint("shuffle_hash"), ids("vec_id") === cc("id"), "left")
+    ids.join(reps.hint("shuffle_hash"), Seq("vec_id"), "left")
       .select(col("vec_id"),
-        coalesce(col("comp"), col("vec_id")).as("cluster"))
-      .withColumn("kept", col("cluster") === col("vec_id"))
+        coalesce(col("low"), col("vec_id")).as("rep"))
+      .withColumn("kept", col("rep") === col("vec_id"))
       .orderBy("vec_id")
   }
 }

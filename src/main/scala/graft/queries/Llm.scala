@@ -493,13 +493,14 @@ object Llm extends QueryFamily {
     },
     "q_semdedup" -> { (s, d) =>
       // SemDeDup: cluster-then-search semantic dedup (operators.SemDedup;
-      // k-means via the IVF builder, exact cosine verify inside cells).
-      // Probabilistic cluster boundaries ⇒ no DuckDB oracle (rows-only);
-      // SemDedupSpec pins precision 1.0 and measured recall against the
-      // exact q_embed_neardup transitive closure.
-      // probes=3 measured at 0.955 recall of exactly-duplicated vectors
-      // (SemDedupSpec) vs 0.31 single-probe — the multi-probe overlap is
-      // what rescues cluster-boundary pairs
+      // k-means via the IVF builder, exact cosine verify inside cells,
+      // greedy keep/drop per the paper — no transitive closure, that
+      // contract lives in q_dedup_cluster). Probabilistic cluster
+      // boundaries ⇒ no DuckDB oracle (rows-only); SemDedupSpec pins
+      // precision 1.0 (every drop justified by an exact pair) and
+      // measured drop recall. probes=3 measured at ≥0.95 recall vs 0.31
+      // single-probe — the multi-probe overlap is what rescues
+      // cluster-boundary pairs.
       graft.operators.SemDedup.semDedup(
         Tables.embeddings(s, d), k = 16, iters = 2, tau = 0.4, probes = 3)
     },

@@ -6,8 +6,8 @@ import graft.SparkSuite
 import graft.functions.Vectors
 
 /** SemDeDup invariants vs the exact embedding near-dup ground truth:
-  * precision is structural (every claimed group refines an exact
-  * cluster), recall is measured and pinned. */
+  * precision is structural (every drop is justified by a real exact
+  * pair), recall is measured and pinned. */
 class SemDedupSpec extends SparkSuite {
 
   private val sf = "/root/testdata/sf0.001"
@@ -15,62 +15,57 @@ class SemDedupSpec extends SparkSuite {
 
   private def embeddings = spark.read.parquet(s"$sf/embeddings.parquet")
 
-  /** Exact transitive closure at tau: brute-force pairs → CC comp map. */
-  private def exactComp: Map[Long, Long] = {
+  /** Exact brute-force near-dup pairs at tau (id_a < id_b). */
+  private def exactPairs: Set[(Long, Long)] = {
     import spark.implicits._
     val e = embeddings.select(col("vec_id"), col("embedding"))
     val a = e.select(col("vec_id").as("id_a"), col("embedding").as("va"))
     val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-    val edges = a.join(b, col("id_a") < col("id_b"))
+    a.join(b, col("id_a") < col("id_b"))
       .filter(Vectors.dot(col("va"), col("vb")) >= tau)
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-    Dedup.connectedComponents(edges)
-      .as[(Long, Long)].collect().toMap
+      .select(col("id_a"), col("id_b"))
+      .as[(Long, Long)].collect().toSet
   }
 
-  test("groups refine exact clusters (precision 1.0) and recall holds") {
+  test("every drop is justified by an exact pair (precision 1.0); recall holds") {
     import spark.implicits._
     val out = SemDedup.semDedup(embeddings, k = 16, iters = 2, tau = tau,
       probes = 3)
       .as[(Long, Long, Boolean)].collect()
-    val exact = exactComp
+    val exact = exactPairs
 
-    // precision: a semantic group never merges vectors the EXACT
-    // closure keeps apart — every found group maps into one exact comp
-    out.groupBy(_._2).filter(_._2.length >= 2).foreach { case (cl, members) =>
-      val comps = members.map(v => exact.getOrElse(v._1, v._1)).toSet
-      assert(comps.size == 1,
-        s"group $cl spans exact clusters $comps — a false merge")
+    // precision: a dropped vector's representative must be a REAL exact
+    // neighbor below it — SemDeDup may only drop true duplicates
+    out.filter(!_._3).foreach { case (v, rep, _) =>
+      assert(rep < v, s"rep $rep not below $v")
+      assert(exact.contains((rep, v)),
+        s"dropped $v against $rep, but they are not an exact pair")
     }
 
-    // recall: fraction of exactly-duplicated vectors (non-singleton in
-    // the exact closure) that SemDeDup also flags as duplicates.
-    val exactSizes = exact.values.groupBy(identity).map { case (c, vs) => (c, vs.size) }
-    val exactDups = exact.collect {
-      case (v, c) if exactSizes(c) >= 2 => v
-    }.toSet
-    val foundSizes = out.groupBy(_._2).map { case (c, vs) => (c, vs.length) }
-    val foundDups = out.collect {
-      case (v, c, _) if foundSizes(c) >= 2 => v
-    }.toSet
-    assert(foundDups.subsetOf(exactDups), "flagged a non-duplicate")
-    val recall = foundDups.size.toDouble / math.max(exactDups.size, 1)
-    info(f"semdedup recall: ${foundDups.size}/${exactDups.size} = $recall%.3f")
+    // recall: of the vectors the exact greedy would drop (those with ANY
+    // lower exact neighbor), how many did SemDeDup drop?
+    val exactDropped = exact.map(_._2)
+    val dropped = out.filter(!_._3).map(_._1).toSet
+    assert(dropped.subsetOf(exactDropped))
+    val recall = dropped.size.toDouble / math.max(exactDropped.size, 1)
+    info(f"semdedup drop recall: ${dropped.size}/${exactDropped.size} = $recall%.3f")
     assert(recall >= 0.80,
       f"cluster-boundary recall collapsed: $recall%.3f " +
-        s"(${foundDups.size}/${exactDups.size})")
+        s"(${dropped.size}/${exactDropped.size})")
   }
 
-  test("survivors are the group minimum and output is deterministic") {
+  test("rep/kept are consistent and output is deterministic") {
     import spark.implicits._
-    val o1 = SemDedup.semDedup(embeddings, k = 16, iters = 2, tau = tau)
+    val o1 = SemDedup.semDedup(embeddings, k = 16, iters = 2, tau = tau,
+      probes = 3)
       .as[(Long, Long, Boolean)].collect().toSeq
-    // kept ⇔ vec_id == cluster, and the cluster id is a member (the min)
-    o1.foreach { case (v, c, kept) => assert(kept == (v == c)) }
-    o1.groupBy(_._2).foreach { case (c, members) =>
-      assert(members.map(_._1).min == c, s"cluster id $c is not the min member")
+    o1.foreach { case (v, rep, kept) =>
+      assert(kept == (v == rep))
+      assert(rep <= v)
     }
-    val o2 = SemDedup.semDedup(embeddings, k = 16, iters = 2, tau = tau)
+    assert(o1.map(_._1).distinct.size == o1.size, "one row per vector")
+    val o2 = SemDedup.semDedup(embeddings, k = 16, iters = 2, tau = tau,
+      probes = 3)
       .as[(Long, Long, Boolean)].collect().toSeq
     assert(o1 == o2)
   }
