@@ -520,6 +520,37 @@ object Llm extends QueryFamily {
       graft.operators.Pq.searchRerank(codes, model, emb, queries,
         topK = 10, shortlist = 50)
     },
+    "q_heavy_hitters" -> { (s, d) =>
+      // Exact heavy hitters: tokens carrying ≥0.5% of the token stream.
+      // Integer-threshold form (c·200 ≥ n) — no float ratio, bit-exact.
+      // Two partial-aggregated shuffles (per-token count, 1-row total).
+      val tok = Tables.documents(s, d).select(explode(toks).as("token"))
+      val tot = tok.agg(count(lit(1)).as("n"))
+      tok.groupBy("token").agg(count(lit(1)).as("c"))
+        .crossJoin(broadcast(tot))
+        .filter(col("c") * 200 >= col("n"))
+        .select("token", "c")
+        .orderBy("token")
+    },
+    "q_heavy_hitters_cms" -> { (s, d) =>
+      // Same heavy hitters through a count-min sketch (operators.Sketch):
+      // the shuffle carries ≤ d·w counter rows per partition regardless
+      // of vocabulary size — the fixed-memory path when the token space
+      // is open (n-grams, URLs) and an exact per-token shuffle would
+      // detonate. xxhash64 row-hashes ⇒ no DuckDB oracle (rows-only);
+      // SketchSpec pins the overestimate guarantee, the ε·N error bound,
+      // and shard-mergeability against exact counts.
+      val tok = Tables.documents(s, d).select(explode(toks).as("token"))
+      val sketch = graft.operators.Sketch.countMin(tok, "token", d = 4,
+        w = 1024)
+      val tot = tok.agg(count(lit(1)).as("n"))
+      graft.operators.Sketch
+        .estimate(sketch, tok.distinct(), "token", d = 4, w = 1024)
+        .crossJoin(broadcast(tot))
+        .filter(col("est") * 200 >= col("n"))
+        .select(col("token"), col("est"))
+        .orderBy("token")
+    },
     "q_dedup_incremental" -> { (s, d) =>
       // Cross-RUN incremental dedup — the shape every 100 TB ingestion
       // actually runs: yesterday's corpus is already deduped and its
@@ -777,6 +808,13 @@ object Llm extends QueryFamily {
         |WHERE round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
         |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tot AS (SELECT count(*) AS n FROM tok),
+        |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token)
+        |SELECT token, c FROM cnt, tot WHERE c * 200 >= n
+        |ORDER BY token""".stripMargin,
     "q_dedup_incremental" ->
       """WITH fps AS (SELECT doc_id, md5(text) AS fp FROM documents),
         |registry AS (SELECT DISTINCT fp FROM fps WHERE doc_id % 2 = 0),
