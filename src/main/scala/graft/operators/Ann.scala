@@ -31,19 +31,17 @@ object Ann {
       assignments: DataFrame,             // (vec_id, embedding, cell_id)
       centroids: Array[Array[Float]])     // model state, k×dim
 
-  /** Inline argmin over cells of -dot (unit-norm ⇒ max dot = nearest).
-    * Builds a k-element expression array per row — right for small k
-    * (codegen stays compact); at k ≳ a few hundred the expression tree
-    * itself becomes the cost (codegen size, plan bloat), and
-    * [[assignByJoin]] is the shape to use instead. [[nearestCell]]
-    * switches automatically. */
-  private def nearestCellExpr(centroids: Array[Array[Float]]): Column = {
-    val scores = centroids.zipWithIndex.map { case (c, i) =>
-      struct(Vectors.dot(col("embedding"), typedLit(c.toSeq)).as("dot"),
-        lit(i).as("cell"))
-    }
-    array_max(array(scores.toIndexedSeq: _*)).getField("cell")
-  }
+  /** Kernel argmax over cells (unit-norm ⇒ max dot = nearest): ONE
+    * codegen'd plan node scoring all k centroids per row
+    * ([[graft.functions.NearestCells]], p=1). Replaced the k-element
+    * struct-array expression (round 8): that form inlined one dot
+    * expression per cell, so codegen size bounded k at ~256; the kernel
+    * carries the centroids as a flat reference object and k is bounded
+    * only by per-task model-state memory. */
+  private def nearestCellExpr(centroids: Array[Array[Float]]): Column =
+    element_at(graft.functions.QuantExpressions.nearestCells(
+      col("embedding"), centroids.flatten, centroids.length,
+      centroids.head.length, p = 1), 1)
 
   /** Large-k assignment: centroids as a broadcast TABLE, corpus ⋈ all k
     * cells scoring dot per pair, min_by per vector. The join carries
@@ -67,9 +65,11 @@ object Ann {
           .getField("cell_id").as("cell_id"))
   }
 
-  /** Expression threshold chosen where codegen-size cost overtakes the
-    * extra shuffle of the join path. */
-  private val InlineCellLimit = 256
+  /** The kernel holds k·dim floats of model state per task; past this
+    * (~16 MB — k ≈ 65k cells at dim 64) the centroid table stops being
+    * task-local model state and the broadcast-join assignment is the
+    * honest shape. */
+  private val KernelStateLimitFloats = 4 * 1024 * 1024
 
   /** Test seam: the join assignment path regardless of k. */
   private[operators] def assignByJoinForTest(corpus: DataFrame,
@@ -78,7 +78,8 @@ object Ann {
 
   private def nearestCell(corpus: DataFrame,
       centroids: Array[Array[Float]]): DataFrame =
-    if (centroids.length <= InlineCellLimit)
+    if (centroids.length.toLong * centroids.head.length <=
+        KernelStateLimitFloats)
       corpus.withColumn("cell_id", nearestCellExpr(centroids))
     else assignByJoin(corpus, centroids)
 

@@ -43,63 +43,44 @@ object Pq {
   final case class PqModel(m: Int, k: Int, sub: Int,
       codebooks: Array[Array[Array[Float]]])
 
-  /** Exact squared L2 distance between two float-array columns, in
-    * double (zip_with + aggregate — codegen'd built-ins). */
-  private def sqDist(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) =>
-        (x.cast("double") - y.cast("double")) *
-          (x.cast("double") - y.cast("double"))),
-      lit(0.0), (acc, e) => acc + e)
+  /** [m][k][sub] row-major flat model state for the codegen kernel. */
+  private def flatCb(model: PqModel): Array[Float] =
+    model.codebooks.flatten.flatten
 
-  /** Inline argmin over the k codewords of one subspace codebook: ONE
-    * transform lambda over the codebook array computes all k distances,
-    * then the code is the position of the minimum. A k-way array of
-    * (dist, id) structs would inline k copies of the distance expression
-    * — k·m of them per row across subspaces — and the resulting
-    * 10^4-node tree made Catalyst analysis/codegen the dominant cost
-    * (measured: the m=16 encode plan alone cost seconds of driver time).
-    * The lambda form is one distance expression evaluated k times.
-    * Deterministic tiebreak: array_position returns the FIRST index of
-    * the minimum (same computed bits), so equal distances pick the
-    * lower codeword id — same contract as the struct-min form. */
-  private def argminCode(sv: Column, cbm: Column, k: Int): Column = {
-    val dists = transform(cbm, cw => sqDist(sv, cw))
-    (array_position(dists, array_min(dists)) - 1).cast("int")
-  }
-
-  private def cbLit(model: PqModel): Column =
-    typedLit(model.codebooks.map(_.map(_.toSeq).toSeq).toSeq)
+  private def codesCol(model: PqModel): Column =
+    graft.functions.QuantExpressions.pqCodes(col("embedding"),
+      flatCb(model), model.m, model.k, model.sub)
 
   /** Train per-subspace codebooks with `iters` joint Lloyd steps: all m
     * subspaces train in the SAME distributed pass (subspace id is just
     * another group key), so the iteration count — not m — bounds the
-    * number of Spark jobs. */
+    * number of Spark jobs. Assignment runs through the codegen'd
+    * [[graft.functions.PqCodes]] kernel (the HOF-lambda form was
+    * interpreted per element — 5.5k vec/s in the ProfileAnn sweep;
+    * the expanded-expression form made Catalyst analysis the cost). */
   def train(embeddings: DataFrame, m: Int, k: Int, iters: Int): PqModel = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    val corpus = embeddings.select(col("vec_id"), col("embedding")).persist()
+    val dim = corpus.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val subv = embeddings
-      .select(col("vec_id"), posexplode(expr(
-        s"transform(sequence(0, ${m - 1}," +
-          s" 1), i -> slice(embedding, i * $sub + 1, $sub))")))
-      .select(col("vec_id"), col("pos").as("msub"), col("col").as("sv"))
-      .persist()
-    val init = embeddings.orderBy("vec_id").limit(k)
+    val init = corpus.orderBy("vec_id").limit(k)
       .select("embedding").as[Seq[Float]].collect().map(_.toArray)
     var cb: Array[Array[Array[Float]]] =
       Array.tabulate(m, k)((mi, ki) => init(ki).slice(mi * sub, (mi + 1) * sub))
     var it = 0
     while (it < iters) {
       val model = PqModel(m, k, sub, cb)
-      val assigned = subv.withColumn("code",
-        argminCode(col("sv"), element_at(cbLit(model), col("msub") + 1), k))
-      // per-dimension means: m·k·sub aggregate rows collect (model state)
-      val dims = assigned
-        .select(col("msub"), col("code"), posexplode(col("sv")))
-        .groupBy(col("msub"), col("code"), col("pos"))
+      // per-dimension means keyed by (subspace, assigned code, dim-in-
+      // subspace): m·k·sub aggregate rows collect — model state
+      val dims = corpus
+        .select(posexplode(col("embedding")), codesCol(model).as("codes"))
+        .select(expr(s"pos div $sub").cast("int").as("msub"),
+          element_at(col("codes"), expr(s"cast((pos div $sub) + 1 as int)"))
+            .as("code"),
+          pmod(col("pos"), lit(sub)).as("p"), col("col"))
+        .groupBy(col("msub"), col("code"), col("p"))
         .agg(avg(col("col")).as("mval"))
         .as[(Int, Int, Int, Double)].collect()
       val next = cb.map(_.map(_.clone()))
@@ -107,20 +88,14 @@ object Pq {
       cb = next
       it += 1
     }
-    subv.unpersist()
+    corpus.unpersist()
     PqModel(m, k, sub, cb)
   }
 
   /** Encode the corpus to (vec_id, codes ARRAY<INT> of length m) —
-    * map-only, all m argmins inside one codegen stage. */
-  def encode(embeddings: DataFrame, model: PqModel): DataFrame = {
-    val lit3 = cbLit(model)
-    val codes = (0 until model.m).map { mi =>
-      argminCode(slice(col("embedding"), mi * model.sub + 1, model.sub),
-        element_at(lit3, mi + 1), model.k)
-    }
-    embeddings.select(col("vec_id"), array(codes: _*).as("codes"))
-  }
+    * map-only, ONE codegen'd kernel node per row. */
+  def encode(embeddings: DataFrame, model: PqModel): DataFrame =
+    embeddings.select(col("vec_id"), codesCol(model).as("codes"))
 
   /** ADC top-k: per-query m×k dot-product tables from model state, then
     * each corpus vector scores as m table lookups. `queries` must be
@@ -203,9 +178,11 @@ object Pq {
       .select(col("q_id"), col("vec_id"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    short
-      .join(corpus.select(col("vec_id"), col("embedding")).hint("shuffle_hash"),
-        Seq("vec_id"))
+    // the shortlist is queries×shortlist rows — broadcast it, so the
+    // full-precision corpus fetch is a map-side semi-join over the scan
+    // (the corpus never shuffles for a search)
+    corpus.select(col("vec_id"), col("embedding"))
+      .join(broadcast(short), Seq("vec_id"))
       .join(broadcast(queries), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         graft.functions.Vectors.dot(col("embedding"), col("qvec")).as("cos"))

@@ -59,33 +59,42 @@ object SemDedup {
   def semDedup(embeddings: DataFrame, k: Int, iters: Int, tau: Double,
       probes: Int = 2): DataFrame = {
     val idx = Ann.buildIvf(embeddings, k, iters)
-    // multi-probe assignment from model state: sort (−dot, cell) structs,
-    // take the `probes` best — all inside one codegen'd projection
-    val scored = idx.centroids.zipWithIndex.map { case (c, i) =>
-      struct((Vectors.dot(col("embedding"), typedLit(c.toSeq)) * -1)
-        .as("nd"), lit(i).as("cell"))
-    }
-    val probeCells = transform(
-      slice(array_sort(array(scored.toIndexedSeq: _*)), 1, probes),
-      s => s.getField("cell"))
+    // multi-probe assignment from model state: the codegen'd
+    // NearestCells kernel scores all k centroids and selects the
+    // `probes` best in one plan node — no per-centroid expression
+    // copies (k is not bounded by codegen size) and no interpreted
+    // HOF lambdas (QuantExpressions scaladoc)
+    val probeCells = graft.functions.QuantExpressions.nearestCells(
+      col("embedding"), idx.centroids.flatten, idx.centroids.length,
+      idx.centroids.head.length, probes)
+    // Verify INSIDE the cell self-join: the assignment frame (n·probes
+    // rows) is the only thing that shuffles — one hash exchange on
+    // cell_id reused by both join sides — and the O(n²/k·p²) candidate
+    // pairs are STREAMED through the codegen'd dot filter without ever
+    // materializing. The first cut materialized candidate ids, distinct'd
+    // them, and re-fetched embeddings through two candidate-sized joins:
+    // at 50k vectors that shuffled ~100M id pairs plus 2×100M embedding-
+    // carrying join rows (ProfileAnn, 31 s); this shape shuffles ~25 MB
+    // and spends its time in the dot loop instead (~3 s). A pair sharing
+    // several probe cells is re-verified ≤p² times — dots are cheaper
+    // than the shuffle that deduplicating them costs; edges dedup AFTER
+    // the filter, where survivors are corpus-tiny.
     val assign = embeddings
-      .select(col("vec_id"), explode(probeCells).as("cell_id"))
-    val cand = assign.select(col("cell_id"), col("vec_id").as("id_a"))
-      .join(assign.select(col("cell_id"), col("vec_id").as("id_b")),
-        Seq("cell_id"))
-      .filter(col("id_a") < col("id_b"))
-      .select("id_a", "id_b")
-      .distinct()
-    val vecs = embeddings.select(col("vec_id"), col("embedding"))
-    val edges = cand.hint("shuffle_hash")
-      .join(vecs.select(col("vec_id").as("id_a"), col("embedding").as("va")),
-        Seq("id_a"))
+      .select(col("vec_id"), col("embedding"),
+        explode(probeCells).as("cell_id"))
+      .repartition(col("cell_id"))
+    val edges = assign
+      .select(col("cell_id"), col("vec_id").as("id_a"),
+        col("embedding").as("va"))
       .hint("shuffle_hash")
-      .join(vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb")),
-        Seq("id_b"))
-      .filter(Vectors.dot(col("va"), col("vb")) >= tau)
+      .join(assign.select(col("cell_id"), col("vec_id").as("id_b"),
+        col("embedding").as("vb")), Seq("cell_id"))
+      .filter(col("id_a") < col("id_b") &&
+        Vectors.dot(col("va"), col("vb")) >= tau)
       .select(col("id_a"), col("id_b"))
     // greedy keep/drop: one partial-aggregated shuffle on the higher id
+    // (min-combines map-side, so the ≤p² duplicate edges also vanish
+    // before the exchange)
     val reps = edges.groupBy(col("id_b").as("vec_id"))
       .agg(min(col("id_a")).as("low"))
     val ids = embeddings.select(col("vec_id"))
