@@ -121,11 +121,10 @@ object Pq {
       (qid, tbl.map(_.toSeq))
     }
     val tblDf = tables.toDF("q_id", "tbl")
-    val adc = expr(
-      s"""aggregate(sequence(1, ${model.m}), cast(0.0 as double),
-         |  (acc, i) -> acc + element_at(element_at(tbl, i),
-         |                               element_at(codes, i) + 1))
-         |""".stripMargin)
+    // codegen'd kernel — the aggregate(sequence(...)) HOF form was
+    // interpreted per element (QuantExpressions.AdcScore scaladoc)
+    val adc = graft.functions.QuantExpressions.adcScore(col("codes"),
+      col("tbl"))
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("adc").desc, col("vec_id").asc)
     codes.join(broadcast(tblDf))
