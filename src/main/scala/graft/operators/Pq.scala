@@ -97,13 +97,11 @@ object Pq {
   def encode(embeddings: DataFrame, model: PqModel): DataFrame =
     embeddings.select(col("vec_id"), codesCol(model).as("codes"))
 
-  /** ADC top-k: per-query m×k dot-product tables from model state, then
-    * each corpus vector scores as m table lookups. `queries` must be
-    * small (they are collected to compute the tables — the same
-    * model-state contract as Ann.search's probe selection). */
-  def search(codes: DataFrame, model: PqModel, queries: DataFrame,
-      topK: Int): DataFrame = {
-    val spark = codes.sparkSession
+  /** Per-query ADC lookup tables (m×k subspace dot products) computed
+    * from model state on the driver — the same model-state contract as
+    * Ann.search's probe selection. Broadcast-sized by construction. */
+  private def adcTableDf(model: PqModel, queries: DataFrame): DataFrame = {
+    val spark = queries.sparkSession
     import spark.implicits._
     val qs = queries.select(col("q_id"), col("qvec"))
       .as[(Long, Seq[Float])].collect()
@@ -120,22 +118,29 @@ object Pq {
       }
       (qid, tbl.map(_.toSeq))
     }
-    val tblDf = tables.toDF("q_id", "tbl")
-    // codegen'd kernel — the aggregate(sequence(...)) HOF form was
-    // interpreted per element (QuantExpressions.AdcScore scaladoc)
-    val adc = graft.functions.QuantExpressions.adcScore(col("codes"),
-      col("tbl"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("adc").desc, col("vec_id").asc)
-    codes.join(broadcast(tblDf))
+    tables.toDF("q_id", "tbl")
+  }
+
+  // codegen'd kernel — the aggregate(sequence(...)) HOF form was
+  // interpreted per element (QuantExpressions.AdcScore scaladoc)
+  private def adcCol: Column =
+    graft.functions.QuantExpressions.adcScore(col("codes"), col("tbl"))
+
+  private def adcWindow = Window.partitionBy(col("q_id"))
+    .orderBy(col("adc").desc, col("vec_id").asc)
+
+  /** ADC top-k: per-query m×k dot-product tables from model state, then
+    * each corpus vector scores as m table lookups. */
+  def search(codes: DataFrame, model: PqModel, queries: DataFrame,
+      topK: Int): DataFrame =
+    codes.join(broadcast(adcTableDf(model, queries)))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("adc", adc)
-      .withColumn("rnk", row_number().over(w))
+      .withColumn("adc", adcCol)
+      .withColumn("rnk", row_number().over(adcWindow))
       .filter(col("rnk") <= topK)
       .select(col("q_id"), col("rnk"), col("vec_id"),
         round(col("adc"), 6).as("adc"))
       .orderBy("q_id", "rnk")
-  }
 
   /** Materialize the index: the m-byte codes table (the thing a 100 TB
     * deployment scans) plus the codebooks — model state — as one small
@@ -163,23 +168,55 @@ object Pq {
     (model, spark.read.parquet(s"$dir/codes"))
   }
 
-  /** Production search shape: ADC prunes the corpus to a `shortlist` per
-    * query (scanning only the m-byte codes), then ONLY the shortlisted
-    * vectors' full embeddings are fetched and re-ranked with the exact
-    * codegen'd dot product. At 100 TB this is the whole point of PQ: the
-    * full-precision corpus is touched for shortlist×queries rows — a
-    * point-lookup-sized fetch join — while the scan runs over 8-byte
-    * codes. Recall is set by the shortlist depth, not by quantization
-    * error (PqSpec measures both stages). */
-  def searchRerank(codes: DataFrame, model: PqModel, corpus: DataFrame,
-      queries: DataFrame, topK: Int, shortlist: Int): DataFrame = {
-    val short = search(codes, model, queries, shortlist)
+  /** IVF+PQ — the composed production index (the FAISS IVFPQ
+    * architecture): a coarse quantizer buckets the corpus into cells
+    * (partition-pruned probes, Ann) and each vector is stored as its
+    * m-byte PQ code. A search touches nprobe/k of the corpus AND reads
+    * only codes while doing it; full-precision embeddings are fetched
+    * solely for the exact re-rank of the shortlist. This is the shape
+    * that holds at 100 TB: the per-query scan is
+    * (nprobe/k)·n·m bytes — at n=10⁹, k=4096, nprobe=64, m=16 that is
+    * ~250 MB of codes per query, partition-pruned to the probed cells'
+    * files, vs 256 GB of raw embeddings for a flat scan. */
+  final case class IvfPqIndex(
+      assignments: DataFrame,             // (vec_id, cell_id, codes)
+      centroids: Array[Array[Float]],     // coarse model state, k×dim
+      model: PqModel)                     // fine model state
+
+  def buildIvfPq(embeddings: DataFrame, kCells: Int, m: Int, k: Int,
+      iters: Int): IvfPqIndex = {
+    val ivf = Ann.buildIvf(embeddings, kCells, iters)
+    val model = train(embeddings, m, k, iters)
+    val assignments = ivf.assignments
+      .select(col("vec_id"), col("cell_id"), codesCol(model).as("codes"))
+    IvfPqIndex(assignments, ivf.centroids, model)
+  }
+
+  /** Probe the nprobe nearest cells, ADC-score ONLY their codes, exact
+    * re-rank the shortlist against `corpus` (vec_id, embedding). */
+  def searchIvfPq(index: IvfPqIndex, queries: DataFrame, corpus: DataFrame,
+      topK: Int, nprobe: Int, shortlist: Int): DataFrame = {
+    val probes = queries.select(col("q_id"),
+      explode(graft.functions.QuantExpressions.nearestCells(col("qvec"),
+        index.centroids.flatten, index.centroids.length,
+        index.centroids.head.length, nprobe)).as("cell_id"))
+    val short = index.assignments
+      .join(broadcast(probes), Seq("cell_id"))
+      .join(broadcast(adcTableDf(index.model, queries)), Seq("q_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("adc", adcCol)
+      .withColumn("rnk", row_number().over(adcWindow))
+      .filter(col("rnk") <= shortlist)
       .select(col("q_id"), col("vec_id"))
+    rerank(short, corpus, queries, topK)
+  }
+
+  /** Exact re-rank of a (q_id, vec_id) shortlist: broadcast semi-join
+    * fetch (the corpus never shuffles), codegen'd dot, windowed top-k. */
+  private def rerank(short: DataFrame, corpus: DataFrame,
+      queries: DataFrame, topK: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)
-    // the shortlist is queries×shortlist rows — broadcast it, so the
-    // full-precision corpus fetch is a map-side semi-join over the scan
-    // (the corpus never shuffles for a search)
     corpus.select(col("vec_id"), col("embedding"))
       .join(broadcast(short), Seq("vec_id"))
       .join(broadcast(queries), Seq("q_id"))
@@ -191,4 +228,17 @@ object Pq {
         round(col("cos"), 6).as("cos"))
       .orderBy("q_id", "rnk")
   }
+
+  /** Production search shape: ADC prunes the corpus to a `shortlist` per
+    * query (scanning only the m-byte codes), then ONLY the shortlisted
+    * vectors' full embeddings are fetched and re-ranked with the exact
+    * codegen'd dot product. At 100 TB this is the whole point of PQ: the
+    * full-precision corpus is touched for shortlist×queries rows — a
+    * point-lookup-sized fetch join — while the scan runs over 8-byte
+    * codes. Recall is set by the shortlist depth, not by quantization
+    * error (PqSpec measures both stages). */
+  def searchRerank(codes: DataFrame, model: PqModel, corpus: DataFrame,
+      queries: DataFrame, topK: Int, shortlist: Int): DataFrame =
+    rerank(search(codes, model, queries, shortlist)
+      .select(col("q_id"), col("vec_id")), corpus, queries, topK)
 }

@@ -14,6 +14,7 @@ class SparkEntrySpec extends SparkSuite {
     "q_ann_ivf_topk",    // k-means model state   → AnnSpec
     "q_semdedup",        // cluster-then-search semantic dedup → SemDedupSpec
     "q_ann_pq_topk",     // product-quantization ANN → PqSpec
+    "q_ann_ivfpq_topk",  // composed IVF+PQ index → PqSpec
     "q_heavy_hitters_cms") // count-min sketch     → SketchSpec
 
   test("every oracle key is a declared query") {

