@@ -520,6 +520,16 @@ object Llm extends QueryFamily {
       graft.operators.Pq.searchRerank(codes, model, emb, queries,
         topK = 10, shortlist = 50)
     },
+    "q_bpe_merges" -> { (s, d) =>
+      // BPE tokenizer TRAINING (operators.Bpe): learn 12 merges over the
+      // corpus. One corpus-sized shuffle builds the weighted vocabulary;
+      // every merge round after that aggregates over vocab-sized data
+      // and ships one winning pair to the driver. Iterative model
+      // learning ⇒ no DuckDB oracle (rows-only); BpeSpec pins the
+      // result bit-for-bit against the classical single-threaded
+      // algorithm and its tie/overlap contracts.
+      graft.operators.Bpe.train(Tables.documents(s, d), nMerges = 12)
+    },
     "q_heavy_hitters" -> { (s, d) =>
       // Exact heavy hitters: tokens carrying ≥0.5% of the token stream.
       // Integer-threshold form (c·200 ≥ n) — no float ratio, bit-exact.

@@ -15,7 +15,8 @@ class SparkEntrySpec extends SparkSuite {
     "q_semdedup",        // cluster-then-search semantic dedup → SemDedupSpec
     "q_ann_pq_topk",     // product-quantization ANN → PqSpec
     "q_ann_ivfpq_topk",  // composed IVF+PQ index → PqSpec
-    "q_heavy_hitters_cms") // count-min sketch     → SketchSpec
+    "q_heavy_hitters_cms", // count-min sketch    → SketchSpec
+    "q_bpe_merges")      // BPE tokenizer training → BpeSpec
 
   test("every oracle key is a declared query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
