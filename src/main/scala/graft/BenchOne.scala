@@ -71,7 +71,10 @@ object BenchOne {
       // promptly — join unbounded so a large stdout finishes draining;
       // the 5 s bound is only for the killed-process path.
       if (!done) p.destroyForcibly()
-      if (done) reader.join() else reader.join(5000)
+      // bounded join on BOTH paths: even after a clean exit, a surviving
+      // grandchild holding the inherited stdout fd keeps transferTo from
+      // seeing EOF — an unbounded join would wedge the bench driver
+      reader.join(5000)
       val out = outRef.get()
       if (!done) None
       else if (p.exitValue() != 0) None

@@ -24,6 +24,12 @@ import graft.streaming.BlockPipeline
   */
 object CliMain {
 
+  /** The ONE flag parser — each subcommand binds it to its own flag
+    * list (was four identical local copies that could silently
+    * diverge). */
+  private def flagValIn(flags: List[String], name: String): Option[String] =
+    flags.dropWhile(_ != name).drop(1).headOption
+
   private val blockSchema = StructType(Seq(
     StructField("block_number", LongType),
     StructField("block_id", StringType),
@@ -40,8 +46,7 @@ object CliMain {
     // with malformed lines quarantined to _dead_letters. Resumable via
     // the same checkpoint contract as `run`.
     case "corpus" :: jsonlDir :: outRoot :: flags =>
-      def flagVal(name: String): Option[String] =
-        flags.dropWhile(_ != name).drop(1).headOption
+      def flagVal(name: String): Option[String] = flagValIn(flags, name)
       val ckpt = flagVal("--checkpoint").getOrElse(s"$outRoot/_checkpoint")
       val wm = flagVal("--watermark").getOrElse("10 minutes")
       val reused =
@@ -85,8 +90,7 @@ object CliMain {
     // (operators.ZOrder.compact). Output is written BESIDE the live
     // directory; swapping it in is the operator's deploy step.
     case "optimize" :: inDir :: outDir :: flags =>
-      def flagVal(name: String): Option[String] =
-        flags.dropWhile(_ != name).drop(1).headOption
+      def flagVal(name: String): Option[String] = flagValIn(flags, name)
       val dims = flagVal("--zorder").map(_.split(",")).getOrElse(
         sys.error("--zorder colX,colY is required"))
       require(dims.length == 2, "--zorder takes exactly two columns")
@@ -105,8 +109,7 @@ object CliMain {
     // (probes become partition-pruned scans, Ann.writeIvf); pq lands the
     // m-byte codes table + codebooks (ADC scans the codes, Pq.writePq).
     case "index" :: embDir :: outDir :: flags =>
-      def flagVal(name: String): Option[String] =
-        flags.dropWhile(_ != name).drop(1).headOption
+      def flagVal(name: String): Option[String] = flagValIn(flags, name)
       val reused =
         org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
       val spark = Sessions.get("graft-index")
@@ -130,8 +133,7 @@ object CliMain {
       }
       if (!reused) spark.stop()
     case "run" :: blocksDir :: outRoot :: flags =>
-      def flagVal(name: String): Option[String] =
-        flags.dropWhile(_ != name).drop(1).headOption
+      def flagVal(name: String): Option[String] = flagValIn(flags, name)
       val pt = RangePartitioner(
         start = flagVal("--start").map(_.toLong).getOrElse(0L),
         size = flagVal("--partition-size").map(_.toLong).getOrElse(5000L))

@@ -37,10 +37,13 @@ object ProfileAnn {
          |     0.05 * cast(xxhash64(vec_id, j) as double) / 9.223372036854776e18,
          |     cast(0.0 as double)))
          |""".stripMargin))
-    raw.select(col("vec_id"),
-      expr("""transform(raw, x -> cast(x / sqrt(aggregate(raw, cast(0.0 as double),
-             |  (a, e) -> a + e * e)) as float))""".stripMargin)
-        .as("embedding"))
+    // norm computed ONCE per row — inlining the 64-element aggregate
+    // inside the transform would re-fold it per output element (64×)
+    raw
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(raw, cast(0.0 as double), (a, e) -> a + e * e))"))
+      .select(col("vec_id"),
+        expr("transform(raw, x -> cast(x / nrm as float))").as("embedding"))
   }
 
   def main(args: Array[String]): Unit = {

@@ -185,6 +185,8 @@ final case class NearestCells(child: Expression, centroids: Array[Float],
     k: Int, dim: Int, p: Int)
     extends UnaryExpression with FloatArrayInput {
 
+  require(p >= 1 && p <= k, s"nearest_cells needs 1 <= p <= k, got p=$p k=$k")
+
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "nearest_cells"
 
@@ -209,6 +211,12 @@ final case class NearestCells(child: Expression, centroids: Array[Float],
       while (i < k) {
         if (!used(i) && dots(i) > bv) { bv = dots(i); bi = i }
         i += 1
+      }
+      // all remaining dots NaN (NaN > x is always false): fall back to
+      // the first unused cell instead of indexing used(-1)
+      if (bi < 0) {
+        var i2 = 0
+        while (bi < 0 && i2 < k) { if (!used(i2)) bi = i2; i2 += 1 }
       }
       used(bi) = true
       out(r) = bi
@@ -245,6 +253,11 @@ final case class NearestCells(child: Expression, centroids: Array[Float],
          |  int $bi = -1; double $bv = Double.NEGATIVE_INFINITY;
          |  for (int $i = 0; $i < $k; $i++) {
          |    if (!$used[$i] && $dots[$i] > $bv) { $bv = $dots[$i]; $bi = $i; }
+         |  }
+         |  if ($bi < 0) { // all remaining dots NaN: first unused cell
+         |    for (int $i = 0; $bi < 0 && $i < $k; $i++) {
+         |      if (!$used[$i]) $bi = $i;
+         |    }
          |  }
          |  $used[$bi] = true;
          |  $out[$r] = $bi;

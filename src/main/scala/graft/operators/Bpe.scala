@@ -41,25 +41,30 @@ object Bpe {
       |""".stripMargin)
 
   /** Left-to-right non-overlapping replacement of adjacent (l, r) with
-    * the merged symbol. */
-  private def applyMerge(l: String, r: String): Column = {
-    val lq = l.replace("'", "\\'")
-    val rq = r.replace("'", "\\'")
-    expr(
-      s"""aggregate(sequence(1, size(syms)),
-         |  struct(cast(array() as array<string>) as out, false as skip),
-         |  (acc, i) -> if(acc.skip,
-         |    struct(acc.out as out, false as skip),
-         |    if(i < size(syms) and element_at(syms, i) = '$lq'
-         |        and element_at(syms, i + 1) = '$rq',
-         |      struct(concat(acc.out,
-         |        array(concat(element_at(syms, i), element_at(syms, i + 1))))
-         |        as out, true as skip),
-         |      struct(concat(acc.out, array(element_at(syms, i))) as out,
-         |        false as skip))),
-         |  acc -> acc.out)
-         |""".stripMargin)
-  }
+    * the merged symbol. The symbols ride in as `lit` columns — NEVER
+    * string-interpolated into SQL text, where a backslash or quote in a
+    * corpus token would break (or subvert) the expression. */
+  private def applyMerge(l: String, r: String): Column =
+    aggregate(
+      expr("sequence(1, size(syms))"),
+      struct(expr("cast(array() as array<string>)").as("out"),
+        lit(false).as("skip")),
+      (acc, i) => {
+        val out = acc.getField("out")
+        val cur = element_at(col("syms"), i.cast("int"))
+        // try_element_at: i+1 past the end yields null → the null-safe
+        // comparison is false, no ANSI index error
+        val nxt = try_element_at(col("syms"), (i + 1).cast("int"))
+        when(acc.getField("skip"),
+          struct(out.as("out"), lit(false).as("skip")))
+          .when(cur === lit(l) && nxt <=> lit(r),
+            struct(concat(out, array(concat(cur, nxt))).as("out"),
+              lit(true).as("skip")))
+          .otherwise(
+            struct(concat(out, array(cur)).as("out"),
+              lit(false).as("skip")))
+      },
+      acc => acc.getField("out"))
 
   /** Learn `nMerges` merges from a (text) corpus; returns the merge
     * table (rank, left, right, freq) in learning order. */
@@ -103,6 +108,19 @@ object Bpe {
       .orderBy("rank")
   }
 
+  /** Unsigned byte-wise UTF-8 comparison — Spark's string order. */
+  private def utf8Less(a: String, b: String): Boolean = {
+    val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    while (i < x.length && i < y.length) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
   /** Reference single-threaded implementation — BpeSpec pins the
     * distributed result against it bit-for-bit. */
   private[operators] def trainLocal(words: Map[String, Long],
@@ -121,8 +139,14 @@ object Bpe {
       }
       if (counts.isEmpty) done = true
       else {
-        val ((l, r), pf) = counts.toSeq
-          .sortBy { case ((l, r), pf) => (-pf, l, r) }.head
+        // tie order must be Spark's: UTF8String compares raw UTF-8
+        // bytes, which differs from Java String (UTF-16) order for
+        // non-BMP vs U+E000..U+FFFF symbols
+        val ((l, r), pf) = counts.toSeq.sortWith { case (((l1, r1), f1), ((l2, r2), f2)) =>
+          if (f1 != f2) f1 > f2
+          else if (l1 != l2) utf8Less(l1, l2)
+          else utf8Less(r1, r2)
+        }.head
         out += ((rank, l, r, pf))
         vocab = vocab.map { case (syms, f) =>
           val b = Vector.newBuilder[String]

@@ -67,6 +67,9 @@ object Pq {
     val sub = dim / m
     val init = corpus.orderBy("vec_id").limit(k)
       .select("embedding").as[Seq[Float]].collect().map(_.toArray)
+    require(init.length >= k,
+      s"PQ needs at least k=$k vectors to seed codebooks, corpus has " +
+        s"${init.length}")
     var cb: Array[Array[Array[Float]]] =
       Array.tabulate(m, k)((mi, ki) => init(ki).slice(mi * sub, (mi + 1) * sub))
     var it = 0

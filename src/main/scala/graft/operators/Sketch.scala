@@ -37,15 +37,20 @@ object Sketch {
 
   /** Point estimates for candidate tokens: est(t) = min over the d rows
     * of the t-bucket counter. The sketch side is d·w rows — model-state
-    * sized — and broadcast; the candidate side never shuffles. */
+    * sized — and broadcast; the candidate side never shuffles. The join
+    * is LEFT with a 0 fallback: a candidate whose bucket has no sketch
+    * row has a zero counter there, and dropping that row (inner join)
+    * would take the min over a SUBSET of the d counters — inflating the
+    * estimate of an absent token to whatever collides in its other
+    * rows, or losing the token from the output entirely. */
   def estimate(sketch: DataFrame, candidates: DataFrame, tokenCol: String,
       d: Int, w: Int): DataFrame = {
     val cand = candidates
       .select(col(tokenCol).as("token"),
         explode(sequence(lit(0), lit(d - 1))).as("r"))
       .withColumn("bucket", pmod(xxhash64(col("r"), col("token")), lit(w)))
-    cand.join(broadcast(sketch), Seq("r", "bucket"))
+    cand.join(broadcast(sketch), Seq("r", "bucket"), "left")
       .groupBy("token")
-      .agg(min(col("c")).as("est"))
+      .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
 }

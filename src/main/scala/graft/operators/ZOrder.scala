@@ -118,11 +118,15 @@ object ZOrder {
   def compact(spark: SparkSession, inDir: String, outDir: String,
               dimX: String, dimY: String, numFiles: Int,
               bits: Int = 8): Long = {
+    // the row count rides the min/max aggregation pass (cached 1-row
+    // frame) — a separate df.count() was a third full read of the input
+    // directory next to the stats pass and the write pass
     val df = spark.read.option("mergeSchema", "true").parquet(inDir)
-    val inCount = df.count()
-    val frame = df.agg(min(dimX).as("__minx"), max(dimX).as("__maxx"),
-      min(dimY).as("__miny"), max(dimY).as("__maxy"))
-    df.crossJoin(broadcast(frame))
+    val stats = df.agg(min(dimX).as("__minx"), max(dimX).as("__maxx"),
+      min(dimY).as("__miny"), max(dimY).as("__maxy"),
+      count(lit(1)).as("__n")).cache()
+    val inCount = stats.head().getLong(4)
+    df.crossJoin(broadcast(stats.drop("__n")))
       .withColumn("zval", zvalue(
         quantize(col(dimX), col("__minx"), col("__maxx"), bits),
         quantize(col(dimY), col("__miny"), col("__maxy"), bits)))
@@ -130,6 +134,7 @@ object ZOrder {
       .repartitionByRange(numFiles, col("zval"))
       .sortWithinPartitions("zval")
       .write.mode("overwrite").parquet(outDir)
+    stats.unpersist()
     val outCount = spark.read.parquet(outDir).count()
     require(outCount == inCount,
       s"compact lost rows: read $inCount from $inDir, wrote $outCount to $outDir")

@@ -68,10 +68,14 @@ final class MetricsEndpoint(stats: IngestStats, port: Int = 0) {
   private val profiling = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   server.createContext("/profile", ex => {
+    // parse defensively: a malformed value must yield the default, not
+    // an exception that escapes the handler and drops the exchange with
+    // no HTTP response at all
     val seconds = Option(ex.getRequestURI.getQuery).toSeq
       .flatMap(_.split('&')).collectFirst {
-        case q if q.startsWith("seconds=") => q.stripPrefix("seconds=").toInt
-      }.getOrElse(5).max(1).min(300)
+        case q if q.startsWith("seconds=") => q.stripPrefix("seconds=")
+      }.flatMap(s => scala.util.Try(s.toInt).toOption)
+      .getOrElse(5).max(1).min(300)
     if (!profiling.compareAndSet(false, true))
       respond(ex, 409, "a profile recording is already in progress\n")
     else try {
