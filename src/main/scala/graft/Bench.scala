@@ -7,7 +7,9 @@ import graft.ingest.{Decode, RangePartitioner, RangeSink, SampleBlocks}
 /** Bench harness: wall-clock per declared query on SPARK_GRAFT_SF_DIR,
   * ONE compact JSON line as the LAST stdout output (driver contract —
   * printed after spark.stop() so no shutdown logging can push it out of
-  * a tail capture, and kept small so the capture holds it whole). The
+  * a tail capture, and kept small so the capture holds it whole),
+  * preceded by a `BENCH_LINE={...}` sentinel line carrying just the
+  * scalars — a grep-able ~200-byte record that survives any capture. The
   * COMPLETE record (per-run samples, medians, mins, isolated re-runs,
   * fresh-JVM reruns, calibration) goes to `BENCH_full.json`
   * (SPARK_GRAFT_BENCH_FILE) so the durable artifact never depends on
@@ -233,8 +235,16 @@ object Bench {
         s""","fresh_jvm_reruns":${m(reruns.toSeq.sortBy(_._1), "%.3f")}""" +
         s""","queries_runs":$full}""")
     spark.stop()
-    // LAST stdout output — nothing (not even Spark shutdown logging on a
-    // misrouted appender) may follow the contract line
+    // sentinel-prefixed SHORT line first (driver greps for BENCH_LINE=;
+    // scalars only, ~200 bytes — survives any tail capture whole), then
+    // the full contract line LAST — nothing (not even Spark shutdown
+    // logging on a misrouted appender) may follow it
+    println("BENCH_LINE=" +
+      s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
+      s""""value_min":${f"$totalMin%.2f"},"queries_timed":${results.size},""" +
+      s""""calib_sec":[${f"$calibStart%.2f"},${f"$calibEnd%.2f"}],""" +
+      s""""ingest_blocks_per_sec":${f"$ingestBps%.0f"},""" +
+      s""""sf":"$sfDir","runs":$runs,"queries_full":"BENCH_full.json"}""")
     println(line)
   }
 

@@ -66,16 +66,18 @@ object BenchOne {
       reader.start()
       val done = p.waitFor(timeoutSec, java.util.concurrent.TimeUnit.SECONDS)
       // kill BEFORE joining the reader: a hung subprocess keeps the pipe
-      // open, so the reader can only reach EOF once the process dies.
-      // On a normal exit the pipe is at EOF and the reader terminates
-      // promptly — join unbounded so a large stdout finishes draining;
-      // the 5 s bound is only for the killed-process path.
+      // open, so the reader can only reach EOF once the process dies
       if (!done) p.destroyForcibly()
       // bounded join on BOTH paths: even after a clean exit, a surviving
       // grandchild holding the inherited stdout fd keeps transferTo from
       // seeing EOF — an unbounded join would wedge the bench driver
       reader.join(5000)
-      val out = outRef.get()
+      // if the join timed out (reader still draining / wedged on a
+      // grandchild's fd), outRef was never set — fall back to a snapshot
+      // of whatever has drained so far (ByteArrayOutputStream.toString is
+      // synchronized, safe against the concurrent transferTo)
+      val out =
+        if (reader.isAlive) buf.toString("UTF-8") else outRef.get()
       if (!done) None
       else if (p.exitValue() != 0) None
       else """BENCHONE ([0-9.]+)""".r.findFirstMatchIn(out)

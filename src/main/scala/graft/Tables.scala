@@ -20,7 +20,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    // fail fast on the known schema-drift axis: if the driver ever
+    // regenerates events with timestamp[ns] again, the nanosAsLong
+    // fallback loads ts as LONG and cast(ts as timestamp) silently
+    // reinterprets epoch-NANOS as epoch-SECONDS — garbage values whose
+    // only backstop would be a DuckDB hash mismatch 147 queries later
+    val tsType = df.schema("ts").dataType
+    require(tsType == org.apache.spark.sql.types.TimestampNTZType,
+      s"events.ts must be TIMESTAMP_NTZ (parquet timestamp[us]); read " +
+        s"${tsType.simpleString} — ns-era testdata? See graft.Fixtures.")
+    df
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 }

@@ -12,6 +12,9 @@ object Verify {
     }
     val Array(sfDir, outDir) = args
     val spark = Sessions.get("graft-verify")
+    // schema-drift preflight: regenerated testdata with a changed column
+    // type fails HERE with a named diff, not as 147 value mismatches
+    Fixtures.check(spark, sfDir)
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

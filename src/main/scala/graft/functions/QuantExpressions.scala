@@ -65,6 +65,12 @@ final case class PqCodes(child: Expression, codebooks: Array[Float],
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    // per-row guard: getFloat past numElements is an unchecked off-heap
+    // read on UnsafeArrayData — a short/overlong embedding must fail
+    // loudly, not encode garbage (Pq.train only checks the first row)
+    if (v.numElements() != m * sub)
+      throw new IllegalArgumentException(
+        s"pq_codes: embedding length ${v.numElements()} != ${m * sub}")
     val codes = new Array[Int](m)
     var mi = 0
     while (mi < m) {
@@ -102,6 +108,11 @@ final case class PqCodes(child: Expression, codebooks: Array[Float],
       val best = ctx.freshName("best")
       val bestj = ctx.freshName("bestj")
       s"""
+         |if ($v.numElements() != ${m * sub}) {
+         |  throw new IllegalArgumentException(
+         |    "pq_codes: embedding length " + $v.numElements() +
+         |    " != ${m * sub}");
+         |}
          |int[] $codes = new int[$m];
          |for (int $mi = 0; $mi < $m; $mi++) {
          |  double $best = Double.MAX_VALUE; int $bestj = 0;
@@ -192,6 +203,10 @@ final case class NearestCells(child: Expression, centroids: Array[Float],
 
   override protected def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    // same off-heap-read guard as pq_codes: length must equal dim
+    if (v.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"nearest_cells: embedding length ${v.numElements()} != $dim")
     val dots = new Array[Double](k)
     var c = 0
     while (c < k) {
@@ -239,6 +254,11 @@ final case class NearestCells(child: Expression, centroids: Array[Float],
       val bv = ctx.freshName("bv")
       val i = ctx.freshName("i")
       s"""
+         |if ($v.numElements() != $dim) {
+         |  throw new IllegalArgumentException(
+         |    "nearest_cells: embedding length " + $v.numElements() +
+         |    " != $dim");
+         |}
          |double[] $dots = new double[$k];
          |for (int $c = 0; $c < $k; $c++) {
          |  double $s = 0.0;

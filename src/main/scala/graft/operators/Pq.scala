@@ -77,8 +77,13 @@ object Pq {
       val model = PqModel(m, k, sub, cb)
       // per-dimension means keyed by (subspace, assigned code, dim-in-
       // subspace): m·k·sub aggregate rows collect — model state
+      // codes are computed in a Project BELOW the Generate: as a sibling
+      // of posexplode they would sit in the Project above it and the
+      // encode kernel would re-run once per exploded element — dim
+      // redundant kernel runs per vector per iteration
       val dims = corpus
-        .select(posexplode(col("embedding")), codesCol(model).as("codes"))
+        .select(col("embedding"), codesCol(model).as("codes"))
+        .select(posexplode(col("embedding")), col("codes"))
         .select(expr(s"pos div $sub").cast("int").as("msub"),
           element_at(col("codes"), expr(s"cast((pos div $sub) + 1 as int)"))
             .as("code"),

@@ -11,8 +11,11 @@ import org.apache.spark.sql.functions._
   * Graph: the trade graph from the TPC-H-ish tables — an edge between a
   * supplier and a customer for every distinct (l_suppkey, o_custkey)
   * pair that traded, symmetrized (both directions) so every node has
-  * in- and out-edges. Customer node ids are offset by 1,000,000 to keep
-  * the two key spaces disjoint.
+  * in- and out-edges. Customer node ids are offset by 2^40 to keep the
+  * two key spaces disjoint at ANY TPC-H scale factor (supplier keys
+  * reach 10k·sf — a 1e6 offset would collide at sf≥100; 2^40 still
+  * clears them by two orders of magnitude at sf=10⁶, with all sums
+  * exact in BIGINT).
   *
   * Scale design (100 TB):
   *  - the edge list is built once (one join + distinct — two shuffles),
@@ -38,7 +41,7 @@ import org.apache.spark.sql.functions._
   */
 object Graph extends QueryFamily {
 
-  private val CustOffset = 1000000L
+  private val CustOffset = 1L << 40
   private val PrIters = 3
 
   /** Distinct supplier↔customer trade pairs, symmetrized into a directed
@@ -114,7 +117,7 @@ object Graph extends QueryFamily {
   private val OracleEdges =
     """pairs AS (
       |  SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS s,
-      |         CAST(o.o_custkey + 1000000 AS BIGINT) AS c
+      |         CAST(o.o_custkey + 1099511627776 AS BIGINT) AS c
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
       |edges AS (SELECT s AS src, c AS dst FROM pairs
       |          UNION ALL

@@ -32,7 +32,7 @@ class GraphSpec extends SparkSuite {
     assert(r1.map(_._2).sum <= r1.size * 1000000L)
     // suppliers (degree ~ customers/supplier) outrank the average
     // customer node in this bipartite trade graph
-    val (sup, cust) = r1.partition(_._1 < 1000000L)
+    val (sup, cust) = r1.partition(_._1 < (1L << 40))
     val avgSup = sup.map(_._2).sum / sup.size
     val avgCust = cust.map(_._2).sum / cust.size
     assert(avgSup > avgCust,
