@@ -129,8 +129,51 @@ object CliMain {
             emb.selectExpr("vec_id", "embedding"), model)
           graft.operators.Pq.writePq(model, codes, outDir)
           println(s"pq index: $m x $k codebooks -> $outDir")
+        case "ivfpq" =>
+          // the composed production index: coarse cells for partition-
+          // pruned probes, m-byte PQ codes as the scanned payload
+          val kCells = flagVal("--kcells").map(_.toInt).getOrElse(256)
+          val m = flagVal("--m").map(_.toInt).getOrElse(16)
+          val k = flagVal("--k").map(_.toInt).getOrElse(16)
+          val idx = graft.operators.Pq.buildIvfPq(emb, kCells, m, k, iters)
+          graft.operators.Pq.writeIvfPq(idx, outDir)
+          println(s"ivfpq index: $kCells cells, $m x $k codebooks -> $outDir")
         case other => sys.error(s"unknown index kind: $other")
       }
+      if (!reused) spark.stop()
+    // search <indexDir> <embDir> <outDir> --kind ivf|ivfpq [--q ids]
+    // [--topk N] [--nprobe N] [--shortlist N]: load a materialized index
+    // and run top-k queries against it, landing (q_id, rnk, vec_id,
+    // score) parquet — the read side of the similarity-search story.
+    // Queries default to the first 5 corpus vectors; --q takes a
+    // comma-separated vec_id list from the same embeddings parquet.
+    case "search" :: indexDir :: embDir :: outDir :: flags =>
+      def flagVal(name: String): Option[String] = flagValIn(flags, name)
+      val reused =
+        org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+      val spark = Sessions.get("graft-search")
+      import org.apache.spark.sql.functions.col
+      val emb = spark.read.parquet(embDir)
+      val qIds = flagVal("--q")
+        .map(_.split(",").map(_.trim.toLong).toSeq)
+        .getOrElse(Seq(0L, 1L, 2L, 3L, 4L))
+      val queries = emb.filter(col("vec_id").isin(qIds: _*))
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      val topK = flagVal("--topk").map(_.toInt).getOrElse(10)
+      val nprobe = flagVal("--nprobe").map(_.toInt).getOrElse(8)
+      val result = flagVal("--kind").getOrElse("ivfpq") match {
+        case "ivf" =>
+          val idx = graft.operators.Ann.loadIvf(spark, indexDir)
+          graft.operators.Ann.search(idx, queries, topK, nprobe)
+        case "ivfpq" =>
+          val idx = graft.operators.Pq.loadIvfPq(spark, indexDir)
+          graft.operators.Pq.searchIvfPq(idx, queries, emb, topK, nprobe,
+            shortlist = flagVal("--shortlist").map(_.toInt)
+              .getOrElse(topK * 5))
+        case other => sys.error(s"unknown search kind: $other")
+      }
+      result.write.mode("overwrite").parquet(outDir)
+      println(s"search: ${qIds.size} queries, top-$topK -> $outDir")
       if (!reused) spark.stop()
     case "run" :: blocksDir :: outRoot :: flags =>
       def flagVal(name: String): Option[String] = flagValIn(flags, name)

@@ -22,8 +22,9 @@ import graft.functions.Vectors
   * windowed top-k. At 100 TB the assignment table is partitioned (or
   * bucketed) by cell_id, so a probe reads only its cells' files.
   *
-  * Determinism: centroid init = first k vectors by vec_id; Lloyd means are
-  * exact per-dim averages — no RNG anywhere.
+  * Determinism: centroid init = seeded k-means++ over a hash-sampled
+  * candidate set ([[KmeansInit]] — order-independent, seed-fixed RNG);
+  * Lloyd means are exact per-dim averages.
   */
 object Ann {
 
@@ -86,9 +87,10 @@ object Ann {
   def buildIvf(embeddings: DataFrame, k: Int, iters: Int): IvfIndex = {
     import embeddings.sparkSession.implicits._
     val corpus = embeddings.select(col("vec_id"), col("embedding")).persist()
-    // deterministic init: first k vectors
-    var centroids: Array[Array[Float]] = corpus.orderBy("vec_id").limit(k)
-      .select("embedding").as[Seq[Float]].collect().map(_.toArray)
+    // deterministic seeded k-means++ over a hash-sampled candidate set —
+    // order-independent, so a source-sorted corpus (first k vectors all
+    // one cluster) seeds spread centroids instead of degenerate ones
+    var centroids: Array[Array[Float]] = KmeansInit.seed(corpus, k)
     var it = 0
     while (it < iters) {
       // assign + per-dimension mean, all distributed; k·dim rows collect

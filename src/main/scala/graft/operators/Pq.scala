@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   *
   * Spark shape:
   *  - training reuses the IVF discipline ([[Ann.buildIvf]]): deterministic
-  *    init (first k vectors by vec_id, sliced per subspace), distributed
+  *    seeded k-means++ init ([[KmeansInit]], sliced per subspace), distributed
   *    Lloyd steps (assign via inline argmin expression, per-dimension
   *    means via explode → groupBy), only the m×k×(dim/m) codebook — model
   *    state — ever reaches the driver;
@@ -65,13 +65,19 @@ object Pq {
     val dim = corpus.select(size(col("embedding"))).head().getInt(0)
     require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
-    val init = corpus.orderBy("vec_id").limit(k)
-      .select("embedding").as[Seq[Float]].collect().map(_.toArray)
-    require(init.length >= k,
+    // ONE hash-sampled candidate pass seeds all m subspace codebooks via
+    // driver-side k-means++ (per-subspace seed offset keeps the m RNG
+    // streams independent) — order-independent, so a source-sorted
+    // corpus no longer collapses the initial codebooks into one cluster
+    val cand = KmeansInit.sample(corpus, math.max(k * 8, 64))
+    require(cand.length >= k,
       s"PQ needs at least k=$k vectors to seed codebooks, corpus has " +
-        s"${init.length}")
-    var cb: Array[Array[Array[Float]]] =
-      Array.tabulate(m, k)((mi, ki) => init(ki).slice(mi * sub, (mi + 1) * sub))
+        s"${cand.length}")
+    var cb: Array[Array[Array[Float]]] = Array.tabulate(m) { mi =>
+      val subCand = cand.map(_.slice(mi * sub, (mi + 1) * sub))
+      KmeansInit.localRefine(subCand,
+        KmeansInit.plusPlus(subCand, k, seed = 42L + mi), iters = 10)
+    }
     var it = 0
     while (it < iters) {
       val model = PqModel(m, k, sub, cb)
@@ -190,6 +196,41 @@ object Pq {
       assignments: DataFrame,             // (vec_id, cell_id, codes)
       centroids: Array[Array[Float]],     // coarse model state, k×dim
       model: PqModel)                     // fine model state
+
+  /** Materialize the composed index in one layout: cell-partitioned
+    * (vec_id, codes) assignments — a probe is a partition-pruned scan of
+    * the probed cells' code files, the production 100 TB read path —
+    * plus both model-state tables (coarse centroids, PQ codebooks) as
+    * small parquet alongside. */
+  def writeIvfPq(index: IvfPqIndex, dir: String): Unit = {
+    index.assignments.write.mode("overwrite")
+      .partitionBy("cell_id").parquet(s"$dir/assignments")
+    val spark = index.assignments.sparkSession
+    import spark.implicits._
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cell_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    index.model.codebooks.zipWithIndex.flatMap { case (cb, mi) =>
+      cb.zipWithIndex.map { case (cw, ki) => (mi, ki, cw.toSeq) }
+    }.toSeq.toDF("msub", "code", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/codebooks")
+  }
+
+  def loadIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : IvfPqIndex = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell_id").select("centroid")
+      .as[Seq[Float]].collect().map(_.toArray)
+    val rows = spark.read.parquet(s"$dir/codebooks")
+      .as[(Int, Int, Seq[Float])].collect()
+    val m = rows.map(_._1).max + 1
+    val k = rows.map(_._2).max + 1
+    val cb = Array.ofDim[Array[Float]](m, k)
+    rows.foreach { case (mi, ki, cw) => cb(mi)(ki) = cw.toArray }
+    IvfPqIndex(spark.read.parquet(s"$dir/assignments"), centroids,
+      PqModel(m, k, cb(0)(0).length, cb))
+  }
 
   def buildIvfPq(embeddings: DataFrame, kCells: Int, m: Int, k: Int,
       iters: Int): IvfPqIndex = {

@@ -522,13 +522,31 @@ object Llm extends QueryFamily {
     },
     "q_bpe_merges" -> { (s, d) =>
       // BPE tokenizer TRAINING (operators.Bpe): learn 12 merges over the
-      // corpus. One corpus-sized shuffle builds the weighted vocabulary;
-      // every merge round after that aggregates over vocab-sized data
-      // and ships one winning pair to the driver. Iterative model
-      // learning ⇒ no DuckDB oracle (rows-only); BpeSpec pins the
-      // result bit-for-bit against the classical single-threaded
-      // algorithm and its tie/overlap contracts.
+      // corpus. One corpus-sized shuffle builds the weighted vocabulary
+      // — the sufficient statistic — then the merges are learned from it
+      // on the driver (incremental pair-count trainer; the exact batched
+      // distributed loop kicks in past 4M distinct words). Iterative
+      // model learning ⇒ no DuckDB oracle (rows-only); BpeSpec pins all
+      // three training paths bit-for-bit against the classical
+      // single-threaded algorithm and its tie/overlap contracts.
       graft.operators.Bpe.train(Tables.documents(s, d), nMerges = 12)
+    },
+    "q_bpe_encode" -> { (s, d) =>
+      // BPE corpus ENCODE — the tokenizer story completed: train the
+      // merge table, then apply it to every document through the
+      // codegen'd kernel (functions.BpeEncode; model state as a codegen
+      // reference object, one kernel call per row, map-only — the
+      // corpus-sized hot path never shuffles). Greedy merge apply ⇒ no
+      // DuckDB oracle (rows-only); BpeSpec pins the kernel bit-for-bit
+      // against the naive in-rank-order reference apply and the id
+      // numbering (sorted base chars, then merges by rank).
+      val docs = Tables.documents(s, d)
+      val merges = graft.operators.Bpe.train(docs, nMerges = 30)
+      val model = graft.operators.Bpe.rankModel(merges, docs)
+      graft.operators.Bpe.encodeIds(docs, model)
+        .select(col("doc_id"), size(col("ids")).as("n_tokens"),
+          slice(col("ids"), 1, 8).as("ids_head"))
+        .orderBy("doc_id")
     },
     "q_heavy_hitters" -> { (s, d) =>
       // Exact heavy hitters: tokens carrying ≥0.5% of the token stream.

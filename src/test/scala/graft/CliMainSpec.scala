@@ -135,6 +135,51 @@ class CliMainSpec extends SparkSuite {
     assert(fromDisk == fromMem)
   }
 
+  test("ivfpq index round-trips: build → write → load → search e2e") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("cli-ivfpq").toString
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    CliMain.main(Array("index", emb, s"$root/idx", "--kind", "ivfpq",
+      "--kcells", "16", "--m", "16", "--k", "16"))
+    // composed layout: cell-partitioned codes + both model-state tables
+    assert(new java.io.File(s"$root/idx/assignments").listFiles()
+      .count(_.getName.startsWith("cell_id=")) > 1)
+    CliMain.main(Array("search", s"$root/idx", emb, s"$root/out",
+      "--kind", "ivfpq", "--topk", "10", "--nprobe", "16",
+      "--shortlist", "50"))
+    val fromDisk = spark.read.parquet(s"$root/out")
+      .orderBy("q_id", "rnk")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // the reloaded index searches identically to the in-memory build
+    // (training is deterministic, the layout loses no precision)
+    val embDf = spark.read.parquet(emb)
+    val queries = embDf.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    val mem = graft.operators.Pq.buildIvfPq(embDf, kCells = 16, m = 16,
+      k = 16, iters = 2)
+    val fromMem = graft.operators.Pq.searchIvfPq(mem, queries, embDf,
+      topK = 10, nprobe = 16, shortlist = 50)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(fromDisk == fromMem, "reloaded index diverged from in-memory")
+    // recall pin HOLDS on the reloaded index: full probe ≡ flat PQ with
+    // exact re-rank (PqSpec's 0.80 floor)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id").asc)
+    val exact = embDf.select(col("vec_id"), col("embedding"))
+      .join(queries)
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.Vectors.dot(col("embedding"), col("qvec")).as("cos"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val got = fromDisk.map(r => (r._1, r._3)).toSet
+    val recall = (got & exact).size.toDouble / exact.size
+    assert(recall >= 0.80,
+      f"recall $recall%.3f on the reloaded index below the 0.80 pin")
+  }
+
   test("run --endpoint streams the chain from a live gRPC server into " +
       "range-named parquet") {
     val out = Files.createTempDirectory("cli-grpc-out").toString

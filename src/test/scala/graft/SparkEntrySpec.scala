@@ -16,7 +16,8 @@ class SparkEntrySpec extends SparkSuite {
     "q_ann_pq_topk",     // product-quantization ANN → PqSpec
     "q_ann_ivfpq_topk",  // composed IVF+PQ index → PqSpec
     "q_heavy_hitters_cms", // count-min sketch    → SketchSpec
-    "q_bpe_merges")      // BPE tokenizer training → BpeSpec
+    "q_bpe_merges",      // BPE tokenizer training → BpeSpec
+    "q_bpe_encode")      // BPE corpus encode (greedy apply) → BpeSpec
 
   test("every oracle key is a declared query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

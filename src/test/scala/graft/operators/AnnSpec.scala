@@ -92,4 +92,40 @@ class AnnSpec extends SparkSuite {
     // everything IVF returns is exactly scored → any overlap has the
     // same cos as brute force (checked implicitly by identical vec_dot)
   }
+
+  test("seeded init survives a source-sorted corpus (planted clusters)") {
+    import spark.implicits._
+    // 16 tight planted clusters, vec_ids SORTED BY CLUSTER: ids 0-99
+    // are all cluster 0, 100-199 cluster 1, ... — the degenerate case
+    // for the round-8 "first k vectors" init (every centroid seeded
+    // inside cluster 0). The hash-sampled k-means++ init must still
+    // recover the structure: balanced cells, each cluster intact in one
+    // cell, and near-perfect recall probing 2/16 cells.
+    val rnd = new scala.util.Random(7)
+    def unit(v: Array[Double]): Seq[Float] = {
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    val centers = Array.fill(16)(Array.fill(16)(rnd.nextGaussian()))
+    val rows = (0 until 1600).map { i =>
+      val c = centers(i / 100)
+      (i.toLong, unit(c.map(_ + 0.1 * rnd.nextGaussian())))
+    }
+    val emb = rows.toDF("vec_id", "embedding")
+    val idx = Ann.buildIvf(emb, k = 16, iters = 2)
+    // balance: no cell grabs multiple planted clusters wholesale
+    val sizes = idx.assignments.groupBy("cell_id").count()
+      .as[(Int, Long)].collect().map(_._2)
+    assert(sizes.max <= 2 * 100,
+      s"degenerate cells: sizes ${sizes.sorted.reverse.take(4).mkString(",")}")
+    // recall: one query per planted cluster, neighbors = same cluster
+    val queries = emb.filter(col("vec_id") % 100 === 50)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    val got = Ann.search(idx, queries, topK = 10, nprobe = 2)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+    val hits = got.count { case (q, v) => v / 100 == q / 100 }
+    val recall = hits.toDouble / (16 * 10)
+    assert(recall >= 0.9,
+      f"planted-cluster recall $recall%.3f — init failed the sorted corpus")
+  }
 }
