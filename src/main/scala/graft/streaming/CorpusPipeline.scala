@@ -140,6 +140,29 @@ object CorpusPipeline {
       .start()
   }
 
+  /** Embedding-space variant: streaming SemDeDup ([[EmbedNearDupStage]]:
+    * IVF-cell claims, exact cosine verify within cell) → survivor
+    * parquet per epoch, same epoch-overwrite exactly-once contract as
+    * [[startNearDup]]. The coarse model is trained OFFLINE on a corpus
+    * sample (`CliMain index --kind ivf` / [[graft.operators.Ann.buildIvf]])
+    * and rides in as model state — the stream never re-clusters. */
+  def startEmbedNearDup(docs: DataFrame, root: String, checkpoint: String,
+      registryDir: String, centroids: Array[Array[Float]], tau: Double,
+      watermark: String = "10 minutes",
+      trigger: Trigger = Trigger.ProcessingTime("1 second"))
+      : StreamingQuery = {
+    val stage = EmbedNearDupStage(registryDir,
+      watermarkMs = parseMs(watermark), centroids = centroids, tau = tau)
+    docs.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        stage.process(batch, epochId)
+          .write.mode("overwrite").parquet(s"$root/epoch=$epochId")
+      }
+      .start()
+  }
+
   private[streaming] def parseMs(interval: String): Long = {
     val m = raw"(\d+)\s*(millisecond|second|minute|hour|day)s?".r
       .findFirstMatchIn(interval.trim.toLowerCase(java.util.Locale.ROOT))

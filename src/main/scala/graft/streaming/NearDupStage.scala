@@ -50,19 +50,6 @@ final case class NearDupStage(
   bandHashes // validate (nPerm, bands) at construction, not first batch
 
   private def registryPath(epochId: Long) = s"$registryDir/epoch=$epochId"
-  private def horizonFile = new Path(s"$registryDir/_horizon")
-
-  private def readHorizon(fs: org.apache.hadoop.fs.FileSystem): Long =
-    if (!fs.exists(horizonFile)) Long.MinValue
-    else {
-      val in = fs.open(horizonFile)
-      try new String(in.readAllBytes()).trim.toLong finally in.close()
-    }
-
-  private def writeHorizon(fs: org.apache.hadoop.fs.FileSystem, h: Long): Unit = {
-    val out = fs.create(horizonFile, true)
-    try out.write(h.toString.getBytes("UTF-8")) finally out.close()
-  }
 
   // dev knob: -Dgraft.neardup.profile=true (or the env var) prints
   // per-phase wall times
@@ -179,7 +166,7 @@ final case class NearDupStage(
     val batchMax = timed("horizon", epochId) {
       bandsDf.agg(max(col("ts").cast("long") * 1000L)).head()
     }
-    val horizon0 = readHorizon(fs)
+    val horizon0 = ClaimRegistry.readHorizon(fs, registryDir)
     val horizon =
       if (batchMax.isNullAt(0)) horizon0
       else math.max(horizon0, batchMax.getLong(0) - watermarkMs)
@@ -192,9 +179,7 @@ final case class NearDupStage(
     // a planning-time partition-pruning predicate — NOT an explicit path
     // list, which would grow per batch and make the per-batch listing
     // O(epochs) after a day of 1-second triggers
-    val registryExists = fs.exists(new Path(registryDir)) &&
-      fs.listStatus(new Path(registryDir))
-        .exists(_.getPath.getName.startsWith("epoch="))
+    val registryExists = ClaimRegistry.exists(fs, registryDir)
     val crossBatch =
       if (!registryExists) spark.emptyDataFrame.select(
         lit(0L).as("doc_id")).limit(0)
@@ -265,59 +250,19 @@ final case class NearDupStage(
     // the CHECKPOINTED dropped set, so nothing downstream reads the
     // registry files compaction deletes.
     val finish = () => {
-      writeHorizon(fs, horizon)
+      ClaimRegistry.writeHorizon(fs, registryDir, horizon)
       if (compactEvery > 0 && epochId > 0 && epochId % compactEvery == 0)
         compact(spark)
     }
     (survivors, writeClaims, finish)
   }
 
-  /** Registry maintenance: fold every epoch dir EXCEPT the newest into
-    * a fresh negative base epoch, dropping sub-horizon claims. The
-    * newest epoch is left alone because it is the only one a crash can
-    * replay (micro-batch N+1 starts only after N's commit): folding its
-    * claims into the base and then replaying it would make the whole
-    * batch collide with itself. Negative epochs sort below every real
-    * Spark epoch, so prior-epoch reads always include the base and no
-    * replayed epoch's mode=overwrite can wipe it.
-    *
-    * Crash safety: the compacted data is PROMOTED (renamed into a
-    * visible epoch dir, rename checked) before any folded source epoch
-    * is deleted. A crash between the promote and the deletes leaves the
-    * same claims present twice — harmless, claims form a set — and the
-    * next compaction folds the leftovers. Each compaction picks a base
-    * epoch strictly below every existing one (first -1, then -2, …) so
-    * the promote never has to overwrite the previous base in place. */
-  def compact(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val fs = new Path(registryDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(new Path(registryDir))) return
-    val horizon = readHorizon(fs)
-    val epochs = fs.listStatus(new Path(registryDir)).toSeq
-      .map(_.getPath.getName).filter(_.startsWith("epoch="))
-      .map(_.stripPrefix("epoch=").toLong)
-    if (epochs.size < 2) return // nothing foldable below the newest
-    val newest = epochs.max
-    val base = math.min(epochs.min, 0L) - 1L
-    val live = spark.read.parquet(registryDir)
-      .filter(col("epoch") < newest &&
-        col("ts").cast("long") * 1000L >= horizon)
-      .select(col("band"), col("band_hash"), col("ts"))
-    val tmp = s"$registryDir/.compact-tmp"
-    live.write.mode("overwrite").parquet(tmp)
-    // promote first, delete second: claims may never transit through a
-    // state where only the dot-prefixed (discovery-invisible) tmp dir
-    // holds them
-    if (!fs.rename(new Path(tmp), new Path(registryPath(base))) ||
-        !fs.exists(new Path(registryPath(base))))
-      throw new java.io.IOException(
-        s"compact: failed to promote $tmp to ${registryPath(base)}")
-    epochs.filter(_ < newest)
-      .foreach(e => fs.delete(new Path(registryPath(e)), true))
-    // the shared FileStatusCache still lists the deleted epoch dirs —
-    // without this, the next batch's registry read hits FILE_NOT_EXIST
-    spark.catalog.refreshByPath(registryDir)
-  }
+  /** Registry maintenance — fold-and-expire, delegated to the shared
+    * [[ClaimRegistry.compact]] (promote-before-delete, newest epoch left
+    * unfolded for replay safety; full rationale on that method). */
+  def compact(spark: org.apache.spark.sql.SparkSession): Unit =
+    ClaimRegistry.compact(spark, registryDir,
+      keep = Seq("band", "band_hash", "ts"))
 }
 
 object NearDupStage {
