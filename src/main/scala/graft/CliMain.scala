@@ -141,6 +141,35 @@ object CliMain {
         case other => sys.error(s"unknown index kind: $other")
       }
       if (!reused) spark.stop()
+    // tokenize train <docsDir> <modelDir> [--merges N]: learn a BPE
+    // merge table from a documents parquet and persist the model
+    // (merges + base charset). tokenize encode <docsDir> <modelDir>
+    // <outDir>: apply a persisted model to a corpus, landing
+    // (doc_id, ids ARRAY<INT>) parquet — the training-data pipeline's
+    // token production step, map-only through the codegen'd kernel.
+    case "tokenize" :: "train" :: docsDir :: modelDir :: flags =>
+      def flagVal(name: String): Option[String] = flagValIn(flags, name)
+      val reused =
+        org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+      val spark = Sessions.get("graft-tokenize")
+      val docs = spark.read.parquet(docsDir)
+      val n = flagVal("--merges").map(_.toInt).getOrElse(1000)
+      val merges = graft.operators.Bpe.train(docs, n)
+      val model = graft.operators.Bpe.rankModel(merges, docs)
+      graft.operators.Bpe.writeModel(model, spark, modelDir)
+      println(s"bpe model: ${model.merges.length} merges, " +
+        s"vocab ${model.vocabSize} -> $modelDir")
+      if (!reused) spark.stop()
+    case "tokenize" :: "encode" :: docsDir :: modelDir :: outDir :: _ =>
+      val reused =
+        org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+      val spark = Sessions.get("graft-tokenize")
+      val model = graft.operators.Bpe.loadModel(spark, modelDir)
+      val docs = spark.read.parquet(docsDir)
+      graft.operators.Bpe.encodeIds(docs, model)
+        .write.mode("overwrite").parquet(outDir)
+      println(s"encoded ${spark.read.parquet(outDir).count()} docs -> $outDir")
+      if (!reused) spark.stop()
     // search <indexDir> <embDir> <outDir> --kind ivf|ivfpq [--q ids]
     // [--topk N] [--nprobe N] [--shortlist N]: load a materialized index
     // and run top-k queries against it, landing (q_id, rnk, vec_id,

@@ -381,4 +381,31 @@ object Bpe {
     merges.foreach { case (l, r) => s = applyPass(s, l, r) }
     s.toSeq
   }
+
+  /** Persist the tokenizer model (rank-ordered merges + base charset)
+    * as two small parquet tables — the layout the `tokenize` CLI
+    * round-trips, mirroring Ann.writeIvf/Pq.writePq's model-alongside
+    * contract. */
+  def writeModel(model: BpeRanks, spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import spark.implicits._
+    model.merges.toSeq.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r) }
+      .toDF("rank", "left", "right")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/merges")
+    model.baseChars.toSeq.zipWithIndex.map { case (c, i) => (i, c) }
+      .toDF("id", "char")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/charset")
+  }
+
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): BpeRanks = {
+    import spark.implicits._
+    val merges = spark.read.parquet(s"$dir/merges")
+      .orderBy("rank").select("left", "right")
+      .as[(String, String)].collect()
+    val chars = spark.read.parquet(s"$dir/charset")
+      .orderBy("id").select("char").as[String].collect()
+    new BpeRanks(merges, chars)
+  }
 }

@@ -135,6 +135,28 @@ class CliMainSpec extends SparkSuite {
     assert(fromDisk == fromMem)
   }
 
+  test("tokenize round-trips: train persists the model, encode applies it") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("cli-tok").toString
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    CliMain.main(Array("tokenize", "train", docs, s"$root/model",
+      "--merges", "20"))
+    assert(spark.read.parquet(s"$root/model/merges").count() == 20)
+    CliMain.main(Array("tokenize", "encode", docs, s"$root/model",
+      s"$root/ids"))
+    val fromDisk = spark.read.parquet(s"$root/ids")
+      .as[(Long, Seq[Int])].collect().toMap
+    // the reloaded model encodes identically to the in-memory one
+    val docsDf = spark.read.parquet(docs)
+    val merges = graft.operators.Bpe.train(docsDf, nMerges = 20)
+    val mem = graft.operators.Bpe
+      .encodeIds(docsDf, graft.operators.Bpe.rankModel(merges, docsDf))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(fromDisk == mem, "reloaded tokenizer diverged from in-memory")
+    assert(fromDisk.values.forall(_.forall(_ >= 0)), "OOV ids appeared")
+  }
+
   test("ivfpq index round-trips: build → write → load → search e2e") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
