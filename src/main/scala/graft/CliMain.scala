@@ -70,17 +70,21 @@ object CliMain {
       val clean = raw.filter(col("_corrupt").isNull)
         .select(col("doc_id"), current_timestamp().as("ts"),
           col("text"), col("source"))
+      // --tokenizer <modelDir>: apply a persisted BPE model (tokenize
+      // train) as the final map-only stage — chunks land with token ids
+      val tok = flagVal("--tokenizer")
+        .map(dir => graft.operators.Bpe.loadModel(spark, dir))
       val q =
         if (flags.contains("--near-dup"))
           graft.streaming.CorpusPipeline.startNearDup(clean,
             s"$outRoot/chunks", s"$ckpt/main",
             s"$outRoot/_neardup_registry", watermark = wm,
-            trigger = Trigger.AvailableNow())
+            trigger = Trigger.AvailableNow(), tokenizer = tok)
         else
           graft.streaming.CorpusPipeline.start(clean,
             s"$outRoot/chunks", s"$ckpt/main", watermark = wm,
             trigger = Trigger.AvailableNow(),
-            bagDedup = flags.contains("--bag-dedup"))
+            bagDedup = flags.contains("--bag-dedup"), tokenizer = tok)
       q.awaitTermination()
       deadQ.awaitTermination()
       if (!reused) spark.stop()
@@ -285,8 +289,16 @@ object CliMain {
           |      alias: --undo-buffer-size)
           |  graft.CliMain corpus <jsonlDir> <outRoot> [--near-dup]
           |    [--bag-dedup] [--watermark W] [--checkpoint DIR]
+          |    [--tokenizer MODELDIR]
           |  graft.CliMain optimize <inDir> <outDir> --zorder colX,colY
           |    [--files N] [--bits B]
+          |  graft.CliMain index <embeddingsDir> <outDir>
+          |    [--kind ivf|pq|ivfpq] [--k K] [--m M] [--kcells K] [--iters N]
+          |  graft.CliMain search <indexDir> <embeddingsDir> <outDir>
+          |    [--kind ivf|ivfpq] [--topk N] [--nprobe P] [--shortlist N]
+          |    [--q id,id,...]
+          |  graft.CliMain tokenize train <docsDir> <modelDir> [--merges N]
+          |  graft.CliMain tokenize encode <docsDir> <modelDir> <outDir>
           |  graft.CliMain setup <store_url>""".stripMargin)
       sys.exit(2)
   }

@@ -13,6 +13,10 @@ object DebugMain {
         if (name == "entry") SparkEntry.entry(s)
         else SparkEntry.queries(name)(s, d)
       if (args.contains("--plan")) df.explain("formatted")
+      val outIdx = args.indexOf("--out")
+      if (outIdx >= 0 && outIdx + 1 < args.length)
+        df.coalesce(1).write.mode("overwrite")
+          .parquet(s"${args(outIdx + 1)}/$name")
       df.show(20, truncate = false)
       println(s"[debug] $name rows=${df.count()}")
     } catch { case e: Throwable => e.printStackTrace() }

@@ -47,6 +47,9 @@ object BpeExpressions {
 
   def encodeTokens(text: Column, model: BpeRanks): Column =
     Bridge.column(BpeEncode(Bridge.expression(text), model, emitIds = false))
+
+  def decodeIds(ids: Column, model: BpeRanks): Column =
+    Bridge.column(BpeDecode(Bridge.expression(ids), model))
 }
 
 /** Model state for the encode kernel: rank-ordered merges + the base
@@ -157,6 +160,37 @@ final class BpeRanks(
     while (i < toks.length) { arr(i) = UTF8String.fromString(toks(i)); i += 1 }
     new GenericArrayData(arr)
   }
+
+  /** id → token string, the inverse of the vocabulary numbering. Ids
+    * skipped by the first-wins collision rule stay null here and decode
+    * as U+FFFD, same as the -1 OOV sentinel. */
+  @transient private lazy val inv: Array[String] = {
+    val arr = new Array[String](baseChars.length + merges.length)
+    val it = ids.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); arr(e.getValue.intValue()) = e.getKey
+    }
+    arr
+  }
+
+  /** ids → text. Word boundaries are not part of the id stream (training
+    * tokenizes on single spaces and no merge crosses one), so decode
+    * returns the space-stripped text: decode(encodeIds(w)) == w for
+    * every WORD, and decode(encodeIds(text)) == text minus spaces —
+    * the exact inverse of the information the ids carry. BpeSpec pins
+    * both identities. */
+  def decodeIds(arr: ArrayData): UTF8String = {
+    val n = arr.numElements()
+    val sb = new java.lang.StringBuilder(n * 4)
+    var i = 0
+    while (i < n) {
+      val id = arr.getInt(i)
+      if (id >= 0 && id < inv.length && inv(id) != null) sb.append(inv(id))
+      else sb.append('�')
+      i += 1
+    }
+    UTF8String.fromString(sb.toString)
+  }
 }
 
 object BpeRanks {
@@ -198,6 +232,33 @@ final case class BpeEncode(child: Expression, model: BpeRanks,
     val m = ctx.addReferenceObj("bpeModel", model, classOf[BpeRanks].getName)
     val call = if (emitIds) "encodeIds" else "encodeTokens"
     nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $m.$call($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+/** Inverse of [[BpeEncode]]: token ids → text (vocabulary inversion —
+  * same codegen-reference-object discipline, one kernel call per row).
+  * See BpeRanks.decodeIds for the exact round-trip contract. */
+final case class BpeDecode(child: Expression, model: BpeRanks)
+    extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "bpe_decode"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(IntegerType, _) => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"bpe_decode needs ARRAY<INT> input, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    model.decodeIds(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("bpeModel", model, classOf[BpeRanks].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $m.decodeIds($v);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -373,6 +373,14 @@ object Bpe {
     docs.select(col("doc_id"),
       BpeExpressions.encodeTokens(col("text"), model).as("tokens"))
 
+  /** (doc_id, ids) → (doc_id, text): vocabulary inversion, map-only.
+    * decode(encode(w)) == w per word; across a whole document the ids
+    * carry no word boundaries (training never merges across spaces), so
+    * the round-trip is the space-stripped text — BpeSpec pins both. */
+  def decodeIds(encoded: DataFrame, model: BpeRanks): DataFrame =
+    encoded.select(col("doc_id"),
+      BpeExpressions.decodeIds(col("ids"), model).as("text"))
+
   /** Naive in-rank-order reference apply — BpeSpec pins the kernel
     * against it bit-for-bit. */
   private[operators] def encodeWordLocal(w: String,

@@ -86,6 +86,44 @@ object Llm extends QueryFamily {
       .orderBy("doc_id")
   }
 
+  /** BM25 scores (k1=1.2, b=0.75) for the fixed 3-term query, in integer
+    * micro-units — the scoring core shared by q_bm25_topk and the hybrid
+    * fusion query. Rational idf (N−df+0.5)/(df+0.5) — no ln(), so every
+    * arithmetic step is a correctly-rounded IEEE op and the score is
+    * bit-identical across engines (same trick as q_tfidf). Plan shape:
+    * per-doc tf via higher-order filter (map-only, no explode/shuffle of
+    * the corpus), ONE 1-row global aggregate for (N, Σdl, df_t) broadcast
+    * back, then map-side scoring. avgdl never materializes as a float:
+    * b·dl/avgdl is computed as ((0.9·dl)·N)/Σdl from exact integers, one
+    * rounding per op. */
+  private def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("spark", "window", "merge")
+    val docs = Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("tk"))
+      .withColumn("dl", size(col("tk")).cast("long"))
+    val withTf = terms.foldLeft(docs) { (df, t) =>
+      df.withColumn(s"tf_$t",
+        size(filter(col("tk"), x => x === lit(t))).cast("long"))
+    }
+    val aggs = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
+      terms.map(t =>
+        sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    def termScore(t: String): Column = {
+      val tf = col(s"tf_$t"); val df = col(s"df_$t")
+      val idf = ((col("n_docs") - df) + lit(0.5)) / (df + lit(0.5))
+      val den = (tf + lit(0.3)) +
+        (((lit(0.9) * col("dl")) * col("n_docs")) / col("sum_dl"))
+      (idf * (tf * lit(2.2))) / den
+    }
+    withTf.crossJoin(broadcast(stats))
+      .withColumn("bm25_u",
+        floor(terms.map(termScore).reduce(_ + _) * lit(1000000.0))
+          .cast("long"))
+      .filter(col("bm25_u") > 0)
+      .select(col("doc_id"), col("bm25_u"))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- deduplication ----------------------------------------------
     "q_dedup_exact" -> { (s, d) =>
@@ -619,42 +657,60 @@ object Llm extends QueryFamily {
         .orderBy("doc_id")
     },
     "q_bm25_topk" -> { (s, d) =>
-      // BM25 ranking (k1=1.2, b=0.75) for a fixed 3-term query, with the
-      // RATIONAL idf (N−df+0.5)/(df+0.5) — no ln(), so every arithmetic
-      // step is a correctly-rounded IEEE op and the score is bit-identical
-      // across engines (same trick as q_tfidf); ranks match classic BM25
-      // per-term. Plan shape: per-doc tf via higher-order filter (map-only,
-      // no explode/shuffle of the corpus), ONE 1-row global aggregate for
-      // (N, Σdl, df_t) broadcast back, then map-side scoring + top-k.
-      // avgdl never materializes as a float: b·dl/avgdl is computed as
-      // ((0.9·dl)·N)/Σdl from exact integers, one rounding per op.
-      val terms = Seq("spark", "window", "merge")
-      val docs = Tables.documents(s, d)
-        .select(col("doc_id"), split(col("text"), " ").as("tk"))
-        .withColumn("dl", size(col("tk")).cast("long"))
-      val withTf = terms.foldLeft(docs) { (df, t) =>
-        df.withColumn(s"tf_$t",
-          size(filter(col("tk"), x => x === lit(t))).cast("long"))
-      }
-      val aggs = Seq(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl")) ++
-        terms.map(t =>
-          sum(when(col(s"tf_$t") > 0, 1L).otherwise(0L)).as(s"df_$t"))
-      val stats = withTf.agg(aggs.head, aggs.tail: _*)
-      def termScore(t: String): Column = {
-        val tf = col(s"tf_$t"); val df = col(s"df_$t")
-        val idf = ((col("n_docs") - df) + lit(0.5)) / (df + lit(0.5))
-        val den = (tf + lit(0.3)) +
-          (((lit(0.9) * col("dl")) * col("n_docs")) / col("sum_dl"))
-        (idf * (tf * lit(2.2))) / den
-      }
-      withTf.crossJoin(broadcast(stats))
-        .withColumn("bm25_u",
-          floor(terms.map(termScore).reduce(_ + _) * lit(1000000.0))
-            .cast("long"))
-        .filter(col("bm25_u") > 0)
-        .select(col("doc_id"), col("bm25_u"))
+      // BM25 top-50 for the fixed 3-term query — scoring core (and its
+      // determinism analysis) in bm25Scores above.
+      bm25Scores(s, d)
         .orderBy(col("bm25_u").desc, col("doc_id").asc)
         .limit(50)
+    },
+    "q_hybrid_rrf" -> { (s, d) =>
+      // Hybrid retrieval — reciprocal-rank fusion (Cormack 2009) of the
+      // lexical BM25 ranking and a dense embedding ranking, the standard
+      // two-tower curation/retrieval composition. Lexical arm: the same
+      // integer-micro-unit BM25 ranking as q_bm25_topk. Dense arm: the
+      // query is vec 7's embedding; scores are INTEGER dot products of
+      // per-element floor(1e3·x) quantized vectors — every multiply/add
+      // is exact integer arithmetic, so the ranking is bit-identical
+      // across engines regardless of summation order (no float-sum
+      // determinism caveat at all). Fusion: rrf_u = Σ 1e9 div (60+rank)
+      // over the arms that ranked the doc (integer division — exact).
+      // Plan shape: both arms are map-side scans (the dense query vector
+      // and the BM25 stats row are 1-row broadcasts); each arm's top-50
+      // comes from a distributed orderBy+limit (TakeOrderedAndProject —
+      // per-partition heap, 50-row merge on the driver side of the
+      // exchange), and row_number ranks only the 50 survivors, so no
+      // global single-partition window ever sees the corpus. Fusion is a
+      // full-outer join of two ≤50-row frames. At 100 TB the lexical arm
+      // stays the same shape and the dense arm swaps brute-force scoring
+      // for the IVFPQ shortlist (operators.Pq) — the fusion contract is
+      // unchanged.
+      val lexRanked = bm25Scores(s, d)
+        .orderBy(col("bm25_u").desc, col("doc_id").asc).limit(50)
+        .withColumn("r_lex", row_number().over(
+          Window.orderBy(col("bm25_u").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col("r_lex"))
+      val qv = Tables.embeddings(s, d).filter(col("vec_id") === 7)
+        .select(col("embedding").as("qvec"))
+      val denseRanked = Tables.embeddings(s, d)
+        .crossJoin(broadcast(qv))
+        .filter(col("vec_id") =!= 7)
+        .select(col("vec_id").as("doc_id"), expr(
+          """aggregate(
+            |  zip_with(embedding, qvec, (a, b) ->
+            |    cast(floor(cast(a as double) * 1000) *
+            |         floor(cast(b as double) * 1000) as long)),
+            |  0L, (acc, x) -> acc + x)""".stripMargin).as("dot_q"))
+        .orderBy(col("dot_q").desc, col("doc_id").asc).limit(50)
+        .withColumn("r_dense", row_number().over(
+          Window.orderBy(col("dot_q").desc, col("doc_id").asc)).cast("long"))
+        .select(col("doc_id"), col("r_dense"))
+      lexRanked.join(denseRanked, Seq("doc_id"), "full_outer")
+        .withColumn("rrf_u",
+          coalesce(expr("1000000000 div (60 + r_lex)"), lit(0L)) +
+            coalesce(expr("1000000000 div (60 + r_dense)"), lit(0L)))
+        .select(col("doc_id"), col("r_lex"), col("r_dense"), col("rrf_u"))
+        .orderBy(col("rrf_u").desc, col("doc_id").asc)
+        .limit(20)
     },
     "q_simhash" -> { (s, d) =>
       // 64-bit SimHash from per-token xxhash64 bit votes; near-dup pairs
@@ -906,6 +962,68 @@ object Llm extends QueryFamily {
         |  FROM d, stats)
         |SELECT doc_id, bm25_u FROM scored WHERE bm25_u > 0
         |ORDER BY bm25_u DESC, doc_id LIMIT 50""".stripMargin,
+    "q_hybrid_rrf" ->
+      // Same bm25 scored CTE as q_bm25_topk; dense arm is the exact
+      // integer-quantized dot (floor(1e3·x) per element — every op exact
+      // integer, no float-summation caveat); fusion in integer division.
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |d AS (
+        |  SELECT doc_id, CAST(len(tk) AS BIGINT) AS dl,
+        |    CAST(len(list_filter(tk, x -> x = 'spark')) AS BIGINT) AS tf_spark,
+        |    CAST(len(list_filter(tk, x -> x = 'window')) AS BIGINT) AS tf_window,
+        |    CAST(len(list_filter(tk, x -> x = 'merge')) AS BIGINT) AS tf_merge
+        |  FROM t),
+        |stats AS (
+        |  SELECT count(*) AS n_docs, sum(dl) AS sum_dl,
+        |    sum(CASE WHEN tf_spark > 0 THEN 1 ELSE 0 END) AS df_spark,
+        |    sum(CASE WHEN tf_window > 0 THEN 1 ELSE 0 END) AS df_window,
+        |    sum(CASE WHEN tf_merge > 0 THEN 1 ELSE 0 END) AS df_merge
+        |  FROM d),
+        |scored AS (
+        |  SELECT doc_id,
+        |    CAST(floor((
+        |      ((((n_docs - df_spark) + 5e-1) / (df_spark + 5e-1))
+        |        * (tf_spark * 22e-1))
+        |       / ((tf_spark + 3e-1) + (((9e-1 * dl) * n_docs) / sum_dl))
+        |      + ((((n_docs - df_window) + 5e-1) / (df_window + 5e-1))
+        |        * (tf_window * 22e-1))
+        |       / ((tf_window + 3e-1) + (((9e-1 * dl) * n_docs) / sum_dl))
+        |      + ((((n_docs - df_merge) + 5e-1) / (df_merge + 5e-1))
+        |        * (tf_merge * 22e-1))
+        |       / ((tf_merge + 3e-1) + (((9e-1 * dl) * n_docs) / sum_dl))
+        |      ) * 1e6) AS BIGINT) AS bm25_u
+        |  FROM d, stats),
+        |lexall AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY bm25_u DESC, doc_id) AS r_lex
+        |  FROM scored WHERE bm25_u > 0),
+        |lex AS (SELECT doc_id, CAST(r_lex AS BIGINT) AS r_lex
+        |        FROM lexall WHERE r_lex <= 50),
+        |qv AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 7),
+        |dots AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    CAST(list_sum(list_transform(list_zip(e.embedding, q.qvec),
+        |      x -> CAST(floor(CAST(x[1] AS DOUBLE) * 1000)
+        |             * floor(CAST(x[2] AS DOUBLE) * 1000) AS BIGINT)))
+        |      AS BIGINT) AS dot_q
+        |  FROM embeddings e CROSS JOIN qv q
+        |  WHERE e.vec_id <> 7),
+        |denall AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY dot_q DESC, doc_id) AS r_dense
+        |  FROM dots),
+        |den AS (SELECT doc_id, CAST(r_dense AS BIGINT) AS r_dense
+        |        FROM denall WHERE r_dense <= 50),
+        |fused AS (
+        |  SELECT COALESCE(lex.doc_id, den.doc_id) AS doc_id,
+        |    lex.r_lex, den.r_dense,
+        |    CAST(COALESCE(1000000000 // (60 + lex.r_lex), 0) +
+        |         COALESCE(1000000000 // (60 + den.r_dense), 0) AS BIGINT)
+        |      AS rrf_u
+        |  FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id)
+        |SELECT doc_id, r_lex, r_dense, rrf_u FROM fused
+        |ORDER BY rrf_u DESC, doc_id LIMIT 20""".stripMargin,
     "q_ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qvec
         |           FROM embeddings WHERE vec_id < 5),

@@ -420,6 +420,50 @@ object Pipeline extends QueryFamily {
           expr("sum_fp div n_tokens").as("avg_nll_micro"))
         .orderBy("doc_id")
     },
+    "q_bigram_logprob" -> { (s, d) =>
+      // The CCNet perplexity filter proper: per-doc mean CONDITIONAL
+      // surprisal −ln P(w|prev) under the corpus's own bigram model with
+      // add-one smoothing, P = (c(prev,w)+1)/(c(prev)+V). Unigram
+      // surprisal (q_unigram_logprob) only sees token rarity; the bigram
+      // model sees word ORDER, so shuffled/boilerplate text scores
+      // differently from fluent text with the same vocabulary — the
+      // filter CCNet actually runs (Wenzek 2020 uses a 5-gram KenLM; the
+      // smoothing differs, the pipeline shape is identical). Plan shape:
+      // bigram instances come from an in-row transform over the token
+      // array (map-only — no self-join, no window shuffle to pair
+      // neighbors); two partial-aggregated count passes (bigram,
+      // context); scoring joins pin the vocabulary-scaled count side as
+      // the SHUFFLE_HASH build; V is a 1-row broadcast. Determinism:
+      // same fixed-point micro-nat contract as q_unigram_logprob —
+      // all counts integer, one double divide + ln per DISTINCT bigram
+      // evaluated with identical operand order in both engines, floor
+      // to integer BEFORE the per-doc sum.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+        .filter(size(col("ts")) >= 2)
+      val big = docs.select(col("doc_id"), explode(expr(
+          "transform(sequence(1, size(ts) - 1), " +
+            "i -> struct(ts[i-1] AS prev, ts[i] AS cur))")).as("bg"))
+        .select(col("doc_id"), col("bg.prev").as("prev"),
+          col("bg.cur").as("cur"))
+      val cb = big.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
+      val cp = big.groupBy("prev").agg(count(lit(1)).as("cp"))
+      val v = docs.select(explode(col("ts")).as("token"))
+        .agg(countDistinct(col("token")).as("v"))
+      big
+        .join(cb.hint("shuffle_hash"), Seq("prev", "cur"))
+        .join(cp.hint("shuffle_hash"), Seq("prev"))
+        .crossJoin(broadcast(v))
+        .withColumn("nll_fp",
+          floor(lit(1e6) * -log((col("cb") + lit(1)).cast("double") /
+            (col("cp") + col("v")).cast("double"))).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum(col("nll_fp")).as("sum_fp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          expr("sum_fp div n_bigrams").as("avg_nll_micro"))
+        .orderBy("doc_id")
+    },
     "q_span_dedup" -> { (s, d) =>
       // Span-level (substring) dedup: doc-level dedup misses the long
       // verbatim passages repeated ACROSS otherwise-distinct documents
@@ -840,6 +884,33 @@ object Pipeline extends QueryFamily {
         |    AS nll_fp
         |  FROM inst2 JOIN tf USING (token) CROSS JOIN tot)
         |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(nll_fp) AS BIGINT) // count(*) AS avg_nll_micro
+        |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_bigram_logprob" ->
+      // Parallel unnests at the same SELECT level zip positionally in
+      // DuckDB (Postgres semantics), so the two shifted list slices pair
+      // adjacent tokens exactly like the Spark-side in-row transform.
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |d2 AS (SELECT doc_id, ts FROM d WHERE len(ts) >= 2),
+        |big AS (
+        |  SELECT doc_id,
+        |    unnest(ts[1:len(ts)-1]) AS prev,
+        |    unnest(ts[2:len(ts)]) AS cur
+        |  FROM d2),
+        |cb AS (SELECT prev, cur, count(*) AS cb FROM big GROUP BY prev, cur),
+        |cp AS (SELECT prev, count(*) AS cp FROM big GROUP BY prev),
+        |v AS (SELECT count(DISTINCT token) AS v FROM
+        |        (SELECT unnest(ts) AS token FROM d2)),
+        |per AS (
+        |  SELECT doc_id,
+        |    CAST(floor(1e6 * -ln(CAST(cb + 1 AS DOUBLE) /
+        |      CAST(cp + v AS DOUBLE))) AS BIGINT) AS nll_fp
+        |  FROM big JOIN cb USING (prev, cur) JOIN cp USING (prev)
+        |       CROSS JOIN v)
+        |SELECT doc_id, count(*) AS n_bigrams,
         |  CAST(sum(nll_fp) AS BIGINT) // count(*) AS avg_nll_micro
         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_span_dedup" -> spanDedupSql,

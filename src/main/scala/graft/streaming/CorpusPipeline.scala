@@ -36,8 +36,20 @@ object CorpusPipeline {
     *   duplicates (title/byline reshuffles, the near-dup class the batch
     *   MinHash stage exists for) collapse too, still exact-match cheap:
     *   one array_sort per doc, no signatures, no candidate join. */
+  /** Optional final stage: tokenize each chunk with a pre-trained BPE
+    * model ([[graft.operators.Bpe.train]] offline, model rides in as
+    * codegen reference state — map-only and STATELESS, so it is legal in
+    * any streaming output mode and adds no state store). The streamed
+    * corpus then lands training-ready: (…, chunk_text, ids). */
+  private def withIds(df: DataFrame,
+      tokenizer: Option[graft.functions.BpeRanks]): DataFrame =
+    tokenizer.fold(df)(m => df.withColumn("ids",
+      graft.functions.BpeExpressions.encodeIds(col("chunk_text"), m)))
+
   def transform(docs: DataFrame, watermark: String,
-                bagDedup: Boolean = false): DataFrame = {
+                bagDedup: Boolean = false,
+                tokenizer: Option[graft.functions.BpeRanks] = None)
+      : DataFrame = {
     val fp =
       if (bagDedup) md5(concat_ws(" ", array_sort(split(col("text"), " "))))
       else md5(col("text"))
@@ -45,7 +57,7 @@ object CorpusPipeline {
       """element_at(transform(array(split(text, ' ')), tk ->
         |  transform(sequence(1, size(tk), 48),
         |    st -> concat_ws(' ', slice(tk, int(st), 64)))), 1)""".stripMargin)
-    docs
+    val out = docs
       .withColumn("n_chars", length(col("text")))
       .withColumn("n_tokens", size(split(col("text"), " ")))
       .filter(col("n_chars") >= 10 &&
@@ -59,13 +71,16 @@ object CorpusPipeline {
       .select(col("doc_id"), col("ts"), col("source"), col("fp"),
         (col("pos") + 1).cast("long").as("chunk_id"),
         col("col").as("chunk_text"))
+    withIds(out, tokenizer)
   }
 
   def start(docs: DataFrame, root: String, checkpoint: String,
             watermark: String = "10 minutes",
             trigger: Trigger = Trigger.ProcessingTime("1 second"),
-            bagDedup: Boolean = false): StreamingQuery =
-    transform(docs, watermark, bagDedup)
+            bagDedup: Boolean = false,
+            tokenizer: Option[graft.functions.BpeRanks] = None)
+      : StreamingQuery =
+    transform(docs, watermark, bagDedup, tokenizer)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -111,7 +126,8 @@ object CorpusPipeline {
                    registryDir: String,
                    watermark: String = "10 minutes",
                    trigger: Trigger = Trigger.ProcessingTime("1 second"),
-                   docsRoot: Option[String] = None)
+                   docsRoot: Option[String] = None,
+                   tokenizer: Option[graft.functions.BpeRanks] = None)
       : StreamingQuery = {
     val stage = NearDupStage(registryDir, watermarkMs = parseMs(watermark))
     qualityFilter(docs)
@@ -133,7 +149,7 @@ object CorpusPipeline {
                 .parquet(s"${docsRoot.get}/epoch=$epochId")
               p
             }
-          chunked(pinned)
+          withIds(chunked(pinned), tokenizer)
             .write.mode("overwrite").parquet(s"$root/epoch=$epochId")
         }
       }

@@ -136,4 +136,35 @@ class BpeSpec extends SparkSuite {
       assert(ts.mkString == texts(id).split(" ").filter(_.nonEmpty).mkString)
     }
   }
+
+  test("decode inverts encode: per-word exact, per-doc space-stripped") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val merges = Bpe.train(docs, nMerges = 30)
+    val model = Bpe.rankModel(merges, docs)
+    // whole-document round-trip: ids carry no word boundaries, so the
+    // decoded text is the original minus spaces (kernel path, codegen'd)
+    val decoded = Bpe.decodeIds(Bpe.encodeIds(docs, model), model)
+      .as[(Long, String)].collect().toMap
+    val texts = docs.select("doc_id", "text")
+      .as[(Long, String)].collect().toMap
+    texts.foreach { case (id, t) =>
+      assert(decoded(id) == t.split(" ").filter(_.nonEmpty).mkString,
+        s"doc $id decode(encode) != space-stripped text")
+    }
+    // per-WORD round-trip is exact (one word = one ids row)
+    val words = texts.values.flatMap(_.split(" ")).filter(_.nonEmpty)
+      .toSeq.distinct.take(200).zipWithIndex
+      .map { case (w, i) => (i.toLong, w) }
+    val wordsDf = words.toDF("doc_id", "text")
+    val wordDecoded = Bpe.decodeIds(Bpe.encodeIds(wordsDf, model), model)
+      .as[(Long, String)].collect().toMap
+    words.foreach { case (i, w) =>
+      assert(wordDecoded(i) == w, s"word '$w' does not round-trip")
+    }
+    // OOV ids decode to the replacement character, not garbage
+    val oov = Seq((0L, Seq(-1, 0))).toDF("doc_id", "ids")
+    val out = Bpe.decodeIds(oov, model).as[(Long, String)].collect().head._2
+    assert(out.startsWith("�"))
+  }
 }

@@ -132,4 +132,41 @@ class CorpusPipelineSpec extends SparkSuite {
     // the permuted copy deduped away; the distinct bag survives
     assert(kept == Seq(1L, 3L))
   }
+
+  test("tokenizer stage: streamed chunk ids equal the batch encode") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val root = Files.createTempDirectory("corpus-tok").toString
+    val ckpt = Files.createTempDirectory("corpus-tok-ckpt").toString
+    // train the model OFFLINE on a small corpus (the production shape:
+    // the stream applies a frozen vocabulary, never re-trains)
+    val trainDocs = Seq(
+      (0L, longText("alpha")), (1L, longText("beta")))
+      .toDF("doc_id", "text")
+    val merges = graft.operators.Bpe.train(trainDocs, nMerges = 20)
+    val model = graft.operators.Bpe.rankModel(merges, trainDocs)
+    val in = MemoryStream[(Long, Timestamp, String, String)](spark)
+    in.addData(
+      (1L, ts(0), longText("alpha"), "crawl"),
+      (2L, ts(1), longText("beta"), "feed"))
+    val q = CorpusPipeline.start(
+      in.toDF().toDF("doc_id", "ts", "text", "source"),
+      root, ckpt, watermark = "10 minutes",
+      trigger = Trigger.AvailableNow(), tokenizer = Some(model))
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(root)
+      .select("doc_id", "chunk_id", "chunk_text", "ids")
+      .as[(Long, Long, String, Seq[Int])].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(streamed.nonEmpty && streamed.forall(_._4.nonEmpty))
+    // the streamed ids are exactly the batch kernel's encode of the
+    // same chunk text — one tokenizer, two execution modes
+    val batch = graft.operators.Bpe.encodeIds(
+      streamed.map(r => (r._1 * 1000 + r._2, r._3))
+        .toDF("doc_id", "text"), model)
+      .as[(Long, Seq[Int])].collect().toMap
+    streamed.foreach { case (d, c, _, ids) =>
+      assert(ids == batch(d * 1000 + c), s"doc $d chunk $c ids diverge")
+    }
+  }
 }
