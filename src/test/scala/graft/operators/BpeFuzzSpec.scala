@@ -69,4 +69,23 @@ class BpeFuzzSpec extends SparkSuite {
       }
     }
   }
+
+  test("decode kernel inverts encode on collision-heavy learned vocabs") {
+    (1 to 30).foreach { seed =>
+      val words = randomWords(seed * 13 + 5)
+      val merges = Bpe.trainLocal(words, nMerges = 8)
+        .map { case (_, l, r, _) => (l, r) }
+      val chars = words.keys.flatMap(BpeRanks.codePoints(_)).toSeq
+        .distinct.sorted
+      val model = new BpeRanks(merges.toArray, chars.toArray)
+      words.keys.foreach { w =>
+        // even when a merge output collides with an existing token (the
+        // first-wins id rule), the surviving id must decode back to the
+        // same string — so decode(encode(w)) == w always holds per word
+        val ids = model.encodeIds(UTF8String.fromString(w))
+        val back = model.decodeIds(ids).toString
+        assert(back == w, s"seed $seed word '$w' decoded to '$back'")
+      }
+    }
+  }
 }

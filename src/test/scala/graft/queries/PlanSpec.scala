@@ -302,4 +302,31 @@ class PlanSpec extends SparkSuite {
       s"anti-join and window stopped sharing the fp shuffle:\n${plan.take(2000)}")
   }
 
+  test("q_hybrid_rrf ranks distributed top-50s, never a corpus-wide window") {
+    val plan = executedPlan("q_hybrid_rrf")
+    // each arm's top-50 must come from TakeOrderedAndProject (distributed
+    // per-partition heaps), with the single-partition Window running only
+    // on the 50 survivors — a Window directly over a corpus scan/exchange
+    // would move the whole corpus to one partition
+    assert(plan.split("TakeOrderedAndProject").length >= 3, // one per arm
+      s"arm top-k stopped using TakeOrderedAndProject:\n${plan.take(2000)}")
+    // the dense arm's 1-row query vector rides a broadcast, not a shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"query-vector broadcast lost:\n${plan.take(2000)}")
+  }
+
+  test("q_bigram_logprob pairs tokens in-row and partial-aggregates counts") {
+    val plan = executedPlan("q_bigram_logprob")
+    // bigram pairing is an in-row transform + ONE Generate (posexplode of
+    // the struct list); a self-join or window to pair neighbors would
+    // shuffle the corpus before counting
+    assert(plan.split("HashAggregate").length >= 3, // partial + final
+      s"count passes lost partial aggregation:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"scoring joins fell back to SMJ:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastExchange"), // 1-row vocab-size frame
+      s"vocab-size broadcast lost:\n${plan.take(2000)}")
+  }
+
 }
