@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryFamily, Tables}
+import graft.operators.QualityClassifier
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -75,6 +76,29 @@ object Pipeline extends QueryFamily {
       .groupBy("doc_id")
       .agg(votes.head, votes.tail: _*)
       .select(col("doc_id"), fp.as(outCol))
+  }
+
+  /** Planted ground truth for the learned quality filter
+    * (q_quality_classifier): positives are the real documents; negatives
+    * are the same documents with a word-hash-selected third of the
+    * VOCABULARY corrupted by a suffix — consistent per word type, so the
+    * corrupted tokens form a negative-only vocabulary the classifier must
+    * discover (the curated-vs-crawl label construction of the GPT-3
+    * quality filter, §A of arXiv:2005.14165, with a synthesizable ground
+    * truth). Corruption and the train/test split are xxhash64 functions
+    * of the data — deterministic across hosts and partitionings. `orig`
+    * keeps a positive and its corrupted twin in the SAME split fold so
+    * the held-out task is never leaked its training twins. */
+  private[graft] def qualityLabeled(docs: DataFrame): DataFrame = {
+    val corrupted = array_join(
+      transform(split(col("text"), " "),
+        t => when(pmod(xxhash64(lit(7), t), lit(3)) === 0,
+          concat(t, lit("zq"))).otherwise(t)), " ")
+    val pos = docs.select(col("doc_id"), col("text"), lit(1).as("label"),
+      col("doc_id").as("orig"))
+    val neg = docs.select((col("doc_id") + lit(10000000L)).as("doc_id"),
+      corrupted.as("text"), lit(0).as("label"), col("doc_id").as("orig"))
+    pos.union(neg)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -165,6 +189,24 @@ object Pipeline extends QueryFamily {
             col("n_distinct") * 4 < col("n_tokens"), "repetitive")
           .when(col("n_chars") > col("n_tokens") * 30, "tokens_too_long")
           .otherwise("keep"))
+        .orderBy("doc_id")
+    },
+    "q_quality_classifier" -> { (s, d) =>
+      // The LEARNED member of the filter family: fastText-style hashed
+      // n-gram logistic regression (operators/QualityClassifier) trained
+      // on the planted corruption task, scoring the hash-held-out 20%.
+      // Fixed-point gradient aggregation makes the trained weights — and
+      // therefore every score — bit-deterministic under any partitioning.
+      val all = qualityLabeled(Tables.documents(s, d))
+      val isTest = pmod(xxhash64(lit(3), col("orig")), lit(5)) === 0
+      val buckets = 4096
+      val trainFeats =
+        QualityClassifier.featurize(all.filter(!isTest), buckets).cache()
+      val model =
+        try QualityClassifier.train(trainFeats, buckets, iters = 6, lr = 4.0)
+        finally trainFeats.unpersist()
+      QualityClassifier
+        .score(QualityClassifier.featurize(all.filter(isTest), buckets), model)
         .orderBy("doc_id")
     },
     "q_simhash_pairs" -> { (s, d) =>

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** The learned quality filter's two contracts:
+  *  1. determinism — distributed full-batch GD is bit-identical to the
+  *     classical single-threaded loop (trainLocal), under any
+  *     partitioning, because every cross-row reduction is a long sum
+  *     (the BPE/PageRank discipline applied to gradient descent);
+  *  2. it learns — held-out accuracy on the planted corruption task
+  *     (real docs vs suffix-corrupted twins) is pinned.
+  */
+class QualityClassifierSpec extends SparkSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private val buckets = 512
+
+  private def labeled =
+    graft.queries.Pipeline.qualityLabeled(
+      spark.read.parquet(s"$sf/documents.parquet"))
+
+  test("distributed training is bit-identical to the classical loop") {
+    val feats = QualityClassifier.featurize(labeled, buckets).cache()
+    try {
+      val dist = QualityClassifier.train(feats, buckets, iters = 3, lr = 4.0)
+      val local =
+        QualityClassifier.trainLocal(feats, buckets, iters = 3, lr = 4.0)
+      assert(dist.weightsU.sameElements(local.weightsU))
+      assert(dist.weightsU.exists(_ != 0L), "training moved no weight")
+
+      // partitioning invariance: a hostile layout (13 partitions keyed by
+      // nothing) must not change a single fixed-point weight
+      val scrambled = QualityClassifier
+        .train(feats.repartition(13), buckets, iters = 3, lr = 4.0)
+      assert(scrambled.weightsU.sameElements(dist.weightsU))
+    } finally feats.unpersist()
+  }
+
+  test("held-out accuracy on the planted corruption task") {
+    val all = labeled
+    val isTest = pmod(xxhash64(lit(3), col("orig")), lit(5)) === 0
+    val feats =
+      QualityClassifier.featurize(all.filter(!isTest), buckets).cache()
+    try {
+      val model = QualityClassifier.train(feats, buckets, iters = 6, lr = 4.0)
+      val scored = QualityClassifier
+        .score(QualityClassifier.featurize(all.filter(isTest), buckets), model)
+        .select(col("label"), col("predicted"), col("score_u"))
+        .collect()
+      assert(scored.nonEmpty)
+      // predicted is definitionally the sign of the fixed-point score
+      scored.foreach(r =>
+        assert(r.getInt(1) == (if (r.getLong(2) > 0) 1 else 0)))
+      val acc = scored.count(r => r.getInt(0) == r.getInt(1)).toDouble /
+        scored.length
+      info(s"held-out accuracy: $acc over ${scored.length} docs")
+      assert(acc >= 0.9, s"accuracy $acc below pin")
+    } finally feats.unpersist()
+  }
+}
