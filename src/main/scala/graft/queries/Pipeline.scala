@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryFamily, Tables}
-import graft.operators.QualityClassifier
+import graft.operators.{Bloom, QualityClassifier}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -43,7 +43,7 @@ object Pipeline extends QueryFamily {
     * re-tokenize per element). Empty for docs with <2 tokens. Shared with
     * Llm.q_ngrams, where this binding replaces a repartition-as-CSE-barrier
     * that shuffled full token arrays. */
-  private[queries] def bigrams: Column = expr(
+  private[graft] def bigrams: Column = expr(
     """case when size(split(text, ' ')) < 2 then array()
       |else flatten(transform(array(split(text, ' ')), tk ->
       |  transform(sequence(1, size(tk) - 1),
@@ -149,6 +149,27 @@ object Pipeline extends QueryFamily {
       corpus.join(broadcast(bench), Seq("bigram"))
         .groupBy("doc_id")
         .agg(count_distinct(col("bigram")).as("n_shared_bigrams"))
+        .orderBy("doc_id")
+    },
+    "q_contamination_bloom" -> { (s, d) =>
+      // q_contamination's 100 TB shape: the benchmark bigram set rides
+      // as Bloom BITS instead of broadcast strings (operators/Bloom —
+      // a real held-out suite is ~1e8 grams, gigabytes of strings but
+      // ~1 GB of bits at a 1e-4 FP rate). Per-doc counts are a
+      // deterministic SUPERSET of the exact ones: no false negatives
+      // structurally, false positives at the filter's measured epsilon
+      // (both pinned in BloomSpec against q_contamination).
+      val docs = Tables.documents(s, d)
+      val bench = docs.filter(col("doc_id") < 20)
+        .select(explode(bigrams).as("bigram")).distinct()
+      val mBits = 1L << 16
+      val filt = Bloom.build(bench, "bigram", mBits, k = 4)
+      val corpus = docs.filter(col("doc_id") >= 20)
+        .select(col("doc_id"), explode(bigrams).as("bigram"))
+      // mightContain's closing groupBy dedups (doc, bigram) pairs, so
+      // count(1) here IS the distinct-bigram count of q_contamination
+      Bloom.mightContain(filt, corpus, "bigram", mBits, k = 4)
+        .groupBy("doc_id").agg(count(lit(1)).as("n_flagged_bigrams"))
         .orderBy("doc_id")
     },
     "q_repetition" -> { (s, d) =>
