@@ -230,10 +230,51 @@ final case class SpanHashes(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** unicode_normalize(text, form) — Unicode canonical/compatibility
+  * normalization (UAX #15), the text-pipeline front door Spark lacks as
+  * a built-in: crawled corpora mix composed ("é" U+00E9) and decomposed
+  * ("e"+U+0301) byte forms of the SAME text, which silently splits
+  * exact-dedup fingerprints, vocabulary counts, and BPE merges. One
+  * java.text.Normalizer call per row; the isNormalized fast path makes
+  * already-NFC text (all ASCII in particular) a zero-allocation no-op,
+  * so the common case costs one table scan of the bytes. CodegenFallback
+  * is deliberate: the cost is inside ICU-style normalization itself, not
+  * the dispatch (the MinHashSignature precedent).
+  */
+final case class UnicodeNormalize(child: Expression, form: String)
+    extends UnaryExpression with CodegenFallback {
+
+  private val nf = java.text.Normalizer.Form.valueOf(form)
+
+  override def dataType: DataType = StringType
+  override def nullable: Boolean = child.nullable
+  override def prettyName: String = "unicode_normalize"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"unicode_normalize needs STRING, got ${other.sql}")
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val s = input.asInstanceOf[UTF8String]
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, nf)) s.clone()
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, nf))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 object TextFunctions {
   /** Column DSL entry: MinHash signature of an ARRAY<STRING> column. */
   def minhashSig(shingles: Column, nPerm: Int): Column =
     Bridge.column(MinHashSignature(Bridge.expression(shingles), nPerm))
+
+  /** Column DSL entry: Unicode normalization; form is NFC/NFD/NFKC/NFKD. */
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    Bridge.column(UnicodeNormalize(Bridge.expression(text), form))
 
   /** Column DSL entry: rolling n-token span fingerprints (see
     * [[SpanHashes]]). */

@@ -48,6 +48,25 @@ object Scalars extends QueryFamily {
           element_at(split(col("text"), " "), 1).as("first_token"))
         .orderBy("doc_id")
     },
+    "q_str_nfc" -> { (s, d) =>
+      // Unicode NFC canonicalization through the native expression
+      // (functions/TextExpressions UnicodeNormalize) — decomposed text
+      // synthesized from the data: first token + "e"+combining-acute
+      // (U+0301, composes to é) + precomposed é (stable under NFC). The
+      // length pair witnesses real composition: n_nfc = n_raw - 1.
+      // DuckDB-oracled against its nfc_normalize.
+      val raw = concat(element_at(split(col("text"), " "), 1),
+        lit("é"), lit("é"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), raw.as("raw"))
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.unicodeNormalize(col("raw"))
+            .as("nfc_text"),
+          length(col("raw")).as("n_raw"),
+          length(graft.functions.TextFunctions.unicodeNormalize(col("raw")))
+            .as("n_nfc"))
+        .orderBy("doc_id")
+    },
     "q_str_more" -> { (s, d) =>
       Tables.customer(s, d)
         .select(col("c_custkey"),
@@ -191,6 +210,15 @@ object Scalars extends QueryFamily {
     "q_str_split" ->
       """SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
         |  string_split(text, ' ')[1] AS first_token
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_str_nfc" ->
+      """SELECT doc_id,
+        |  nfc_normalize(string_split(text, ' ')[1] || 'e' || chr(769)
+        |    || chr(233)) AS nfc_text,
+        |  length(string_split(text, ' ')[1] || 'e' || chr(769) || chr(233))
+        |    AS n_raw,
+        |  length(nfc_normalize(string_split(text, ' ')[1] || 'e' || chr(769)
+        |    || chr(233))) AS n_nfc
         |FROM documents ORDER BY doc_id""".stripMargin,
     "q_str_more" ->
       """SELECT c_custkey, lower(c_name) AS lname,
