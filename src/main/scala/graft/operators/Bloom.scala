@@ -24,12 +24,20 @@ import org.apache.spark.sql.functions._
   *    partial aggregation map-side-combines and shard filters MERGE for
   *    free (the count-min discipline). The filter IS a DataFrame of
   *    ≤ m/64 (word_idx, bits) rows.
-  *  - PROBE is a broadcast join on word_idx: the corpus side computes
-  *    its k probe positions map-side, joins the word rows, and ANDs the
-  *    k indicator bits with a min aggregate. A LEFT join with a 0
-  *    fallback, for the Sketch.estimate reason: an absent word row
-  *    means the bit is 0, and an inner join would AND over a SUBSET of
-  *    the k probes.
+  *  - PROBE is k successive broadcast joins on word_idx (one per probe
+  *    index, all of the same filter) with the k-way AND computed
+  *    IN-ROW: the corpus side never shuffles at all — the first shape
+  *    (explode k probes, AND via a min aggregate) paid a full
+  *    (doc, gram, probe) shuffle for an AND that k columns express
+  *    map-side, and Catalyst then pushes each conjunct below the later
+  *    joins, so rows failing probe 0 never reach probe 1. LEFT joins
+  *    with a 0 fallback, for the Sketch.estimate reason: an absent
+  *    word row means the bit is 0, and an inner join would AND over a
+  *    SUBSET of the k probes. Exchange reuse dedups the k broadcast
+  *    stages when eligible; even unreused they are BENCHMARK-bounded,
+  *    not corpus-bounded, and the real deployment builds the filter
+  *    once, persists it ([[save]]/[[load]]), and probes every corpus
+  *    pass from the parquet copy.
   */
 object Bloom {
 
@@ -46,23 +54,38 @@ object Bloom {
       .agg(expr("bit_or(shiftleft(1L, int(bit % 64)))").as("bits"))
   }
 
-  /** Grams from `cands` that MIGHT be in the built set: every truly
+  /** Persist a built filter — (word_idx, bits) parquet, the durable
+    * form a decontamination service probes from. */
+  def save(filter: DataFrame, dir: String): Unit =
+    filter.write.mode("overwrite").parquet(dir)
+
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    spark.read.parquet(dir)
+
+  /** Rows of `cands` whose gram MIGHT be in the built set: every truly
     * present gram survives (no false negatives); a false positive slips
-    * through at the filter's ε. Keeps all other columns of `cands`. */
+    * through at the filter's ε. Row-preserving and map-side-only —
+    * duplicate (doc, gram) rows pass through, so downstream distinct
+    * counts belong in the caller's (partial-aggregated) aggregation,
+    * the q_contamination discipline. */
   def mightContain(filter: DataFrame, cands: DataFrame, gramCol: String,
       mBits: Long, k: Int): DataFrame = {
-    val probed = cands
-      .withColumn("r", explode(sequence(lit(0), lit(k - 1))))
-      .withColumn("bit", pmod(xxhash64(col("r"), col(gramCol)), lit(mBits)))
-      .withColumn("word_idx", (col("bit") / 64).cast("long"))
-      .join(broadcast(filter), Seq("word_idx"), "left")
-      .withColumn("hit",
-        expr("int(shiftright(coalesce(bits, 0L), int(bit % 64)) & 1L)"))
-    val others = cands.columns.filterNot(_ == gramCol).map(col)
+    val probed = (0 until k).foldLeft(cands) { (df, r) =>
+      // fresh aliases per probe keep DetectAmbiguousSelfJoin quiet; the
+      // alias Project canonicalizes away, so the broadcast is still one
+      val f = filter.select(col("word_idx").as(s"_wi$r"),
+        col("bits").as(s"_bits$r"))
+      df.withColumn(s"_bit$r",
+          pmod(xxhash64(lit(r), col(gramCol)), lit(mBits)))
+        .join(broadcast(f),
+          (col(s"_bit$r") / 64).cast("long") === col(s"_wi$r"), "left")
+        .withColumn(s"_hit$r",
+          expr(s"int(shiftright(coalesce(_bits$r, 0L), int(_bit$r % 64)) " +
+            "& 1L)"))
+        .drop(s"_wi$r", s"_bits$r", s"_bit$r")
+    }
     probed
-      .groupBy(col(gramCol) +: others: _*)
-      .agg(min(col("hit")).as("all_set"))
-      .filter(col("all_set") === 1)
-      .drop("all_set")
+      .filter((0 until k).map(r => col(s"_hit$r") === 1).reduce(_ && _))
+      .drop((0 until k).map(r => s"_hit$r"): _*)
   }
 }

@@ -166,10 +166,12 @@ object Pipeline extends QueryFamily {
       val filt = Bloom.build(bench, "bigram", mBits, k = 4)
       val corpus = docs.filter(col("doc_id") >= 20)
         .select(col("doc_id"), explode(bigrams).as("bigram"))
-      // mightContain's closing groupBy dedups (doc, bigram) pairs, so
-      // count(1) here IS the distinct-bigram count of q_contamination
+      // the probe is row-preserving and map-side; count_distinct dedups
+      // duplicate (doc, bigram) survivors in its partial aggregation —
+      // the corpus side's ONLY shuffle (the q_contamination discipline)
       Bloom.mightContain(filt, corpus, "bigram", mBits, k = 4)
-        .groupBy("doc_id").agg(count(lit(1)).as("n_flagged_bigrams"))
+        .groupBy("doc_id")
+        .agg(count_distinct(col("bigram")).as("n_flagged_bigrams"))
         .orderBy("doc_id")
     },
     "q_repetition" -> { (s, d) =>

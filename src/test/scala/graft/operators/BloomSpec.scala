@@ -51,6 +51,17 @@ class BloomSpec extends SparkSuite {
     } finally { bench.unpersist() }
   }
 
+  test("save/load round-trips the filter bit-for-bit") {
+    import spark.implicits._
+    val bench = benchGrams
+    val filt = Bloom.build(bench, "bigram", mBits, k)
+    val dir = java.nio.file.Files.createTempDirectory("bloom").toString
+    Bloom.save(filt, dir)
+    val back = Bloom.load(spark, dir)
+    assert(back.as[(Long, Long)].collect().sortBy(_._1).toSeq ==
+      filt.as[(Long, Long)].collect().sortBy(_._1).toSeq)
+  }
+
   test("per-doc counts dominate the exact contamination counts") {
     import spark.implicits._
     val qs = graft.queries.Pipeline.queries

@@ -329,4 +329,26 @@ class PlanSpec extends SparkSuite {
       s"vocab-size broadcast lost:\n${plan.take(2000)}")
   }
 
+  test("q_contamination_bloom probes map-side: k broadcast joins, no SMJ") {
+    val plan = executedPlan("q_contamination_bloom")
+    // the k probe joins are broadcasts of the (word_idx, bits) filter
+    // with the k-way AND in-row; a SortMergeJoin or a probe-explode
+    // aggregation would shuffle corpus grams before the count
+    assert(plan.split("BroadcastHashJoin").length >= 5, // k = 4 probes
+      s"probe joins stopped broadcasting:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a probe join fell back to SMJ:\n${plan.take(2000)}")
+  }
+
+  test("q_quality_classifier scores via broadcast weights + partial agg") {
+    val plan = executedPlan("q_quality_classifier")
+    // (this executes the 6 training iterations first — sf0.001 is cheap)
+    assert(plan.contains("BroadcastHashJoin"),
+      s"weight join stopped broadcasting:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"weight join fell back to SMJ:\n${plan.take(2000)}")
+    assert(plan.split("HashAggregate").length >= 3, // partial + final margin
+      s"margin aggregation lost its partial:\n${plan.take(2000)}")
+  }
+
 }
