@@ -88,6 +88,33 @@ object CliMain {
       q.awaitTermination()
       deadQ.awaitTermination()
       if (!reused) spark.stop()
+    // warc <warcGlob> <outRoot>: the crawl front door — parse WARC
+    // archives (plain or per-record gzip), keep 200 text/html
+    // responses, canonicalize URLs, strip HTML to visible text, land
+    // the documents-table shape; framing errors → _dead_letters. Batch
+    // (a crawl segment is a fixed artifact, not a drop stream); dedup
+    // belongs to the downstream cascade, so the landing is map-only.
+    case "warc" :: warcPath :: outRoot :: _ =>
+      import org.apache.spark.sql.functions.{col, xxhash64}
+      import graft.functions.Web
+      val reused =
+        org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+      val spark = Sessions.get("graft-warc")
+      val recs = graft.sources.Warc.read(spark, warcPath).cache()
+      recs.filter(col("_corrupt").isNotNull)
+        .select(col("file"), col("record_id"), col("_corrupt"))
+        .write.mode("overwrite").parquet(s"$outRoot/_dead_letters")
+      val url = Web.urlNormalize(col("target_uri"))
+      val docs = graft.sources.Warc.responses(recs)
+        .filter(col("mime") === "text/html" && col("status") === 200)
+        .select(xxhash64(url).as("doc_id"), url.as("url"),
+          col("warc_date"), Web.htmlText(col("body")).as("text"))
+      docs.write.mode("overwrite").parquet(s"$outRoot/docs")
+      val nDocs = spark.read.parquet(s"$outRoot/docs").count()
+      val nDead = spark.read.parquet(s"$outRoot/_dead_letters").count()
+      recs.unpersist()
+      println(s"[warc] docs=$nDocs dead_letters=$nDead")
+      if (!reused) spark.stop()
     // optimize <inDir> <outDir> --zorder x,y: the maintenance pass —
     // re-cluster an arrival-order parquet directory on the 2-D z-value
     // so point/range predicates on either dimension prune files
@@ -290,6 +317,7 @@ object CliMain {
           |  graft.CliMain corpus <jsonlDir> <outRoot> [--near-dup]
           |    [--bag-dedup] [--watermark W] [--checkpoint DIR]
           |    [--tokenizer MODELDIR]
+          |  graft.CliMain warc <warcGlob> <outRoot>
           |  graft.CliMain optimize <inDir> <outDir> --zorder colX,colY
           |    [--files N] [--bits B]
           |  graft.CliMain index <embeddingsDir> <outDir>
