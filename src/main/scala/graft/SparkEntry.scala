@@ -20,7 +20,8 @@ object SparkEntry {
     q.Streaming,
     q.Llm,
     q.Pipeline,
-    q.Graph
+    q.Graph,
+    q.Quality
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

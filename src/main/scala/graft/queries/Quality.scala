@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.{QueryFamily, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality family: profiling (ANALYZE-style column statistics,
+  * equi-width histograms) and expectation validation (declarative rule
+  * → violation counts) — the observability surface every ingest
+  * pipeline runs before training data is trusted. All Spark built-ins,
+  * all DuckDB-oracled; derived doubles ride the §7.5 fixed-point
+  * contract (floor-scaled micro-units).
+  *
+  * Scale design (100 TB):
+  *  - profiling is ONE full-scan aggregation (count/null/distinct/
+  *    min/max computed in the same partial-aggregated pass — one
+  *    shuffle of a single combined row per partition);
+  *  - the histogram is two passes by necessity (min/max bounds, then
+  *    bucket counts) with the 1-row bounds frame BROADCAST — never a
+  *    shuffle of the data by bucket;
+  *  - expectations are map-only conditional sums folded into one
+  *    aggregation row, then unpivoted driver-free with stack() — rule
+  *    count never touches the data again.
+  */
+object Quality extends QueryFamily {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_profile_stats" -> { (s, d) =>
+      // the ANALYZE pass: per-column fill/cardinality/bounds in ONE
+      // partial-aggregated scan (profiled columns chosen to cover
+      // numeric, categorical, and temporal shapes)
+      Tables.lineitem(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").isNull.cast("long")).as("qty_nulls"),
+        count_distinct(col("l_returnflag")).as("rf_distinct"),
+        count_distinct(col("l_suppkey")).as("supp_distinct"),
+        floor(min("l_quantity") * 1000000).cast("long").as("qty_min_u"),
+        floor(max("l_quantity") * 1000000).cast("long").as("qty_max_u"),
+        floor(avg("l_quantity") * 1000000).cast("long").as("qty_avg_u"),
+        floor(min("l_extendedprice") * 1000000).cast("long").as("price_min_u"),
+        floor(max("l_extendedprice") * 1000000).cast("long").as("price_max_u"),
+        min(year(col("l_shipdate"))).as("ship_year_min"),
+        max(year(col("l_shipdate"))).as("ship_year_max"))
+    },
+    "q_profile_histogram" -> { (s, d) =>
+      // equi-width 10-bucket histogram of l_extendedprice: bounds pass
+      // (1 row, broadcast) then a bucket-count aggregation — the data
+      // shuffles one combined count row per partition, never by value
+      val li = Tables.lineitem(s, d)
+      val bounds = li.agg(min("l_extendedprice").as("lo"),
+        max("l_extendedprice").as("hi"))
+      val bucket = least(lit(9), floor(
+        (col("l_extendedprice") - col("lo")) * 10.0 /
+          (col("hi") - col("lo")))).cast("long")
+      li.crossJoin(broadcast(bounds))
+        .groupBy(bucket.as("bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          floor(min("l_extendedprice") * 1000000).cast("long")
+            .as("seen_min_u"),
+          floor(max("l_extendedprice") * 1000000).cast("long")
+            .as("seen_max_u"))
+        .orderBy("bucket")
+    },
+    "q_expectations" -> { (s, d) =>
+      // declarative validation: each rule is a conditional sum in ONE
+      // aggregation row; stack() unpivots to (rule, violations, total)
+      // without touching the data again. Rule order is the contract
+      // (attrition dashboards key on it), hence the final sort by name.
+      val li = Tables.lineitem(s, d)
+      def viol(p: org.apache.spark.sql.Column) = sum((!p).cast("long"))
+      li.agg(
+          count(lit(1)).as("total"),
+          viol(col("l_quantity").between(1, 50)).as("v_qty"),
+          viol(col("l_discount").between(0.0, 0.1)).as("v_disc"),
+          viol(col("l_tax") >= 0).as("v_tax"),
+          viol(col("l_returnflag").isin("A", "N", "R")).as("v_rf"),
+          viol(col("l_extendedprice") > 0).as("v_price"),
+          viol(year(col("l_shipdate")).between(1992, 1998)).as("v_era"))
+        .select(expr(
+          """stack(6,
+            |  'discount_range',   v_disc,  total,
+            |  'price_positive',   v_price, total,
+            |  'quantity_range',   v_qty,   total,
+            |  'returnflag_domain',v_rf,    total,
+            |  'ship_era',         v_era,   total,
+            |  'tax_nonnegative',  v_tax,   total)
+            |  AS (rule, violations, total)""".stripMargin))
+        .withColumn("pass", (col("violations") === 0).cast("int"))
+        .orderBy("rule")
+    })
+
+  def oracle: Map[String, String] = Map(
+    "q_profile_stats" ->
+      """SELECT count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS qty_nulls,
+        |  count(DISTINCT l_returnflag) AS rf_distinct,
+        |  count(DISTINCT l_suppkey) AS supp_distinct,
+        |  CAST(floor(min(l_quantity) * 1000000) AS BIGINT) AS qty_min_u,
+        |  CAST(floor(max(l_quantity) * 1000000) AS BIGINT) AS qty_max_u,
+        |  CAST(floor(avg(l_quantity) * 1000000) AS BIGINT) AS qty_avg_u,
+        |  CAST(floor(min(l_extendedprice) * 1000000) AS BIGINT) AS price_min_u,
+        |  CAST(floor(max(l_extendedprice) * 1000000) AS BIGINT) AS price_max_u,
+        |  min(year(l_shipdate)) AS ship_year_min,
+        |  max(year(l_shipdate)) AS ship_year_max
+        |FROM lineitem""".stripMargin,
+    "q_profile_histogram" ->
+      """WITH b AS (SELECT min(l_extendedprice) AS lo,
+        |                  max(l_extendedprice) AS hi FROM lineitem)
+        |SELECT CAST(least(9, floor((l_extendedprice - lo) * 10.0 /
+        |         (hi - lo))) AS BIGINT) AS bucket,
+        |  count(*) AS cnt,
+        |  CAST(floor(min(l_extendedprice) * 1000000) AS BIGINT)
+        |    AS seen_min_u,
+        |  CAST(floor(max(l_extendedprice) * 1000000) AS BIGINT)
+        |    AS seen_max_u
+        |FROM lineitem, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_expectations" ->
+      """WITH a AS (SELECT count(*) AS total,
+        |  CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1
+        |    ELSE 0 END) AS BIGINT) AS v_qty,
+        |  CAST(sum(CASE WHEN NOT (l_discount BETWEEN 0.0 AND 0.1) THEN 1
+        |    ELSE 0 END) AS BIGINT) AS v_disc,
+        |  CAST(sum(CASE WHEN NOT (l_tax >= 0) THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS v_tax,
+        |  CAST(sum(CASE WHEN NOT (l_returnflag IN ('A','N','R')) THEN 1
+        |    ELSE 0 END) AS BIGINT) AS v_rf,
+        |  CAST(sum(CASE WHEN NOT (l_extendedprice > 0) THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v_price,
+        |  CAST(sum(CASE WHEN NOT (year(l_shipdate) BETWEEN 1992 AND 1998)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v_era
+        |  FROM lineitem)
+        |SELECT rule, violations, total,
+        |  CASE WHEN violations = 0 THEN 1 ELSE 0 END AS pass
+        |FROM (
+        |  SELECT 'discount_range' AS rule, v_disc AS violations, total FROM a
+        |  UNION ALL SELECT 'price_positive', v_price, total FROM a
+        |  UNION ALL SELECT 'quantity_range', v_qty, total FROM a
+        |  UNION ALL SELECT 'returnflag_domain', v_rf, total FROM a
+        |  UNION ALL SELECT 'ship_era', v_era, total FROM a
+        |  UNION ALL SELECT 'tax_nonnegative', v_tax, total FROM a)
+        |ORDER BY rule""".stripMargin)
+}
