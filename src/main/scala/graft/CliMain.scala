@@ -88,6 +88,52 @@ object CliMain {
       q.awaitTermination()
       deadQ.awaitTermination()
       if (!reused) spark.stop()
+    // quality train <posDir> <negDir> <modelDir>: train the learned
+    // quality filter on curated-vs-crawl document sets (the GPT-3
+    // filter's label construction); quality score applies a persisted
+    // model. Training is deterministic under any partitioning
+    // (operators.QualityClassifier), so re-running train reproduces
+    // the model bit-for-bit.
+    case "quality" :: "train" :: posDir :: negDir :: modelDir :: flags =>
+      import org.apache.spark.sql.functions.{col, lit}
+      import graft.operators.QualityClassifier
+      def flagVal(name: String): Option[String] = flagValIn(flags, name)
+      val buckets = flagVal("--buckets").map(_.toInt).getOrElse(1 << 16)
+      val iters = flagVal("--iters").map(_.toInt).getOrElse(8)
+      val reused =
+        org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+      val spark = Sessions.get("graft-quality")
+      val pos = spark.read.parquet(posDir)
+        .select(col("doc_id"), col("text"), lit(1).as("label"))
+      // offset keeps the two id spaces disjoint — a collision would
+      // merge two documents' features into one
+      val neg = spark.read.parquet(negDir)
+        .select((col("doc_id") + lit(1L << 40)).as("doc_id"), col("text"),
+          lit(0).as("label"))
+      val feats =
+        QualityClassifier.featurize(pos.union(neg), buckets).cache()
+      val model = QualityClassifier.train(feats, buckets, iters, lr = 4.0)
+      feats.unpersist()
+      QualityClassifier.save(model, spark, modelDir)
+      println(s"[quality] trained $buckets buckets, $iters iters -> " +
+        s"$modelDir (${model.weightsU.count(_ != 0L)} nonzero weights)")
+      if (!reused) spark.stop()
+    case "quality" :: "score" :: docsDir :: modelDir :: outDir :: Nil =>
+      import org.apache.spark.sql.functions.{col, lit}
+      import graft.operators.QualityClassifier
+      val reused =
+        org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+      val spark = Sessions.get("graft-quality")
+      val model = QualityClassifier.load(spark, modelDir)
+      val docs = spark.read.parquet(docsDir)
+        .select(col("doc_id"), col("text"), lit(0).as("label"))
+      QualityClassifier
+        .score(QualityClassifier.featurize(docs, model.buckets), model)
+        .select("doc_id", "score_u", "predicted")
+        .write.mode("overwrite").parquet(outDir)
+      println(s"[quality] scored ${spark.read.parquet(outDir).count()} " +
+        s"docs -> $outDir")
+      if (!reused) spark.stop()
     // warc <warcGlob> <outRoot>: the crawl front door — parse WARC
     // archives (plain or per-record gzip), keep 200 text/html
     // responses, canonicalize URLs, strip HTML to visible text, land
@@ -318,6 +364,9 @@ object CliMain {
           |    [--bag-dedup] [--watermark W] [--checkpoint DIR]
           |    [--tokenizer MODELDIR]
           |  graft.CliMain warc <warcGlob> <outRoot>
+          |  graft.CliMain quality train <posDir> <negDir> <modelDir>
+          |    [--buckets B] [--iters N]
+          |  graft.CliMain quality score <docsDir> <modelDir> <outDir>
           |  graft.CliMain optimize <inDir> <outDir> --zorder colX,colY
           |    [--files N] [--bits B]
           |  graft.CliMain index <embeddingsDir> <outDir>

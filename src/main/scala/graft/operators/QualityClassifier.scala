@@ -175,6 +175,25 @@ object QualityClassifier {
     QcModel(buckets, w)
   }
 
+  /** Persist a trained model: (bucket, w_u) parquet — exact longs, so
+    * the round-trip is bit-for-bit (the Pq.writePq discipline). */
+  def save(model: QcModel, spark: org.apache.spark.sql.SparkSession,
+      dir: String): Unit = {
+    import spark.implicits._
+    model.weightsU.toSeq.zipWithIndex.map { case (w, b) => (b, w) }
+      .toDF("bucket", "w_u")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String): QcModel = {
+    import spark.implicits._
+    val rows = spark.read.parquet(dir).select("bucket", "w_u")
+      .as[(Int, Long)].collect().sortBy(_._1)
+    require(rows.nonEmpty && rows.last._1 == rows.length - 1,
+      s"malformed quality model at $dir")
+    QcModel(rows.length - 1, rows.map(_._2))
+  }
+
   /** Score a featurized frame: (doc_id, label, score_u, predicted) —
     * score_u the micro-unit margin (monotone in P(label=1)),
     * predicted = score_u > 0. Deterministic: the margin is a scalar

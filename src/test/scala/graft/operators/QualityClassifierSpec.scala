@@ -38,6 +38,31 @@ class QualityClassifierSpec extends SparkSuite {
     } finally feats.unpersist()
   }
 
+  test("CLI train/score round-trips the model bit-for-bit end-to-end") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("qc").toString
+    val all = labeled.cache()
+    all.filter(col("label") === 1).select("doc_id", "text")
+      .write.parquet(s"$dir/pos")
+    all.filter(col("label") === 0)
+      .select((col("doc_id") - 10000000L).as("doc_id"), col("text"))
+      .write.parquet(s"$dir/neg")
+    graft.CliMain.main(Array("quality", "train", s"$dir/pos", s"$dir/neg",
+      s"$dir/model", "--buckets", "512", "--iters", "3"))
+    val back = QualityClassifier.load(spark, s"$dir/model")
+    assert(back.buckets == 512 && back.weightsU.exists(_ != 0L))
+    graft.CliMain.main(Array("quality", "score", s"$dir/pos",
+      s"$dir/model", s"$dir/scored"))
+    val scored = spark.read.parquet(s"$dir/scored")
+    assert(scored.count() == all.filter(col("label") === 1).count())
+    // positives trained against their corrupted twins score positive
+    val accPos = scored.filter(col("predicted") === 1).count().toDouble /
+      scored.count()
+    info(s"CLI-scored positive rate on positives: $accPos")
+    assert(accPos >= 0.9)
+    all.unpersist()
+  }
+
   test("held-out accuracy on the planted corruption task") {
     val all = labeled
     val isTest = pmod(xxhash64(lit(3), col("orig")), lit(5)) === 0
