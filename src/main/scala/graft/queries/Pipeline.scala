@@ -581,6 +581,23 @@ object Pipeline extends QueryFamily {
           round(col("dup_spans").cast("double") / col("n_spans"), 6))
         .orderBy("doc_id")
     },
+    "q_span_excise" -> { (s, d) =>
+      // Maximal repeated-region EXCISION — the ExactSubstr dedup of Lee
+      // et al. 2021 ("Deduplicating Training Data Makes Language Models
+      // Better", arXiv:2107.06499 §4.1): cut every token run repeating
+      // earlier text (global first occurrence wins), never drop whole
+      // docs. Any repeat of length ≥ 8 is a union of overlapping
+      // 8-token span repeats, so the rolling fingerprints already carry
+      // the evidence; merging duplicate span STARTS within 8 positions
+      // (gaps-and-islands over a per-doc window) reconstructs the
+      // maximal regions exactly — no suffix array needed for a fixed
+      // minimum match length. Shuffles: span hash (partial-agged), the
+      // firsts join (SHUFFLE_HASH — span frames mis-promote under AQE),
+      // and the per-doc window (doc-partitioned, never global).
+      // key = doc_id * 1e6 + pos assumes < 1e6 tokens/doc — the
+      // packShards-style documented bound.
+      spanExcise(Tables.documents(s, d))
+    },
     "q_corpus_shuffle" -> { (s, d) =>
       // Deterministic global training-order shuffle, sharded the way a
       // 100 TB corpus is laid out: hash each doc to one of 64 shards,
@@ -599,6 +616,36 @@ object Pipeline extends QueryFamily {
         .orderBy("shard", "pos")
     }
   )
+
+  /** q_span_excise's core over any (doc_id, text) frame — factored so
+    * the spec can run it against planted repeats. */
+  private[graft] def spanExcise(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+    val spans = toks
+      .select(col("doc_id"),
+        posexplode(graft.functions.TextFunctions.spanHashes(col("ts"), 8)))
+      .select(col("doc_id"), col("pos"),
+        (col("doc_id") * 1000000 + col("pos")).as("key"),
+        col("col").as("h"))
+    val firsts = spans.groupBy("h").agg(min("key").as("first_key"))
+    val dupStarts = spans.join(firsts.hint("shuffle_hash"), Seq("h"))
+      .filter(col("key") > col("first_key"))
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    val prev = lag("pos", 1).over(w)
+    dupStarts
+      .withColumn("newi",
+        when(prev.isNull || col("pos") - prev > 8, 1).otherwise(0))
+      .withColumn("island", sum("newi").over(w))
+      .groupBy("doc_id", "island")
+      .agg(min("pos").as("s"), (max("pos") + 7).as("e"))
+      .select(col("doc_id"), col("s").cast("long").as("start_pos"),
+        col("e").cast("long").as("end_pos"),
+        (col("e") - col("s") + 1).cast("long").as("n_tokens"))
+      .orderBy("doc_id", "start_pos")
+  }
 
   /** One oracle for BOTH span-dedup paths (md5 and rolling-hash): the
     * output depends only on span identity, never the hash. */
@@ -979,6 +1026,40 @@ object Pipeline extends QueryFamily {
         |  CAST(sum(nll_fp) AS BIGINT) // count(*) AS avg_nll_micro
         |FROM per GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "q_span_dedup" -> spanDedupSql,
+    // span identity is all that reaches the output (the spanDedupSql
+    // argument), so the md5 oracle certifies the rolling-hash engine path
+    "q_span_excise" ->
+      """WITH toks AS (
+        |  SELECT doc_id, list_filter(string_split(text, ' '),
+        |                             t -> t <> '') AS ts
+        |  FROM documents),
+        |spans AS (
+        |  SELECT doc_id, i - 1 AS pos,
+        |         doc_id * 1000000 + (i - 1) AS key,
+        |         md5(array_to_string(ts[i:i+7], ' ')) AS h
+        |  FROM toks, unnest(range(1, len(ts) - 6)) AS t(i)),
+        |firsts AS (SELECT h, min(key) AS first_key FROM spans GROUP BY h),
+        |dups AS (
+        |  SELECT doc_id, pos FROM spans JOIN firsts USING (h)
+        |  WHERE key > first_key),
+        |flags AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |           IS NULL
+        |         OR pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos)
+        |           > 8
+        |    THEN 1 ELSE 0 END AS newi
+        |  FROM dups),
+        |isl AS (
+        |  SELECT doc_id, pos, sum(newi) OVER (PARTITION BY doc_id
+        |    ORDER BY pos ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        |    AS island
+        |  FROM flags)
+        |SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+        |  CAST(max(pos) + 7 AS BIGINT) AS end_pos,
+        |  CAST(max(pos) + 7 - min(pos) + 1 AS BIGINT) AS n_tokens
+        |FROM isl GROUP BY doc_id, island
+        |ORDER BY doc_id, start_pos""".stripMargin,
     // identical statistics contract — the rolling-hash path must agree
     // with the md5 path span for span, so one oracle certifies both
     "q_span_dedup_rolling" -> spanDedupSql,

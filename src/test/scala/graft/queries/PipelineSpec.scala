@@ -8,6 +8,27 @@ class PipelineSpec extends SparkSuite {
 
   private val sf = "/root/testdata/sf0.001"
 
+
+  test("span_excise reconstructs planted maximal repeated regions exactly") {
+    import spark.implicits._
+    // doc 1: 40 unique tokens; doc 2 embeds doc 1's tokens 5..24 (a
+    // 20-token run) at positions 10..29; doc 3 all-unique; doc 4 repeats
+    // its own first 8 tokens at position 12 (within-doc repeat)
+    val a = (0 until 40).map(i => s"a$i")
+    val doc2 = (0 until 10).map(i => s"x$i") ++ a.slice(5, 25) ++
+      (0 until 10).map(i => s"y$i")
+    val doc4 = (0 until 8).map(i => s"b$i") ++ (0 until 4).map(i => s"c$i") ++
+      (0 until 8).map(i => s"b$i")
+    val docs = Seq(
+      (1L, a.mkString(" ")),
+      (2L, doc2.mkString(" ")),
+      (3L, (0 until 30).map(i => s"z$i").mkString(" ")),
+      (4L, doc4.mkString(" "))).toDF("doc_id", "text")
+    val out = Pipeline.spanExcise(docs)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(out == Seq((2L, 10L, 29L, 20L), (4L, 12L, 19L, 8L)), out)
+  }
+
   test("split_hash: deterministic, exhaustive, and roughly proportional") {
     import spark.implicits._
     val a = Pipeline.queries("q_split_hash")(spark, sf)
