@@ -127,8 +127,8 @@ object CliMain {
       val model = QualityClassifier.load(spark, modelDir)
       val docs = spark.read.parquet(docsDir)
         .select(col("doc_id"), col("text"), lit(0).as("label"))
-      QualityClassifier
-        .score(QualityClassifier.featurize(docs, model.buckets), model)
+      // the in-row kernel: map-only corpus scoring, no shuffle
+      QualityClassifier.scoreKernel(docs, model)
         .select("doc_id", "score_u", "predicted")
         .write.mode("overwrite").parquet(outDir)
       println(s"[quality] scored ${spark.read.parquet(outDir).count()} " +

@@ -45,8 +45,8 @@ object ProfileQuality {
       f"(${tTrain / iters}%.2fs/iter)")
 
     val tS0 = System.nanoTime()
-    val scored = QualityClassifier
-      .score(QualityClassifier.featurize(all.filter(isTest), buckets), wPrev)
+    // scoring is the in-row kernel: map-only, no featurize, no shuffle
+    val scored = QualityClassifier.scoreKernel(all.filter(isTest), wPrev)
       .select(col("label"), col("predicted"))
     val agg = scored.agg(
       count(lit(1)).as("n"),

@@ -49,7 +49,7 @@ object QualityClassifier {
   /** Per-doc error fixed-point scale (nano-units). */
   val ErrScale = 1000000000L
 
-  private val HashSeed = 4242
+  private[graft] val HashSeed = 4242
 
   /** buckets hashed feature buckets; weightsU(buckets) is the bias. */
   case class QcModel(buckets: Int, weightsU: Array[Long])
@@ -63,8 +63,13 @@ object QualityClassifier {
   def featurize(docs: DataFrame, buckets: Int, idCol: String = "doc_id",
       textCol: String = "text", labelCol: String = "label"): DataFrame = {
     val toks = split(col(textCol), " ")
+    // slice length must be computed, not Int.MaxValue: Slice adds
+    // start+length in INT and a MaxValue literal overflows to an empty
+    // result — silently, which made round-9's first featurize
+    // unigram-only (caught by the kernel-equivalence pin)
     val bigrams = filter(
-      zip_with(col("toks"), slice(col("toks"), 2, Int.MaxValue),
+      zip_with(col("toks"),
+        slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
         (a, b) => concat(a, lit(" "), b)),
       g => g.isNotNull)
     val base = docs
@@ -203,5 +208,18 @@ object QualityClassifier {
       .select(col("doc_id"), col("label"),
         expr(s"cast(floor(margin * ${WeightScale}.0d + 0.5d) as long)")
           .as("score_u"))
+      .withColumn("predicted", (col("score_u") > 0).cast("int"))
+
+  /** Map-only scoring straight off raw documents — the in-row kernel
+    * (functions/QcExpressions) computes the same fixed-point score with
+    * NO featurize, NO join, NO shuffle: one expression call per row.
+    * Bit-for-bit equal to [[score]] (spec-pinned); this is the corpus
+    * scoring path and the one legal inside an append-mode stream. */
+  def scoreKernel(docs: DataFrame, model: QcModel,
+      idCol: String = "doc_id", textCol: String = "text",
+      labelCol: String = "label"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(labelCol).as("label"),
+      graft.functions.QcExpressions.qcScoreU(col(textCol),
+        model.weightsU, model.buckets, HashSeed).as("score_u"))
       .withColumn("predicted", (col("score_u") > 0).cast("int"))
 }

@@ -228,8 +228,9 @@ object Pipeline extends QueryFamily {
       val model =
         try QualityClassifier.train(trainFeats, buckets, iters = 6, lr = 4.0)
         finally trainFeats.unpersist()
-      QualityClassifier
-        .score(QualityClassifier.featurize(all.filter(isTest), buckets), model)
+      // scoring is the in-row kernel: map-only, no featurize, no shuffle
+      // (bit-equal to the join path — QualityClassifierSpec)
+      QualityClassifier.scoreKernel(all.filter(isTest), model)
         .orderBy("doc_id")
     },
     "q_simhash_pairs" -> { (s, d) =>

@@ -46,9 +46,26 @@ object CorpusPipeline {
     tokenizer.fold(df)(m => df.withColumn("ids",
       graft.functions.BpeExpressions.encodeIds(col("chunk_text"), m)))
 
+  /** Optional LEARNED quality gate ahead of the heuristic rules: a
+    * pre-trained classifier (graft.operators.QualityClassifier, trained
+    * offline like the BPE model) scores each doc through the in-row
+    * kernel — map-only and stateless, so it is legal in any output mode
+    * and adds no state store. Docs scoring below `minScoreU`
+    * (micro-units) drop before the dedup state ever sees them. */
+  private def modelGate(df: DataFrame,
+      qualityModel: Option[(graft.operators.QualityClassifier.QcModel, Long)])
+      : DataFrame =
+    qualityModel.fold(df) { case (m, minScoreU) =>
+      df.filter(graft.functions.QcExpressions.qcScoreU(col("text"),
+        m.weightsU, m.buckets,
+        graft.operators.QualityClassifier.HashSeed) >= minScoreU)
+    }
+
   def transform(docs: DataFrame, watermark: String,
                 bagDedup: Boolean = false,
-                tokenizer: Option[graft.functions.BpeRanks] = None)
+                tokenizer: Option[graft.functions.BpeRanks] = None,
+                qualityModel: Option[
+                  (graft.operators.QualityClassifier.QcModel, Long)] = None)
       : DataFrame = {
     val fp =
       if (bagDedup) md5(concat_ws(" ", array_sort(split(col("text"), " "))))
@@ -57,7 +74,7 @@ object CorpusPipeline {
       """element_at(transform(array(split(text, ' ')), tk ->
         |  transform(sequence(1, size(tk), 48),
         |    st -> concat_ws(' ', slice(tk, int(st), 64)))), 1)""".stripMargin)
-    val out = docs
+    val out = modelGate(docs, qualityModel)
       .withColumn("n_chars", length(col("text")))
       .withColumn("n_tokens", size(split(col("text"), " ")))
       .filter(col("n_chars") >= 10 &&
@@ -78,9 +95,11 @@ object CorpusPipeline {
             watermark: String = "10 minutes",
             trigger: Trigger = Trigger.ProcessingTime("1 second"),
             bagDedup: Boolean = false,
-            tokenizer: Option[graft.functions.BpeRanks] = None)
+            tokenizer: Option[graft.functions.BpeRanks] = None,
+            qualityModel: Option[
+              (graft.operators.QualityClassifier.QcModel, Long)] = None)
       : StreamingQuery =
-    transform(docs, watermark, bagDedup, tokenizer)
+    transform(docs, watermark, bagDedup, tokenizer, qualityModel)
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)
@@ -127,10 +146,12 @@ object CorpusPipeline {
                    watermark: String = "10 minutes",
                    trigger: Trigger = Trigger.ProcessingTime("1 second"),
                    docsRoot: Option[String] = None,
-                   tokenizer: Option[graft.functions.BpeRanks] = None)
+                   tokenizer: Option[graft.functions.BpeRanks] = None,
+                   qualityModel: Option[
+                     (graft.operators.QualityClassifier.QcModel, Long)] = None)
       : StreamingQuery = {
     val stage = NearDupStage(registryDir, watermarkMs = parseMs(watermark))
-    qualityFilter(docs)
+    qualityFilter(modelGate(docs, qualityModel))
       .writeStream
       .option("checkpointLocation", checkpoint)
       .trigger(trigger)

@@ -17,7 +17,11 @@ class SparkEntrySpec extends SparkSuite {
     "q_ann_ivfpq_topk",  // composed IVF+PQ index → PqSpec
     "q_heavy_hitters_cms", // count-min sketch    → SketchSpec
     "q_bpe_merges",      // BPE tokenizer training → BpeSpec
-    "q_bpe_encode")      // BPE corpus encode (greedy apply) → BpeSpec
+    "q_bpe_encode",      // BPE corpus encode (greedy apply) → BpeSpec
+    "q_quality_classifier", // learned filter (GD ≡ classical loop,
+                         //   held-out accuracy) → QualityClassifierSpec
+    "q_contamination_bloom") // Bloom probe (no false negatives,
+                         //   dominates exact counts) → BloomSpec
 
   test("every oracle key is a declared query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

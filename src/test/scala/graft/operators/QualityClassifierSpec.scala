@@ -38,6 +38,32 @@ class QualityClassifierSpec extends SparkSuite {
     } finally feats.unpersist()
   }
 
+  test("kernel scoring == join-path scoring bit-for-bit, incl. edge text") {
+    import spark.implicits._
+    val all = labeled
+    val feats = QualityClassifier.featurize(all, buckets).cache()
+    try {
+      val model = QualityClassifier.train(feats, buckets, iters = 3, lr = 4.0)
+      val joinPath = QualityClassifier.score(feats, model)
+        .select("doc_id", "score_u").as[(Long, Long)].collect().toMap
+      val kernel = QualityClassifier.scoreKernel(all, model)
+        .select("doc_id", "score_u").as[(Long, Long)].collect().toMap
+      assert(kernel == joinPath)
+
+      // tokenization edge shapes: empty text, lone/multiple/trailing
+      // spaces — split(" ", -1) semantics must agree between the paths
+      val edges = Seq("", " ", "a", "a b", "a  b", "a b ", "  ", "a b  c ")
+        .zipWithIndex.map { case (t, i) => (i.toLong, t, 0) }
+        .toDF("doc_id", "text", "label")
+      val ej = QualityClassifier
+        .score(QualityClassifier.featurize(edges, buckets), model)
+        .select("doc_id", "score_u").as[(Long, Long)].collect().toMap
+      val ek = QualityClassifier.scoreKernel(edges, model)
+        .select("doc_id", "score_u").as[(Long, Long)].collect().toMap
+      assert(ek == ej, s"edge-shape divergence: $ek vs $ej")
+    } finally feats.unpersist()
+  }
+
   test("CLI train/score round-trips the model bit-for-bit end-to-end") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("qc").toString

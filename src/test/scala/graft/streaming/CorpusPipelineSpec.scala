@@ -49,6 +49,43 @@ class CorpusPipelineSpec extends SparkSuite {
     assert(!out.exists(_._1 == 2L))
   }
 
+  test("learned quality gate drops low-scoring docs before dedup state") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // offline model on the planted corruption task (the q_quality_
+    // classifier construction), then streamed docs gate on its score
+    val labeled = graft.queries.Pipeline.qualityLabeled(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    val feats = graft.operators.QualityClassifier.featurize(labeled, 512)
+      .cache()
+    val model =
+      graft.operators.QualityClassifier.train(feats, 512, iters = 6, lr = 4.0)
+    feats.unpersist()
+
+    val root = Files.createTempDirectory("qgate-out").toString
+    val ckpt = Files.createTempDirectory("qgate-ckpt").toString
+    val in = MemoryStream[(Long, Timestamp, String, String)](spark)
+    val clean = longText("alpha") // vocabulary unseen -> near-zero score…
+    // …so gate at the corpus's own positive/corrupted separating margin:
+    // use two REAL docs, one original and one corrupted twin
+    val pair = labeled.filter(col("orig") === 7)
+      .select("doc_id", "label", "text").collect()
+    val posText = pair.find(_.getInt(1) == 1).get.getString(2)
+    val negText = pair.find(_.getInt(1) == 0).get.getString(2)
+    in.addData((1L, ts(0), posText, "crawl"), (2L, ts(1), negText, "crawl"),
+      (3L, ts(2), clean, "crawl"))
+    val q = CorpusPipeline.start(
+      in.toDF().toDF("doc_id", "ts", "text", "source"),
+      root, ckpt, watermark = "10 minutes",
+      trigger = Trigger.AvailableNow(),
+      qualityModel = Some((model, 0L)))
+    q.awaitTermination(120000)
+    val kept = spark.read.parquet(root).select("doc_id")
+      .as[Long].collect().toSet
+    assert(kept.contains(1L), "real doc dropped by the gate")
+    assert(!kept.contains(2L), "corrupted twin passed the gate")
+  }
+
   test("cascade-over-stream: streamed near-dup survivors re-cluster " +
       "identically to the direct survivor corpus") {
     import spark.implicits._
