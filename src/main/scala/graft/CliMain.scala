@@ -111,8 +111,9 @@ object CliMain {
         .select((col("doc_id") + lit(1L << 40)).as("doc_id"), col("text"),
           lit(0).as("label"))
       val feats =
-        QualityClassifier.featurize(pos.union(neg), buckets).cache()
-      val model = QualityClassifier.train(feats, buckets, iters, lr = 4.0)
+        QualityClassifier.featurizePacked(pos.union(neg), buckets).cache()
+      val model =
+        QualityClassifier.trainPacked(feats, buckets, iters, lr = 4.0)
       feats.unpersist()
       QualityClassifier.save(model, spark, modelDir)
       println(s"[quality] trained $buckets buckets, $iters iters -> " +

@@ -38,10 +38,20 @@ object ProfileBpe {
     sb.result()
   }
 
-  def docs(spark: SparkSession, n: Long): DataFrame = {
+  def docs(spark: SparkSession, n: Long): DataFrame = docs(spark, n, 0)
+
+  /** `parts` > 0 overrides the partition count — scale sweeps that CACHE
+    * a per-doc frame need partitions sized so a task's pinned cache
+    * block plus its aggregation pages fit the local heap share (the
+    * ProfileQuality 1M lesson: 32 fat partitions on an 8 GB heap starve
+    * the partial agg — AGGREGATE_OUT_OF_MEMORY; a real cluster's many
+    * small partitions never see this shape). */
+  def docs(spark: SparkSession, n: Long, parts: Int): DataFrame = {
     import spark.implicits._
     val lex = lexicon
-    spark.range(0L, n).map { i =>
+    val base = if (parts > 0) spark.range(0L, n, 1L, parts)
+      else spark.range(0L, n)
+    base.map { i =>
       val words = Array.tabulate(100) { t =>
         val u = (mix(i * 1009 + t).abs % 1000000) / 1000000.0
         lex(math.min(V - 1, math.pow(V.toDouble, u).toLong.toInt))

@@ -26,20 +26,24 @@ object ProfileQuality {
     val buckets = args.lift(1).map(_.toInt).getOrElse(1 << 16)
     val iters = args.lift(2).map(_.toInt).getOrElse(6)
 
-    val all = Pipeline.qualityLabeled(ProfileBpe.docs(spark, nDocs))
+    // partitions sized for the cached-pairs frame: ~8k docs/partition
+    // keeps a task's pinned cache block + agg pages inside the local
+    // heap share (see ProfileBpe.docs scaladoc)
+    val parts = math.max(32, (nDocs / 8000L).toInt)
+    val all = Pipeline.qualityLabeled(ProfileBpe.docs(spark, nDocs, parts))
     val isTest = pmod(xxhash64(lit(3), col("orig")), lit(5)) === 0
 
     val t0 = System.nanoTime()
     val feats = QualityClassifier
-      .featurize(all.filter(!isTest), buckets).persist()
+      .featurizePacked(all.filter(!isTest), buckets).persist()
     val nFeat = feats.count()
     val tFeat = (System.nanoTime() - t0) / 1e9
     println(f"[profile-quality] docs=$nDocs buckets=$buckets " +
-      f"featurize=${tFeat}%.1fs featureRows=$nFeat")
+      f"featurizePacked=${tFeat}%.1fs docRows=$nFeat")
 
     var wPrev: QualityClassifier.QcModel = null
     val tTrain0 = System.nanoTime()
-    wPrev = QualityClassifier.train(feats, buckets, iters, lr = 4.0)
+    wPrev = QualityClassifier.trainPacked(feats, buckets, iters, lr = 4.0)
     val tTrain = (System.nanoTime() - tTrain0) / 1e9
     println(f"[profile-quality] train ${iters} iters=${tTrain}%.1fs " +
       f"(${tTrain / iters}%.2fs/iter)")

@@ -130,6 +130,51 @@ object QualityClassifier {
         lr * gU.toDouble * WeightScale / (ErrScale.toDouble * n))
     }
 
+  /** Packed featurize: (doc_id, label, len, pairs[(bucket, cnt)]) in
+    * ONE map-only kernel pass — no explode, no groupBy, NO shuffle.
+    * The exploded [[featurize]] shuffled 289M feature rows at 1M docs;
+    * this form shuffles nothing and [[trainPacked]] iterates over it
+    * join-free. Pairs include the bias (bucket = buckets, cnt = len). */
+  def featurizePacked(docs: DataFrame, buckets: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      labelCol: String = "label"): DataFrame =
+    docs.select(col(idCol).as("doc_id"), col(labelCol).as("label"),
+      graft.functions.QcExpressions
+        .qcFeaturePairs(col(textCol), buckets, HashSeed).as("f"))
+      .select(col("doc_id"), col("label"),
+        col("f.len").as("len"), col("f.pairs").as("pairs"))
+
+  /** Training over the packed frame: per iteration ONE map pass (margin
+    * numerator via the dot kernel, per-doc error in-row — e_u computed
+    * in its own Project BELOW the Generate, the Pq posexplode lesson)
+    * plus a ≤B+1-row partial-aggregated gradient shuffle. No joins, no
+    * doc-keyed exchange at all — strictly less cluster traffic than
+    * [[train]], bit-identical weights (same long sums, same scalar ops
+    * in the same order; spec-pinned against train AND trainLocal). */
+  def trainPacked(packed: DataFrame, buckets: Int, iters: Int,
+      lr: Double): QcModel = {
+    val spark = packed.sparkSession
+    import spark.implicits._
+    val n = packed.count()
+    val w = new Array[Long](buckets + 1)
+    for (_ <- 0 until iters) {
+      val grads = packed
+        .select(col("pairs"), col("label"), col("len"),
+          graft.functions.QcExpressions.qcDotNum(col("pairs"), w.clone())
+            .as("num"))
+        .select(col("pairs"), col("label"), col("len"),
+          ((col("num") / col("len")) / lit(WeightScale.toDouble))
+            .as("margin"))
+        .select(col("pairs"), expr(errExpr).as("e_u"))
+        .select(explode(col("pairs")).as("p"), col("e_u"))
+        .groupBy(col("p.bucket").as("bucket"))
+        .agg(sum(col("p.cnt") * col("e_u")).as("g_u"))
+        .as[(Int, Long)].collect()
+      update(w, grads.iterator, lr, n)
+    }
+    QcModel(buckets, w)
+  }
+
   /** Full-batch logistic GD, distributed. Deterministic: same corpus,
     * buckets, iters, lr → bit-identical weights under any partitioning
     * (all reductions are long sums); [[trainLocal]] is the reference. */

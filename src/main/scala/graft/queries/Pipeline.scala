@@ -224,9 +224,10 @@ object Pipeline extends QueryFamily {
       val isTest = pmod(xxhash64(lit(3), col("orig")), lit(5)) === 0
       val buckets = 4096
       val trainFeats =
-        QualityClassifier.featurize(all.filter(!isTest), buckets).cache()
+        QualityClassifier.featurizePacked(all.filter(!isTest), buckets).cache()
       val model =
-        try QualityClassifier.train(trainFeats, buckets, iters = 6, lr = 4.0)
+        try QualityClassifier.trainPacked(trainFeats, buckets,
+          iters = 6, lr = 4.0)
         finally trainFeats.unpersist()
       // scoring is the in-row kernel: map-only, no featurize, no shuffle
       // (bit-equal to the join path — QualityClassifierSpec)

@@ -38,6 +38,33 @@ class QualityClassifierSpec extends SparkSuite {
     } finally feats.unpersist()
   }
 
+  test("packed path == exploded path: features as multisets, weights bit-for-bit") {
+    import org.apache.spark.sql.functions.explode
+    import spark.implicits._
+    val all = labeled
+    val exploded = QualityClassifier.featurize(all, buckets)
+      .select("doc_id", "label", "len", "bucket", "cnt")
+      .as[(Long, Int, Long, Int, Long)].collect().sorted.toSeq
+    val packed = QualityClassifier.featurizePacked(all, buckets).cache()
+    try {
+      val unpacked = packed
+        .select(col("doc_id"), col("label"), col("len"),
+          explode(col("pairs")).as("p"))
+        .select(col("doc_id"), col("label"), col("len"),
+          col("p.bucket"), col("p.cnt"))
+        .as[(Long, Int, Long, Int, Long)].collect().sorted.toSeq
+      assert(unpacked == exploded, "packed featurize diverged")
+
+      val viaPacked =
+        QualityClassifier.trainPacked(packed, buckets, iters = 3, lr = 4.0)
+      val feats = QualityClassifier.featurize(all, buckets).cache()
+      val viaJoin =
+        try QualityClassifier.train(feats, buckets, iters = 3, lr = 4.0)
+        finally feats.unpersist()
+      assert(viaPacked.weightsU.sameElements(viaJoin.weightsU))
+    } finally packed.unpersist()
+  }
+
   test("kernel scoring == join-path scoring bit-for-bit, incl. edge text") {
     import spark.implicits._
     val all = labeled

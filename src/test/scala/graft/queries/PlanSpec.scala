@@ -340,15 +340,17 @@ class PlanSpec extends SparkSuite {
       s"a probe join fell back to SMJ:\n${plan.take(2000)}")
   }
 
-  test("q_quality_classifier scores via broadcast weights + partial agg") {
+  test("q_quality_classifier scoring is map-only (in-row kernel, no joins)") {
     val plan = executedPlan("q_quality_classifier")
     // (this executes the 6 training iterations first — sf0.001 is cheap)
-    assert(plan.contains("BroadcastHashJoin"),
-      s"weight join stopped broadcasting:\n${plan.take(2000)}")
-    assert(!plan.contains("SortMergeJoin"),
-      s"weight join fell back to SMJ:\n${plan.take(2000)}")
-    assert(plan.split("HashAggregate").length >= 3, // partial + final margin
-      s"margin aggregation lost its partial:\n${plan.take(2000)}")
+    // scoring collapsed from featurize → broadcast-join → aggregate to
+    // ONE expression call per row: the plan must carry the kernel and
+    // NOTHING relational besides the final sort
+    assert(plan.contains("qc_score_u"),
+      s"scoring kernel missing from plan:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"), s"scoring grew a join:\n${plan.take(2000)}")
+    assert(!plan.contains("HashAggregate"),
+      s"scoring grew an aggregation:\n${plan.take(2000)}")
   }
 
 }
