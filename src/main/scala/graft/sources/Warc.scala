@@ -52,8 +52,11 @@ object Warc {
     val rows = spark.sparkContext.binaryFiles(path)
       .flatMap { case (file, pds) =>
         val raw = new BufferedInputStream(pds.open(), 1 << 16)
+        // buffer ABOVE the inflater too: header parsing reads byte-at-a-
+        // time, and unbuffered that is one inflater call per byte
         val in =
-          if (file.endsWith(".gz")) new GZIPInputStream(raw, 1 << 16)
+          if (file.endsWith(".gz"))
+            new BufferedInputStream(new GZIPInputStream(raw, 1 << 16), 1 << 16)
           else raw
         parseStream(file, in)
       }
