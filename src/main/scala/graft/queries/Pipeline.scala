@@ -549,8 +549,13 @@ object Pipeline extends QueryFamily {
         .select(col("doc_id"),
           md5(array_join(slice(col("ts"), col("pos") + 1, lit(8)), " "))
             .as("h"))
-      val firsts = spans.groupBy("h").agg(min("doc_id").as("first_doc"))
-      spans.join(firsts.hint("shuffle_hash"), Seq("h"))
+      // first-occurrence via whole-partition window min — the firsts
+      // frame is corpus-sized (span hashes are mostly unique), so the
+      // old groupBy+SHUFFLE_HASH join built a corpus-sized hash table;
+      // the window is one spillable shuffle (see spanExcise)
+      spans
+        .withColumn("first_doc",
+          min("doc_id").over(Window.partitionBy("h")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_spans"),
           sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
@@ -573,8 +578,9 @@ object Pipeline extends QueryFamily {
       val spans = toks.select(col("doc_id"),
         explode(graft.functions.TextFunctions.spanHashes(col("ts"), 8))
           .as("h"))
-      val firsts = spans.groupBy("h").agg(min("doc_id").as("first_doc"))
-      spans.join(firsts.hint("shuffle_hash"), Seq("h"))
+      spans
+        .withColumn("first_doc",
+          min("doc_id").over(Window.partitionBy("h")))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_spans"),
           sum(when(col("first_doc") < col("doc_id"), 1L).otherwise(0L))
@@ -631,8 +637,16 @@ object Pipeline extends QueryFamily {
       .select(col("doc_id"), col("pos"),
         (col("doc_id") * 1000000 + col("pos")).as("key"),
         col("col").as("h"))
-    val firsts = spans.groupBy("h").agg(min("key").as("first_key"))
-    val dupStarts = spans.join(firsts.hint("shuffle_hash"), Seq("h"))
+    // first-occurrence via a whole-partition window min, NOT a
+    // groupBy+join: span hashes are mostly unique, so a "firsts" frame
+    // is CORPUS-sized and a hash-join build of it cannot fit any
+    // executor at scale (measured: 1M docs × ~100 spans kills an 8 GB
+    // local heap; 100 TB kills anything). The window is one shuffle of
+    // the span frame by h with a spillable sort — the q_span_dedup
+    // join shape's scale-safe replacement.
+    val firstW = Window.partitionBy("h")
+    val dupStarts = spans
+      .withColumn("first_key", min("key").over(firstW))
       .filter(col("key") > col("first_key"))
       .select(col("doc_id"), col("pos"))
     val w = Window.partitionBy("doc_id").orderBy("pos")

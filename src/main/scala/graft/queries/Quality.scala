@@ -61,6 +61,34 @@ object Quality extends QueryFamily {
             .as("seen_max_u"))
         .orderBy("bucket")
     },
+    "q_drift_psi" -> { (s, d) =>
+      // Corpus drift monitor: Population Stability Index between two
+      // corpus snapshots (stand-ins: even/odd doc_id halves) over the
+      // token distribution — the production alarm for "this week's
+      // crawl shifted under the filters". Add-one smoothing keeps every
+      // vocab token defined in both snapshots; per-token contributions
+      // (p−q)·ln(p/q) quantize to integer micro-units with identical
+      // operand order in both engines (the unigram-surprisal
+      // discipline). One corpus shuffle (token counts, partial-agged);
+      // the scalar totals ride a 1-row broadcast.
+      val toks = Tables.documents(s, d)
+        .select((col("doc_id") % 2).as("snap"),
+          explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val counts = toks.groupBy("token").agg(
+        sum(when(col("snap") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("snap") === 1, 1L).otherwise(0L)).as("cb"))
+      val tot = counts.agg(
+        sum("ca").cast("double").as("na"),
+        sum("cb").cast("double").as("nb"),
+        count(lit(1)).cast("double").as("v"))
+      val p = (col("ca") + 1).cast("double") / (col("na") + col("v"))
+      val q = (col("cb") + 1).cast("double") / (col("nb") + col("v"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("token"), col("ca"), col("cb"),
+          floor(lit(1e6) * (p - q) * log(p / q)).cast("long").as("psi_u"))
+        .orderBy("token")
+    },
     "q_expectations" -> { (s, d) =>
       // declarative validation: each rule is a conditional sum in ONE
       // aggregation row; stack() unpivots to (rule, violations, total)
@@ -115,6 +143,27 @@ object Quality extends QueryFamily {
         |  CAST(floor(max(l_extendedprice) * 1000000) AS BIGINT)
         |    AS seen_max_u
         |FROM lineitem, b GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_drift_psi" ->
+      """WITH t AS (
+        |  SELECT doc_id % 2 AS snap, unnest(string_split(text, ' ')) AS token
+        |  FROM documents),
+        |c AS (
+        |  SELECT token,
+        |    CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM t WHERE token <> '' GROUP BY token),
+        |s AS (
+        |  SELECT CAST(sum(ca) AS DOUBLE) AS na,
+        |         CAST(sum(cb) AS DOUBLE) AS nb,
+        |         CAST(count(*) AS DOUBLE) AS v
+        |  FROM c)
+        |SELECT token, ca, cb,
+        |  CAST(floor(1e6 * (CAST(ca + 1 AS DOUBLE) / (na + v)
+        |                    - CAST(cb + 1 AS DOUBLE) / (nb + v))
+        |    * ln((CAST(ca + 1 AS DOUBLE) / (na + v))
+        |         / (CAST(cb + 1 AS DOUBLE) / (nb + v)))) AS BIGINT)
+        |    AS psi_u
+        |FROM c, s ORDER BY token""".stripMargin,
     "q_expectations" ->
       """WITH a AS (SELECT count(*) AS total,
         |  CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1

@@ -119,13 +119,20 @@ class PlanSpec extends SparkSuite {
     }
   }
 
-  test("q_span_dedup aggregates partially and never broadcasts a corpus side") {
+  test("q_span_dedup finds first occurrences without any join") {
     val plan = executedPlan("q_span_dedup")
+    // first-occurrence = whole-partition window min over the span hash:
+    // the firsts frame is corpus-sized (hashes mostly unique), so any
+    // join against it builds/sorts a corpus-sized side — the window is
+    // one spillable shuffle (measured: the old SHUFFLE_HASH build dies
+    // at 1M docs on an 8 GB heap)
+    assert(plan.contains("Window"), "window-min first occurrence missing")
+    assert(!plan.contains("Join"),
+      s"first-occurrence join reappeared:\n${plan.take(2000)}")
     assert(plan.split("HashAggregate").length >= 3, // partial + final
-      "span-hash aggregation lost its partial phase")
-    assert(plan.contains("ShuffledHashJoin"),
-      s"first-occurrence join no longer pinned shuffle-hash:\n${plan.take(2000)}")
-    assert(!plan.contains("CartesianProduct"))
+      "per-doc aggregation lost its partial phase")
+    assert(!plan.contains("Exchange SinglePartition"),
+      "window collapsed to one partition")
   }
 
   test("q_corpus_shuffle windows per shard, never globally") {
