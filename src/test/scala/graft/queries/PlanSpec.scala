@@ -347,6 +347,26 @@ class PlanSpec extends SparkSuite {
       s"a probe join fell back to SMJ:\n${plan.take(2000)}")
   }
 
+  test("q_span_excise runs the no-join window shape end to end") {
+    val plan = executedPlan("q_span_excise")
+    assert(!plan.contains("Join"),
+      s"first-occurrence join reappeared:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange SinglePartition"),
+      "a window collapsed to one partition")
+  }
+
+  test("q_drift_psi broadcasts the 1-row totals and joins nothing else") {
+    val plan = executedPlan("q_drift_psi")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"totals broadcast lost:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"drift grew a shuffled join:\n${plan.take(2000)}")
+    assert(plan.split("HashAggregate").length >= 3, // partial + final counts
+      "token counts lost partial aggregation")
+  }
+
   test("q_quality_classifier scoring is map-only (in-row kernel, no joins)") {
     val plan = executedPlan("q_quality_classifier")
     // (this executes the 6 training iterations first — sf0.001 is cheap)
