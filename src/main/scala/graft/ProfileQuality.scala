@@ -41,9 +41,8 @@ object ProfileQuality {
     println(f"[profile-quality] docs=$nDocs buckets=$buckets " +
       f"featurizePacked=${tFeat}%.1fs docRows=$nFeat")
 
-    var wPrev: QualityClassifier.QcModel = null
     val tTrain0 = System.nanoTime()
-    wPrev = QualityClassifier.trainPacked(feats, buckets, iters, lr = 4.0)
+    val wPrev = QualityClassifier.trainPacked(feats, buckets, iters, lr = 4.0)
     val tTrain = (System.nanoTime() - tTrain0) / 1e9
     println(f"[profile-quality] train ${iters} iters=${tTrain}%.1fs " +
       f"(${tTrain / iters}%.2fs/iter)")

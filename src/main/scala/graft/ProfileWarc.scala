@@ -21,12 +21,7 @@ import graft.sources.Warc
   */
 object ProfileWarc {
 
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def mix(z0: Long): Long = ProfileBpe.mix(z0)
 
   private def record(uri: String, body: String): Array[Byte] = {
     val http = (s"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +

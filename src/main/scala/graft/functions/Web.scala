@@ -20,9 +20,12 @@ object Web {
     val noBlocks = regexp_replace(html,
       "(?is)<(script|style)[^>]*>.*?</\\1>|<!--.*?-->", " ")
     val noTags = regexp_replace(noBlocks, "(?s)<[^>]*>", " ")
+    // &amp; decodes LAST — it is the escape for the escape character, so
+    // decoding it first would double-decode '&amp;lt;' (visible text
+    // '&lt;') into '<'
     val entities = Seq(
-      "&nbsp;" -> " ", "&amp;" -> "&", "&lt;" -> "<", "&gt;" -> ">",
-      "&quot;" -> "\"", "&#39;" -> "'")
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (from, to)) =>
         regexp_replace(c, java.util.regex.Pattern.quote(from), to)
       }
@@ -40,8 +43,11 @@ object Web {
     val lowered = concat(
       lower(regexp_extract(noFragment, "^([A-Za-z][A-Za-z0-9+.-]*://[^/?]*)", 1)),
       regexp_replace(noFragment, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?]*", ""))
-    val noPort = regexp_replace(lowered,
-      "^(https?://[^/:?]*):(?:80|443)(?=[/?]|$)", "$1")
+    // default ports are scheme-specific: stripping :443 from http (or
+    // :80 from https) would collide genuinely distinct origins
+    val noPort = regexp_replace(
+      regexp_replace(lowered, "^(http://[^/:?]*):80(?=[/?]|$)", "$1"),
+      "^(https://[^/:?]*):443(?=[/?]|$)", "$1")
     val noTracking = regexp_replace(noPort,
       "(?<=[?&])(?:utm_[A-Za-z]+|fbclid|gclid)=[^&]*&?", "")
     regexp_replace(noTracking, "[?&]+$", "")

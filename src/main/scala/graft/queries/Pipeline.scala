@@ -96,7 +96,9 @@ object Pipeline extends QueryFamily {
           concat(t, lit("zq"))).otherwise(t)), " ")
     val pos = docs.select(col("doc_id"), col("text"), lit(1).as("label"),
       col("doc_id").as("orig"))
-    val neg = docs.select((col("doc_id") + lit(10000000L)).as("doc_id"),
+    // 1L<<40 keeps the twin id space disjoint at ANY sweep size (a 1e7
+    // offset aliased corrupted twins onto real ids past 10M docs)
+    val neg = docs.select((col("doc_id") + lit(1L << 40)).as("doc_id"),
       corrupted.as("text"), lit(0).as("label"), col("doc_id").as("orig"))
     pos.union(neg)
   }

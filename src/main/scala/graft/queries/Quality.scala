@@ -36,7 +36,11 @@ object Quality extends QueryFamily {
         count_distinct(col("l_suppkey")).as("supp_distinct"),
         floor(min("l_quantity") * 1000000).cast("long").as("qty_min_u"),
         floor(max("l_quantity") * 1000000).cast("long").as("qty_max_u"),
-        floor(avg("l_quantity") * 1000000).cast("long").as("qty_avg_u"),
+        // avg over the DECIMAL sum (§7.5): a double avg is partial-
+        // aggregation-order dependent and floor can flip at a boundary
+        floor(sum(col("l_quantity").cast("decimal(18,4)"))
+            .cast("double") / count(lit(1)) * 1000000)
+          .cast("long").as("qty_avg_u"),
         floor(min("l_extendedprice") * 1000000).cast("long").as("price_min_u"),
         floor(max("l_extendedprice") * 1000000).cast("long").as("price_max_u"),
         min(year(col("l_shipdate"))).as("ship_year_min"),
@@ -126,7 +130,8 @@ object Quality extends QueryFamily {
         |  count(DISTINCT l_suppkey) AS supp_distinct,
         |  CAST(floor(min(l_quantity) * 1000000) AS BIGINT) AS qty_min_u,
         |  CAST(floor(max(l_quantity) * 1000000) AS BIGINT) AS qty_max_u,
-        |  CAST(floor(avg(l_quantity) * 1000000) AS BIGINT) AS qty_avg_u,
+        |  CAST(floor(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE)
+        |    / count(*) * 1000000) AS BIGINT) AS qty_avg_u,
         |  CAST(floor(min(l_extendedprice) * 1000000) AS BIGINT) AS price_min_u,
         |  CAST(floor(max(l_extendedprice) * 1000000) AS BIGINT) AS price_max_u,
         |  min(year(l_shipdate)) AS ship_year_min,

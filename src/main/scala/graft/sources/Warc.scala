@@ -112,6 +112,17 @@ object Warc {
       new String(buf.toArray, 0, n, "UTF-8")
     }
 
+    private def skipFully(n: Long): Unit = {
+      var left = n
+      val buf = new Array[Byte](1 << 16)
+      while (left > 0) {
+        val k = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+        if (k < 0) throw new EOFException(
+          s"payload truncated with $left of $n bytes unread")
+        left -= k
+      }
+    }
+
     private def readFully(n: Int): Array[Byte] = {
       val out = new Array[Byte](n)
       var off = 0
@@ -145,16 +156,25 @@ object Warc {
           }.toMap
         val len = headers.getOrElse("content-length",
           throw new IllegalArgumentException("missing Content-Length"))
-          .toInt
-        val payload = readFully(len)
-        nextRec = Rec(file, recordId,
-          headers.getOrElse("warc-type", ""),
-          // the header value is a URI, sometimes <bracketed> (WARC 1.0)
-          headers.getOrElse("warc-target-uri", "")
-            .stripPrefix("<").stripSuffix(">"),
-          headers.getOrElse("warc-date", ""),
-          headers.getOrElse("content-type", ""),
-          payload, null)
+          .toLong
+        if (len > Int.MaxValue - 8) {
+          // well-formed but oversized (WARC caps nothing): the record
+          // is perfectly framed, so SKIP its payload and keep parsing —
+          // only this record quarantines, not the file's remainder
+          skipFully(len)
+          nextRec = Rec(file, recordId, "", "", "", "", null,
+            s"record $recordId: payload $len bytes exceeds array limit")
+        } else {
+          val payload = readFully(len.toInt)
+          nextRec = Rec(file, recordId,
+            headers.getOrElse("warc-type", ""),
+            // the header value is a URI, sometimes <bracketed> (WARC 1.0)
+            headers.getOrElse("warc-target-uri", "")
+              .stripPrefix("<").stripSuffix(">"),
+            headers.getOrElse("warc-date", ""),
+            headers.getOrElse("content-type", ""),
+            payload, null)
+        }
         recordId += 1
       } catch {
         case e: Exception =>

@@ -98,7 +98,7 @@ class QualityClassifierSpec extends SparkSuite {
     all.filter(col("label") === 1).select("doc_id", "text")
       .write.parquet(s"$dir/pos")
     all.filter(col("label") === 0)
-      .select((col("doc_id") - 10000000L).as("doc_id"), col("text"))
+      .select((col("doc_id") - (1L << 40)).as("doc_id"), col("text"))
       .write.parquet(s"$dir/neg")
     graft.CliMain.main(Array("quality", "train", s"$dir/pos", s"$dir/neg",
       s"$dir/model", "--buckets", "512", "--iters", "3"))

@@ -133,6 +133,15 @@ class WarcSpec extends SparkSuite {
     assert(spark.read.parquet(s"$out/_dead_letters").count() == 1)
   }
 
+  test("htmlText decodes the escape character LAST (no double-decode)") {
+    import spark.implicits._
+    // visible text of 'a &amp;lt; b' is 'a &lt; b' — decoding &amp;
+    // first would double-decode it to 'a < b'
+    val out = Seq("<p>a &amp;lt; b</p>").toDF("t")
+      .select(Web.htmlText(col("t"))).as[String].collect().head
+    assert(out == "a &lt; b", out)
+  }
+
   test("urlNormalize: ports, fragments, tracking params, case") {
     import spark.implicits._
     val cases = Seq(
@@ -140,6 +149,9 @@ class WarcSpec extends SparkSuite {
       "http://h.io/p?utm_campaign=a&utm_medium=b" -> "http://h.io/p",
       "https://h.io/p#sec" -> "https://h.io/p",
       "https://h.io:8080/p" -> "https://h.io:8080/p", // non-default port kept
+      // default ports are scheme-specific: these are NOT default and stay
+      "http://h.io:443/p" -> "http://h.io:443/p",
+      "https://h.io:80/p" -> "https://h.io:80/p",
       "relative/path" -> "relative/path")
     val out = cases.map(_._1).toDF("u")
       .select(Web.urlNormalize(col("u"))).as[String].collect()
