@@ -45,7 +45,9 @@ object Bloom {
     * rows, at most mBits/64 of them. mBits must be a multiple of 64. */
   def build(grams: DataFrame, gramCol: String, mBits: Long, k: Int)
       : DataFrame = {
-    require(mBits % 64 == 0, s"mBits $mBits not a multiple of 64")
+    require(mBits % 64 == 0 && mBits > 0,
+      s"mBits $mBits not a positive multiple of 64")
+    require(k >= 1, s"bloom filter needs k >= 1 probes, got $k")
     grams
       .select(col(gramCol).as("g"),
         explode(sequence(lit(0), lit(k - 1))).as("r"))

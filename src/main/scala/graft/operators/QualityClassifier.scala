@@ -156,6 +156,7 @@ object QualityClassifier {
     val spark = packed.sparkSession
     import spark.implicits._
     val n = packed.count()
+    require(n > 0, "trainPacked: empty corpus (n = 0 divides the update)")
     val w = new Array[Long](buckets + 1)
     for (_ <- 0 until iters) {
       val grads = packed
@@ -183,6 +184,7 @@ object QualityClassifier {
     val spark = features.sparkSession
     import spark.implicits._
     val n = features.select("doc_id").distinct().count()
+    require(n > 0, "train: empty corpus (n = 0 divides the update)")
     val w = new Array[Long](buckets + 1)
     for (_ <- 0 until iters) {
       val errs = margins(features, w)
