@@ -20,12 +20,7 @@ import graft.streaming.EmbedNearDupStage
   */
 object ProfileEmbedDedup {
 
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
+  private def mix(z0: Long): Long = ProfileBpe.mix(z0)
 
   private def gauss(seed: Long): Double = {
     // two uniform draws → Box-Muller (deterministic, executor-side)
