@@ -586,6 +586,35 @@ object Llm extends QueryFamily {
           slice(col("ids"), 1, 8).as("ids_head"))
         .orderBy("doc_id")
     },
+    "q_unigram_vocab" -> { (s, d) =>
+      // Unigram-LM tokenizer TRAINING (operators.Unigram — the
+      // SentencePiece `unigram` model, Kudo 2018): seed substring
+      // vocabulary → EM over the segmentation lattice → Viterbi-loss
+      // prune, all over the weighted word vocabulary (one corpus-sized
+      // shuffle; every later pass is vocab-sized and the E-step crosses
+      // rows only as micro-unit longs, so the aggregation is
+      // order-free). Iterative model learning ⇒ no DuckDB oracle
+      // (rows-only); UnigramSpec pins the distributed trainer
+      // bit-for-bit against the single-threaded reference and the
+      // Viterbi kernel against exhaustive enumeration.
+      graft.operators.Unigram.train(Tables.documents(s, d),
+        vocabSize = 200, maxPieceLen = 4, seedSize = 600, emIters = 2)
+    },
+    "q_unigram_encode" -> { (s, d) =>
+      // Unigram corpus ENCODE — Viterbi segmentation through the
+      // codegen'd kernel (functions.UnigramEncode): model state as a
+      // codegen reference object, integer micro-nat scores (exact tie
+      // breaks), one kernel call per row, map-only. Rows-only;
+      // UnigramSpec pins the kernel and the decode round-trip.
+      val docs = Tables.documents(s, d)
+      val table = graft.operators.Unigram.train(docs, vocabSize = 200,
+        maxPieceLen = 4, seedSize = 600, emIters = 2)
+      val model = graft.operators.Unigram.modelOf(table)
+      graft.operators.Unigram.encodeIds(docs, model)
+        .select(col("doc_id"), size(col("ids")).as("n_tokens"),
+          slice(col("ids"), 1, 8).as("ids_head"))
+        .orderBy("doc_id")
+    },
     "q_heavy_hitters" -> { (s, d) =>
       // Exact heavy hitters: tokens carrying ≥0.5% of the token stream.
       // Integer-threshold form (c·200 ≥ n) — no float ratio, bit-exact.

@@ -18,6 +18,8 @@ class SparkEntrySpec extends SparkSuite {
     "q_heavy_hitters_cms", // count-min sketch    → SketchSpec
     "q_bpe_merges",      // BPE tokenizer training → BpeSpec
     "q_bpe_encode",      // BPE corpus encode (greedy apply) → BpeSpec
+    "q_unigram_vocab",   // unigram-LM tokenizer training (EM) → UnigramSpec
+    "q_unigram_encode",  // unigram Viterbi corpus encode → UnigramSpec
     "q_quality_classifier", // learned filter (GD ≡ classical loop,
                          //   held-out accuracy) → QualityClassifierSpec
     "q_contamination_bloom") // Bloom probe (no false negatives,
