@@ -53,4 +53,66 @@ object Sketch {
       .groupBy("token")
       .agg(min(coalesce(col("c"), lit(0L))).as("est"))
   }
+
+  // ------------------------------------------------------------------
+  // DDSketch — quantiles with the same fixed-memory/mergeable shape
+  // ------------------------------------------------------------------
+
+  /** DDSketch (Masson, Rim & Lee 2019, "DDSketch: a fast and fully-
+    * mergeable quantile sketch with relative-error guarantees", VLDB
+    * 12(12)) over a positive value column — the quantile analogue of
+    * the count-min path above, chosen over KLL/t-digest deliberately:
+    * its buckets have FIXED log-scaled boundaries (bucket(x) =
+    * ⌈log_γ x⌉, γ = (1+α)/(1−α)), so a sketch is just (bucket, count)
+    * rows and MERGE is bucketwise addition — commutative, associative,
+    * and independent of partition/merge order. KLL's randomized
+    * compaction makes the sketch content depend on the order partials
+    * meet, which breaks this repo's determinism contract; DDSketch's
+    * answer is bit-stable for a given input no matter how Spark
+    * schedules the aggregation.
+    *
+    * Memory/shuffle: the shuffle carries at most one row per occupied
+    * bucket per partition — ⌈log_γ(max/min)⌉ buckets total (α = 1%:
+    * ~2.3k buckets for a 10²⁰ dynamic range), regardless of row count.
+    * Guarantee: the estimate for the rank-⌈qN⌉ value x has
+    * |est − x| ≤ α·x (relative error, not rank error — the right
+    * contract for long-tailed corpus stats). Values ≤ 0 are excluded
+    * by definition (log domain); count them separately if they matter.
+    */
+  def ddSketch(values: DataFrame, valueCol: String,
+      alpha: Double): DataFrame = {
+    require(alpha > 0 && alpha < 1, s"ddSketch needs 0 < alpha < 1: $alpha")
+    val gamma = (1 + alpha) / (1 - alpha)
+    values
+      .filter(col(valueCol).cast("double") > 0d)
+      .select(ceil(log(gamma, col(valueCol).cast("double")))
+        .cast("long").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("c"))
+  }
+
+  /** Quantile estimates at ranks ⌈q·N⌉ for each q in `qs` (0 < q ≤ 1).
+    * The sketch is model-state sized, so the cumulative sum runs as a
+    * broadcast range self-join (no single-partition window) and the
+    * whole query is a handful of bucket-count-sized operations. */
+  def ddQuantiles(sketch: DataFrame, alpha: Double,
+      qs: Seq[Double]): DataFrame = {
+    require(qs.forall(q => q > 0 && q <= 1), s"quantiles must be in (0,1]: $qs")
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val gamma = (1 + alpha) / (1 - alpha)
+    val cum = sketch.as("a")
+      .join(broadcast(sketch.select(col("bucket").as("b2"),
+        col("c").as("c2"))), col("b2") <= col("a.bucket"))
+      .groupBy(col("a.bucket").as("bucket"))
+      .agg(sum(col("c2")).as("cum"))
+    val tot = sketch.agg(sum("c").as("n"))
+    qs.toDF("q")
+      .crossJoin(broadcast(cum.crossJoin(tot)))
+      .filter(col("cum") >= ceil(col("q") * col("n")))
+      .groupBy("q").agg(min("bucket").as("bucket"))
+      .select(col("q"),
+        (lit(2.0) * pow(lit(gamma), col("bucket")) / lit(gamma + 1))
+          .as("est"))
+      .orderBy("q")
+  }
 }

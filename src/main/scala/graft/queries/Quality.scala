@@ -93,6 +93,24 @@ object Quality extends QueryFamily {
           floor(lit(1e6) * (p - q) * log(p / q)).cast("long").as("psi_u"))
         .orderBy("token")
     },
+    "q_quantile_sketch" -> { (s, d) =>
+      // Mergeable quantiles via DDSketch (operators.Sketch.ddSketch):
+      // fixed log-scaled buckets, so shard sketches merge by bucketwise
+      // ADDITION — order-free and bit-deterministic, unlike KLL's
+      // randomized compaction — and the shuffle carries at most one row
+      // per occupied bucket per partition (~2.3k buckets at alpha=1%
+      // over a 10^20 dynamic range) however many rows feed it. The
+      // profiling companion to q_profile_histogram for long-tailed
+      // columns where equi-width buckets lose the tail. Float log
+      // bucketing ⇒ no cross-engine oracle (rows-only); SketchSpec pins
+      // the alpha relative-error guarantee against exact sorted
+      // quantiles and exact shard-merge equality.
+      val prices = Tables.lineitem(s, d)
+        .select(col("l_extendedprice").cast("double").as("v"))
+      val sketch = graft.operators.Sketch.ddSketch(prices, "v", alpha = 0.01)
+      graft.operators.Sketch.ddQuantiles(sketch, alpha = 0.01,
+        Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))
+    },
     "q_expectations" -> { (s, d) =>
       // declarative validation: each rule is a conditional sum in ONE
       // aggregation row; stack() unpivots to (rule, violations, total)

@@ -16,6 +16,7 @@ class SparkEntrySpec extends SparkSuite {
     "q_ann_pq_topk",     // product-quantization ANN → PqSpec
     "q_ann_ivfpq_topk",  // composed IVF+PQ index → PqSpec
     "q_heavy_hitters_cms", // count-min sketch    → SketchSpec
+    "q_quantile_sketch", // DDSketch quantiles (alpha rel-error) → SketchSpec
     "q_bpe_merges",      // BPE tokenizer training → BpeSpec
     "q_bpe_encode",      // BPE corpus encode (greedy apply) → BpeSpec
     "q_unigram_vocab",   // unigram-LM tokenizer training (EM) → UnigramSpec

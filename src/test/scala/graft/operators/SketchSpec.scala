@@ -54,4 +54,64 @@ class SketchSpec extends SparkSuite {
     val sketch = Sketch.countMin(tokens, "token", D, W)
     assert(sketch.count() <= D.toLong * W)
   }
+
+  // ---- DDSketch ----------------------------------------------------
+
+  private val Alpha = 0.01
+
+  private def prices = spark.read.parquet(s"$sf/lineitem.parquet")
+    .select(col("l_extendedprice").cast("double").as("v"))
+
+  test("ddsketch quantiles hold the alpha relative-error guarantee") {
+    import spark.implicits._
+    val exact = prices.as[Double].collect().sorted
+    val n = exact.length
+    val qs = Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0)
+    val sketch = Sketch.ddSketch(prices, "v", Alpha)
+    val est = Sketch.ddQuantiles(sketch, Alpha, qs)
+      .as[(Double, Double)].collect().toMap
+    qs.foreach { q =>
+      val x = exact(math.ceil(q * n).toInt - 1)
+      val e = est(q)
+      assert(math.abs(e - x) <= Alpha * x,
+        s"q=$q: est $e vs exact $x beyond alpha*$x")
+    }
+  }
+
+  test("ddsketch shards merge bucketwise to the whole sketch") {
+    import spark.implicits._
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select(col("l_orderkey"),
+        col("l_extendedprice").cast("double").as("v"))
+    val sA = Sketch.ddSketch(li.filter(col("l_orderkey") % 2 === 0), "v", Alpha)
+    val sB = Sketch.ddSketch(li.filter(col("l_orderkey") % 2 === 1), "v", Alpha)
+    val merged = sA.union(sB).groupBy("bucket").agg(sum("c").as("c"))
+      .as[(Long, Long)].collect().toSet
+    val whole = Sketch.ddSketch(prices, "v", Alpha)
+      .as[(Long, Long)].collect().toSet
+    assert(merged == whole)
+  }
+
+  test("ddsketch bucket count is log-bounded, not value-count-bounded") {
+    val sketch = Sketch.ddSketch(prices, "v", Alpha)
+    val gamma = (1 + Alpha) / (1 - Alpha)
+    val mm = prices.agg(min("v"), max("v")).collect()(0)
+    val bound = math.ceil(
+      math.log(mm.getDouble(1) / mm.getDouble(0)) / math.log(gamma)) + 2
+    assert(sketch.count() <= bound.toLong,
+      s"${sketch.count()} buckets vs log bound $bound")
+  }
+
+  test("ddsketch ignores non-positive values and rejects bad alpha") {
+    import spark.implicits._
+    val vals = Seq(-3.0, 0.0, 1.0, 10.0).toDF("v")
+    assert(Sketch.ddSketch(vals, "v", Alpha).agg(sum("c")).collect()(0)
+      .getLong(0) == 2L)
+    intercept[IllegalArgumentException] {
+      Sketch.ddSketch(vals, "v", 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      Sketch.ddQuantiles(Sketch.ddSketch(vals, "v", Alpha), Alpha, Seq(0.0))
+    }
+  }
 }
