@@ -46,6 +46,55 @@ object QuantExpressions {
     * and an ARRAY<ARRAY<DOUBLE>> per-query lookup-table column. */
   def adcScore(codes: Column, table: Column): Column =
     Bridge.column(AdcScore(Bridge.expression(codes), Bridge.expression(table)))
+
+  /** y = R·x for a dim×dim row-major rotation — the OPQ pre-transform
+    * ([[graft.operators.Opq]]); orthonormal R preserves dot products,
+    * so rotated-space ADC scores re-rank identically. */
+  def rotate(embedding: Column, rotation: Array[Float], dim: Int): Column =
+    Bridge.column(RotateVector(Bridge.expression(embedding), rotation, dim))
+}
+
+/** Map-only matrix-vector kernel: ARRAY<FLOAT>(dim) → ARRAY<FLOAT>(dim),
+  * y_i = Σ_j R[i·dim+j]·x_j accumulated in double. Model state as a
+  * codegen reference object, one kernel call per row (the BpeEncode
+  * discipline — a transform() HOF would run interpreted per element). */
+final case class RotateVector(child: Expression, rotation: Array[Float],
+    dim: Int) extends UnaryExpression with FloatArrayInput {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "rotate_vector"
+
+  def kernel(input: ArrayData): ArrayData = {
+    if (input.numElements() != dim)
+      throw new IllegalArgumentException(
+        s"rotate_vector: embedding length ${input.numElements()} != $dim")
+    val out = new Array[Float](dim)
+    var i = 0
+    while (i < dim) {
+      var s = 0.0
+      val base = i * dim
+      var j = 0
+      while (j < dim) {
+        s += rotation(base + j).toDouble * input.getFloat(j)
+        j += 1
+      }
+      out(i) = s.toFloat
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("rotateVector", this,
+      classOf[RotateVector].getName)
+    nullSafeCodeGen(ctx, ev, v => s"${ev.value} = $self.kernel($v);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
 }
 
 private[graft] trait FloatArrayInput { self: UnaryExpression =>

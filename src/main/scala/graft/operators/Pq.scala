@@ -262,7 +262,7 @@ object Pq {
 
   /** Exact re-rank of a (q_id, vec_id) shortlist: broadcast semi-join
     * fetch (the corpus never shuffles), codegen'd dot, windowed top-k. */
-  private def rerank(short: DataFrame, corpus: DataFrame,
+  private[operators] def rerank(short: DataFrame, corpus: DataFrame,
       queries: DataFrame, topK: Int): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("cos").desc, col("vec_id").asc)

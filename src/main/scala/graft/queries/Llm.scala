@@ -558,6 +558,25 @@ object Llm extends QueryFamily {
       graft.operators.Pq.searchRerank(codes, model, emb, queries,
         topK = 10, shortlist = 50)
     },
+    "q_ann_opq_topk" -> { (s, d) =>
+      // Optimized PQ (operators.Opq — Ge 2013's parametric OPQ): a
+      // PCA rotation with eigenvalue allocation decorrelates the
+      // embedding and balances variance across the m subspaces before
+      // quantization. The d×d second moment is one map-only pass with
+      // a fixed-point long combine; the eigensolve is driver-local
+      // Jacobi on the d×d model state; rotate→encode→ADC are all
+      // map-only codegen kernels. Rows-only; OpqSpec pins the
+      // orthonormality/dot-preservation contract and the relative
+      // error+recall win over plain PQ on a correlated corpus.
+      val emb = Tables.embeddings(s, d)
+      val model = graft.operators.Opq.train(emb, m = 16, k = 16, iters = 2)
+      val codes = graft.operators.Opq.encode(
+        emb.select(col("vec_id"), col("embedding")), model)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      graft.operators.Opq.searchRerank(codes, model, emb, queries,
+        topK = 10, shortlist = 50)
+    },
     "q_bpe_merges" -> { (s, d) =>
       // BPE tokenizer TRAINING (operators.Bpe): learn 12 merges over the
       // corpus. One corpus-sized shuffle builds the weighted vocabulary

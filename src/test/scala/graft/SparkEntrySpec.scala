@@ -15,6 +15,7 @@ class SparkEntrySpec extends SparkSuite {
     "q_semdedup",        // cluster-then-search semantic dedup → SemDedupSpec
     "q_ann_pq_topk",     // product-quantization ANN → PqSpec
     "q_ann_ivfpq_topk",  // composed IVF+PQ index → PqSpec
+    "q_ann_opq_topk",    // OPQ rotated product quantization → OpqSpec
     "q_heavy_hitters_cms", // count-min sketch    → SketchSpec
     "q_quantile_sketch", // DDSketch quantiles (alpha rel-error) → SketchSpec
     "q_bpe_merges",      // BPE tokenizer training → BpeSpec
