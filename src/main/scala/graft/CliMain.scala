@@ -216,36 +216,68 @@ object CliMain {
           val idx = graft.operators.Pq.buildIvfPq(emb, kCells, m, k, iters)
           graft.operators.Pq.writeIvfPq(idx, outDir)
           println(s"ivfpq index: $kCells cells, $m x $k codebooks -> $outDir")
+        case "opq" =>
+          // rotated PQ (Opq): the PCA+allocation rotation rides in the
+          // index layout next to the codebooks and codes
+          val m = flagVal("--m").map(_.toInt).getOrElse(16)
+          val k = flagVal("--k").map(_.toInt).getOrElse(16)
+          val model = graft.operators.Opq.train(emb, m, k, iters)
+          val codes = graft.operators.Opq.encode(
+            emb.selectExpr("vec_id", "embedding"), model)
+          graft.operators.Opq.writeOpq(model, codes, outDir)
+          println(s"opq index: dim ${model.dim} rotation, " +
+            s"$m x $k codebooks -> $outDir")
         case other => sys.error(s"unknown index kind: $other")
       }
       if (!reused) spark.stop()
-    // tokenize train <docsDir> <modelDir> [--merges N]: learn a BPE
-    // merge table from a documents parquet and persist the model
-    // (merges + base charset). tokenize encode <docsDir> <modelDir>
-    // <outDir>: apply a persisted model to a corpus, landing
+    // tokenize train <docsDir> <modelDir> [--algo bpe|unigram]
+    // [--merges N | --vocab N --max-piece N]: learn a tokenizer from a
+    // documents parquet and persist the model (BPE: merges + base
+    // charset; unigram: the piece table). tokenize encode <docsDir>
+    // <modelDir> <outDir>: apply a persisted model to a corpus, landing
     // (doc_id, ids ARRAY<INT>) parquet — the training-data pipeline's
     // token production step, map-only through the codegen'd kernel.
+    // Encode detects the model kind from the on-disk layout.
     case "tokenize" :: "train" :: docsDir :: modelDir :: flags =>
       def flagVal(name: String): Option[String] = flagValIn(flags, name)
       val reused =
         org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
       val spark = Sessions.get("graft-tokenize")
       val docs = spark.read.parquet(docsDir)
-      val n = flagVal("--merges").map(_.toInt).getOrElse(1000)
-      val merges = graft.operators.Bpe.train(docs, n)
-      val model = graft.operators.Bpe.rankModel(merges, docs)
-      graft.operators.Bpe.writeModel(model, spark, modelDir)
-      println(s"bpe model: ${model.merges.length} merges, " +
-        s"vocab ${model.vocabSize} -> $modelDir")
+      flagVal("--algo").getOrElse("bpe") match {
+        case "bpe" =>
+          val n = flagVal("--merges").map(_.toInt).getOrElse(1000)
+          val merges = graft.operators.Bpe.train(docs, n)
+          val model = graft.operators.Bpe.rankModel(merges, docs)
+          graft.operators.Bpe.writeModel(model, spark, modelDir)
+          println(s"bpe model: ${model.merges.length} merges, " +
+            s"vocab ${model.vocabSize} -> $modelDir")
+        case "unigram" =>
+          val v = flagVal("--vocab").map(_.toInt).getOrElse(8000)
+          val maxPiece = flagVal("--max-piece").map(_.toInt).getOrElse(6)
+          val table = graft.operators.Unigram.train(docs, vocabSize = v,
+            maxPieceLen = maxPiece)
+          val model = graft.operators.Unigram.modelOf(table)
+          graft.operators.Unigram.writeModel(model, spark, modelDir)
+          println(s"unigram model: ${model.vocabSize} pieces -> $modelDir")
+        case other => sys.error(s"unknown tokenizer algo: $other")
+      }
       if (!reused) spark.stop()
     case "tokenize" :: "encode" :: docsDir :: modelDir :: outDir :: _ =>
       val reused =
         org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
       val spark = Sessions.get("graft-tokenize")
-      val model = graft.operators.Bpe.loadModel(spark, modelDir)
       val docs = spark.read.parquet(docsDir)
-      graft.operators.Bpe.encodeIds(docs, model)
-        .write.mode("overwrite").parquet(outDir)
+      val isUnigram = new java.io.File(s"$modelDir/pieces").isDirectory
+      val encoded =
+        if (isUnigram) {
+          val model = graft.operators.Unigram.loadModel(spark, modelDir)
+          graft.operators.Unigram.encodeIds(docs, model)
+        } else {
+          val model = graft.operators.Bpe.loadModel(spark, modelDir)
+          graft.operators.Bpe.encodeIds(docs, model)
+        }
+      encoded.write.mode("overwrite").parquet(outDir)
       println(s"encoded ${spark.read.parquet(outDir).count()} docs -> $outDir")
       if (!reused) spark.stop()
     // search <indexDir> <embDir> <outDir> --kind ivf|ivfpq [--q ids]
@@ -276,6 +308,11 @@ object CliMain {
           val idx = graft.operators.Pq.loadIvfPq(spark, indexDir)
           graft.operators.Pq.searchIvfPq(idx, queries, emb, topK, nprobe,
             shortlist = flagVal("--shortlist").map(_.toInt)
+              .getOrElse(topK * 5))
+        case "opq" =>
+          val (model, codes) = graft.operators.Opq.loadOpq(spark, indexDir)
+          graft.operators.Opq.searchRerank(codes, model, emb, queries,
+            topK, shortlist = flagVal("--shortlist").map(_.toInt)
               .getOrElse(topK * 5))
         case other => sys.error(s"unknown search kind: $other")
       }

@@ -157,6 +157,50 @@ class CliMainSpec extends SparkSuite {
     assert(fromDisk.values.forall(_.forall(_ >= 0)), "OOV ids appeared")
   }
 
+  test("tokenize --algo unigram round-trips through the CLI") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cli-tok-uni").toString
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    CliMain.main(Array("tokenize", "train", docs, s"$root/model",
+      "--algo", "unigram", "--vocab", "150", "--max-piece", "4"))
+    assert(spark.read.parquet(s"$root/model/pieces").count() > 0)
+    CliMain.main(Array("tokenize", "encode", docs, s"$root/model",
+      s"$root/ids"))
+    val fromDisk = spark.read.parquet(s"$root/ids")
+      .as[(Long, Seq[Int])].collect().toMap
+    // the reloaded model encodes identically to the in-memory one
+    val docsDf = spark.read.parquet(docs)
+    val mem = graft.operators.Unigram.encodeIds(docsDf,
+      graft.operators.Unigram.modelOf(
+        graft.operators.Unigram.train(docsDf, vocabSize = 150,
+          maxPieceLen = 4)))
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(fromDisk == mem, "reloaded unigram tokenizer diverged")
+  }
+
+  test("opq index round-trips: build → write → load → search e2e") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("cli-opq").toString
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    CliMain.main(Array("index", emb, s"$root/idx", "--kind", "opq",
+      "--m", "16", "--k", "16"))
+    CliMain.main(Array("search", s"$root/idx", emb, s"$root/out",
+      "--kind", "opq", "--topk", "5", "--shortlist", "40"))
+    val out = spark.read.parquet(s"$root/out")
+    assert(out.count() == 25, "5 queries x top-5")
+    // from-disk search agrees with the in-memory build (deterministic
+    // training makes the models identical, not just equivalent)
+    val embDf = spark.read.parquet(emb)
+    val model = graft.operators.Opq.train(embDf, m = 16, k = 16, iters = 2)
+    val codes = graft.operators.Opq.encode(
+      embDf.selectExpr("vec_id", "embedding"), model)
+    val queries = embDf.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    val fromMem = graft.operators.Opq.searchRerank(codes, model, embDf,
+      queries, topK = 5, shortlist = 40).collect().toSeq
+    assert(out.orderBy("q_id", "rnk").collect().toSeq == fromMem)
+  }
+
   test("ivfpq index round-trips: build → write → load → search e2e") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -367,6 +367,44 @@ class PlanSpec extends SparkSuite {
       "token counts lost partial aggregation")
   }
 
+  test("q_unigram_encode is map-only through the Viterbi kernel") {
+    val plan = executedPlan("q_unigram_encode")
+    // one kernel call per row; the merge table is model state inside
+    // the expression — no join, no aggregate, only the final sort
+    assert(plan.contains("unigram_encode"),
+      s"Viterbi kernel missing from plan:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"),
+      s"encode grew a join:\n${plan.take(2000)}")
+    assert(!plan.contains("HashAggregate"),
+      s"encode grew an aggregation:\n${plan.take(2000)}")
+  }
+
+  test("q_quantile_sketch aggregates partially; joins stay broadcast") {
+    val plan = executedPlan("q_quantile_sketch")
+    // the bucket counts must combine map-side (the ≤#buckets/partition
+    // shuffle IS the operator's scale story), and every join touches
+    // only sketch-sized frames — broadcast, never shuffled
+    assert(plan.split("HashAggregate").length >= 3, // partial + final
+      s"bucket counts lost partial aggregation:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"a sketch-sized join shuffled:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastExchange"),
+      s"sketch frames no longer broadcast:\n${plan.take(2000)}")
+  }
+
+  test("q_ann_opq_topk composes rotate+encode kernels, broadcasts model state") {
+    val plan = executedPlan("q_ann_opq_topk")
+    // rotation and PQ assignment are both in-plan codegen kernels —
+    // falling back to HOF lambdas or a UDF would vanish these names
+    assert(plan.contains("rotate_vector"),
+      s"rotation kernel missing:\n${plan.take(2000)}")
+    assert(plan.contains("pq_codes"),
+      s"PQ encode kernel missing:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a model-state join fell back to SMJ:\n${plan.take(2000)}")
+  }
+
   test("q_quality_classifier scoring is map-only (in-row kernel, no joins)") {
     val plan = executedPlan("q_quality_classifier")
     // (this executes the 6 training iterations first — sf0.001 is cheap)
