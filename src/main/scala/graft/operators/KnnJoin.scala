@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.{TopKAggregator, Vectors}
+
+/** Distributed kNN join / kNN-graph construction: EVERY vector gets
+  * its top-k nearest neighbors (by dot product — cosine on unit-norm
+  * embeddings). The corpus×corpus generalization of [[Ann.search]]'s
+  * small-query-set shape, and the substrate for graph-based corpus
+  * analysis (neighborhood stats, cluster discovery via
+  * [[Dedup.connectedComponents]] on thresholded edges).
+  *
+  * Shape (the [[SemDedup]] cell-join discipline + the
+  * [[graft.functions.TopKAggregator]] shuffle bound):
+  *  - coarse IVF cells bucket the corpus; the DATA role keeps each
+  *    vector in its one primary cell, the QUERY role explodes each
+  *    vector to its `probes` nearest cells (codegen'd NearestCells —
+  *    model state in-kernel), so a (q, v) candidate appears AT MOST
+  *    ONCE (v has one primary cell; q probes it once) — no dedup pass;
+  *  - candidates stream through the cell equi-join and the codegen'd
+  *    dot WITHOUT materializing (one hash exchange on cell_id, the
+  *    data side the SHUFFLE_HASH build — cell-sized by the
+  *    k ≈ n/target_cell_size rule);
+  *  - per-query top-k runs through the typed bounded-state aggregator:
+  *    each map task keeps ≤ k candidates per query, so the final
+  *    shuffle carries O(n·k) rows, never the O(n·cell·p) candidate
+  *    stream. A window over the candidates would shuffle all of them.
+  *
+  * Exactness dial: `probes` = kCells probes every cell, making the
+  * candidate set the whole corpus — the result is then EXACTLY the
+  * brute-force kNN graph (KnnJoinSpec pins this identity); smaller
+  * `probes` trades recall for the (probes·n/kCells)-per-query scan
+  * that holds at 10⁹ vectors.
+  *
+  * At 100 TB: assignments partition by cell_id (writeIvf layout), the
+  * join co-locates by construction, and per-cell work is capped by
+  * kCells scaling with n. An NN-Descent refinement pass could sharpen
+  * recall without more probes; the IVF join is the production-simple
+  * first cut (it is what FAISS' IndexIVFFlat does per query,
+  * vectorized here across all queries at once).
+  */
+object KnnJoin {
+
+  /** (q_id, rnk, vec_id, cos): the kNN graph, `topK` edges per vector,
+    * deterministic (score desc, then smaller vec_id). */
+  def knnGraph(embeddings: DataFrame, topK: Int, kCells: Int,
+      iters: Int = 2, probes: Int = 2): DataFrame = {
+    val idx = Ann.buildIvf(embeddings, kCells, iters)
+    knnGraphOnIndex(idx, embeddings, topK, probes)
+  }
+
+  def knnGraphOnIndex(idx: Ann.IvfIndex, embeddings: DataFrame,
+      topK: Int, probes: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val probeCells = graft.functions.QuantExpressions.nearestCells(
+      col("embedding"), idx.centroids.flatten, idx.centroids.length,
+      idx.centroids.head.length, math.min(probes, idx.centroids.length))
+    val data = idx.assignments
+      .select(col("cell_id"), col("vec_id"), col("embedding").as("vd"))
+    val queries = embeddings
+      .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
+        explode(probeCells).as("cell_id"))
+      .repartition(col("cell_id"))
+    queries
+      .join(data.hint("shuffle_hash"), Seq("cell_id"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        Vectors.dot(col("qv"), col("vd")).as("score"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => TopKAggregator.Scored(t._2, t._3))
+      .agg(TopKAggregator.topK(topK).toColumn.name("nn"))
+      .flatMap { case (q, nn) => nn.zipWithIndex.map { case (sc, i) =>
+        (q, i + 1, sc.id, math.rint(sc.score * 1e6) / 1e6) } }
+      .toDF("q_id", "rnk", "vec_id", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
+  /** Neighborhood clusters: threshold the kNN graph at `tau` and run
+    * connected components — graph-based corpus clustering in two
+    * composed operators. Returns (vec_id, cluster). */
+  def knnClusters(embeddings: DataFrame, topK: Int, kCells: Int,
+      tau: Double, iters: Int = 2, probes: Int = 2): DataFrame = {
+    val edges = knnGraph(embeddings, topK, kCells, iters, probes)
+      .filter(col("cos") >= tau)
+      .select(col("q_id").as("src"), col("vec_id").as("dst"))
+    val cc = Dedup.connectedComponents(edges)
+      .select(col("id").as("vec_id"), col("comp"))
+    // singletons (no edge ≥ tau) cluster as themselves
+    embeddings.select(col("vec_id"))
+      .join(cc, Seq("vec_id"), "left")
+      .select(col("vec_id"),
+        coalesce(col("comp"), col("vec_id")).as("cluster"))
+      .orderBy("vec_id")
+  }
+}

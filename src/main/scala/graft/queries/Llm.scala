@@ -558,6 +558,27 @@ object Llm extends QueryFamily {
       graft.operators.Pq.searchRerank(codes, model, emb, queries,
         topK = 10, shortlist = 50)
     },
+    "q_knn_graph" -> { (s, d) =>
+      // Distributed kNN-graph (operators.KnnJoin): EVERY vector gets
+      // its top-5 neighbors — the corpus×corpus generalization of the
+      // broadcast-query ANN searches. Candidates stream through the
+      // IVF cell equi-join (a (q,v) pair appears at most once: primary
+      // cell data side × multi-probe query side) and per-query top-k
+      // runs through the bounded-state typed aggregator, so the final
+      // shuffle is O(n·k), never the candidate stream. k-means cells ⇒
+      // no DuckDB oracle (rows-only); KnnJoinSpec pins full-probe ≡
+      // brute-force EXACTLY plus the partial-probe recall floor.
+      graft.operators.KnnJoin.knnGraph(Tables.embeddings(s, d),
+        topK = 5, kCells = 16, iters = 2, probes = 2)
+    },
+    "q_knn_clusters" -> { (s, d) =>
+      // Graph-based corpus clustering: threshold the kNN graph, then
+      // connected components — two composed operators (KnnJoin +
+      // Dedup.connectedComponents). Rows-only; KnnJoinSpec pins exact
+      // recovery of planted cluster structure with noise isolation.
+      graft.operators.KnnJoin.knnClusters(Tables.embeddings(s, d),
+        topK = 5, kCells = 16, tau = 0.2, iters = 2, probes = 2)
+    },
     "q_ann_opq_topk" -> { (s, d) =>
       // Optimized PQ (operators.Opq — Ge 2013's parametric OPQ): a
       // PCA rotation with eigenvalue allocation decorrelates the

@@ -405,6 +405,22 @@ class PlanSpec extends SparkSuite {
       s"a model-state join fell back to SMJ:\n${plan.take(2000)}")
   }
 
+  test("q_knn_graph streams candidates; top-k merges bounded state") {
+    val plan = executedPlan("q_knn_graph")
+    // the corpus-sized sides meet in the hinted cell equi-join — never a
+    // broadcast of a corpus-scaled frame, never a cartesian
+    assert(plan.contains("ShuffledHashJoin"),
+      s"cell join lost its shuffle-hash pin:\n${plan.take(2000)}")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"knn join regressed to all-pairs:\n${plan.take(2000)}")
+    // per-query top-k through the typed aggregator's partial/merge
+    // split: the shuffle after the join carries ≤k rows per query per
+    // partition, not the candidate stream
+    assert(plan.split("ObjectHashAggregate").length >= 3,
+      s"top-k aggregator lost its partial phase:\n${plan.take(2000)}")
+  }
+
   test("q_quality_classifier scoring is map-only (in-row kernel, no joins)") {
     val plan = executedPlan("q_quality_classifier")
     // (this executes the 6 training iterations first — sf0.001 is cheap)
