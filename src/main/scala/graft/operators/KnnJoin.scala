@@ -79,6 +79,77 @@ object KnnJoin {
       .orderBy("q_id", "rnk")
   }
 
+  /** NN-Descent refinement (Dong, Moses & Li 2011, "Efficient k-nearest
+    * neighbor graph construction for generic similarity measures",
+    * WWW): a neighbor of my neighbor is likely my neighbor. Each round
+    * generates candidates from the SYMMETRIZED current graph joined
+    * with itself on the shared middle vertex, scores them exactly, and
+    * merges them into the per-query top-k through the same
+    * bounded-state aggregator. Candidate volume per round is
+    * Σ_v deg(v)² ≈ 4k²·n — graph-sized, independent of cell layout —
+    * so a cheap low-probe [[knnGraph]] plus a couple of descent rounds
+    * beats raising `probes` (which scans probes/kCells of the corpus
+    * per query). A converged graph is a fixed point: refining the
+    * exact graph returns it unchanged (KnnJoinSpec).
+    */
+  def refine(graph: DataFrame, embeddings: DataFrame, topK: Int,
+      rounds: Int): DataFrame = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    var g = graph.select(col("q_id"), col("vec_id")).localCheckpoint()
+    var r = 0
+    while (r < rounds) {
+      val sym = g.select(explode(array(
+          struct(col("q_id").as("u"), col("vec_id").as("v")),
+          struct(col("vec_id").as("u"), col("q_id").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v"))
+      // candidates (u, w) sharing neighbor v, UNION the current edges
+      // (so survivors re-enter the top-k), deduped BEFORE the embedding
+      // fetch — every pair is scored exactly once per round, all at the
+      // same precision (mixed rounded/raw scores would let one pair
+      // occupy two top-k slots)
+      val cand = sym
+        .join(sym.select(col("v"), col("u").as("w"))
+          .hint("shuffle_hash"), Seq("v"))
+        .filter(col("u") =!= col("w"))
+        .select(col("u"), col("w"))
+        .union(g.select(col("q_id").as("u"), col("vec_id").as("w")))
+        .distinct()
+      g = cand
+        .join(emb.select(col("vec_id").as("u"),
+          col("embedding").as("ue")).hint("shuffle_hash"), Seq("u"))
+        .join(emb.select(col("vec_id").as("w"),
+          col("embedding").as("we")).hint("shuffle_hash"), Seq("w"))
+        .select(col("u").as("q_id"), col("w").as("vec_id"),
+          Vectors.dot(col("ue"), col("we")).as("cos"))
+        .as[(Long, Long, Double)]
+        .groupByKey(_._1)
+        .mapValues(t => TopKAggregator.Scored(t._2, t._3))
+        .agg(TopKAggregator.topK(topK).toColumn.name("nn"))
+        .flatMap { case (q, nn) => nn.map(sc => (q, sc.id)) }
+        .toDF("q_id", "vec_id")
+        .localCheckpoint()
+      r += 1
+    }
+    // final presentation pass: exact scores, ranked and rounded
+    g.join(emb.select(col("vec_id").as("q_id"),
+        col("embedding").as("qe")).hint("shuffle_hash"), Seq("q_id"))
+      .join(emb.select(col("vec_id"),
+        col("embedding").as("ve")).hint("shuffle_hash"), Seq("vec_id"))
+      .select(col("q_id"), col("vec_id"),
+        Vectors.dot(col("qe"), col("ve")).as("cos"))
+      .as[(Long, Long, Double)]
+      .groupByKey(_._1)
+      .mapValues(t => TopKAggregator.Scored(t._2, t._3))
+      .agg(TopKAggregator.topK(topK).toColumn.name("nn"))
+      .flatMap { case (q, nn) => nn.zipWithIndex.map { case (sc, i) =>
+        (q, i + 1, sc.id, math.rint(sc.score * 1e6) / 1e6) } }
+      .toDF("q_id", "rnk", "vec_id", "cos")
+      .orderBy("q_id", "rnk")
+  }
+
   /** Neighborhood clusters: threshold the kNN graph at `tau` and run
     * connected components — graph-based corpus clustering in two
     * composed operators. Returns (vec_id, cluster). */

@@ -112,6 +112,40 @@ class KnnJoinSpec extends SparkSuite {
       assert(clusters(i) == i, s"noise vector $i joined ${clusters(i)}"))
   }
 
+  test("nn-descent lifts low-probe recall; the exact graph is a fixed point") {
+    import spark.implicits._
+    val exact = bruteForce(
+      embeddings.select("vec_id", "embedding")
+        .as[(Long, Array[Float])].collect(), topK = 5)
+    def recallOf(g: org.apache.spark.sql.DataFrame): Double = {
+      val got = g.select("q_id", "vec_id").as[(Long, Long)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      exact.map { case (q, nn) =>
+        (got.getOrElse(q, Set.empty) & nn.toSet).size.toDouble / nn.size
+      }.sum / exact.size
+    }
+    // descend at a WIDER working k (the standard NN-Descent move: a
+    // k-sized neighbor list explores k² candidates/round — too narrow
+    // on weakly-clustered data), then cut to the target k by rank
+    val rough = KnnJoin.knnGraph(embeddings, topK = 15, kCells = 8,
+      iters = 2, probes = 2)
+    val r0 = recallOf(rough.filter(col("rnk") <= 5))
+    val refined = KnnJoin.refine(rough, embeddings, topK = 15, rounds = 3)
+      .filter(col("rnk") <= 5)
+    val r2 = recallOf(refined)
+    info(f"nn-descent recall@5: $r0%.3f -> $r2%.3f after 3 rounds at k=15")
+    assert(r2 >= r0 + 0.15,
+      f"descent did not lift recall: $r0%.3f -> $r2%.3f")
+    assert(r2 >= 0.85, f"refined recall floor: $r2%.3f")
+
+    // the exact graph is a fixed point: refining it returns it unchanged
+    val full = KnnJoin.knnGraph(embeddings, topK = 5, kCells = 8,
+      iters = 2, probes = 8)
+    val again = KnnJoin.refine(full, embeddings, topK = 5, rounds = 1)
+    assert(again.collect().toSeq == full.collect().toSeq,
+      "refining the exact graph changed it")
+  }
+
   test("the graph is deterministic across runs") {
     val a = KnnJoin.knnGraph(embeddings, topK = 3, kCells = 8,
       iters = 2, probes = 2).collect().toSeq
