@@ -70,10 +70,15 @@ object CliMain {
       val clean = raw.filter(col("_corrupt").isNull)
         .select(col("doc_id"), current_timestamp().as("ts"),
           col("text"), col("source"))
-      // --tokenizer <modelDir>: apply a persisted BPE model (tokenize
-      // train) as the final map-only stage — chunks land with token ids
-      val tok = flagVal("--tokenizer")
-        .map(dir => graft.operators.Bpe.loadModel(spark, dir))
+      // --tokenizer <modelDir>: apply a persisted tokenizer model
+      // (tokenize train; BPE or unigram, detected from the layout) as
+      // the final map-only stage — chunks land with token ids
+      val tok: Option[graft.functions.RowTokenizer] =
+        flagVal("--tokenizer").map { dir =>
+          if (new java.io.File(s"$dir/pieces").isDirectory)
+            graft.operators.Unigram.loadModel(spark, dir)
+          else graft.operators.Bpe.loadModel(spark, dir)
+        }
       val q =
         if (flags.contains("--near-dup"))
           graft.streaming.CorpusPipeline.startNearDup(clean,

@@ -57,7 +57,10 @@ object BpeExpressions {
   * task via the codegen references array. */
 final class BpeRanks(
     val merges: Array[(String, String)],
-    val baseChars: Array[String]) extends Serializable {
+    val baseChars: Array[String]) extends RowTokenizer {
+
+  override def tokenIds(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = BpeExpressions.encodeIds(text, this)
 
   /** (l, r) -> 1-based rank. */
   private val ranks = new java.util.HashMap[(String, String), Integer](

@@ -65,9 +65,12 @@ object UnigramExpressions {
   * task via the codegen references array. */
 final class UnigramModel(
     val pieces: Array[String],
-    val logpMicro: Array[Long]) extends Serializable {
+    val logpMicro: Array[Long]) extends RowTokenizer {
   require(pieces.length == logpMicro.length,
     s"unigram model: ${pieces.length} pieces vs ${logpMicro.length} logps")
+
+  override def tokenIds(text: Column): Column =
+    UnigramExpressions.encodeIds(text, this)
 
   /** Longest piece in code points — bounds the lattice in-degree. */
   val maxLen: Int =

@@ -341,6 +341,25 @@ object Pipeline extends QueryFamily {
             .cast("long"))
         .orderBy("doc_id", "chunk_id")
     },
+    "q_sample_stratified" -> { (s, d) =>
+      // Exact fixed-quota stratified sampling: precisely 100 docs per
+      // source (the "equal representation" corpus-assembly step, vs
+      // q_mix_sample's rate-based thinning), chosen by a content-
+      // independent md5 rank — no RNG, identical across engines and
+      // partitionings. The window partitions by the stratum so the
+      // rank distributes by source, and Catalyst's WindowGroupLimit
+      // prunes each partition to the quota before the final exchange
+      // (the q_win_topk_per_group plan shape) — at 100 TB the quota
+      // rows, not the corpus, reach the presentation sort.
+      val w = Window.partitionBy(col("source"))
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 100)
+        .select("source", "rnk", "doc_id")
+        .orderBy("source", "rnk")
+    },
     "q_mix_sample" -> { (s, d) =>
       // Deterministic weighted mixture sampling: per-source keep rates
       // (the data-mixing step of corpus assembly) decided by a content-
@@ -896,6 +915,14 @@ object Pipeline extends QueryFamily {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    - n_chunk_tokens) / 2048.0) AS BIGINT) AS pack_id
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_sample_stratified" ->
+      """SELECT source, rnk, doc_id FROM (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+        |  FROM documents)
+        |WHERE rnk <= 100
+        |ORDER BY source, rnk""".stripMargin,
     "q_mix_sample" -> {
       val nib = (i: Int) =>
         s"(strpos('0123456789abcdef', " +

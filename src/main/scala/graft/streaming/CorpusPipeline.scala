@@ -36,15 +36,16 @@ object CorpusPipeline {
     *   duplicates (title/byline reshuffles, the near-dup class the batch
     *   MinHash stage exists for) collapse too, still exact-match cheap:
     *   one array_sort per doc, no signatures, no candidate join. */
-  /** Optional final stage: tokenize each chunk with a pre-trained BPE
-    * model ([[graft.operators.Bpe.train]] offline, model rides in as
-    * codegen reference state — map-only and STATELESS, so it is legal in
-    * any streaming output mode and adds no state store). The streamed
-    * corpus then lands training-ready: (…, chunk_text, ids). */
+  /** Optional final stage: tokenize each chunk with a pre-trained
+    * model — BPE or unigram-LM, anything implementing
+    * [[graft.functions.RowTokenizer]] (trained offline, model rides in
+    * as codegen reference state — map-only and STATELESS, so it is
+    * legal in any streaming output mode and adds no state store). The
+    * streamed corpus then lands training-ready: (…, chunk_text, ids). */
   private def withIds(df: DataFrame,
-      tokenizer: Option[graft.functions.BpeRanks]): DataFrame =
+      tokenizer: Option[graft.functions.RowTokenizer]): DataFrame =
     tokenizer.fold(df)(m => df.withColumn("ids",
-      graft.functions.BpeExpressions.encodeIds(col("chunk_text"), m)))
+      m.tokenIds(col("chunk_text"))))
 
   /** Optional LEARNED quality gate ahead of the heuristic rules: a
     * pre-trained classifier (graft.operators.QualityClassifier, trained
@@ -63,7 +64,7 @@ object CorpusPipeline {
 
   def transform(docs: DataFrame, watermark: String,
                 bagDedup: Boolean = false,
-                tokenizer: Option[graft.functions.BpeRanks] = None,
+                tokenizer: Option[graft.functions.RowTokenizer] = None,
                 qualityModel: Option[
                   (graft.operators.QualityClassifier.QcModel, Long)] = None)
       : DataFrame = {
@@ -95,7 +96,7 @@ object CorpusPipeline {
             watermark: String = "10 minutes",
             trigger: Trigger = Trigger.ProcessingTime("1 second"),
             bagDedup: Boolean = false,
-            tokenizer: Option[graft.functions.BpeRanks] = None,
+            tokenizer: Option[graft.functions.RowTokenizer] = None,
             qualityModel: Option[
               (graft.operators.QualityClassifier.QcModel, Long)] = None)
       : StreamingQuery =
@@ -146,7 +147,7 @@ object CorpusPipeline {
                    watermark: String = "10 minutes",
                    trigger: Trigger = Trigger.ProcessingTime("1 second"),
                    docsRoot: Option[String] = None,
-                   tokenizer: Option[graft.functions.BpeRanks] = None,
+                   tokenizer: Option[graft.functions.RowTokenizer] = None,
                    qualityModel: Option[
                      (graft.operators.QualityClassifier.QcModel, Long)] = None)
       : StreamingQuery = {

@@ -206,4 +206,37 @@ class CorpusPipelineSpec extends SparkSuite {
       assert(ids == batch(d * 1000 + c), s"doc $d chunk $c ids diverge")
     }
   }
+
+  test("unigram tokenizer drops into the same stage (RowTokenizer)") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("corpus-uni").toString
+    val ckpt = Files.createTempDirectory("corpus-uni-ckpt").toString
+    val trainDocs = Seq(
+      (0L, longText("alpha")), (1L, longText("beta")))
+      .toDF("doc_id", "text")
+    val model = graft.operators.Unigram.modelOf(
+      graft.operators.Unigram.train(trainDocs, vocabSize = 60,
+        maxPieceLen = 4, seedSize = 120))
+    val in = MemoryStream[(Long, Timestamp, String, String)](spark)
+    in.addData(
+      (1L, ts(0), longText("alpha"), "crawl"),
+      (2L, ts(1), longText("beta"), "feed"))
+    val q = CorpusPipeline.start(
+      in.toDF().toDF("doc_id", "ts", "text", "source"),
+      root, ckpt, watermark = "10 minutes",
+      trigger = Trigger.AvailableNow(), tokenizer = Some(model))
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(root)
+      .select("doc_id", "chunk_id", "chunk_text", "ids")
+      .as[(Long, Long, String, Seq[Int])].collect()
+      .sortBy(r => (r._1, r._2)).toSeq
+    assert(streamed.nonEmpty && streamed.forall(_._4.nonEmpty))
+    val batch = graft.operators.Unigram.encodeIds(
+      streamed.map(r => (r._1 * 1000 + r._2, r._3))
+        .toDF("doc_id", "text"), model)
+      .as[(Long, Seq[Int])].collect().toMap
+    streamed.foreach { case (d, c, _, ids) =>
+      assert(ids == batch(d * 1000 + c), s"doc $d chunk $c ids diverge")
+    }
+  }
 }
