@@ -27,6 +27,43 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Size-gated components (the [[Bpe.train]] localVocabLimit
+    * discipline): ONE count decides the path. A small edge list —
+    * the overwhelmingly common case for thresholded similarity graphs,
+    * where survivors are corpus-tiny — collects to the driver and runs
+    * union-find (zero iterative Spark jobs; the distributed loop pays
+    * seconds of fixed per-round overhead however small the graph);
+    * past the gate, the pointer-jumping loop below. Both label every
+    * component by its MIN id, so the result is identical by
+    * construction regardless of the path taken. */
+  def components(edges: DataFrame,
+      localEdgeLimit: Long = 2000000L): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col("src"), col("dst")).localCheckpoint()
+    if (e.count() > localEdgeLimit) return connectedComponents(e)
+    val pairs = e.as[(Long, Long)].collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    pairs.foreach { case (a, b) =>
+      if (!parent.containsKey(a)) parent.put(a, a)
+      if (!parent.containsKey(b)) parent.put(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
+      parent.size())
+    val it = parent.keySet().iterator()
+    while (it.hasNext) { val k = it.next(); out += ((k, find(k))) }
+    out.toSeq.toDF("id", "comp")
+  }
+
   /** @param edges undirected edge list, columns `(src, dst)`.
     * @return (id, comp) for every id appearing in `edges`, comp = min id
     *         of its component. */

@@ -158,7 +158,10 @@ object KnnJoin {
     val edges = knnGraph(embeddings, topK, kCells, iters, probes)
       .filter(col("cos") >= tau)
       .select(col("q_id").as("src"), col("vec_id").as("dst"))
-    val cc = Dedup.connectedComponents(edges)
+    // size-gated CC: thresholded survivors are usually corpus-tiny, so
+    // the union-find fast path skips the iterative loop's fixed
+    // per-round job overhead; past the gate the distributed loop runs
+    val cc = Dedup.components(edges)
       .select(col("id").as("vec_id"), col("comp"))
     // singletons (no edge ≥ tau) cluster as themselves
     embeddings.select(col("vec_id"))

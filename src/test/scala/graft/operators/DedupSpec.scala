@@ -44,6 +44,24 @@ class DedupSpec extends SparkSuite {
     }
   }
 
+  test("size-gated components: both paths produce identical labels") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val n = 150
+    val edges = Seq.fill(110)(
+      (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val df = edges.toDF("src", "dst")
+    // local union-find path (under the gate)
+    val local = Dedup.components(df).as[(Long, Long)].collect().toMap
+    // forced distributed path (gate at 0)
+    val dist = Dedup.components(df, localEdgeLimit = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == dist, "gated paths diverged")
+    val want = unionFind(n, edges)
+    local.foreach { case (id, comp) => assert(comp == want(id)) }
+  }
+
   test("long chain: every node reaches the chain head") {
     import spark.implicits._
     val chain = (0L until 200L).map(i => (i, i + 1))
