@@ -198,6 +198,22 @@ object CliMain {
       val spark = Sessions.get("graft-index")
       val emb = spark.read.parquet(embDir)
       val iters = flagVal("--iters").map(_.toInt).getOrElse(2)
+      // --append: incremental maintenance — assign the new vectors with
+      // the index's FROZEN models and add files into the cell
+      // partitions (no retrain, probes keep pruning)
+      if (flags.contains("--append")) {
+        flagVal("--kind").getOrElse("ivf") match {
+          case "ivf" =>
+            graft.operators.Ann.appendToIvf(spark, outDir, emb)
+            println(s"ivf append: ${emb.count()} vectors -> $outDir")
+          case "ivfpq" =>
+            graft.operators.Pq.appendToIvfPq(spark, outDir, emb)
+            println(s"ivfpq append: ${emb.count()} vectors -> $outDir")
+          case other => sys.error(s"append unsupported for kind: $other")
+        }
+        if (!reused) spark.stop()
+        return
+      }
       flagVal("--kind").getOrElse("ivf") match {
         case "ivf" =>
           val k = flagVal("--k").map(_.toInt).getOrElse(256)

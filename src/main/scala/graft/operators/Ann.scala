@@ -127,6 +127,24 @@ object Ann {
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
   }
 
+  /** Incremental maintenance: assign NEW vectors with the index's
+    * FROZEN centroids (retraining would orphan every existing
+    * assignment — the production contract is model-freeze + periodic
+    * full rebuild) and append them to the cell-partitioned layout.
+    * Append-mode parquet adds files inside each cell partition, so
+    * probes keep partition-pruning and existing files are untouched —
+    * the same grow-in-place story as the incremental dedup registry.
+    * Identical to having assigned those vectors at build time with the
+    * same model (AnnSpec pins the equivalence). */
+  def appendToIvf(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newVectors: DataFrame): Unit = {
+    val idx = loadIvf(spark, dir)
+    nearestCell(newVectors.select(col("vec_id"), col("embedding")),
+      idx.centroids)
+      .write.mode("append").partitionBy("cell_id")
+      .parquet(s"$dir/assignments")
+  }
+
   def loadIvf(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {
     import spark.implicits._
     val centroids = spark.read.parquet(s"$dir/centroids")

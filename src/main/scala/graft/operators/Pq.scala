@@ -232,6 +232,27 @@ object Pq {
       PqModel(m, k, cb(0)(0).length, cb))
   }
 
+  /** Incremental maintenance for the composed index: frozen coarse
+    * centroids pick the cell, frozen codebooks encode the codes, and
+    * the new (vec_id, cell_id, codes) rows append into the
+    * cell-partitioned layout — probes keep pruning, existing files
+    * untouched ([[Ann.appendToIvf]]'s contract; PqSpec pins
+    * append ≡ assigned-at-build-time). */
+  def appendToIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newVectors: DataFrame): Unit = {
+    val idx = loadIvfPq(spark, dir)
+    val cellOf = element_at(
+      graft.functions.QuantExpressions.nearestCells(col("embedding"),
+        idx.centroids.flatten, idx.centroids.length,
+        idx.centroids.head.length, 1), 1)
+    newVectors.select(col("vec_id"), col("embedding"))
+      .withColumn("cell_id", cellOf)
+      .select(col("vec_id"), col("cell_id"),
+        codesCol(idx.model).as("codes"))
+      .write.mode("append").partitionBy("cell_id")
+      .parquet(s"$dir/assignments")
+  }
+
   def buildIvfPq(embeddings: DataFrame, kCells: Int, m: Int, k: Int,
       iters: Int): IvfPqIndex = {
     val ivf = Ann.buildIvf(embeddings, kCells, iters)

@@ -201,6 +201,26 @@ class CliMainSpec extends SparkSuite {
     assert(out.orderBy("q_id", "rnk").collect().toSeq == fromMem)
   }
 
+  test("index --append grows a materialized index without retraining") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("cli-app").toString
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    val half = s"$root/half"
+    spark.read.parquet(emb).filter(col("vec_id") < 250)
+      .write.parquet(half)
+    val rest = s"$root/rest"
+    spark.read.parquet(emb).filter(col("vec_id") >= 250)
+      .write.parquet(rest)
+    CliMain.main(Array("index", half, s"$root/idx", "--kind", "ivf",
+      "--k", "8"))
+    val before = spark.read.parquet(s"$root/idx/centroids").collect().toSeq
+    CliMain.main(Array("index", rest, s"$root/idx", "--kind", "ivf",
+      "--append"))
+    assert(spark.read.parquet(s"$root/idx/assignments").count() == 500)
+    assert(spark.read.parquet(s"$root/idx/centroids").collect().toSeq
+      == before, "append retrained the model")
+  }
+
   test("ivfpq index round-trips: build → write → load → search e2e") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

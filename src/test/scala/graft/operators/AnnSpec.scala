@@ -59,6 +59,36 @@ class AnnSpec extends SparkSuite {
     assert(fromDisk == fromMem)
   }
 
+  test("append with frozen centroids equals assigned-at-build-time") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivf-app")
+      .toString + "/idx"
+    // build on the first half, append the second half
+    val first = embeddings.filter(col("vec_id") < 250)
+    val rest = embeddings.filter(col("vec_id") >= 250)
+    val idx = Ann.buildIvf(first, k = 8, iters = 2)
+    Ann.writeIvf(idx, dir)
+    Ann.appendToIvf(spark, dir, rest)
+    val appended = Ann.loadIvf(spark, dir)
+    assert(appended.assignments.count() == 500)
+    assert(appended.centroids.flatten.toSeq == idx.centroids.flatten.toSeq,
+      "append must not touch the model")
+    // the appended rows carry exactly the frozen-model assignment the
+    // build would have produced for them
+    val gotCells = appended.assignments.filter(col("vec_id") >= 250)
+      .select("vec_id", "cell_id").as[(Long, Int)].collect().toMap
+    val wantCells = Ann.assignByJoinForTest(
+      rest.select(col("vec_id"), col("embedding")), idx.centroids)
+      .select("vec_id", "cell_id").as[(Long, Int)].collect().toMap
+    assert(gotCells == wantCells)
+    // and search over the grown index sees the appended vectors
+    val queries = rest.filter(col("vec_id") < 260)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    val res = Ann.search(appended, queries, topK = 5, nprobe = 8)
+      .select("vec_id").as[Long].collect()
+    assert(res.exists(_ >= 250), "appended vectors never surfaced")
+  }
+
   test("join-path assignment (large k) agrees with the inline expression") {
     import spark.implicits._
     // same centroids through both assignment shapes must agree — pin by

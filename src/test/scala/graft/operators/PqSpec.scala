@@ -116,6 +116,29 @@ class PqSpec extends SparkSuite {
       f"probed recall $recall%.3f too close to the 0.375 scan-fraction baseline")
   }
 
+  test("IVFPQ append with frozen models equals assigned-at-build-time") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfpq-app")
+      .toString + "/idx"
+    val first = embeddings.filter(col("vec_id") < 250)
+    val rest = embeddings.filter(col("vec_id") >= 250)
+    val idx = Pq.buildIvfPq(first, kCells = 8, m = M, k = K, iters = 2)
+    Pq.writeIvfPq(idx, dir)
+    Pq.appendToIvfPq(spark, dir, rest)
+    val grown = Pq.loadIvfPq(spark, dir)
+    assert(grown.assignments.count() == 500)
+    assert(grown.model.codebooks.flatten.flatten.toSeq ==
+      idx.model.codebooks.flatten.flatten.toSeq,
+      "append must not touch the codebooks")
+    // appended codes equal the frozen-model encode of those vectors
+    val gotCodes = grown.assignments.filter(col("vec_id") >= 250)
+      .select("vec_id", "codes").as[(Long, Seq[Int])].collect().toMap
+    val wantCodes = Pq.encode(
+      rest.select(col("vec_id"), col("embedding")), idx.model)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(gotCodes == wantCodes)
+  }
+
   test("training and encoding are deterministic") {
     import spark.implicits._
     val m1 = Pq.train(embeddings, m = M, k = K, iters = 2)
