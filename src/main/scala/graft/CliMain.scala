@@ -30,6 +30,16 @@ object CliMain {
   private def flagValIn(flags: List[String], name: String): Option[String] =
     flags.dropWhile(_ != name).drop(1).headOption
 
+  /** Tokenizer model-kind detection by persisted layout (unigram =
+    * `pieces/`, BPE = `merges/` + `charset/`) — probed through the
+    * Hadoop filesystem of the PATH, not java.io.File, so remote model
+    * dirs (hdfs://, s3a://) detect exactly like local ones. */
+  private def isUnigramModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/pieces")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
   private val blockSchema = StructType(Seq(
     StructField("block_number", LongType),
     StructField("block_id", StringType),
@@ -75,7 +85,7 @@ object CliMain {
       // the final map-only stage — chunks land with token ids
       val tok: Option[graft.functions.RowTokenizer] =
         flagVal("--tokenizer").map { dir =>
-          if (new java.io.File(s"$dir/pieces").isDirectory)
+          if (isUnigramModel(spark, dir))
             graft.operators.Unigram.loadModel(spark, dir)
           else graft.operators.Bpe.loadModel(spark, dir)
         }
@@ -289,9 +299,8 @@ object CliMain {
         org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
       val spark = Sessions.get("graft-tokenize")
       val docs = spark.read.parquet(docsDir)
-      val isUnigram = new java.io.File(s"$modelDir/pieces").isDirectory
       val encoded =
-        if (isUnigram) {
+        if (isUnigramModel(spark, modelDir)) {
           val model = graft.operators.Unigram.loadModel(spark, modelDir)
           graft.operators.Unigram.encodeIds(docs, model)
         } else {

@@ -60,10 +60,15 @@ object Ann {
       .select(col("vec_id"), col("embedding"), col("cell_id"),
         Vectors.dot(col("embedding"), col("centroid")).as("dot"))
       .groupBy(col("vec_id"))
+      // tiebreak must MATCH the kernel path (NearestCells keeps the
+      // LOWEST cell id on equal dots): order by (dot, -cell_id) so the
+      // two sides of the KernelStateLimit gate assign identically —
+      // an index built under the gate and appended past it (or vice
+      // versa) must place an exact-tie vector in the same cell
       .agg(first(col("embedding")).as("embedding"),
-        max_by(struct(col("dot"), col("cell_id")), // deterministic tiebreak:
-          struct(col("dot"), col("cell_id")))      // higher cell wins equal dots
-          .getField("cell_id").as("cell_id"))
+        max_by(col("cell_id"),
+          struct(col("dot"), (lit(0) - col("cell_id")).as("nc")))
+          .as("cell_id"))
   }
 
   /** The kernel holds k·dim floats of model state per task; past this
@@ -77,7 +82,7 @@ object Ann {
       centroids: Array[Array[Float]]): DataFrame =
     assignByJoin(corpus, centroids)
 
-  private def nearestCell(corpus: DataFrame,
+  private[operators] def nearestCell(corpus: DataFrame,
       centroids: Array[Array[Float]]): DataFrame =
     if (centroids.length.toLong * centroids.head.length <=
         KernelStateLimitFloats)
@@ -139,6 +144,12 @@ object Ann {
   def appendToIvf(spark: org.apache.spark.sql.SparkSession, dir: String,
       newVectors: DataFrame): Unit = {
     val idx = loadIvf(spark, dir)
+    // layout guard: an IVF+PQ assignments dir carries codes, not
+    // embeddings — appending embedding-shaped rows there would mix
+    // schemas silently (see Pq.appendToIvfPq for the mirror check)
+    require(idx.assignments.columns.contains("embedding") &&
+      !idx.assignments.columns.contains("codes"),
+      s"$dir/assignments is not a plain IVF layout — use appendToIvfPq")
     nearestCell(newVectors.select(col("vec_id"), col("embedding")),
       idx.centroids)
       .write.mode("append").partitionBy("cell_id")

@@ -47,11 +47,13 @@ object Opq {
       dim: Int): Array[Array[Double]] = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val n = embeddings.count().toDouble
-    require(n > 0, "OPQ needs a non-empty corpus")
+    // ONE corpus pass: the quantized partial array carries the row
+    // count in its last slot, so n comes out of the same treeReduce —
+    // a separate count() would be a second full scan
     val micro = embeddings.select(col("embedding")).as[Array[Float]]
       .rdd.mapPartitions { it =>
         val acc = new Array[Double](dim * dim)
+        var rows = 0L
         it.foreach { v =>
           require(v.length == dim,
             s"second moment: embedding length ${v.length} != $dim")
@@ -63,10 +65,12 @@ object Opq {
             while (j < dim) { acc(base + j) += vi * v(j); j += 1 }
             i += 1
           }
+          rows += 1L
         }
-        val q = new Array[Long](dim * dim)
+        val q = new Array[Long](dim * dim + 1)
         var t = 0
-        while (t < q.length) { q(t) = math.rint(acc(t) * 1e6).toLong; t += 1 }
+        while (t < dim * dim) { q(t) = math.rint(acc(t) * 1e6).toLong; t += 1 }
+        q(dim * dim) = rows
         Iterator.single(q)
       }
       .treeReduce { (a, b) =>
@@ -75,6 +79,8 @@ object Opq {
         while (i < a.length) { out(i) = a(i) + b(i); i += 1 }
         out
       }
+    val n = micro(dim * dim).toDouble
+    require(n > 0, "OPQ needs a non-empty corpus")
     Array.tabulate(dim, dim)((i, j) => micro(i * dim + j) / 1e6 / n)
   }
 

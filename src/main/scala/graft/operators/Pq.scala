@@ -241,12 +241,17 @@ object Pq {
   def appendToIvfPq(spark: org.apache.spark.sql.SparkSession, dir: String,
       newVectors: DataFrame): Unit = {
     val idx = loadIvfPq(spark, dir)
-    val cellOf = element_at(
-      graft.functions.QuantExpressions.nearestCells(col("embedding"),
-        idx.centroids.flatten, idx.centroids.length,
-        idx.centroids.head.length, 1), 1)
-    newVectors.select(col("vec_id"), col("embedding"))
-      .withColumn("cell_id", cellOf)
+    // layout guard: appending IVF-shaped rows into an IVFPQ assignments
+    // dir (or vice versa) would silently mix schemas — later searches
+    // read null codes instead of failing here
+    require(idx.assignments.columns.contains("codes"),
+      s"$dir/assignments is not an IVF+PQ layout (no codes column) — " +
+        "use appendToIvf")
+    // cell assignment through Ann's gated path: same kernel-vs-join
+    // switch AND same tie-break as build time, so append ≡
+    // assigned-at-build-time holds at every k
+    Ann.nearestCell(newVectors.select(col("vec_id"), col("embedding")),
+      idx.centroids)
       .select(col("vec_id"), col("cell_id"),
         codesCol(idx.model).as("codes"))
       .write.mode("append").partitionBy("cell_id")

@@ -58,15 +58,17 @@ object Unigram {
   }
 
   /** atoms ∪ top-`seedSize` substrings by score desc → initial model.
-    * `subScores` is (substring, Σ freq per occurrence); score =
-    * count × length-in-code-points (the SentencePiece seed statistic).
-    * Returns the model plus the seed scores as initial counts. */
+    * `subScored` is (substring, score) ALREADY scored (count ×
+    * length-in-code-points, the SentencePiece seed statistic) and may
+    * be pre-trimmed to the top `seedSize` by the same total order —
+    * the distributed path cuts in Spark so only seed-sized rows reach
+    * the driver. Returns the model plus the seed scores as initial
+    * counts. */
   private def seedFromCounts(
       atomScores: Seq[(String, Long)],
-      subScores: Seq[(String, Long)],
+      subScored: Seq[(String, Long)],
       seedSize: Int): (UnigramModel, Map[String, Long]) = {
-    val scored = subScores
-      .map { case (p, f) => (p, f * p.codePointCount(0, p.length)) }
+    val scored = subScored
       .sortWith { case ((p1, s1), (p2, s2)) =>
         if (s1 != s2) s1 > s2 else utf8Cmp(p1, p2) < 0
       }
@@ -162,7 +164,7 @@ object Unigram {
     val spark = docs.sparkSession
     val words = Bpe.weightedVocab(docs).localCheckpoint()
     val model = trainFromWords(
-      atomScores(words), subScores(words, maxPieceLen),
+      atomScores(words), subScores(words, maxPieceLen, seedSize),
       m => eStepDistributed(words, m), m => vCountsDistributed(words, m),
       vocabSize, seedSize, emIters, keepRatio)
     pieceTable(spark, model)
@@ -177,13 +179,23 @@ object Unigram {
       .as[(String, Long)].collect().toSeq
   }
 
-  private def subScores(words: DataFrame, maxLen: Int): Seq[(String, Long)] = {
+  /** Top-`lim` substrings by (count × code-point length) — the cut
+    * runs IN Spark (orderBy + limit over the aggregate; Spark's string
+    * sort is binary UTF-8, identical to the driver comparator), so the
+    * driver receives seed-sized rows, never the full distinct-substring
+    * table (~10⁸ rows at web scale — the scale contract). Spark's
+    * length() counts code points, matching codePointCount. */
+  private def subScores(words: DataFrame, maxLen: Int,
+      lim: Int): Seq[(String, Long)] = {
     val spark = words.sparkSession
     import spark.implicits._
     words
       .select(explode(UnigramExpressions.substrings(col("w"), maxLen)).as("p"),
         col("freq"))
       .groupBy("p").agg(sum("freq").as("f"))
+      .select(col("p"), (col("f") * length(col("p"))).as("score"))
+      .orderBy(col("score").desc, col("p").asc)
+      .limit(math.max(lim, 0))
       .as[(String, Long)].collect().toSeq
   }
 
@@ -318,7 +330,9 @@ object Unigram {
       }
       out
     }
-    trainFromWords(atomAcc.toSeq, subAcc.toSeq, eStepLocal, vCountsLocal,
+    val subScored = subAcc.toSeq.map { case (p, f) =>
+      (p, f * p.codePointCount(0, p.length)) }
+    trainFromWords(atomAcc.toSeq, subScored, eStepLocal, vCountsLocal,
       vocabSize, seedSize, emIters, keepRatio)
   }
 

@@ -89,6 +89,26 @@ class AnnSpec extends SparkSuite {
     assert(res.exists(_ >= 250), "appended vectors never surfaced")
   }
 
+  test("kernel and join assignment agree on exact ties (lowest cell)") {
+    import spark.implicits._
+    // two IDENTICAL centroids: every dot ties, both paths must pick
+    // cell 0 — the gate (KernelStateLimitFloats) switches paths, so a
+    // tie-break mismatch would break append ≡ assigned-at-build-time
+    val centroids = Array(Array(1f, 0f), Array(1f, 0f))
+    val corpus = Seq((1L, Seq(0.5f, 0.5f)), (2L, Seq(-1f, 3f)))
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val viaJoin = Ann.assignByJoinForTest(corpus, centroids)
+      .select("vec_id", "cell_id").as[(Long, Int)].collect().toMap
+    assert(viaJoin.values.forall(_ == 0), s"join path: $viaJoin")
+    val viaKernel = corpus.withColumn("cell_id",
+      element_at(graft.functions.QuantExpressions.nearestCells(
+        col("embedding"), centroids.flatten, 2, 2, 1), 1))
+      .select("vec_id", "cell_id").as[(Long, Int)].collect().toMap
+    assert(viaKernel == viaJoin)
+  }
+
   test("join-path assignment (large k) agrees with the inline expression") {
     import spark.implicits._
     // same centroids through both assignment shapes must agree — pin by
