@@ -258,6 +258,16 @@ object CliMain {
           graft.operators.Opq.writeOpq(model, codes, outDir)
           println(s"opq index: dim ${model.dim} rotation, " +
             s"$m x $k codebooks -> $outDir")
+        case "opqivfpq" =>
+          // the full production composition (FAISS "OPQ,IVF,PQ"):
+          // rotation + coarse cells + codes, one layout
+          val kCells = flagVal("--kcells").map(_.toInt).getOrElse(256)
+          val m = flagVal("--m").map(_.toInt).getOrElse(16)
+          val k = flagVal("--k").map(_.toInt).getOrElse(16)
+          val idx = graft.operators.Opq.buildIvfPq(emb, kCells, m, k, iters)
+          graft.operators.Opq.writeOpqIvfPq(idx, outDir)
+          println(s"opq-ivfpq index: $kCells cells, $m x $k codebooks, " +
+            s"dim ${idx.dim} rotation -> $outDir")
         case other => sys.error(s"unknown index kind: $other")
       }
       if (!reused) spark.stop()
@@ -343,6 +353,11 @@ object CliMain {
           val (model, codes) = graft.operators.Opq.loadOpq(spark, indexDir)
           graft.operators.Opq.searchRerank(codes, model, emb, queries,
             topK, shortlist = flagVal("--shortlist").map(_.toInt)
+              .getOrElse(topK * 5))
+        case "opqivfpq" =>
+          val idx = graft.operators.Opq.loadOpqIvfPq(spark, indexDir)
+          graft.operators.Opq.searchIvfPq(idx, queries, emb, topK,
+            nprobe, shortlist = flagVal("--shortlist").map(_.toInt)
               .getOrElse(topK * 5))
         case other => sys.error(s"unknown search kind: $other")
       }

@@ -237,6 +237,56 @@ object Opq {
     Pq.rerank(short, corpus, queries, topK)
   }
 
+  /** The full production composition (the FAISS index-factory
+    * "OPQ_m,IVF_k,PQ_m" shape): rotation first, then coarse cells AND
+    * PQ codes both trained in the rotated basis. Probes, ADC and the
+    * re-rank all run rotated — orthonormal rotation preserves dot
+    * products, so the exact re-rank scores are the same numbers up to
+    * float rounding, and recall inherits OPQ's lower quantization
+    * error on top of IVFPQ's partition-pruned scan. */
+  final case class OpqIvfPqIndex(rotation: Array[Float], dim: Int,
+      index: Pq.IvfPqIndex)
+
+  def buildIvfPq(embeddings: DataFrame, kCells: Int, m: Int, k: Int,
+      iters: Int): OpqIvfPqIndex = {
+    val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+    val (evals, vecs) = jacobiEigen(secondMoment(embeddings, dim))
+    val rot = buildRotation(evals, vecs, m)
+    OpqIvfPqIndex(rot, dim,
+      Pq.buildIvfPq(rotatedCorpus(embeddings, rot, dim), kCells, m, k,
+        iters))
+  }
+
+  def searchIvfPq(idx: OpqIvfPqIndex, queries: DataFrame,
+      corpus: DataFrame, topK: Int, nprobe: Int,
+      shortlist: Int): DataFrame = {
+    val rq = queries.select(col("q_id"),
+      QuantExpressions.rotate(col("qvec"), idx.rotation, idx.dim)
+        .as("qvec"))
+    Pq.searchIvfPq(idx.index, rq,
+      rotatedCorpus(corpus, idx.rotation, idx.dim), topK, nprobe,
+      shortlist)
+  }
+
+  def writeOpqIvfPq(idx: OpqIvfPqIndex, dir: String): Unit = {
+    Pq.writeIvfPq(idx.index, dir)
+    val spark = idx.index.assignments.sparkSession
+    import spark.implicits._
+    (0 until idx.dim).map { r =>
+      (r, idx.rotation.slice(r * idx.dim, (r + 1) * idx.dim).toSeq)
+    }.toDF("r", "row")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/rotation")
+  }
+
+  def loadOpqIvfPq(spark: org.apache.spark.sql.SparkSession,
+      dir: String): OpqIvfPqIndex = {
+    import spark.implicits._
+    val rows = spark.read.parquet(s"$dir/rotation")
+      .orderBy("r").select("row").as[Seq[Float]].collect()
+    OpqIvfPqIndex(rows.flatten.toArray, rows.length,
+      Pq.loadIvfPq(spark, dir))
+  }
+
   /** Persist rotation + codebooks + codes in one layout ([[Pq.writePq]]
     * plus the rotation table). */
   def writeOpq(model: OpqModel, codes: DataFrame, dir: String): Unit = {

@@ -93,6 +93,41 @@ object Quality extends QueryFamily {
           floor(lit(1e6) * (p - q) * log(p / q)).cast("long").as("psi_u"))
         .orderBy("token")
     },
+    "q_profile_outliers" -> { (s, d) =>
+      // Robust outlier profiling: per-group median/MAD (the robust
+      // z-score — resistant to the very outliers it hunts, unlike
+      // mean/stddev). Determinism across engines: values are integer
+      // CENTS, so exact interpolated medians land only on .5 midpoints
+      // and deviations on .25 steps — dyadic rationals, exactly
+      // representable doubles; the 4.4478·MAD rule (3σ-equivalent
+      // under normality, 3×1.4826) is one literal double product
+      // computed identically by both engines. Two scans, both
+      // group-partial-aggregated; the median/MAD frames are
+      // group-count-sized and broadcast.
+      // l_extendedprice is a parquet DOUBLE: x*100 carries float noise
+      // and Spark's long cast truncates while DuckDB's rounds — the
+      // engine-identical integerization is floor(x*100 + 0.5) (floor is
+      // exact in both)
+      val cents = Tables.lineitem(s, d)
+        .select(col("l_returnflag"),
+          floor(col("l_extendedprice") * 100 + 0.5).cast("long")
+            .as("cents"))
+      val med = cents.groupBy("l_returnflag")
+        .agg(expr("percentile(cents, 0.5)").as("med"))
+      val dev = cents.join(broadcast(med), Seq("l_returnflag"))
+        .select(col("l_returnflag"), col("med"),
+          abs(col("cents") - col("med")).as("dev"))
+      val mad = dev.groupBy("l_returnflag")
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(broadcast(mad), Seq("l_returnflag"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_rows"),
+          sum((col("dev") > lit(4.4478) * col("mad")).cast("long"))
+            .as("n_outliers"),
+          round(min(col("med")), 1).as("med_cents"),
+          round(min(col("mad")), 1).as("mad_cents"))
+        .orderBy("l_returnflag")
+    },
     "q_quantile_sketch" -> { (s, d) =>
       // Mergeable quantiles via DDSketch (operators.Sketch.ddSketch):
       // fixed log-scaled buckets, so shard sketches merge by bucketwise
@@ -140,6 +175,28 @@ object Quality extends QueryFamily {
     })
 
   def oracle: Map[String, String] = Map(
+    "q_profile_outliers" ->
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM lineitem),
+        |m AS (
+        |  SELECT l_returnflag, quantile_cont(cents, 0.5) AS med
+        |  FROM c GROUP BY 1),
+        |dv AS (
+        |  SELECT c.l_returnflag, abs(cents - med) AS dev, med
+        |  FROM c JOIN m USING (l_returnflag)),
+        |md AS (
+        |  SELECT l_returnflag, quantile_cont(dev, 0.5) AS mad
+        |  FROM dv GROUP BY 1)
+        |SELECT dv.l_returnflag,
+        |  count(*) AS n_rows,
+        |  CAST(sum(CASE WHEN dev > 4.4478 * mad THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_outliers,
+        |  round(min(med), 1) AS med_cents,
+        |  round(min(mad), 1) AS mad_cents
+        |FROM dv JOIN md USING (l_returnflag)
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_profile_stats" ->
       """SELECT count(*) AS n_rows,
         |  CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END)

@@ -160,6 +160,45 @@ class OpqSpec extends SparkSuite {
     assert(rOpq >= 0.60, s"OPQ recall floor: $rOpq")
   }
 
+  test("OPQ-IVFPQ: full probe with deep shortlist equals flat OPQ") {
+    import spark.implicits._
+    val corpus = plantedCorpus(800).cache()
+    val m = 4; val k = 8; val kCells = 8
+    val composed = Opq.buildIvfPq(corpus, kCells, m, k, iters = 2)
+    val queries = corpus.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    // full probe + corpus-deep shortlist ⇒ the coarse layer prunes
+    // nothing and the ADC/rerank math must equal the flat OPQ path
+    // (rotation and codebooks are trained on the same rotated corpus,
+    // but the codebooks differ — so compare against a flat search
+    // through the SAME composed model's codes)
+    val flatCodes = composed.index.assignments
+      .select(col("vec_id"), col("codes"))
+    val viaFlat = Pq.searchRerank(flatCodes, composed.index.model,
+      corpus.select(col("vec_id"),
+        graft.functions.QuantExpressions.rotate(col("embedding"),
+          composed.rotation, composed.dim).as("embedding")),
+      queries.select(col("q_id"),
+        graft.functions.QuantExpressions.rotate(col("qvec"),
+          composed.rotation, composed.dim).as("qvec")),
+      topK = 10, shortlist = 100)
+      .select("q_id", "rnk", "vec_id").collect().toSeq
+    val viaIvf = Opq.searchIvfPq(composed, queries, corpus,
+      topK = 10, nprobe = kCells, shortlist = 100)
+      .select("q_id", "rnk", "vec_id").collect().toSeq
+    assert(viaIvf == viaFlat, "full-probe composed != flat OPQ")
+    // and the composed index round-trips through its layout
+    val dir = java.nio.file.Files
+      .createTempDirectory("opq-ivfpq").toString
+    Opq.writeOpqIvfPq(composed, dir)
+    val back = Opq.loadOpqIvfPq(spark, dir)
+    assert(back.rotation.toSeq == composed.rotation.toSeq)
+    val viaDisk = Opq.searchIvfPq(back, queries, corpus,
+      topK = 10, nprobe = kCells, shortlist = 100)
+      .select("q_id", "rnk", "vec_id").collect().toSeq
+    assert(viaDisk == viaIvf, "reloaded composed index diverged")
+  }
+
   test("training is deterministic: two runs produce identical models") {
     val corpus = plantedCorpus(600).cache()
     val a = Opq.train(corpus, m = 4, k = 8, iters = 2)
