@@ -55,6 +55,69 @@ object Sketch {
   }
 
   // ------------------------------------------------------------------
+  // HyperLogLog — cardinality, completing the sketch family triad
+  // (counts: count-min; quantiles: DDSketch; distincts: HLL)
+  // ------------------------------------------------------------------
+
+  /** HyperLogLog registers (Flajolet et al. 2007, "HyperLogLog: the
+    * analysis of a near-optimal cardinality estimation algorithm",
+    * AofA) as a PERSISTABLE, MERGEABLE table — what Spark's built-in
+    * `approx_count_distinct` cannot give you: registers that land in
+    * parquet, merge across runs/shards by bucketwise MAX (commutative,
+    * order-free — the same contract as the other two sketches), and
+    * answer later without the raw data.
+    *
+    * All built-ins: bucket = low p bits of xxhash64, rho = position of
+    * the first set bit of the remaining 64−p (via length(bin(w)) — a
+    * positive long's binary string length IS floor(log2)+1). At most
+    * m = 2^p rows ever shuffle per partition; standard error
+    * ≈ 1.04/√m (p=12: ~1.6%).
+    */
+  def hll(tokens: DataFrame, tokenCol: String, p: Int): DataFrame = {
+    require(p >= 4 && p <= 16, s"hll needs 4 <= p <= 16, got $p")
+    val m = 1 << p
+    val h = xxhash64(col(tokenCol))
+    val w = shiftrightunsigned(h, p)
+    val rho = when(w === 0L, lit(64 - p + 1))
+      .otherwise(lit(64 - p + 1) - length(bin(w)))
+    tokens
+      .select(pmod(h, lit(m)).cast("int").as("bucket"), rho.as("rho"))
+      .groupBy("bucket").agg(max("rho").as("rho"))
+  }
+
+  /** Estimate from a register table (≤ 2^p rows — model state): the
+    * classic alpha·m²/Σ2^−rho with the small-range linear-counting
+    * correction. Driver math over collected registers, fixed formula —
+    * deterministic. */
+  def hllEstimate(registers: DataFrame, p: Int): Long = {
+    val spark = registers.sparkSession
+    import spark.implicits._
+    val m = 1 << p
+    val regs = registers.select(col("bucket"), col("rho"))
+      .as[(Int, Int)].collect().toMap
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1 + 1.079 / m)
+    }
+    var sum = 0.0
+    var zeros = 0
+    var b = 0
+    while (b < m) {
+      val rho = regs.getOrElse(b, 0)
+      if (rho == 0) zeros += 1
+      sum += math.pow(2.0, -rho)
+      b += 1
+    }
+    val e = alpha * m * m / sum
+    val corrected =
+      if (e <= 2.5 * m && zeros > 0) m * math.log(m.toDouble / zeros)
+      else e
+    math.rint(corrected).toLong
+  }
+
+  // ------------------------------------------------------------------
   // DDSketch — quantiles with the same fixed-memory/mergeable shape
   // ------------------------------------------------------------------
 

@@ -128,6 +128,23 @@ object Quality extends QueryFamily {
           round(min(col("mad")), 1).as("mad_cents"))
         .orderBy("l_returnflag")
     },
+    "q_cardinality_hll" -> { (s, d) =>
+      // Persistable cardinality registers (operators.Sketch.hll):
+      // unlike approx_count_distinct's opaque in-query state, the
+      // register TABLE lands in parquet and merges across runs/shards
+      // by bucketwise max — completing the sketch triad (counts: CMS,
+      // quantiles: DDSketch, distincts: HLL). ≤2^p rows shuffle per
+      // partition regardless of corpus size. xxhash64 registers ⇒ no
+      // DuckDB oracle (rows-only); SketchSpec pins the standard-error
+      // band in both the linear-counting and raw-estimate regimes plus
+      // exact shard-merge equality.
+      val tok = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val regs = graft.operators.Sketch.hll(tok, "token", p = 12)
+      val est = graft.operators.Sketch.hllEstimate(regs, p = 12)
+      regs.withColumn("n_distinct_est", lit(est)).orderBy("bucket")
+    },
     "q_quantile_sketch" -> { (s, d) =>
       // Mergeable quantiles via DDSketch (operators.Sketch.ddSketch):
       // fixed log-scaled buckets, so shard sketches merge by bucketwise

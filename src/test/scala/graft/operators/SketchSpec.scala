@@ -102,6 +102,55 @@ class SketchSpec extends SparkSuite {
       s"${sketch.count()} buckets vs log bound $bound")
   }
 
+  // ---- HyperLogLog -------------------------------------------------
+
+  test("hll estimate lands within the standard-error band of exact") {
+    import spark.implicits._
+    val p = 12 // se ≈ 1.6%
+    // corpus tokens (small cardinality — linear-counting regime)
+    val exact = tokens.distinct().count()
+    val est = Sketch.hllEstimate(Sketch.hll(tokens, "token", p), p)
+    val err = math.abs(est - exact).toDouble / exact
+    info(f"hll p=$p corpus: est $est vs exact $exact (err ${err * 100}%.2f%%)")
+    assert(err <= 0.05, f"error ${err * 100}%.2f%% beyond 3x the 1.6%% se")
+    // 200k synthetic distincts — the raw-estimate regime the corpus's
+    // tiny vocabulary never reaches
+    val big = spark.range(200000)
+      .select(concat(lit("t"), col("id")).as("token"))
+    val estBig = Sketch.hllEstimate(Sketch.hll(big, "token", p), p)
+    val errBig = math.abs(estBig - 200000L).toDouble / 200000
+    info(f"hll p=$p 200k: est $estBig (err ${errBig * 100}%.2f%%)")
+    assert(errBig <= 0.05,
+      f"200k error ${errBig * 100}%.2f%% beyond 3x the 1.6%% se")
+  }
+
+  test("hll shards merge by bucketwise max to the whole-corpus registers") {
+    import spark.implicits._
+    val p = 10
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    def tok(f: org.apache.spark.sql.DataFrame) =
+      f.select(explode(split(col("text"), " ")).as("token"))
+    val sA = Sketch.hll(tok(docs.filter(col("doc_id") % 2 === 0)),
+      "token", p)
+    val sB = Sketch.hll(tok(docs.filter(col("doc_id") % 2 === 1)),
+      "token", p)
+    val merged = sA.union(sB).groupBy("bucket").agg(max("rho").as("rho"))
+      .as[(Int, Int)].collect().toSet
+    val whole = Sketch.hll(tokens, "token", p)
+      .as[(Int, Int)].collect().toSet
+    assert(merged == whole)
+    // registers are bounded by 2^p however large the corpus
+    assert(whole.size <= (1 << p))
+  }
+
+  test("hll small-range correction: tiny sets estimate near-exactly") {
+    import spark.implicits._
+    val tiny = (1 to 40).map(i => s"tok$i").toDF("token")
+    val est = Sketch.hllEstimate(Sketch.hll(tiny, "token", 12), 12)
+    assert(math.abs(est - 40L) <= 2, s"tiny-set estimate $est vs 40")
+    intercept[IllegalArgumentException] { Sketch.hll(tiny, "token", 2) }
+  }
+
   test("ddsketch ignores non-positive values and rejects bad alpha") {
     import spark.implicits._
     val vals = Seq(-3.0, 0.0, 1.0, 10.0).toDF("v")
