@@ -3,7 +3,9 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.{TopKAggregator, Vectors}
+import org.apache.spark.sql.expressions.Window
+
+import graft.functions.Vectors
 
 /** Distributed kNN join / kNN-graph construction: EVERY vector gets
   * its top-k nearest neighbors (by dot product — cosine on unit-norm
@@ -12,8 +14,7 @@ import graft.functions.{TopKAggregator, Vectors}
   * analysis (neighborhood stats, cluster discovery via
   * [[Dedup.connectedComponents]] on thresholded edges).
   *
-  * Shape (the [[SemDedup]] cell-join discipline + the
-  * [[graft.functions.TopKAggregator]] shuffle bound):
+  * Shape (the [[SemDedup]] cell-join discipline + WindowGroupLimit):
   *  - coarse IVF cells bucket the corpus; the DATA role keeps each
   *    vector in its one primary cell, the QUERY role explodes each
   *    vector to its `probes` nearest cells (codegen'd NearestCells —
@@ -23,10 +24,14 @@ import graft.functions.{TopKAggregator, Vectors}
   *    dot WITHOUT materializing (one hash exchange on cell_id, the
   *    data side the SHUFFLE_HASH build — cell-sized by the
   *    k ≈ n/target_cell_size rule);
-  *  - per-query top-k runs through the typed bounded-state aggregator:
-  *    each map task keeps ≤ k candidates per query, so the final
-  *    shuffle carries O(n·k) rows, never the O(n·cell·p) candidate
-  *    stream. A window over the candidates would shuffle all of them.
+  *  - per-query top-k is the row_number window: Catalyst inserts a
+  *    PARTIAL WindowGroupLimit below the exchange, so each map task
+  *    forwards ≤ k sorted candidates per query — O(n·k) shuffle — and
+  *    the machinery is UnsafeRow sort-based and SPILLABLE. The first
+  *    cut used the typed TopKAggregator instead: its one boxed
+  *    List-buffer per query group per partition OOM'd at 1M queries
+  *    (ProfileKnn) — that aggregator's domain is FEW groups
+  *    (q_agg_topk_custom's per-flag top-k), not a corpus of them.
   *
   * Exactness dial: `probes` = kCells probes every cell, making the
   * candidate set the whole corpus — the result is then EXACTLY the
@@ -69,13 +74,20 @@ object KnnJoin {
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
         Vectors.dot(col("qv"), col("vd")).as("score"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(t => TopKAggregator.Scored(t._2, t._3))
-      .agg(TopKAggregator.topK(topK).toColumn.name("nn"))
-      .flatMap { case (q, nn) => nn.zipWithIndex.map { case (sc, i) =>
-        (q, i + 1, sc.id, math.rint(sc.score * 1e6) / 1e6) } }
-      .toDF("q_id", "rnk", "vec_id", "cos")
+      .transform(topKPerQuery(topK))
+  }
+
+  /** Per-query top-k via the rank window — spillable, with the partial
+    * WindowGroupLimit bounding every map task's output to k rows per
+    * query (plan-guarded). Deterministic: score desc, then smaller id. */
+  private def topKPerQuery(topK: Int)(scored: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    scored
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("vec_id"),
+        round(col("score"), 6).as("cos"))
       .orderBy("q_id", "rnk")
   }
 
@@ -85,7 +97,7 @@ object KnnJoin {
     * generates candidates from the SYMMETRIZED current graph joined
     * with itself on the shared middle vertex, scores them exactly, and
     * merges them into the per-query top-k through the same
-    * bounded-state aggregator. Candidate volume per round is
+    * spillable rank window. Candidate volume per round is
     * Σ_v deg(v)² ≈ 4k²·n — graph-sized, independent of cell layout —
     * so a cheap low-probe [[knnGraph]] plus a couple of descent rounds
     * beats raising `probes` (which scans probes/kCells of the corpus
@@ -117,37 +129,25 @@ object KnnJoin {
         .select(col("u"), col("w"))
         .union(g.select(col("q_id").as("u"), col("vec_id").as("w")))
         .distinct()
-      g = cand
+      g = topKPerQuery(topK)(cand
         .join(emb.select(col("vec_id").as("u"),
           col("embedding").as("ue")).hint("shuffle_hash"), Seq("u"))
         .join(emb.select(col("vec_id").as("w"),
           col("embedding").as("we")).hint("shuffle_hash"), Seq("w"))
         .select(col("u").as("q_id"), col("w").as("vec_id"),
-          Vectors.dot(col("ue"), col("we")).as("cos"))
-        .as[(Long, Long, Double)]
-        .groupByKey(_._1)
-        .mapValues(t => TopKAggregator.Scored(t._2, t._3))
-        .agg(TopKAggregator.topK(topK).toColumn.name("nn"))
-        .flatMap { case (q, nn) => nn.map(sc => (q, sc.id)) }
-        .toDF("q_id", "vec_id")
+          Vectors.dot(col("ue"), col("we")).as("score")))
+        .select("q_id", "vec_id")
         .localCheckpoint()
       r += 1
     }
     // final presentation pass: exact scores, ranked and rounded
-    g.join(emb.select(col("vec_id").as("q_id"),
-        col("embedding").as("qe")).hint("shuffle_hash"), Seq("q_id"))
-      .join(emb.select(col("vec_id"),
-        col("embedding").as("ve")).hint("shuffle_hash"), Seq("vec_id"))
-      .select(col("q_id"), col("vec_id"),
-        Vectors.dot(col("qe"), col("ve")).as("cos"))
-      .as[(Long, Long, Double)]
-      .groupByKey(_._1)
-      .mapValues(t => TopKAggregator.Scored(t._2, t._3))
-      .agg(TopKAggregator.topK(topK).toColumn.name("nn"))
-      .flatMap { case (q, nn) => nn.zipWithIndex.map { case (sc, i) =>
-        (q, i + 1, sc.id, math.rint(sc.score * 1e6) / 1e6) } }
-      .toDF("q_id", "rnk", "vec_id", "cos")
-      .orderBy("q_id", "rnk")
+    topKPerQuery(topK)(
+      g.join(emb.select(col("vec_id").as("q_id"),
+          col("embedding").as("qe")).hint("shuffle_hash"), Seq("q_id"))
+        .join(emb.select(col("vec_id"),
+          col("embedding").as("ve")).hint("shuffle_hash"), Seq("vec_id"))
+        .select(col("q_id"), col("vec_id"),
+          Vectors.dot(col("qe"), col("ve")).as("score")))
   }
 
   /** Neighborhood clusters: threshold the kNN graph at `tau` and run

@@ -414,11 +414,15 @@ class PlanSpec extends SparkSuite {
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("BroadcastNestedLoopJoin"),
       s"knn join regressed to all-pairs:\n${plan.take(2000)}")
-    // per-query top-k through the typed aggregator's partial/merge
-    // split: the shuffle after the join carries ≤k rows per query per
-    // partition, not the candidate stream
-    assert(plan.split("ObjectHashAggregate").length >= 3,
-      s"top-k aggregator lost its partial phase:\n${plan.take(2000)}")
+    // per-query top-k through the rank window's PARTIAL
+    // WindowGroupLimit: each map task forwards ≤k sorted rows per
+    // query — spillable UnsafeRow machinery, where the typed
+    // aggregator's boxed per-group buffers OOM'd at 1M queries
+    // (ProfileKnn)
+    assert(plan.split("WindowGroupLimit").length >= 3, // partial + final
+      s"top-k lost its partial WindowGroupLimit:\n${plan.take(2000)}")
+    assert(!plan.contains("ObjectHashAggregate"),
+      "the boxed typed aggregator reappeared on the corpus-group path")
   }
 
   test("q_quality_classifier scoring is map-only (in-row kernel, no joins)") {
