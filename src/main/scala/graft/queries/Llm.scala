@@ -78,7 +78,7 @@ object Llm extends QueryFamily {
       .filter(size(array_intersect(col("set_a"), col("set_b"))) * 3 >=
         size(col("set_a")) + size(col("set_b")))
       .select(col("id_a").as("src"), col("id_b").as("dst"))
-    val cc = graft.operators.Dedup.connectedComponents(edges)
+    val cc = graft.operators.Dedup.components(edges)
     val ids = documents.select(col("doc_id"))
     ids.join(cc.hint("shuffle_hash"), ids("doc_id") === cc("id"), "left")
       .select(col("doc_id"),
@@ -166,7 +166,7 @@ object Llm extends QueryFamily {
             .cast("long").as("j"))
         .filter(col("j") >= 500000)
         .select("id_a", "id_b")
-      val cc = graft.operators.Dedup.connectedComponents(
+      val cc = graft.operators.Dedup.components(
         pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
       // singletons (docs with no near-dup edge) are their own cluster
       docs.join(cc, docs("doc_id") === cc("id"), "left")
@@ -225,7 +225,7 @@ object Llm extends QueryFamily {
       val edges = shared
         .filter(col("shared") * 3 >= col("n_a") + col("n_b"))
         .select(col("id_a").as("src"), col("id_b").as("dst"))
-      val cc = graft.operators.Dedup.connectedComponents(edges)
+      val cc = graft.operators.Dedup.components(edges)
       val ids = Tables.documents(s, d).select(col("doc_id"))
       ids.join(cc.hint("shuffle_hash"), ids("doc_id") === cc("id"), "left")
         .select(col("doc_id"),
@@ -249,7 +249,7 @@ object Llm extends QueryFamily {
         // same barrier rationale as q_dedup_cascade
       val edges = graft.operators.SetSimJoin.edges(docs, 1, 2)
         .select(col("id_a").as("src"), col("id_b").as("dst"))
-      val cc = graft.operators.Dedup.connectedComponents(edges)
+      val cc = graft.operators.Dedup.components(edges)
       val ids = Tables.documents(s, d).select(col("doc_id"))
       ids.join(cc.hint("shuffle_hash"), ids("doc_id") === cc("id"), "left")
         .select(col("doc_id"),
