@@ -182,6 +182,37 @@ object CliMain {
     // so point/range predicates on either dimension prune files
     // (operators.ZOrder.compact). Output is written BESIDE the live
     // directory; swapping it in is the operator's deploy step.
+    // stats <docsDir> <outDir> [--col name] [--alpha a] [--qs list]:
+    // profile a positive numeric column (default: whitespace token
+    // count of `text`) into a DDSketch register table plus quantile
+    // estimates — the batch face of the streaming CorpusStats monitor;
+    // the landed registers merge with any other run's by bucketwise
+    // addition.
+    case "stats" :: docsDir :: outDir :: flags =>
+      def flagVal(name: String): Option[String] = flagValIn(flags, name)
+      val reused =
+        org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+      val spark = Sessions.get("graft-stats")
+      import org.apache.spark.sql.functions.{col, size, split}
+      val alpha = flagVal("--alpha").map(_.toDouble).getOrElse(0.01)
+      val qs = flagVal("--qs")
+        .map(_.split(",").map(_.trim.toDouble).toSeq)
+        .getOrElse(Seq(0.25, 0.5, 0.75, 0.9, 0.99))
+      val docs = spark.read.parquet(docsDir)
+      val values = flagVal("--col") match {
+        case Some(c) => docs.select(col(c).cast("double").as("v"))
+        case None => docs.select(
+          size(split(col("text"), " ")).cast("double").as("v"))
+      }
+      val sketch = graft.operators.Sketch.ddSketch(values, "v", alpha)
+      sketch.coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/sketch")
+      graft.operators.Sketch.ddQuantiles(sketch, alpha, qs)
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/quantiles")
+      val est = spark.read.parquet(s"$outDir/quantiles").count()
+      println(s"stats: ${sketch.count()} buckets, $est quantiles -> $outDir")
+      if (!reused) spark.stop()
     case "optimize" :: inDir :: outDir :: flags =>
       def flagVal(name: String): Option[String] = flagValIn(flags, name)
       val dims = flagVal("--zorder").map(_.split(",")).getOrElse(

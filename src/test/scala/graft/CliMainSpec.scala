@@ -201,6 +201,31 @@ class CliMainSpec extends SparkSuite {
     assert(out.orderBy("q_id", "rnk").collect().toSeq == fromMem)
   }
 
+  test("stats profiles a corpus into a sketch and quantile estimates") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cli-stats").toString
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    CliMain.main(Array("stats", docs, s"$root/out",
+      "--qs", "0.5,0.9"))
+    val sketch = spark.read.parquet(s"$root/out/sketch")
+    assert(sketch.count() > 0)
+    val qs = spark.read.parquet(s"$root/out/quantiles")
+      .as[(Double, Double)].collect().toMap
+    assert(qs.keySet == Set(0.5, 0.9))
+    // the landed estimates honor the alpha guarantee vs exact
+    val exact = spark.read.parquet(docs)
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " "))
+        .cast("double").as("v"))
+      .as[Double].collect().sorted
+    Seq(0.5, 0.9).foreach { q =>
+      val x = exact(math.ceil(q * exact.length).toInt - 1)
+      assert(math.abs(qs(q) - x) <= 0.01 * x + 1e-9,
+        s"q=$q: ${qs(q)} vs exact $x")
+    }
+  }
+
   test("index --append grows a materialized index without retraining") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("cli-app").toString
