@@ -341,6 +341,32 @@ object Pipeline extends QueryFamily {
             .cast("long"))
         .orderBy("doc_id", "chunk_id")
     },
+    "q_sample_weighted" -> { (s, d) =>
+      // Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+      // 2006, "Weighted random sampling with a reservoir", IPL 97(5)):
+      // minimize key_i = −ln(u_i)/w_i — the top-k by key IS an exact
+      // without-replacement sample with inclusion odds ∝ weight. u_i is
+      // a deterministic hash of doc_id (53 high bits of xxhash64 →
+      // (0,1]), so there is no RNG state anywhere: the sample is a
+      // pure function of (corpus, seed), reproducible across runs and
+      // partitionings. Map-only + distributed TakeOrderedAndProject —
+      // per-partition heaps, no corpus shuffle; weight = token count
+      // (the longer-docs-proportionally-likelier subsample shape).
+      // ln() ulp differences across engines could flip near-tied ranks
+      // ⇒ no DuckDB oracle (rows-only); PipelineSpec pins the sample
+      // bit-for-bit against a local reference and the zero/dominant
+      // weight laws.
+      val u = (shiftrightunsigned(xxhash64(col("doc_id"), lit(7L)), 11) + 1)
+        .cast("double") * lit(1.1102230246251565e-16) // 2^-53
+      val w = size(split(col("text"), " ")).cast("double")
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          (-log(u) / w).as("key"))
+        .orderBy(col("key").asc, col("doc_id").asc)
+        .limit(200)
+        .select(col("doc_id"), col("source"))
+        .orderBy("doc_id")
+    },
     "q_sample_stratified" -> { (s, d) =>
       // Exact fixed-quota stratified sampling: precisely 100 docs per
       // source (the "equal representation" corpus-assembly step, vs

@@ -29,6 +29,47 @@ class PipelineSpec extends SparkSuite {
     assert(out == Seq((2L, 10L, 29L, 20L), (4L, 12L, 19L, 8L)), out)
   }
 
+  test("sample_weighted: equals the local A-ES reference; weight laws hold") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // distributed sample == the same key math computed locally
+    val got = graft.SparkEntry.queries("q_sample_weighted")(spark, sf)
+      .select("doc_id").as[Long].collect().toSeq
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("double").as("w"))
+      .as[(Long, Double)].collect()
+    val hashes = spark.createDataset(docs.map(_._1).toSeq).toDF("doc_id")
+      .select(col("doc_id"),
+        shiftrightunsigned(xxhash64(col("doc_id"), lit(7L)), 11).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val keys = docs.map { case (id, w) =>
+      val uu = (hashes(id) + 1).toDouble * 1.1102230246251565e-16
+      (id, -math.log(uu) / w)
+    }
+    val want = keys.sortBy { case (id, k) => (k, id) }.take(200)
+      .map(_._1).sorted.toSeq
+    assert(got == want, "distributed sample diverged from local A-ES")
+    // determinism across runs
+    val again = graft.SparkEntry.queries("q_sample_weighted")(spark, sf)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(again == got)
+    // weight laws on a planted frame: near-zero weight never sampled,
+    // dominant weight always sampled (same key math, own hash pass)
+    val plantedHashes = spark.range(0L, 100L).toDF("doc_id")
+      .select(col("doc_id"),
+        shiftrightunsigned(xxhash64(col("doc_id"), lit(7L)), 11).as("h"))
+      .as[(Long, Long)].collect().toMap
+    val planted = (0L until 100L).map(i =>
+      (i, if (i == 7L) 1e9 else if (i == 13L) 1e-12 else 1.0))
+    val pk = planted.map { case (id, w) =>
+      val uu = (plantedHashes(id) + 1).toDouble * 1.1102230246251565e-16
+      (id, -math.log(uu) / w)
+    }.sortBy { case (id, k) => (k, id) }.take(10).map(_._1)
+    assert(pk.contains(7L), "dominant weight missed the sample")
+    assert(!pk.contains(13L), "near-zero weight entered the sample")
+  }
+
   test("split_hash: deterministic, exhaustive, and roughly proportional") {
     import spark.implicits._
     val a = Pipeline.queries("q_split_hash")(spark, sf)
