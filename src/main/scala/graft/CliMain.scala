@@ -204,14 +204,18 @@ object CliMain {
         case None => docs.select(
           size(split(col("text"), " ")).cast("double").as("v"))
       }
-      val sketch = graft.operators.Sketch.ddSketch(values, "v", alpha)
-      sketch.coalesce(1).write.mode("overwrite")
+      graft.operators.Sketch.ddSketch(values, "v", alpha)
+        .coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/sketch")
-      graft.operators.Sketch.ddQuantiles(sketch, alpha, qs)
+      // quantiles read the LANDED sketch: ddQuantiles references its
+      // input three times and the corpus must not re-aggregate per
+      // reference — the bucket table is the sufficient statistic
+      val landed = spark.read.parquet(s"$outDir/sketch")
+      graft.operators.Sketch.ddQuantiles(landed, alpha, qs)
         .coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/quantiles")
       val est = spark.read.parquet(s"$outDir/quantiles").count()
-      println(s"stats: ${sketch.count()} buckets, $est quantiles -> $outDir")
+      println(s"stats: ${landed.count()} buckets, $est quantiles -> $outDir")
       if (!reused) spark.stop()
     case "optimize" :: inDir :: outDir :: flags =>
       def flagVal(name: String): Option[String] = flagValIn(flags, name)
@@ -484,12 +488,16 @@ object CliMain {
           |  graft.CliMain optimize <inDir> <outDir> --zorder colX,colY
           |    [--files N] [--bits B]
           |  graft.CliMain index <embeddingsDir> <outDir>
-          |    [--kind ivf|pq|ivfpq] [--k K] [--m M] [--kcells K] [--iters N]
+          |    [--kind ivf|pq|ivfpq|opq|opqivfpq] [--k K] [--m M]
+          |    [--kcells K] [--iters N] [--append]
           |  graft.CliMain search <indexDir> <embeddingsDir> <outDir>
-          |    [--kind ivf|ivfpq] [--topk N] [--nprobe P] [--shortlist N]
-          |    [--q id,id,...]
-          |  graft.CliMain tokenize train <docsDir> <modelDir> [--merges N]
+          |    [--kind ivf|ivfpq|opq|opqivfpq] [--topk N] [--nprobe P]
+          |    [--shortlist N] [--q id,id,...]
+          |  graft.CliMain tokenize train <docsDir> <modelDir>
+          |    [--algo bpe|unigram] [--merges N | --vocab N --max-piece N]
           |  graft.CliMain tokenize encode <docsDir> <modelDir> <outDir>
+          |  graft.CliMain stats <docsDir> <outDir>
+          |    [--col name] [--alpha a] [--qs q,q,...]
           |  graft.CliMain setup <store_url>""".stripMargin)
       sys.exit(2)
   }

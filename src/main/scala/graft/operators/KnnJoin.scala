@@ -79,16 +79,20 @@ object KnnJoin {
 
   /** Per-query top-k via the rank window — spillable, with the partial
     * WindowGroupLimit bounding every map task's output to k rows per
-    * query (plan-guarded). Deterministic: score desc, then smaller id. */
-  private def topKPerQuery(topK: Int)(scored: DataFrame): DataFrame = {
+    * query (plan-guarded). Deterministic: score desc, then smaller id.
+    * `sorted = false` skips the global presentation orderBy — the
+    * descent loop discards ordering immediately, and a per-round
+    * range-shuffle sort of the O(n·k) graph would be pure waste. */
+  private def topKPerQuery(topK: Int, sorted: Boolean = true)(
+      scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
-    scored
+    val ranked = scored
       .withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= topK)
       .select(col("q_id"), col("rnk"), col("vec_id"),
         round(col("score"), 6).as("cos"))
-      .orderBy("q_id", "rnk")
+    if (sorted) ranked.orderBy("q_id", "rnk") else ranked
   }
 
   /** NN-Descent refinement (Dong, Moses & Li 2011, "Efficient k-nearest
@@ -129,7 +133,7 @@ object KnnJoin {
         .select(col("u"), col("w"))
         .union(g.select(col("q_id").as("u"), col("vec_id").as("w")))
         .distinct()
-      g = topKPerQuery(topK)(cand
+      g = topKPerQuery(topK, sorted = false)(cand
         .join(emb.select(col("vec_id").as("u"),
           col("embedding").as("ue")).hint("shuffle_hash"), Seq("u"))
         .join(emb.select(col("vec_id").as("w"),

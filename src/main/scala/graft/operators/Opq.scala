@@ -263,9 +263,13 @@ object Opq {
     val rq = queries.select(col("q_id"),
       QuantExpressions.rotate(col("qvec"), idx.rotation, idx.dim)
         .as("qvec"))
-    Pq.searchIvfPq(idx.index, rq,
-      rotatedCorpus(corpus, idx.rotation, idx.dim), topK, nprobe,
-      shortlist)
+    // probes + ADC run rotated; the exact re-rank uses the ORIGINAL
+    // corpus and queries (rotation preserves dot products — the
+    // searchRerank argument). Rotating the corpus for the re-rank
+    // would evaluate the dim² kernel on every probed corpus row per
+    // search instead of only the broadcast-fetched shortlist.
+    val short = Pq.searchIvfPqShortlist(idx.index, rq, nprobe, shortlist)
+    Pq.rerank(short, corpus, queries, topK)
   }
 
   def writeOpqIvfPq(idx: OpqIvfPqIndex, dir: String): Unit = {

@@ -270,12 +270,20 @@ object Pq {
   /** Probe the nprobe nearest cells, ADC-score ONLY their codes, exact
     * re-rank the shortlist against `corpus` (vec_id, embedding). */
   def searchIvfPq(index: IvfPqIndex, queries: DataFrame, corpus: DataFrame,
-      topK: Int, nprobe: Int, shortlist: Int): DataFrame = {
+      topK: Int, nprobe: Int, shortlist: Int): DataFrame =
+    rerank(searchIvfPqShortlist(index, queries, nprobe, shortlist),
+      corpus, queries, topK)
+
+  /** The probe + ADC stage alone: (q_id, vec_id) shortlist. Shared
+    * with [[Opq.searchIvfPq]], whose re-rank runs in a different basis
+    * than its probes. */
+  private[operators] def searchIvfPqShortlist(index: IvfPqIndex,
+      queries: DataFrame, nprobe: Int, shortlist: Int): DataFrame = {
     val probes = queries.select(col("q_id"),
       explode(graft.functions.QuantExpressions.nearestCells(col("qvec"),
         index.centroids.flatten, index.centroids.length,
         index.centroids.head.length, nprobe)).as("cell_id"))
-    val short = index.assignments
+    index.assignments
       .join(broadcast(probes), Seq("cell_id"))
       .join(broadcast(adcTableDf(index.model, queries)), Seq("q_id"))
       .filter(col("vec_id") =!= col("q_id"))
@@ -283,7 +291,6 @@ object Pq {
       .withColumn("rnk", row_number().over(adcWindow))
       .filter(col("rnk") <= shortlist)
       .select(col("q_id"), col("vec_id"))
-    rerank(short, corpus, queries, topK)
   }
 
   /** Exact re-rank of a (q_id, vec_id) shortlist: broadcast semi-join

@@ -564,8 +564,10 @@ object Llm extends QueryFamily {
       // broadcast-query ANN searches. Candidates stream through the
       // IVF cell equi-join (a (q,v) pair appears at most once: primary
       // cell data side × multi-probe query side) and per-query top-k
-      // runs through the bounded-state typed aggregator, so the final
-      // shuffle is O(n·k), never the candidate stream. k-means cells ⇒
+      // runs through the rank window's partial WindowGroupLimit (the
+      // boxed typed aggregator OOM'd at 1M query groups — ProfileKnn),
+      // so the final shuffle is O(n·k), never the candidate stream.
+      // k-means cells ⇒
       // no DuckDB oracle (rows-only); KnnJoinSpec pins full-probe ≡
       // brute-force EXACTLY plus the partial-probe recall floor.
       graft.operators.KnnJoin.knnGraph(Tables.embeddings(s, d),

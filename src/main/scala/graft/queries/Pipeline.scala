@@ -360,6 +360,10 @@ object Pipeline extends QueryFamily {
         .cast("double") * lit(1.1102230246251565e-16) // 2^-53
       val w = size(split(col("text"), " ")).cast("double")
       Tables.documents(s, d)
+        // zero/NULL weight is EXCLUDED by definition, not sorted: a
+        // NULL text makes size() return -1, and a negative weight
+        // would flip the key sign and win every sample slot
+        .filter(col("text").isNotNull && w > 0)
         .select(col("doc_id"), col("source"),
           (-log(u) / w).as("key"))
         .orderBy(col("key").asc, col("doc_id").asc)

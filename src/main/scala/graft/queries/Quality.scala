@@ -141,7 +141,11 @@ object Quality extends QueryFamily {
       val tok = Tables.documents(s, d)
         .select(explode(split(col("text"), " ")).as("token"))
         .filter(col("token") =!= "")
+      // localCheckpoint: hllEstimate collects the registers eagerly and
+      // the returned frame executes again — without it the corpus-wide
+      // token aggregation would run twice
       val regs = graft.operators.Sketch.hll(tok, "token", p = 12)
+        .localCheckpoint()
       val est = graft.operators.Sketch.hllEstimate(regs, p = 12)
       regs.withColumn("n_distinct_est", lit(est)).orderBy("bucket")
     },
