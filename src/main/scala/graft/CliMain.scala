@@ -40,6 +40,21 @@ object CliMain {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
+  private def isWordPieceModel(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/wordpiece")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** Layout-detected load of any persisted tokenizer model — the one
+    * dispatch point the stream, the encode CLI, and future callers
+    * share (unigram: pieces/; wordpiece: wordpiece/; else BPE). */
+  private def loadTokenizer(spark: org.apache.spark.sql.SparkSession,
+      dir: String): graft.functions.RowTokenizer =
+    if (isUnigramModel(spark, dir)) graft.operators.Unigram.loadModel(spark, dir)
+    else if (isWordPieceModel(spark, dir)) graft.operators.WordPiece.loadModel(spark, dir)
+    else graft.operators.Bpe.loadModel(spark, dir)
+
   private val blockSchema = StructType(Seq(
     StructField("block_number", LongType),
     StructField("block_id", StringType),
@@ -81,14 +96,10 @@ object CliMain {
         .select(col("doc_id"), current_timestamp().as("ts"),
           col("text"), col("source"))
       // --tokenizer <modelDir>: apply a persisted tokenizer model
-      // (tokenize train; BPE or unigram, detected from the layout) as
-      // the final map-only stage — chunks land with token ids
+      // (tokenize train; BPE, unigram, or wordpiece — detected from the
+      // layout) as the final map-only stage — chunks land with token ids
       val tok: Option[graft.functions.RowTokenizer] =
-        flagVal("--tokenizer").map { dir =>
-          if (isUnigramModel(spark, dir))
-            graft.operators.Unigram.loadModel(spark, dir)
-          else graft.operators.Bpe.loadModel(spark, dir)
-        }
+        flagVal("--tokenizer").map(loadTokenizer(spark, _))
       val q =
         if (flags.contains("--near-dup"))
           graft.streaming.CorpusPipeline.startNearDup(clean,
@@ -331,8 +342,12 @@ object CliMain {
         case "unigram" =>
           val v = flagVal("--vocab").map(_.toInt).getOrElse(8000)
           val maxPiece = flagVal("--max-piece").map(_.toInt).getOrElse(6)
+          // seed must exceed the vocab target or the prune has nothing
+          // to cut (Unigram.train requires it); 4x is the profile-tested
+          // ratio (ProfileUnigram).
+          val seed = flagVal("--seed").map(_.toInt).getOrElse(4 * v)
           val table = graft.operators.Unigram.train(docs, vocabSize = v,
-            maxPieceLen = maxPiece)
+            maxPieceLen = maxPiece, seedSize = seed)
           val model = graft.operators.Unigram.modelOf(table)
           graft.operators.Unigram.writeModel(model, spark, modelDir)
           println(s"unigram model: ${model.vocabSize} pieces -> $modelDir")
@@ -344,14 +359,10 @@ object CliMain {
         org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
       val spark = Sessions.get("graft-tokenize")
       val docs = spark.read.parquet(docsDir)
-      val encoded =
-        if (isUnigramModel(spark, modelDir)) {
-          val model = graft.operators.Unigram.loadModel(spark, modelDir)
-          graft.operators.Unigram.encodeIds(docs, model)
-        } else {
-          val model = graft.operators.Bpe.loadModel(spark, modelDir)
-          graft.operators.Bpe.encodeIds(docs, model)
-        }
+      val tok = loadTokenizer(spark, modelDir)
+      val encoded = docs.select(
+        org.apache.spark.sql.functions.col("doc_id"),
+        tok.tokenIds(org.apache.spark.sql.functions.col("text")).as("ids"))
       encoded.write.mode("overwrite").parquet(outDir)
       println(s"encoded ${spark.read.parquet(outDir).count()} docs -> $outDir")
       if (!reused) spark.stop()

@@ -150,10 +150,25 @@ object Ann {
     require(idx.assignments.columns.contains("embedding") &&
       !idx.assignments.columns.contains("codes"),
       s"$dir/assignments is not a plain IVF layout — use appendToIvfPq")
+    requireNoRotation(spark, dir)
     nearestCell(newVectors.select(col("vec_id"), col("embedding")),
       idx.centroids)
       .write.mode("append").partitionBy("cell_id")
       .parquet(s"$dir/assignments")
+  }
+
+  /** Shared append guard: an OPQ index dir (writeOpq/writeOpqIvfPq =
+    * the plain layout + `rotation/`) satisfies the column checks, but
+    * its cells/codes live in the ROTATED basis — a plain append would
+    * assign and encode new vectors unrotated, silently degrading
+    * recall. Probe the dir's own filesystem (remote dirs included). */
+  private[operators] def requireNoRotation(
+      spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/rotation")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(p),
+      s"$dir is an OPQ index (has rotation/) — its vectors are stored " +
+        "in the rotated basis; use an OPQ-aware append, not a plain one")
   }
 
   def loadIvf(spark: org.apache.spark.sql.SparkSession, dir: String): IvfIndex = {

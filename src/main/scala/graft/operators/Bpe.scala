@@ -197,7 +197,7 @@ object Bpe {
   }
 
   /** Unsigned byte-wise UTF-8 comparison — Spark's string order. */
-  private def utf8Cmp(a: String, b: String): Int = {
+  private[operators] def utf8Cmp(a: String, b: String): Int = {
     val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var i = 0
@@ -209,7 +209,7 @@ object Bpe {
     x.length - y.length
   }
 
-  private def utf8Less(a: String, b: String): Boolean = utf8Cmp(a, b) < 0
+  private[operators] def utf8Less(a: String, b: String): Boolean = utf8Cmp(a, b) < 0
 
   /** Left-to-right non-overlapping single-pair apply (the shared
     * reference semantics). */

@@ -42,26 +42,53 @@ object Dedup {
     import spark.implicits._
     val e = edges.select(col("src"), col("dst")).localCheckpoint()
     if (e.count() > localEdgeLimit) return connectedComponents(e)
-    val pairs = e.as[(Long, Long)].collect()
-    val parent = new java.util.HashMap[Long, Long]()
-    def find(x: Long): Long = {
+    // Primitive-array union-find: two long[] collects (no boxed tuple
+    // array), ids densified by sort + binarySearch into an int[] parent
+    // table — ~48 bytes/edge of transient driver heap at the gate
+    // boundary instead of the several hundred MB a boxed
+    // HashMap[Long,Long] costs at 2M edges.
+    val srcArr: Array[Long] = e.select("src").as[Long].collect()
+    val dstArr: Array[Long] = e.select("dst").as[Long].collect()
+    val m = srcArr.length
+    val all = new Array[Long](2 * m)
+    System.arraycopy(srcArr, 0, all, 0, m)
+    System.arraycopy(dstArr, 0, all, m, m)
+    java.util.Arrays.sort(all)
+    var u = 0
+    var i = 1
+    while (i < all.length) {
+      if (all(i) != all(u)) { u += 1; all(u) = all(i) }
+      i += 1
+    }
+    val n = if (m == 0) 0 else u + 1
+    val uids = java.util.Arrays.copyOf(all, n)
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = {
       var r = x
-      while (parent.get(r) != r) r = parent.get(r)
-      var c = x
-      while (parent.get(c) != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      while (parent(r) != r) { parent(r) = parent(parent(r)); r = parent(r) }
       r
     }
-    pairs.foreach { case (a, b) =>
-      if (!parent.containsKey(a)) parent.put(a, a)
-      if (!parent.containsKey(b)) parent.put(b, b)
-      val ra = find(a); val rb = find(b)
-      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    i = 0
+    while (i < m) {
+      val ra = find(java.util.Arrays.binarySearch(uids, srcArr(i)))
+      val rb = find(java.util.Arrays.binarySearch(uids, dstArr(i)))
+      // roots point at the lower INDEX = lower id (uids is sorted), so
+      // every component resolves to its min id — same labeling as the
+      // distributed path, by construction
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+      i += 1
     }
-    val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](
-      parent.size())
-    val it = parent.keySet().iterator()
-    while (it.hasNext) { val k = it.next(); out += ((k, find(k))) }
-    out.toSeq.toDF("id", "comp")
+    val comp = new Array[Long](n)
+    i = 0
+    while (i < n) { comp(i) = uids(find(i)); i += 1 }
+    // materialize executor-side off two primitive broadcasts — the
+    // driver never builds a boxed (id, comp) tuple array
+    val uidsB = spark.sparkContext.broadcast(uids)
+    val compB = spark.sparkContext.broadcast(comp)
+    spark.range(n.toLong).as[Long].mapPartitions { it =>
+      val ids = uidsB.value; val cs = compB.value
+      it.map(j => (ids(j.toInt), cs(j.toInt)))
+    }.toDF("id", "comp")
   }
 
   /** @param edges undirected edge list, columns `(src, dst)`.

@@ -247,6 +247,7 @@ object Pq {
     require(idx.assignments.columns.contains("codes"),
       s"$dir/assignments is not an IVF+PQ layout (no codes column) — " +
         "use appendToIvf")
+    Ann.requireNoRotation(spark, dir)
     // cell assignment through Ann's gated path: same kernel-vs-join
     // switch AND same tie-break as build time, so append ≡
     // assigned-at-build-time holds at every k

@@ -161,6 +161,12 @@ object Unigram {
   def train(docs: DataFrame, vocabSize: Int, maxPieceLen: Int = 6,
       seedSize: Int = 4000, emIters: Int = 2,
       keepRatio: Double = 0.75): DataFrame = {
+    // The seed caps the initial vocabulary: a seed at or below the
+    // vocab target silently trains an undersized model (nothing to
+    // prune), so make an unreachable target fail loudly.
+    require(seedSize >= vocabSize,
+      s"seedSize ($seedSize) must be >= vocabSize ($vocabSize): " +
+        "the seed caps the initial vocabulary the prune cuts from")
     val spark = docs.sparkSession
     val words = Bpe.weightedVocab(docs).localCheckpoint()
     val model = trainFromWords(

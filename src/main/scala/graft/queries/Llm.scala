@@ -619,13 +619,15 @@ object Llm extends QueryFamily {
       // corpus-sized hot path never shuffles). Greedy merge apply ⇒ no
       // DuckDB oracle (rows-only); BpeSpec pins the kernel bit-for-bit
       // against the naive in-rank-order reference apply and the id
-      // numbering (sorted base chars, then merges by rank).
+      // numbering (sorted base chars, then merges by rank). ids_head is
+      // concat_ws'd to a string per the repo's driver-hashable rule
+      // (array cells crash the harness comparator's row sort).
       val docs = Tables.documents(s, d)
       val merges = graft.operators.Bpe.train(docs, nMerges = 30)
       val model = graft.operators.Bpe.rankModel(merges, docs)
       graft.operators.Bpe.encodeIds(docs, model)
         .select(col("doc_id"), size(col("ids")).as("n_tokens"),
-          slice(col("ids"), 1, 8).as("ids_head"))
+          concat_ws(",", slice(col("ids"), 1, 8)).as("ids_head"))
         .orderBy("doc_id")
     },
     "q_unigram_vocab" -> { (s, d) =>
@@ -654,7 +656,7 @@ object Llm extends QueryFamily {
       val model = graft.operators.Unigram.modelOf(table)
       graft.operators.Unigram.encodeIds(docs, model)
         .select(col("doc_id"), size(col("ids")).as("n_tokens"),
-          slice(col("ids"), 1, 8).as("ids_head"))
+          concat_ws(",", slice(col("ids"), 1, 8)).as("ids_head"))
         .orderBy("doc_id")
     },
     "q_heavy_hitters" -> { (s, d) =>

@@ -163,7 +163,11 @@ object Quality extends QueryFamily {
       // quantiles and exact shard-merge equality.
       val prices = Tables.lineitem(s, d)
         .select(col("l_extendedprice").cast("double").as("v"))
+      // localCheckpoint: ddQuantiles references the sketch three times
+      // (cum self-join twice + total) — without it the lineitem
+      // scan+aggregation re-executes per reference
       val sketch = graft.operators.Sketch.ddSketch(prices, "v", alpha = 0.01)
+        .localCheckpoint()
       graft.operators.Sketch.ddQuantiles(sketch, alpha = 0.01,
         Seq(0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99, 1.0))
     },

@@ -91,10 +91,15 @@ object Windows extends QueryFamily {
         .orderBy("event_id")
     },
     "q_win_ntile" -> { (s, d) =>
-      val w = Window.orderBy(col("o_totalprice").asc, col("o_orderkey").asc)
-      Tables.orders(s, d)
-        .select(col("o_orderkey"), col("o_totalprice"),
-          ntile(4).over(w).as("quartile"))
+      // GLOBAL ntile through operators.GlobalWindow — range-partitioned
+      // parallel numbering + arithmetic tiling, never the
+      // Exchange-SinglePartition plan a bare Window.orderBy produces
+      // (GlobalWindowSpec pins equivalence to ntile().over; the plan
+      // guard pins SinglePartition absent).
+      graft.operators.GlobalWindow.ntile(
+          Tables.orders(s, d).select(col("o_orderkey"), col("o_totalprice")),
+          4, Seq(col("o_totalprice").asc, col("o_orderkey").asc),
+          out = "quartile")
         .orderBy("o_orderkey")
     },
     "q_win_first_last" -> { (s, d) =>
