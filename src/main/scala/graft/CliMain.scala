@@ -317,14 +317,15 @@ object CliMain {
         case other => sys.error(s"unknown index kind: $other")
       }
       if (!reused) spark.stop()
-    // tokenize train <docsDir> <modelDir> [--algo bpe|unigram]
+    // tokenize train <docsDir> <modelDir> [--algo bpe|unigram|wordpiece]
     // [--merges N | --vocab N --max-piece N]: learn a tokenizer from a
     // documents parquet and persist the model (BPE: merges + base
-    // charset; unigram: the piece table). tokenize encode <docsDir>
-    // <modelDir> <outDir>: apply a persisted model to a corpus, landing
-    // (doc_id, ids ARRAY<INT>) parquet — the training-data pipeline's
-    // token production step, map-only through the codegen'd kernel.
-    // Encode detects the model kind from the on-disk layout.
+    // charset; unigram: the piece table; wordpiece: the piece
+    // inventory). tokenize encode <docsDir> <modelDir> <outDir>: apply
+    // a persisted model to a corpus, landing (doc_id, ids ARRAY<INT>)
+    // parquet — the training-data pipeline's token production step,
+    // map-only through the codegen'd kernel. Encode detects the model
+    // kind from the on-disk layout.
     case "tokenize" :: "train" :: docsDir :: modelDir :: flags =>
       def flagVal(name: String): Option[String] = flagValIn(flags, name)
       val reused =
@@ -351,6 +352,12 @@ object CliMain {
           val model = graft.operators.Unigram.modelOf(table)
           graft.operators.Unigram.writeModel(model, spark, modelDir)
           println(s"unigram model: ${model.vocabSize} pieces -> $modelDir")
+        case "wordpiece" =>
+          val n = flagVal("--merges").map(_.toInt).getOrElse(1000)
+          val model = graft.operators.WordPiece.train(docs, n)
+          graft.operators.WordPiece.writeModel(model, spark, modelDir)
+          println(s"wordpiece model: ${model.pieces.length} pieces " +
+            s"(vocab ${model.vocabSize} with continuations) -> $modelDir")
         case other => sys.error(s"unknown tokenizer algo: $other")
       }
       if (!reused) spark.stop()
@@ -505,7 +512,7 @@ object CliMain {
           |    [--kind ivf|ivfpq|opq|opqivfpq] [--topk N] [--nprobe P]
           |    [--shortlist N] [--q id,id,...]
           |  graft.CliMain tokenize train <docsDir> <modelDir>
-          |    [--algo bpe|unigram] [--merges N | --vocab N --max-piece N]
+          |    [--algo bpe|unigram|wordpiece] [--merges N | --vocab N --max-piece N]
           |  graft.CliMain tokenize encode <docsDir> <modelDir> <outDir>
           |  graft.CliMain stats <docsDir> <outDir>
           |    [--col name] [--alpha a] [--qs q,q,...]

@@ -659,6 +659,22 @@ object Llm extends QueryFamily {
           concat_ws(",", slice(col("ids"), 1, 8)).as("ids_head"))
         .orderBy("doc_id")
     },
+    "q_wordpiece_encode" -> { (s, d) =>
+      // WordPiece corpus ENCODE (operators.WordPiece — BERT's greedy
+      // longest-match-first tokenizer, the third production family
+      // beside BPE and unigram): piece inventory from BPE merge
+      // training, then one codegen'd kernel call per row
+      // (functions.WordPieceEncode), map-only. Greedy munch ⇒ no DuckDB
+      // oracle (rows-only); WordPieceSpec pins the kernel bit-for-bit
+      // against the naive reference munch and the round-trip. ids_head
+      // is concat_ws'd per the driver-hashable rule.
+      val docs = Tables.documents(s, d)
+      val model = graft.operators.WordPiece.train(docs, nMerges = 30)
+      graft.operators.WordPiece.encodeIds(docs, model)
+        .select(col("doc_id"), size(col("ids")).as("n_tokens"),
+          concat_ws(",", slice(col("ids"), 1, 8)).as("ids_head"))
+        .orderBy("doc_id")
+    },
     "q_heavy_hitters" -> { (s, d) =>
       // Exact heavy hitters: tokens carrying ≥0.5% of the token stream.
       // Integer-threshold form (c·200 ≥ n) — no float ratio, bit-exact.

@@ -26,6 +26,7 @@ class SparkEntrySpec extends SparkSuite {
     "q_bpe_encode",      // BPE corpus encode (greedy apply) → BpeSpec
     "q_unigram_vocab",   // unigram-LM tokenizer training (EM) → UnigramSpec
     "q_unigram_encode",  // unigram Viterbi corpus encode → UnigramSpec
+    "q_wordpiece_encode", // WordPiece greedy-munch corpus encode → WordPieceSpec
     "q_quality_classifier", // learned filter (GD ≡ classical loop,
                          //   held-out accuracy) → QualityClassifierSpec
     "q_contamination_bloom") // Bloom probe (no false negatives,
