@@ -293,6 +293,18 @@ object CliMain {
           val idx = graft.operators.Pq.buildIvfPq(emb, kCells, m, k, iters)
           graft.operators.Pq.writeIvfPq(idx, outDir)
           println(s"ivfpq index: $kCells cells, $m x $k codebooks -> $outDir")
+        case "graph" =>
+          // proximity-graph index (GraphAnn — the HNSW/DiskANN family):
+          // NN-Descent-refined kNN graph + medoid entry points
+          val degree = flagVal("--degree").map(_.toInt).getOrElse(16)
+          val kCells = flagVal("--kcells").map(_.toInt).getOrElse(64)
+          val probes = flagVal("--nprobe").map(_.toInt).getOrElse(2)
+          val rounds = flagVal("--descent").map(_.toInt).getOrElse(1)
+          val idx = graft.operators.GraphAnn.build(emb, degree, kCells,
+            iters, probes, rounds)
+          graft.operators.GraphAnn.write(idx, outDir)
+          println(s"graph index: degree $degree, " +
+            s"${idx.entries.length} entry points -> $outDir")
         case "opq" =>
           // rotated PQ (Opq): the PCA+allocation rotation rides in the
           // index layout next to the codebooks and codes
@@ -412,6 +424,11 @@ object CliMain {
           graft.operators.Opq.searchIvfPq(idx, queries, emb, topK,
             nprobe, shortlist = flagVal("--shortlist").map(_.toInt)
               .getOrElse(topK * 5))
+        case "graph" =>
+          // beam search over the proximity graph (--ef = beam width)
+          val idx = graft.operators.GraphAnn.load(spark, indexDir)
+          graft.operators.GraphAnn.search(idx, emb, queries, topK,
+            ef = flagVal("--ef").map(_.toInt).getOrElse(math.max(32, topK)))
         case other => sys.error(s"unknown search kind: $other")
       }
       result.write.mode("overwrite").parquet(outDir)
@@ -506,11 +523,12 @@ object CliMain {
           |  graft.CliMain optimize <inDir> <outDir> --zorder colX,colY
           |    [--files N] [--bits B]
           |  graft.CliMain index <embeddingsDir> <outDir>
-          |    [--kind ivf|pq|ivfpq|opq|opqivfpq] [--k K] [--m M]
+          |    [--kind ivf|pq|ivfpq|opq|opqivfpq|graph] [--k K] [--m M]
           |    [--kcells K] [--iters N] [--append]
+          |    [--degree D --nprobe P --descent R]  (graph kind)
           |  graft.CliMain search <indexDir> <embeddingsDir> <outDir>
-          |    [--kind ivf|ivfpq|opq|opqivfpq] [--topk N] [--nprobe P]
-          |    [--shortlist N] [--q id,id,...]
+          |    [--kind ivf|ivfpq|opq|opqivfpq|graph] [--topk N]
+          |    [--nprobe P] [--shortlist N] [--ef N] [--q id,id,...]
           |  graft.CliMain tokenize train <docsDir> <modelDir>
           |    [--algo bpe|unigram|wordpiece] [--merges N | --vocab N --max-piece N]
           |  graft.CliMain tokenize encode <docsDir> <modelDir> <outDir>

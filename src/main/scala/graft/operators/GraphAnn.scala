@@ -6,91 +6,108 @@ import org.apache.spark.sql.functions._
 
 import graft.functions.Vectors
 
-/** Graph-based ANN search (the HNSW/Vamana family — Malkov & Yashunin
-  * 2016, "Efficient and robust approximate nearest neighbor search
-  * using Hierarchical Navigable Small World graphs"; Subramanya et al.
-  * 2019, DiskANN): beam search over a proximity graph. The missing
-  * production shape beside IVF/PQ — on clustered data, greedy descent
-  * through neighbor links reaches the true neighborhood with FAR fewer
-  * exact-dot evaluations than a cell probe scans.
+/** Graph-based ANN search — the HNSW family (Malkov & Yashunin 2016,
+  * "Efficient and robust approximate nearest neighbor search using
+  * Hierarchical Navigable Small World graphs"): HIERARCHICAL proximity
+  * graphs + beam descent. The missing production shape beside IVF/PQ —
+  * navigation through neighbor links reaches the true neighborhood
+  * with exact-dot budgets independent of corpus size.
   *
-  * The index IS the [[KnnJoin]] kNN graph (optionally NN-Descent
-  * refined), symmetrized — undirected links are what make descent
-  * navigable both ways — plus a fixed entry-point set: the vectors
-  * nearest the corpus centroid (the Vamana medoid discipline;
-  * deterministic, computed once at build time).
+  * Why layers are load-bearing, not decoration: a flat kNN graph over
+  * clustered data DECOMPOSES — every vector's top-k links stay inside
+  * its tight cluster, the symmetrized graph splits into per-cluster
+  * components, and descent can never cross (measured recall 0.2 on the
+  * hierarchical-cluster corpus in GraphAnnSpec's flat first cut).
+  * Geometric subsampling fixes this structurally: a layer holding 1/4^ℓ
+  * of the corpus has too few same-cluster members to fill a node's
+  * degree, so its kNN graph is FORCED to carry long-range edges — the
+  * exact mechanism HNSW's level assignment exists for. Search descends:
+  * the top layer routes between far regions, each layer sharpens, the
+  * base layer (the full NN-Descent-refined kNN graph) resolves the true
+  * neighborhood.
+  *
+  * Layer membership is deterministic: node v lives in layers
+  * 0..level(v), where level(v) counts how many times 4 divides
+  * xxhash64(vec_id) (HNSW's geometric level draw, derandomized). Each
+  * layer's graph is [[KnnJoin.knnGraphOnIndex]] over its members — the
+  * same IVF-bucketed O(n·probes·cellSize) build, never all-pairs; build
+  * cost is a geometric series ≈ 4/3 of the base graph alone.
   *
   * Search, distributed as ITERATIVE FRONTIER JOINS (the PageRank/CC
-  * loop discipline — ALL queries advance one hop per round, the driver
-  * loop only counts for convergence):
-  *  - state per query: a beam of the best `ef` scored candidates, each
-  *    flagged expanded-or-not, plus the visited set;
-  *  - per round: the unexpanded beam rows (the frontier) join the
-  *    adjacency list for their neighbors; an anti-join against visited
-  *    drops re-finds BEFORE the embedding fetch (each (q, v) pair is
-  *    scored exactly once per search — the budget is auditable); new
-  *    candidates score against their query vector and merge into the
-  *    beam through the spillable rank window (the WindowGroupLimit
-  *    shape — never a per-group buffer);
-  *  - converged when no unexpanded row survives the beam cut (a
-  *    strictly-better frontier must keep displacing the tail), or at
-  *    `maxRounds`.
+  * loop discipline — ALL queries advance together; the driver loop
+  * only counts for convergence): per layer, a beam of the best
+  * candidates expands unexpanded members through the layer's adjacency
+  * (anti-joined against the per-layer visited set BEFORE the embedding
+  * fetch — every (q, v) is scored at most once per layer, so the
+  * exact-dot budget is auditable), merges through the spillable rank
+  * window (the WindowGroupLimit shape), and converges when no
+  * unexpanded row survives the beam cut; the surviving beam seeds the
+  * next layer down. Upper layers run a narrow beam (routing), the base
+  * layer the full `ef`.
   *
   * All joins carry corpus-scaled sides ⇒ SHUFFLE_HASH-pinned (the AQE
   * compressed-size mispromotion documented in SetSimJoin). Per-round
-  * frontier work is O(|frontier|·degree) candidate rows — graph-sized,
-  * never corpus×corpus. At 100 TB the graph and embeddings partition
+  * work is O(|frontier|·degree) candidate rows — graph-sized, never
+  * corpus×corpus. At 100 TB the layer graphs and embeddings partition
   * by vec_id and the loop's joins co-locate on that key; beam state is
   * queries×ef rows.
   */
 object GraphAnn {
 
-  /** Build the searchable index: refined kNN graph (symmetrized at
-    * search time) + entry points. `degree` is the out-degree of the
-    * stored graph — the navigability dial (HNSW's M). */
+  /** Layer graphs, base (level 0, the full corpus) FIRST; `entries` are
+    * the top layer's member ids — the shared search seeds. */
+  final case class GraphIndex(layers: Seq[DataFrame], entries: Array[Long])
+
+  /** Build the hierarchy. `degree` is the per-layer out-degree (HNSW's
+    * M); `kCells` the base layer's IVF bucketing (scaled down 4× per
+    * layer); `descentRounds` NN-Descent refinement on the BASE layer
+    * (upper layers are routing structures — refinement there buys
+    * little); `minTopLayer` bounds the top layer's expected size, which
+    * becomes the entry set. */
   def build(embeddings: DataFrame, degree: Int = 16, kCells: Int = 64,
       iters: Int = 2, probes: Int = 2, descentRounds: Int = 1,
-      nEntries: Int = 4): GraphIndex = {
-    val graph = {
-      val rough = KnnJoin.knnGraph(embeddings, degree, kCells, iters, probes)
-      if (descentRounds > 0)
-        KnnJoin.refine(rough, embeddings, degree, descentRounds)
-      else rough
-    }
-    GraphIndex(graph.select(col("q_id").as("src"), col("vec_id").as("dst")),
-      entryPoints(embeddings, nEntries))
-  }
-
-  final case class GraphIndex(edges: DataFrame, entries: Array[Long])
-
-  /** The `nEntries` vectors nearest the corpus centroid (medoid-style
-    * fixed entry set). One posexplode aggregation for the centroid
-    * (fully distributed, dim-sized result) + one TakeOrdered pass. */
-  private[operators] def entryPoints(embeddings: DataFrame,
-      nEntries: Int): Array[Long] = {
+      minTopLayer: Int = 32): GraphIndex = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val centroid = embeddings
-      .select(posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("pos").agg(avg(col("x")).as("m"))
-      .orderBy("pos").select("m").as[Double].collect()
-      .map(_.toFloat)
-    embeddings
-      .select(col("vec_id"),
-        Vectors.dot(col("embedding"), typedLit(centroid.toSeq)).as("s"))
-      .orderBy(col("s").desc, col("vec_id").asc)
-      .limit(nEntries)
-      .select("vec_id").as[Long].collect()
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+    val n = emb.count()
+    val maxLevel = math.max(0,
+      (math.log(math.max(1.0, n.toDouble / minTopLayer)) / math.log(4.0)).toInt)
+    def membersOf(l: Int): DataFrame =
+      if (l == 0) emb
+      else emb.filter(pmod(xxhash64(col("vec_id")), lit(pow4(l))) === 0)
+    val layers = (0 to maxLevel).map { l =>
+      val members = membersOf(l)
+      val cells = math.max(4, (kCells >> (2 * l)))
+      val idx = Ann.buildIvf(members, cells, iters)
+      val g = KnnJoin.knnGraphOnIndex(idx, members, degree, probes)
+      val refined =
+        if (l == 0 && descentRounds > 0)
+          KnnJoin.refine(g, members, degree, descentRounds)
+        else g
+      refined.select(col("q_id").as("src"), col("vec_id").as("dst"))
+        .localCheckpoint()
+    }
+    // entry set = the top layer's MEMBERS (not its edge endpoints — an
+    // isolated member must still seed searches); driver-sized by the
+    // minTopLayer geometry
+    val entries = membersOf(maxLevel)
+      .select(col("vec_id")).orderBy("vec_id").as[Long].collect()
+    GraphIndex(layers, entries)
   }
 
-  /** Beam search: (q_id, rnk, vec_id, cos) — the [[Ann.search]] output
-    * contract. `queries` is (q_id, qvec). */
+  private def pow4(l: Int): Long = 1L << (2 * l)
+
+  /** Beam search down the hierarchy: (q_id, rnk, vec_id, cos) — the
+    * [[Ann.search]] output contract. `queries` is (q_id, qvec); `ef`
+    * is the base-layer beam width (HNSW's efSearch). */
   def search(index: GraphIndex, embeddings: DataFrame, queries: DataFrame,
       topK: Int, ef: Int = 32, maxRounds: Int = 10): DataFrame =
     searchCounted(index, embeddings, queries, topK, ef, maxRounds)._1
 
-  /** Same, returning the exact-dot evaluation count (scored pairs) —
-    * the budget the spec compares against IVFPQ's shortlist. */
+  /** Same, returning the exact-dot evaluation count (scored pairs
+    * across all layers) — the budget GraphAnnSpec compares against
+    * IVFPQ's shortlist. */
   private[operators] def searchCounted(index: GraphIndex,
       embeddings: DataFrame, queries: DataFrame, topK: Int, ef: Int,
       maxRounds: Int): (DataFrame, Long) = {
@@ -100,15 +117,43 @@ object GraphAnn {
     val emb = embeddings.select(col("vec_id"), col("embedding"))
       .localCheckpoint()
     val qs = queries.select(col("q_id"), col("qvec")).localCheckpoint()
+    val entriesDf = index.entries.toSeq.toDF("vec_id")
+    var seeds = qs.select(col("q_id")).crossJoin(broadcast(entriesDf))
+    var dots = 0L
+    var beam: DataFrame = null
+    // top layer → base; upper layers route with a narrow beam
+    index.layers.zipWithIndex.reverse.foreach { case (edges, l) =>
+      val efL = if (l == 0) ef else math.max(2, topK / 2)
+      val roundsL = if (l == 0) maxRounds else math.max(2, maxRounds / 2)
+      val (b, d) = beamLayer(edges, emb, qs, seeds, efL, roundsL)
+      beam = b
+      dots += d
+      seeds = b.select(col("q_id"), col("vec_id"))
+    }
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    val out = beam
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("vec_id"),
+        round(col("score"), 6).as("cos"))
+      .orderBy("q_id", "rnk")
+    (out, dots)
+  }
+
+  /** One layer's frontier loop: seed pairs → converged beam of `ef`
+    * scored candidates per query. Returns (beam, exact dots spent). */
+  private def beamLayer(edges: DataFrame, emb: DataFrame, qs: DataFrame,
+      seedPairs: DataFrame, ef: Int, maxRounds: Int)
+      : (DataFrame, Long) = {
     // symmetrize: descent must walk links both ways
-    val adj = index.edges
+    val adj = edges
       .select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .localCheckpoint()
-
     // self-match excluded up front (the Ann.search contract — query ids
     // share the corpus id namespace), so it never wastes a beam slot
     def score(pairs: DataFrame): DataFrame = pairs
@@ -117,15 +162,11 @@ object GraphAnn {
       .join(qs.hint("shuffle_hash"), Seq("q_id"))
       .select(col("q_id"), col("vec_id"),
         Vectors.dot(col("embedding"), col("qvec")).as("score"))
-
-    val entriesDf = index.entries.toSeq.toDF("vec_id")
-    var scoredPairs = 0L
-    // init: every query scores the shared entry set
-    val seed = qs.select(col("q_id")).crossJoin(broadcast(entriesDf))
-    var beam = score(seed)
+    var dots = 0L
+    var beam = score(seedPairs.distinct())
       .withColumn("expanded", lit(false))
       .localCheckpoint()
-    scoredPairs += beam.count()
+    dots += beam.count()
     var visited = beam.select(col("q_id"), col("vec_id")).localCheckpoint()
     var frontierN = 1L
     var r = 0
@@ -141,7 +182,7 @@ object GraphAnn {
         .join(visited.hint("shuffle_hash"), Seq("q_id", "vec_id"),
           "left_anti")
       val scored = score(cand).localCheckpoint()
-      scoredPairs += scored.count()
+      dots += scored.count()
       visited = visited
         .union(scored.select(col("q_id"), col("vec_id")))
         .localCheckpoint()
@@ -154,31 +195,35 @@ object GraphAnn {
       frontierN = beam.filter(!col("expanded")).count()
       r += 1
     }
-    val out = beam
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= topK)
-      .select(col("q_id"), col("rnk"), col("vec_id"),
-        round(col("score"), 6).as("cos"))
-      .orderBy("q_id", "rnk")
-    (out, scoredPairs)
+    (beam.drop("expanded"), dots)
   }
 
-  /** Persist / load — the `index --kind graph` layout: the edge list
-    * plus the entry vector ids. */
+  /** Persist / load — the `index --kind graph` layout: one parquet of
+    * (layer, src, dst) plus the entry ids in order. */
   def write(index: GraphIndex, dir: String): Unit = {
-    val spark = index.edges.sparkSession
+    val spark = index.layers.head.sparkSession
     import spark.implicits._
-    index.edges.select("src", "dst")
-      .write.mode("overwrite").parquet(s"$dir/graph")
-    index.entries.toSeq.toDF("vec_id")
+    index.layers.zipWithIndex
+      .map { case (g, l) => g.select(lit(l).as("layer"), col("src"), col("dst")) }
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").partitionBy("layer").parquet(s"$dir/graph")
+    // persist the ENTRY ORDER (rnk), not just the set — load must
+    // reproduce the index bit-for-bit
+    index.entries.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
+      .toDF("rnk", "vec_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/entries")
   }
 
   def load(spark: org.apache.spark.sql.SparkSession,
       dir: String): GraphIndex = {
     import spark.implicits._
-    GraphIndex(spark.read.parquet(s"$dir/graph"),
+    val g = spark.read.parquet(s"$dir/graph")
+    val levels = g.select("layer").distinct()
+      .orderBy("layer").as[Int].collect()
+    val layers = levels.toSeq.map(l =>
+      g.filter(col("layer") === l).select("src", "dst"))
+    GraphIndex(layers,
       spark.read.parquet(s"$dir/entries")
-        .orderBy("vec_id").select("vec_id").as[Long].collect())
+        .orderBy("rnk").select("vec_id").as[Long].collect())
   }
 }

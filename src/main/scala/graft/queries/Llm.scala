@@ -363,6 +363,20 @@ object Llm extends QueryFamily {
         .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
       graft.operators.Ann.search(index, queries, topK = 10, nprobe = 6)
     },
+    "q_ann_graph_topk" -> { (s, d) =>
+      // Graph-based ANN (operators.GraphAnn — the HNSW/DiskANN family):
+      // NN-Descent-refined kNN graph + medoid entries, then distributed
+      // beam search (iterative frontier joins) for 5 query vectors. No
+      // DuckDB oracle (iterative graph model); GraphAnnSpec pins
+      // recall@10 vs exact above the IVFPQ shortlist at equal
+      // scored-pair budget.
+      val e = Tables.embeddings(s, d)
+      val idx = graft.operators.GraphAnn.build(e, degree = 8,
+        kCells = 16, iters = 2, probes = 2, descentRounds = 1)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      graft.operators.GraphAnn.search(idx, e, queries, topK = 10, ef = 16)
+    },
     "q_edit_distance" -> { (s, d) =>
       // Levenshtein on bounded prefixes — the fuzzy-dedup primitive for
       // short fields (titles/names); O(m·n) per pair so inputs are CAPPED
