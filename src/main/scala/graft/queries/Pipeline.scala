@@ -104,6 +104,34 @@ object Pipeline extends QueryFamily {
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_image_neardup" -> { (s, d) =>
+      // Multimodal near-dup (multimodal.PerceptualHash): the testdata
+      // ships no media payloads, so the corpus is synthesized
+      // DETERMINISTICALLY from the documents table's doc_ids
+      // (SyntheticImages gradient PNGs through the real JDK codec) with
+      // every 5th image given a resized re-encoded twin — then dHash +
+      // banded hamming join (the SimHash band discipline; exact by
+      // pigeonhole). Rows-only (perceptual bits are codec-path
+      // specific); PerceptualHashSpec pins drift/precision/exactness.
+      import s.implicits._
+      val ids = Tables.documents(s, d).select("doc_id")
+        .orderBy("doc_id").limit(40).as[Long].collect()
+      val rows = ids.map { i =>
+        graft.multimodal.Media.MediaRow(i, "image",
+          graft.multimodal.SyntheticImages.png(
+            graft.multimodal.SyntheticImages.structured(seed = i)),
+          graft.multimodal.Media.MediaMeta(96, 80, 0, 0))
+      } ++ ids.filter(_ % 5 == 0).map { i =>
+        graft.multimodal.Media.MediaRow(i + 1000000L, "image",
+          graft.multimodal.ImageCodec.resizePng(
+            graft.multimodal.SyntheticImages.structured(seed = i), 72, 60),
+          graft.multimodal.Media.MediaMeta(72, 60, 0, 0))
+      }
+      val media = rows.toSeq.toDS()
+      val hs = graft.multimodal.PerceptualHash.hashes(media, "dhash")
+      graft.multimodal.PerceptualHash.nearDupPairs(hs, bandBits = 16,
+        maxHamming = 3)
+    },
     "q_split_hash" -> { (s, d) =>
       // Deterministic train/val/test assignment from a content hash —
       // stable across runs, engines, and partitionings (a random split
