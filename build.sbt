@@ -9,17 +9,11 @@ libraryDependencies ++= Seq(
   "org.scalatest" %% "scalatest" % "3.2.19" % Test,
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
-// Cloud object-store connectors (reference parity: dstore s3/gs/az,
-// store_adapter.go:11-17). Not resolvable in this zero-egress sandbox —
-// ObjectStoreSpec proves the committer path against an in-process store
-// with s3 semantics instead. A real deployment adds, matching the
-// hadoop-client 3.4.2 shipped in /opt/spark/jars:
-//   "org.apache.hadoop" % "hadoop-aws"              % "3.4.2"  // s3a://
-//   "software.amazon.awssdk" % "bundle"             % "2.29.x" // s3a dep
-//   "com.google.cloud.bigdataoss" % "gcs-connector" % "3.0.x"  // gs://
-//   "org.apache.hadoop" % "hadoop-azure"            % "3.4.2"  // abfs://
-// and sets fs.s3a.committer.name=magic (or directory) — RangeSink's own
-// rename-publish is already single-file-per-range, so either works.
+// Cloud connectors (s3a/gs/abfs) are a DEPLOYMENT-TIME classpath
+// concern, deliberately not a build dependency — see docs/USAGE.md
+// "Cloud object stores" for the exact jars and conf; ObjectStoreSpec
+// proves the committer path against an in-process store with s3
+// semantics (flat keys, multipart, copy+delete rename).
 Test / fork := true
 run / fork := true
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside

@@ -265,6 +265,16 @@ object CliMain {
           case "ivfpq" =>
             graft.operators.Pq.appendToIvfPq(spark, outDir, emb)
             println(s"ivfpq append: ${emb.count()} vectors -> $outDir")
+          case "graph" =>
+            // HNSW insert: new vectors descend the existing hierarchy;
+            // --corpus points at the EXISTING embeddings the descent
+            // scores against
+            val corpusDir = flagVal("--corpus").getOrElse(sys.error(
+              "graph append needs --corpus <existing embeddings dir>"))
+            val degree = flagVal("--degree").map(_.toInt).getOrElse(16)
+            graft.operators.GraphAnn.append(spark, outDir, emb,
+              spark.read.parquet(corpusDir), degree)
+            println(s"graph append: ${emb.count()} vectors -> $outDir")
           case other => sys.error(s"append unsupported for kind: $other")
         }
         if (!reused) spark.stop()

@@ -101,6 +101,34 @@ object ProfileDedup {
         s""""cand_sec":${f"$tCand%.2f"},"verify_sec":${f"$tVerify%.2f"}}}""")
       spark.stop()
 
+    case Some("route") =>
+      // router validation cell: profile → decision, then BOTH exact
+      // variants timed so the pick can be judged against measurement
+      val kind = args(1)
+      val nDocs = args(2).toLong
+      val spark = Sessions.get("profile-dedup-route")
+      val docs = corpus(spark, kind, nDocs).localCheckpoint()
+      import graft.operators.SetSimJoin
+      val (prof, tProf) = timed(SetSimJoin.dfProfile(docs))
+      val hot = prof.hot(8)
+      val (nRouted, tRouted) =
+        timed(SetSimJoin.edgesAuto(docs, 1, 2).count())
+      val (nP, tP) = timed(SetSimJoin.edges(docs, 1, 2).count())
+      // naive on a hot corpus is the proven n²/2 detonation — report
+      // the closed-form candidate count instead of burning the host
+      val (nN, tN) =
+        if (hot && nDocs > 5000) (-1L, -1.0)
+        else timed(SetSimJoin.edgesNaive(docs, 1, 2).count())
+      require(nRouted == nP && (nN < 0 || nN == nRouted),
+        s"variant edge counts diverge: routed=$nRouted ppjoin=$nP naive=$nN")
+      println(s"""{"route":{"kind":"$kind","n_docs":$nDocs,""" +
+        s""""volume":${prof.volume},"naive_cands":${prof.naiveCandidates},""" +
+        s""""max_df":${prof.maxDf},"picked":"${if (hot) "ppjoin" else "naive"}",""" +
+        s""""profile_sec":${f"$tProf%.2f"},"routed_sec":${f"$tRouted%.2f"},""" +
+        s""""ppjoin_sec":${f"$tP%.2f"},"naive_sec":${f"$tN%.2f"},""" +
+        s""""edges":$nRouted}}""")
+      spark.stop()
+
     case _ =>
       // original planted-boilerplate identity check
       val spark = Sessions.get("profile-dedup")

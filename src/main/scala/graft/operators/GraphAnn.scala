@@ -112,24 +112,9 @@ object GraphAnn {
       embeddings: DataFrame, queries: DataFrame, topK: Int, ef: Int,
       maxRounds: Int): (DataFrame, Long) = {
     require(ef >= topK, s"beam width ef=$ef must be >= topK=$topK")
-    val spark = embeddings.sparkSession
-    import spark.implicits._
-    val emb = embeddings.select(col("vec_id"), col("embedding"))
-      .localCheckpoint()
-    val qs = queries.select(col("q_id"), col("qvec")).localCheckpoint()
-    val entriesDf = index.entries.toSeq.toDF("vec_id")
-    var seeds = qs.select(col("q_id")).crossJoin(broadcast(entriesDf))
-    var dots = 0L
-    var beam: DataFrame = null
-    // top layer → base; upper layers route with a narrow beam
-    index.layers.zipWithIndex.reverse.foreach { case (edges, l) =>
-      val efL = if (l == 0) ef else math.max(2, topK / 2)
-      val roundsL = if (l == 0) maxRounds else math.max(2, maxRounds / 2)
-      val (b, d) = beamLayer(edges, emb, qs, seeds, efL, roundsL)
-      beam = b
-      dots += d
-      seeds = b.select(col("q_id"), col("vec_id"))
-    }
+    val (beams, dots) = descendLayers(index, embeddings, queries,
+      narrowEf = math.max(2, topK / 2), baseEf = ef, maxRounds)
+    val beam = beams.head._2 // base layer
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
     val out = beam
@@ -139,6 +124,37 @@ object GraphAnn {
         round(col("score"), 6).as("cos"))
       .orderBy("q_id", "rnk")
     (out, dots)
+  }
+
+  /** The layered descent, returning every layer's converged beam
+    * (base layer FIRST) — search uses only the base beam; [[append]]
+    * links new nodes into EVERY layer they inhabit, so it needs them
+    * all. Layer membership is nested (4^ℓ | hash ⊆ 4^(ℓ−1) | hash), so
+    * a layer's beam only ever holds that layer's members: seeds at the
+    * top are top-layer members, seeds below are the layer-above's
+    * beam. */
+  private def descendLayers(index: GraphIndex, embeddings: DataFrame,
+      queries: DataFrame, narrowEf: Int, baseEf: Int, maxRounds: Int)
+      : (List[(Int, DataFrame)], Long) = {
+    val spark = embeddings.sparkSession
+    import spark.implicits._
+    val emb = embeddings.select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val qs = queries.select(col("q_id"), col("qvec")).localCheckpoint()
+    val entriesDf = index.entries.toSeq.toDF("vec_id")
+    var seeds = qs.select(col("q_id")).crossJoin(broadcast(entriesDf))
+    var dots = 0L
+    var beams = List.empty[(Int, DataFrame)]
+    // top layer → base; upper layers route with a narrow beam
+    index.layers.zipWithIndex.reverse.foreach { case (edges, l) =>
+      val efL = if (l == 0) baseEf else narrowEf
+      val roundsL = if (l == 0) maxRounds else math.max(2, maxRounds / 2)
+      val (b, d) = beamLayer(edges, emb, qs, seeds, efL, roundsL)
+      beams = (l, b) :: beams
+      dots += d
+      seeds = b.select(col("q_id"), col("vec_id"))
+    }
+    (beams, dots)
   }
 
   /** One layer's frontier loop: seed pairs → converged beam of `ef`
@@ -196,6 +212,68 @@ object GraphAnn {
       r += 1
     }
     (beam.drop("expanded"), dots)
+  }
+
+  /** Incremental maintenance — the HNSW INSERT, batched (grow-in-place,
+    * the [[Ann.appendToIvf]] contract): each new vector keeps the SAME
+    * deterministic level draw as build time (4-adic xxhash valuation,
+    * so a later full rebuild assigns identical levels), descends the
+    * EXISTING hierarchy to find its per-layer neighborhood (the
+    * descent beam, run `degree` wide, IS the insert's candidate pool —
+    * exactly HNSW's searchLayer-then-connect), and appends its
+    * out-edges into every layer it inhabits. Existing graph rows are
+    * untouched; search-time symmetrization makes the new nodes
+    * reachable through their own out-edges. New top-layer members
+    * extend the persisted entry set (ordered after the existing
+    * entries — load order stays deterministic).
+    *
+    * Batch approximation, documented: new↔new links within one batch
+    * are not formed (each insert sees only the pre-existing graph);
+    * the periodic-rebuild discipline that owns model drift owns this
+    * too. `embeddings` is the EXISTING corpus (the descent scores
+    * candidates that are all existing members). */
+  def append(spark: org.apache.spark.sql.SparkSession, dir: String,
+      newVectors: DataFrame, embeddings: DataFrame, degree: Int = 16,
+      maxRounds: Int = 10): Unit = {
+    // layout guard (the appendToIvf discipline): refuse non-graph dirs
+    // before writing anything
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/graph")) &&
+      fs.exists(new org.apache.hadoop.fs.Path(s"$dir/entries")),
+      s"$dir is not a graph index layout (graph/ + entries/) — " +
+        "use the matching append for its index kind")
+    val idx = load(spark, dir)
+    val maxLevel = idx.layers.size - 1
+    val newV = newVectors.select(col("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val qs = newV.select(col("vec_id").as("q_id"),
+      col("embedding").as("qvec"))
+    val (beams, _) = descendLayers(idx, embeddings, qs,
+      narrowEf = degree, baseEf = degree, maxRounds)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    beams.foreach { case (l, beam) =>
+      val memberIds = newV
+        .filter(pmod(xxhash64(col("vec_id")), lit(pow4(l))) === 0)
+        .select(col("vec_id").as("q_id"))
+      beam.join(memberIds.hint("shuffle_hash"), Seq("q_id"))
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= degree)
+        .select(lit(l).as("layer"), col("q_id").as("src"),
+          col("vec_id").as("dst"))
+        .write.mode("append").partitionBy("layer").parquet(s"$dir/graph")
+    }
+    import spark.implicits._
+    val newTop = newV
+      .filter(pmod(xxhash64(col("vec_id")), lit(pow4(maxLevel))) === 0)
+      .select("vec_id").orderBy("vec_id").as[Long].collect()
+    if (newTop.nonEmpty) {
+      val base = idx.entries.length
+      newTop.toSeq.zipWithIndex.map { case (v, i) => (base + i, v) }
+        .toDF("rnk", "vec_id")
+        .coalesce(1).write.mode("append").parquet(s"$dir/entries")
+    }
   }
 
   /** Persist / load — the `index --kind graph` layout: one parquet of

@@ -175,6 +175,68 @@ object SetSimJoin {
       .select("id_a", "id_b")
   }
 
+  /** The naive cascade's fused index-join-and-count edges (the
+    * q_dedup_cascade inline shape, shared here so the router can pick
+    * it): overlap counted BY the inverted-index self-join (merge, not
+    * hash — the shingle key is skewed by design and SMJ spills), same
+    * integer threshold. Identical output to [[edges]]; cheaper on
+    * boilerplate-FREE corpora because it skips the df-ranking pass. */
+  def edgesNaive(docs: DataFrame, num: Int, den: Int): DataFrame = {
+    require(num > 0 && den > 0 && num <= den, s"threshold $num/$den not in (0,1]")
+    val inv = docs.select(col("doc_id"), col("n"), explode(col("sset")).as("sh"))
+    inv.select(col("sh"), col("doc_id").as("id_a"), col("n").as("n_a"))
+      .join(inv.select(col("sh"), col("doc_id").as("id_b"),
+        col("n").as("n_b")).hint("merge"), Seq("sh"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("shared"),
+        first(col("n_a")).as("n_a"), first(col("n_b")).as("n_b"))
+      .filter(col("shared") * (den + num) >= (col("n_a") + col("n_b")) * num)
+      .select("id_a", "id_b")
+  }
+
+  /** One-aggregation df profile: corpus element volume V = Σ df and the
+    * EXACT naive candidate count C = Σ df·(df−1)/2 (each element with
+    * document frequency df contributes every pair of its postings).
+    * This is the r6 sweep's crossover statistic, computed instead of
+    * guessed — one partial-aggregated shuffle over the exploded
+    * element instances, two longs out. */
+  final case class DfProfile(volume: Long, naiveCandidates: Long,
+      maxDf: Long) {
+    /** The measured routing rule: the hot-key quadratic term dominates
+      * when naive candidates exceed `hotFactor`× the corpus volume
+      * (clean corpora sit at C/V ≈ 0.06, boilerplate at C/V ≈ 10³⁺ —
+      * the sweep's cliff is orders of magnitude wide, so any factor in
+      * [1, 100] routes identically; 8 centers it). */
+    def hot(hotFactor: Long): Boolean =
+      naiveCandidates > hotFactor * volume
+  }
+
+  def dfProfile(docs: DataFrame): DfProfile = {
+    val row = docs.select(explode(col("sset")).as("sh"))
+      .groupBy("sh").agg(count(lit(1)).as("df"))
+      .agg(sum(col("df")).as("v"),
+        // df·(df−1) is even; shiftright keeps the arithmetic in longs
+        // (SQL `/` would widen to double)
+        sum(shiftright(col("df") * (col("df") - 1), 1)).as("c"),
+        max(col("df")).as("m"))
+      .head()
+    DfProfile(row.getLong(0), row.getLong(1), row.getLong(2))
+  }
+
+  /** AUTO-ROUTED exact edges: the df profile decides naive vs
+    * prefix-filtered — no manual variant selection, no semantics
+    * change (both paths are exact, so the output is identical either
+    * way; only the plan differs). LSH stays an explicit caller choice:
+    * its probabilistic recall is a semantics change a router must
+    * never make silently. */
+  def edgesAuto(docs: DataFrame, num: Int, den: Int,
+      hotFactor: Long = 8): DataFrame = {
+    val d = docs.localCheckpoint() // profile + chosen path share one scan
+    if (dfProfile(d).hot(hotFactor)) edges(d, num, den)
+    else edgesNaive(d, num, den)
+  }
+
   /** Exact Jaccard ≥ num/den verification over position-less candidate
     * pairs (e.g. [[candidatesAll]]'s):
     * |a∩b| / (n_a + n_b − |a∩b|) ≥ num/den ⟺

@@ -256,6 +256,27 @@ object Llm extends QueryFamily {
           coalesce(col("comp"), col("doc_id")).as("cluster"))
         .orderBy("doc_id")
     },
+    "q_dedup_cascade_auto" -> { (s, d) =>
+      // The ROUTED exact cascade (SetSimJoin.edgesAuto): one df-profile
+      // aggregation computes the r6 crossover statistic (naive
+      // candidates C = Σ df(df−1)/2 vs corpus volume V = Σ df) and
+      // picks naive or prefix-filtered candidates — no manual variant
+      // selection, identical clusters either way (both exact; same
+      // recursive-CTE oracle as q_dedup_cascade). LSH is never routed
+      // to silently: probabilistic recall is a semantics change.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), array_distinct(shingles).as("sset"))
+        .select(col("doc_id"), size(col("sset")).as("n"), col("sset"))
+        .repartition(col("doc_id"))
+      val edges = graft.operators.SetSimJoin.edgesAuto(docs, 1, 2)
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val cc = graft.operators.Dedup.components(edges)
+      val ids = Tables.documents(s, d).select(col("doc_id"))
+      ids.join(cc.hint("shuffle_hash"), ids("doc_id") === cc("id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp"), col("doc_id")).as("cluster"))
+        .orderBy("doc_id")
+    },
     // ---- text analysis ----------------------------------------------
     "q_text_quality" -> { (s, d) =>
       // Length / token / stopword-ratio quality signals.
@@ -832,6 +853,39 @@ object Llm extends QueryFamily {
     }
   )
 
+    // ONE recursive-CTE oracle serves every exact cascade variant —
+  // candidate generation (naive, prefix-filtered, routed) is
+  // result-invariant by construction
+  private val cascadeOracleSql: String =
+    """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [text]
+        |    ELSE list_distinct(list_transform(
+        |      generate_series(1, len(toks) - 2),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) END AS sset
+        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
+        |        FROM documents)),
+        |sizes AS (SELECT doc_id, len(sset) AS n FROM docs),
+        |inv AS (SELECT doc_id, unnest(sset) AS sh FROM docs),
+        |shared AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
+        |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM shared
+        |  JOIN sizes sa ON sa.doc_id = shared.id_a
+        |  JOIN sizes sb ON sb.doc_id = shared.id_b
+        |  WHERE shared * 3 >= sa.n + sb.n),
+        |edges AS (
+        |  SELECT id_a, id_b FROM pairs
+        |  UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach AS (
+        |  SELECT doc_id, doc_id AS r FROM docs
+        |  UNION
+        |  SELECT e.id_a AS doc_id, reach.r
+        |  FROM edges e JOIN reach ON e.id_b = reach.doc_id)
+        |SELECT doc_id, min(r) AS cluster
+        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
@@ -866,66 +920,9 @@ object Llm extends QueryFamily {
         |  FROM edges e JOIN reach ON e.id_b = reach.doc_id)
         |SELECT doc_id, min(r) AS cluster
         |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    "q_dedup_cascade" ->
-      """WITH RECURSIVE docs AS (
-        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [text]
-        |    ELSE list_distinct(list_transform(
-        |      generate_series(1, len(toks) - 2),
-        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) END AS sset
-        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
-        |        FROM documents)),
-        |sizes AS (SELECT doc_id, len(sset) AS n FROM docs),
-        |inv AS (SELECT doc_id, unnest(sset) AS sh FROM docs),
-        |shared AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM shared
-        |  JOIN sizes sa ON sa.doc_id = shared.id_a
-        |  JOIN sizes sb ON sb.doc_id = shared.id_b
-        |  WHERE shared * 3 >= sa.n + sb.n),
-        |edges AS (
-        |  SELECT id_a, id_b FROM pairs
-        |  UNION ALL SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        |  SELECT doc_id, doc_id AS r FROM docs
-        |  UNION
-        |  SELECT e.id_a AS doc_id, reach.r
-        |  FROM edges e JOIN reach ON e.id_b = reach.doc_id)
-        |SELECT doc_id, min(r) AS cluster
-        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
-    // prefix filtering is result-invariant: the ppjoin variant answers to
-    // the SAME recursive-CTE oracle as the naive-candidate cascade
-    "q_dedup_cascade_ppjoin" ->
-      """WITH RECURSIVE docs AS (
-        |  SELECT doc_id, CASE WHEN len(toks) < 3 THEN [text]
-        |    ELSE list_distinct(list_transform(
-        |      generate_series(1, len(toks) - 2),
-        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) END AS sset
-        |  FROM (SELECT doc_id, text, string_split(text, ' ') AS toks
-        |        FROM documents)),
-        |sizes AS (SELECT doc_id, len(sset) AS n FROM docs),
-        |inv AS (SELECT doc_id, unnest(sset) AS sh FROM docs),
-        |shared AS (
-        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS shared
-        |  FROM inv a JOIN inv b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        |  GROUP BY 1, 2),
-        |pairs AS (
-        |  SELECT id_a, id_b FROM shared
-        |  JOIN sizes sa ON sa.doc_id = shared.id_a
-        |  JOIN sizes sb ON sb.doc_id = shared.id_b
-        |  WHERE shared * 3 >= sa.n + sb.n),
-        |edges AS (
-        |  SELECT id_a, id_b FROM pairs
-        |  UNION ALL SELECT id_b, id_a FROM pairs),
-        |reach AS (
-        |  SELECT doc_id, doc_id AS r FROM docs
-        |  UNION
-        |  SELECT e.id_a AS doc_id, reach.r
-        |  FROM edges e JOIN reach ON e.id_b = reach.doc_id)
-        |SELECT doc_id, min(r) AS cluster
-        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_dedup_cascade" -> cascadeOracleSql,
+    "q_dedup_cascade_ppjoin" -> cascadeOracleSql,
+    "q_dedup_cascade_auto" -> cascadeOracleSql,
     "q_text_quality" ->
       """SELECT doc_id, lang,
         |  length(text) AS n_chars_actual,

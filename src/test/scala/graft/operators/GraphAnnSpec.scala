@@ -144,6 +144,58 @@ class GraphAnnSpec extends SparkSuite {
       f"graph $rGraph%.3f under ivfpq $rPq%.3f at equal budget")
   }
 
+  test("append: new vectors join every layer they inhabit and are findable") {
+    val all = planted(nClusters = 5, per = 50, dim = 16).localCheckpoint()
+    // build on ~86%, append the rest; modulus 7 is coprime to the
+    // 5-cluster assignment (i % 5), so appended vectors spread across
+    // every cluster instead of forming one unreachable island
+    val existing = all.filter(col("vec_id") % 7 =!= 1).localCheckpoint()
+    val appended = all.filter(col("vec_id") % 7 === 1).localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("gapp").toString
+    GraphAnn.write(GraphAnn.build(existing, degree = 6, kCells = 5,
+      iters = 2, probes = 2, descentRounds = 1), dir)
+    val before = GraphAnn.load(spark, dir)
+    GraphAnn.append(spark, dir, appended, existing, degree = 6)
+    val after = GraphAnn.load(spark, dir)
+    // grow-in-place: the pre-existing edge rows are all still there
+    before.layers.zip(after.layers).foreach { case (b, a) =>
+      assert(b.count() <= a.count())
+      assert(b.except(a).count() == 0, "append rewrote existing edges")
+    }
+    // entry order preserved, extended only by new top-layer members
+    assert(after.entries.take(before.entries.length).toSeq ==
+      before.entries.toSeq)
+    val maxLevel = before.layers.size - 1
+    val wantNewTop = appended.filter(
+        pmod(xxhash64(col("vec_id")), lit(1L << (2 * maxLevel))) === 0)
+      .select("vec_id").orderBy("vec_id").as[Long].collect().toSeq
+    assert(after.entries.drop(before.entries.length).toSeq == wantNewTop)
+    // every appended vector has out-edges in the base layer
+    val withEdges = after.layers.head.select(col("src")).distinct()
+      .as[Long].collect().toSet
+    val appendedIds = appended.select("vec_id").as[Long].collect().toSet
+    assert(appendedIds.subsetOf(withEdges),
+      s"appended without edges: ${appendedIds -- withEdges}")
+    // findable: searching the grown index with EXISTING queries at a
+    // healthy beam recovers the full-corpus brute-force top-5 (which
+    // includes appended vectors) at a solid recall
+    val queries = all.filter(col("vec_id") < 10 && col("vec_id") % 7 =!= 1)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    val qIds = queries.select("q_id").as[Long].collect().toSet
+    val exact = bruteForce(all.select("vec_id", "embedding")
+      .as[(Long, Array[Float])].collect(), topK = 5, Some(qIds))
+    val got = GraphAnn.search(after, all, queries, topK = 5, ef = 16)
+      .select("q_id", "vec_id").as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val r = recallOf(got, exact)
+    val foundAppended = got.values.flatten.toSet & appendedIds
+    info(f"post-append recall@5 $r%.3f; ${foundAppended.size} appended " +
+      "vectors surfaced in results")
+    assert(r >= 0.85, f"post-append recall floor: $r%.3f")
+    assert(foundAppended.nonEmpty,
+      "no appended vector ever surfaced — they are not reachable")
+  }
+
   test("search is deterministic and survives the disk round-trip") {
     val emb = planted(nClusters = 5, per = 40, dim = 16).localCheckpoint()
     val queries = emb.filter(col("vec_id") < 5)

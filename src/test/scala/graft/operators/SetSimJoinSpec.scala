@@ -101,6 +101,39 @@ class SetSimJoinSpec extends SparkSuite {
       s"AQE promoted a corpus-scaled side to broadcast:\n${plan.take(2000)}")
   }
 
+  test("df profile computes the exact crossover statistic") {
+    import spark.implicits._
+    // hand-computed: df(x)=3, df(y)=1, df(z)=1 → V=5, C=3·2/2=3, max=3
+    val docs = Seq(
+      (1L, 2, Array("x", "y")), (2L, 2, Array("x", "z")),
+      (3L, 1, Array("x")))
+      .toDF("doc_id", "n", "sset")
+    val p = SetSimJoin.dfProfile(docs)
+    assert(p == SetSimJoin.DfProfile(volume = 5, naiveCandidates = 3,
+      maxDf = 3))
+  }
+
+  test("router: boiler profiles hot -> prefix path, clean -> naive; " +
+      "all three exact variants agree on both corpora") {
+    val boiler = graft.ProfileDedup.corpus(spark, "boiler", 400)
+      .localCheckpoint()
+    val clean = graft.ProfileDedup.corpus(spark, "clean", 400)
+      .localCheckpoint()
+    val pb = SetSimJoin.dfProfile(boiler)
+    val pc = SetSimJoin.dfProfile(clean)
+    // boiler: 12 global shingles, df=400 each → C/V ≈ 10²⁺; clean: the
+    // content-group structure keeps C a small fraction of V — the
+    // sweep's orders-of-magnitude cliff, reproduced at spec size
+    assert(pb.hot(8), s"boiler profile not hot: $pb")
+    assert(!pc.hot(8), s"clean profile hot: $pc")
+    for (docs <- Seq(boiler, clean)) {
+      val auto = pairSet(SetSimJoin.edgesAuto(docs, 1, 2))
+      assert(auto == pairSet(SetSimJoin.edges(docs, 1, 2)))
+      assert(auto == pairSet(SetSimJoin.edgesNaive(docs, 1, 2)))
+      assert(auto.nonEmpty)
+    }
+  }
+
   test("threshold is a rational: stricter thresholds shrink candidates") {
     val docs = planted(40).localCheckpoint()
     val loose = SetSimJoin.candidatesPrefix(docs, 1, 2).count()  // J >= 0.5
