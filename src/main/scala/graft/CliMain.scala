@@ -303,6 +303,14 @@ object CliMain {
           val idx = graft.operators.Pq.buildIvfPq(emb, kCells, m, k, iters)
           graft.operators.Pq.writeIvfPq(idx, outDir)
           println(s"ivfpq index: $kCells cells, $m x $k codebooks -> $outDir")
+        case "sq" =>
+          // scalar quantization (SQ8): per-dim 8-bit grid — exact
+          // min/max training, 4x-compressed byte codes
+          val model = graft.operators.Sq.train(emb)
+          val codes = graft.operators.Sq.encode(
+            emb.selectExpr("vec_id", "embedding"), model)
+          graft.operators.Sq.writeSq(model, codes, outDir)
+          println(s"sq index: dim ${model.dim} 8-bit grid -> $outDir")
         case "graph" =>
           // proximity-graph index (GraphAnn — the HNSW/DiskANN family):
           // NN-Descent-refined kNN graph + medoid entry points
@@ -434,6 +442,11 @@ object CliMain {
           graft.operators.Opq.searchIvfPq(idx, queries, emb, topK,
             nprobe, shortlist = flagVal("--shortlist").map(_.toInt)
               .getOrElse(topK * 5))
+        case "sq" =>
+          val (model, codes) = graft.operators.Sq.loadSq(spark, indexDir)
+          graft.operators.Sq.searchRerank(codes, model, emb, queries,
+            topK, shortlist = flagVal("--shortlist").map(_.toInt)
+              .getOrElse(topK * 3))
         case "graph" =>
           // beam search over the proximity graph (--ef = beam width)
           val idx = graft.operators.GraphAnn.load(spark, indexDir)
@@ -533,11 +546,11 @@ object CliMain {
           |  graft.CliMain optimize <inDir> <outDir> --zorder colX,colY
           |    [--files N] [--bits B]
           |  graft.CliMain index <embeddingsDir> <outDir>
-          |    [--kind ivf|pq|ivfpq|opq|opqivfpq|graph] [--k K] [--m M]
+          |    [--kind ivf|pq|ivfpq|opq|opqivfpq|sq|graph] [--k K] [--m M]
           |    [--kcells K] [--iters N] [--append]
           |    [--degree D --nprobe P --descent R]  (graph kind)
           |  graft.CliMain search <indexDir> <embeddingsDir> <outDir>
-          |    [--kind ivf|ivfpq|opq|opqivfpq|graph] [--topk N]
+          |    [--kind ivf|ivfpq|opq|opqivfpq|sq|graph] [--topk N]
           |    [--nprobe P] [--shortlist N] [--ef N] [--q id,id,...]
           |  graft.CliMain tokenize train <docsDir> <modelDir>
           |    [--algo bpe|unigram|wordpiece] [--merges N | --vocab N --max-piece N]

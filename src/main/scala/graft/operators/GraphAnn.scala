@@ -103,17 +103,19 @@ object GraphAnn {
     * is the base-layer beam width (HNSW's efSearch). */
   def search(index: GraphIndex, embeddings: DataFrame, queries: DataFrame,
       topK: Int, ef: Int = 32, maxRounds: Int = 10): DataFrame =
-    searchCounted(index, embeddings, queries, topK, ef, maxRounds)._1
+    searchCounted(index, embeddings, queries, topK, ef, maxRounds,
+      countDots = false)._1
 
   /** Same, returning the exact-dot evaluation count (scored pairs
     * across all layers) — the budget GraphAnnSpec compares against
     * IVFPQ's shortlist. */
   private[operators] def searchCounted(index: GraphIndex,
       embeddings: DataFrame, queries: DataFrame, topK: Int, ef: Int,
-      maxRounds: Int): (DataFrame, Long) = {
+      maxRounds: Int, countDots: Boolean = true): (DataFrame, Long) = {
     require(ef >= topK, s"beam width ef=$ef must be >= topK=$topK")
     val (beams, dots) = descendLayers(index, embeddings, queries,
-      narrowEf = math.max(2, topK / 2), baseEf = ef, maxRounds)
+      narrowEf = math.max(2, topK / 2), baseEf = ef, maxRounds,
+      countDots)
     val beam = beams.head._2 // base layer
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
@@ -134,8 +136,8 @@ object GraphAnn {
     * top are top-layer members, seeds below are the layer-above's
     * beam. */
   private def descendLayers(index: GraphIndex, embeddings: DataFrame,
-      queries: DataFrame, narrowEf: Int, baseEf: Int, maxRounds: Int)
-      : (List[(Int, DataFrame)], Long) = {
+      queries: DataFrame, narrowEf: Int, baseEf: Int, maxRounds: Int,
+      countDots: Boolean = true): (List[(Int, DataFrame)], Long) = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val emb = embeddings.select(col("vec_id"), col("embedding"))
@@ -149,7 +151,8 @@ object GraphAnn {
     index.layers.zipWithIndex.reverse.foreach { case (edges, l) =>
       val efL = if (l == 0) baseEf else narrowEf
       val roundsL = if (l == 0) maxRounds else math.max(2, maxRounds / 2)
-      val (b, d) = beamLayer(edges, emb, qs, seeds, efL, roundsL)
+      val (b, d) = beamLayer(edges, emb, qs, seeds, efL, roundsL,
+        countDots)
       beams = (l, b) :: beams
       dots += d
       seeds = b.select(col("q_id"), col("vec_id"))
@@ -160,8 +163,8 @@ object GraphAnn {
   /** One layer's frontier loop: seed pairs → converged beam of `ef`
     * scored candidates per query. Returns (beam, exact dots spent). */
   private def beamLayer(edges: DataFrame, emb: DataFrame, qs: DataFrame,
-      seedPairs: DataFrame, ef: Int, maxRounds: Int)
-      : (DataFrame, Long) = {
+      seedPairs: DataFrame, ef: Int, maxRounds: Int,
+      countDots: Boolean = true): (DataFrame, Long) = {
     // symmetrize: descent must walk links both ways
     val adj = edges
       .select(explode(array(
@@ -182,8 +185,13 @@ object GraphAnn {
     var beam = score(seedPairs.distinct())
       .withColumn("expanded", lit(false))
       .localCheckpoint()
-    dots += beam.count()
-    var visited = beam.select(col("q_id"), col("vec_id")).localCheckpoint()
+    // dot accounting is one count job per checkpoint — the budget
+    // audit pays it (searchCounted), the production search skips it
+    if (countDots) dots += beam.count()
+    // visited is a LAZY union over frames that are each checkpointed
+    // (the seed beam + every round's scored) — no per-round checkpoint
+    // job of its own, no recompute (each piece reads its cached blocks)
+    var visited = beam.select(col("q_id"), col("vec_id"))
     var frontierN = 1L
     var r = 0
     val w = Window.partitionBy(col("q_id"))
@@ -198,10 +206,8 @@ object GraphAnn {
         .join(visited.hint("shuffle_hash"), Seq("q_id", "vec_id"),
           "left_anti")
       val scored = score(cand).localCheckpoint()
-      dots += scored.count()
-      visited = visited
-        .union(scored.select(col("q_id"), col("vec_id")))
-        .localCheckpoint()
+      if (countDots) dots += scored.count()
+      visited = visited.union(scored.select(col("q_id"), col("vec_id")))
       beam = beam.withColumn("expanded", lit(true))
         .unionByName(scored.withColumn("expanded", lit(false)))
         .withColumn("rnk", row_number().over(w))
@@ -250,7 +256,7 @@ object GraphAnn {
     val qs = newV.select(col("vec_id").as("q_id"),
       col("embedding").as("qvec"))
     val (beams, _) = descendLayers(idx, embeddings, qs,
-      narrowEf = degree, baseEf = degree, maxRounds)
+      narrowEf = degree, baseEf = degree, maxRounds, countDots = false)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id").asc)
     beams.foreach { case (l, beam) =>

@@ -391,12 +391,19 @@ object Llm extends QueryFamily {
       // DuckDB oracle (iterative graph model); GraphAnnSpec pins
       // recall@10 vs exact above the IVFPQ shortlist at equal
       // scored-pair budget.
+      // bench-sized config: two layers and a short beam loop — the
+      // layered frontier loop is JOB-count-dominated at toy scale
+      // (measured 9.0 s at the deep default config); the deep
+      // hierarchy's recall/exactness/connectivity pins live in
+      // GraphAnnSpec, where they are measured against brute force
       val e = Tables.embeddings(s, d)
       val idx = graft.operators.GraphAnn.build(e, degree = 8,
-        kCells = 16, iters = 2, probes = 2, descentRounds = 1)
+        kCells = 8, iters = 1, probes = 2, descentRounds = 0,
+        minTopLayer = 128)
       val queries = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
-      graft.operators.GraphAnn.search(idx, e, queries, topK = 10, ef = 16)
+      graft.operators.GraphAnn.search(idx, e, queries, topK = 10,
+        ef = 12, maxRounds = 3)
     },
     "q_edit_distance" -> { (s, d) =>
       // Levenshtein on bounded prefixes — the fuzzy-dedup primitive for
@@ -576,6 +583,23 @@ object Llm extends QueryFamily {
       // cluster-boundary pairs.
       graft.operators.SemDedup.semDedup(
         Tables.embeddings(s, d), k = 16, iters = 2, tau = 0.4, probes = 3)
+    },
+    "q_ann_sq_topk" -> { (s, d) =>
+      // Scalar-quantization ANN (operators.Sq — FAISS SQ8): per-dim
+      // 8-bit uniform grid, 4x compression, near-lossless ranking.
+      // Training is one exact min/max aggregation (bit-deterministic
+      // under any partitioning — no k-means); search is the decode-free
+      // asymmetric-dot shortlist + exact rerank. Quantized shortlist ⇒
+      // no DuckDB oracle (rows-only); SqSpec pins the delta/2 error
+      // bound and the recall floors.
+      val emb = Tables.embeddings(s, d)
+      val model = graft.operators.Sq.train(emb)
+      val codes = graft.operators.Sq.encode(
+        emb.select(col("vec_id"), col("embedding")), model)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      graft.operators.Sq.searchRerank(codes, model, emb, queries,
+        topK = 10, shortlist = 30)
     },
     "q_ann_pq_topk" -> { (s, d) =>
       // Product-quantization ANN (operators.Pq): 16 subspaces × 16
