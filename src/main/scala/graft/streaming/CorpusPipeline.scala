@@ -201,6 +201,45 @@ object CorpusPipeline {
       .start()
   }
 
+  /** Streaming ANN-index maintenance — the HNSW insert as a stream
+    * stage: each micro-batch of (vec_id, embedding) rows is inserted
+    * into the materialized graph index ([[graft.operators.GraphAnn
+    * .append]] — frozen level draw and entry contract) and landed into
+    * the corpus store as its own epoch partition, so later batches (and
+    * later rebuilds) see the grown corpus.
+    *
+    * Idempotency under epoch replay, by construction: the corpus epoch
+    * dir OVERWRITES (a replayed epoch rewrites its own rows, never
+    * duplicates), and while edge appends are at-least-once, the search
+    * path dedups adjacency (symmetrize → distinct) — so a replayed
+    * epoch's duplicate edge rows cannot change ANY search result
+    * (GraphAnnStreamSpec pins replay ≡ once). `corpusDir` must hold the
+    * index's build-time corpus as `epoch=...` partitions (write the
+    * initial corpus under `epoch=0`). */
+  def startGraphAppend(vectors: DataFrame, indexDir: String,
+      corpusDir: String, checkpoint: String, degree: Int = 16,
+      trigger: Trigger = Trigger.ProcessingTime("1 second"))
+      : StreamingQuery =
+    vectors.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, epochId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.select(col("vec_id"), col("embedding"))
+          .localCheckpoint()
+        if (b.count() > 0) {
+          // existing corpus FIRST (pre-batch): the insert descends the
+          // graph as it stood, the HNSW batch contract
+          val corpus = spark.read.parquet(corpusDir)
+            .select(col("vec_id"), col("embedding"))
+          graft.operators.GraphAnn.append(spark, indexDir, b, corpus,
+            degree)
+          b.write.mode("overwrite")
+            .parquet(s"$corpusDir/epoch=${epochId + 1}")
+        }
+      }
+      .start()
+
   private[streaming] def parseMs(interval: String): Long = {
     val m = raw"(\d+)\s*(millisecond|second|minute|hour|day)s?".r
       .findFirstMatchIn(interval.trim.toLowerCase(java.util.Locale.ROOT))
