@@ -109,7 +109,7 @@ object GraphAnn {
   /** Same, returning the exact-dot evaluation count (scored pairs
     * across all layers) — the budget GraphAnnSpec compares against
     * IVFPQ's shortlist. */
-  private[operators] def searchCounted(index: GraphIndex,
+  private[graft] def searchCounted(index: GraphIndex,
       embeddings: DataFrame, queries: DataFrame, topK: Int, ef: Int,
       maxRounds: Int, countDots: Boolean = true): (DataFrame, Long) = {
     require(ef >= topK, s"beam width ef=$ef must be >= topK=$topK")

@@ -142,6 +142,82 @@ object Sketch {
     * contract for long-tailed corpus stats). Values ≤ 0 are excluded
     * by definition (log domain); count them separately if they matter.
     */
+  /** Misra–Gries summary (Misra & Gries 1982; mergeability per Agarwal
+    * et al. 2012, "Mergeable summaries", PODS): ≤ k counters per
+    * partition, maintained with the classic decrement-all step
+    * (amortized O(1) — at most N/k decrement events, each O(k)), then
+    * ONE aggregation over the ≤ k·partitions summary rows. The merged
+    * counts c_low underestimate true frequencies by AT MOST N/(k+1)
+    * (per-partition errors sum to Σ nᵢ/(k+1) = N/(k+1)), so every item
+    * with true frequency above N/(k+1) is guaranteed present — the
+    * deterministic counterpart to [[countMin]]'s probabilistic
+    * overestimates, with per-item LOWER bounds instead of upper.
+    *
+    * mapPartitions is the honest shape here (the d-tier of the build
+    * guidance): MG is inherently a sequential bounded-counter scan; the
+    * state is k entries per task, shuffle volume ≤ k rows per
+    * partition. NOTE the c_low values (not the guarantee) depend on the
+    * partitioning — downstream users must either threshold with the
+    * bound ([[exactHeavyHitters]]) or treat c_low as a lower bound. */
+  def mgSummary(tokens: DataFrame, tokenCol: String, k: Int): DataFrame = {
+    require(k > 0, s"mgSummary needs k > 0: $k")
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    tokens.select(col(tokenCol).cast("string")).as[String]
+      .mapPartitions { it =>
+        // BOXED values: a HashMap[String, Long] with Scala's primitive
+        // Long makes get()'s missing-key null unbox to 0 and the null
+        // check vacuous — every token would count exactly, no eviction
+        val counters = new java.util.HashMap[String, java.lang.Long](k * 2)
+        it.foreach { t =>
+          val cur = counters.get(t)
+          if (cur != null)
+            counters.put(t, java.lang.Long.valueOf(cur.longValue() + 1L))
+          else if (counters.size < k)
+            counters.put(t, java.lang.Long.valueOf(1L))
+          else {
+            val dead = new scala.collection.mutable.ArrayBuffer[String]
+            val e = counters.entrySet().iterator()
+            while (e.hasNext) {
+              val kv = e.next()
+              if (kv.getValue.longValue() == 1L) dead += kv.getKey
+              else kv.setValue(java.lang.Long.valueOf(
+                kv.getValue.longValue() - 1L))
+            }
+            dead.foreach(counters.remove)
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        counters.entrySet().iterator().asScala
+          .map(kv => (kv.getKey, kv.getValue.longValue()))
+      }
+      .toDF("token", "c_low")
+      .groupBy("token").agg(sum(col("c_low")).as("c_low"))
+      .withColumnRenamed("token", tokenCol)
+  }
+
+  /** EXACT heavy hitters (frequency·den ≥ N·num) in bounded memory —
+    * the classic two-pass composition: pass 1, an MG summary with
+    * k = ⌈den/num⌉ counters whose guarantee makes the candidate set a
+    * SUPERSET of the true hitters (kept by the integer-exact upper
+    * bound (c_low·(k+1) + N)·den ≥ num·N·(k+1)); pass 2, exact counts
+    * for ONLY the candidates (broadcast semi-sized join — the
+    * vocabulary-sized shuffle of a naive exact groupBy never happens).
+    * Output is EXACT and partitioning-independent, so it certifies
+    * against the same oracle as the exact one-pass query. */
+  def exactHeavyHitters(tokens: DataFrame, tokenCol: String,
+      num: Int, den: Int): DataFrame = {
+    require(num > 0 && den >= num, s"threshold $num/$den not in (0,1]")
+    val k = (den + num - 1) / num
+    val n = tokens.count()
+    val cands = mgSummary(tokens, tokenCol, k)
+      .filter((col("c_low") * (k + 1) + n) * den >= num * n * (k + 1))
+      .select(tokenCol)
+    tokens.join(broadcast(cands), Seq(tokenCol), "left_semi")
+      .groupBy(tokenCol).agg(count(lit(1)).as("c"))
+      .filter(col("c") * den >= num * n)
+  }
+
   def ddSketch(values: DataFrame, valueCol: String,
       alpha: Double): DataFrame = {
     require(alpha > 0 && alpha < 1, s"ddSketch needs 0 < alpha < 1: $alpha")

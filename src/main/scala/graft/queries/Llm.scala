@@ -746,6 +746,20 @@ object Llm extends QueryFamily {
         .select("token", "c")
         .orderBy("token")
     },
+    "q_heavy_hitters_mg" -> { (s, d) =>
+      // The same exact heavy hitters through the Misra-Gries TWO-PASS
+      // composition (operators.Sketch.exactHeavyHitters): bounded-state
+      // MG candidates (k=200 counters/partition, deterministic
+      // superset guarantee) -> exact counts of ONLY the candidates.
+      // The vocabulary-sized shuffle of the one-pass exact query never
+      // happens - the 100 TB shape when the token space is open - yet
+      // the output is EXACT, so it certifies against the SAME oracle.
+      val tok = Tables.documents(s, d).select(explode(toks).as("token"))
+        .filter(col("token") =!= "")
+      graft.operators.Sketch.exactHeavyHitters(tok, "token", 1, 200)
+        .select("token", "c")
+        .orderBy("token")
+    },
     "q_heavy_hitters_cms" -> { (s, d) =>
       // Same heavy hitters through a count-min sketch (operators.Sketch):
       // the shuffle carries ≤ d·w counter rows per partition regardless
@@ -1033,6 +1047,15 @@ object Llm extends QueryFamily {
         |    x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) >= 0.4
         |ORDER BY id_a, id_b""".stripMargin,
     "q_heavy_hitters" ->
+      """WITH tok AS (
+        |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
+        |tot AS (SELECT count(*) AS n FROM tok),
+        |cnt AS (SELECT token, count(*) AS c FROM tok GROUP BY token)
+        |SELECT token, c FROM cnt, tot WHERE c * 200 >= n
+        |ORDER BY token""".stripMargin,
+    // the MG two-pass composition is exact, so it answers to the SAME
+    // heavy-hitter oracle as the one-pass query
+    "q_heavy_hitters_mg" ->
       """WITH tok AS (
         |  SELECT unnest(string_split(text, ' ')) AS token FROM documents),
         |tot AS (SELECT count(*) AS n FROM tok),

@@ -163,4 +163,53 @@ class SketchSpec extends SparkSuite {
       Sketch.ddQuantiles(Sketch.ddSketch(vals, "v", Alpha), Alpha, Seq(0.0))
     }
   }
+
+  // ---- Misra-Gries -------------------------------------------------
+
+  test("mg summary: guaranteed superset with bounded undercount") {
+    import spark.implicits._
+    val k = 50
+    val exact = tokens.groupBy("token").agg(count(lit(1)).as("c"))
+      .as[(String, Long)].collect().toMap
+    val n = exact.values.sum
+    val mg = Sketch.mgSummary(tokens, "token", k)
+      .as[(String, Long)].collect().toMap
+    // lower bounds never exceed truth; undercount bounded by N/(k+1)
+    mg.foreach { case (t, cLow) =>
+      assert(cLow <= exact(t), s"$t: $cLow over true ${exact(t)}")
+      assert(exact(t) - cLow <= n / (k + 1) + 1,
+        s"$t undercount ${exact(t) - cLow} breaks the N/(k+1) bound")
+    }
+    // every item above the threshold is present
+    exact.foreach { case (t, c) =>
+      if (c > n / (k + 1))
+        assert(mg.contains(t), s"frequent $t (c=$c) missing from summary")
+    }
+  }
+
+  test("mg two-pass exact heavy hitters equal the exact groupBy") {
+    import spark.implicits._
+    val want = {
+      val cnt = tokens.groupBy("token").agg(count(lit(1)).as("c"))
+      val n = tokens.count()
+      cnt.filter(col("c") * 200 >= n).as[(String, Long)].collect().toSet
+    }
+    val got = Sketch.exactHeavyHitters(tokens, "token", 1, 200)
+      .as[(String, Long)].collect().toSet
+    assert(got == want && got.nonEmpty)
+    // exactness is partitioning-independent even though MG counts are not
+    val gotRepart = Sketch.exactHeavyHitters(
+      tokens.repartition(13), "token", 1, 200)
+      .as[(String, Long)].collect().toSet
+    assert(gotRepart == want)
+  }
+
+  test("mg summary state is bounded by k rows per partition") {
+    import spark.implicits._
+    val big = spark.range(0L, 100000L)
+      .selectExpr("concat('t', cast(id % 5000 as string)) as token")
+      .repartition(8)
+    val mg = Sketch.mgSummary(big, "token", 20)
+    assert(mg.count() <= 20L * 8)
+  }
 }
