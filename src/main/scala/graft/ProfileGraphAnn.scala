@@ -19,13 +19,39 @@ import graft.operators.GraphAnn
   */
 object ProfileGraphAnn {
 
+  /** Hierarchically clustered corpus (the production-like regime —
+    * real embedding spaces have neighborhood structure): n/1000
+    * subclusters of ~1000 under 10 superclusters; true neighbors are
+    * noise-level structure inside a subcluster. Column math only. */
+  def clustered(spark: org.apache.spark.sql.SparkSession,
+      n: Long, dim: Int = 32): org.apache.spark.sql.DataFrame = {
+    val nSub = math.max(2L, n / 1000L)
+    spark.range(0L, n)
+      .withColumn("sub", col("id") % nSub)
+      .withColumn("sup", col("sub") % 10)
+      .withColumn("raw", expr(
+        s"""transform(sequence(0, ${dim - 1}), j ->
+           |  if(j = sup, 8.0d, 0.0d) +
+           |  cast(xxhash64(sub, j) as double) / 1.8446744073709552e19 +
+           |  cast(xxhash64(id, j) as double) / 9.223372036854776e20)
+           |""".stripMargin))
+      .withColumn("nrm", expr(
+        "sqrt(aggregate(raw, cast(0.0 as double), (a, e) -> a + e * e))"))
+      .select(col("id").as("vec_id"),
+        expr("transform(raw, x -> cast(x / nrm as float))").as("embedding"))
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = Sessions.get("profile-graphann")
     import spark.implicits._
-    val sizes =
-      if (args.nonEmpty) args.toSeq.map(_.toLong) else Seq(100000L, 1000000L)
+    val kind = args.headOption.getOrElse("clustered")
+    val sizes = if (args.length > 1) args.drop(1).toSeq.map(_.toLong)
+      else Seq(100000L, 1000000L)
     sizes.foreach { n =>
-      val emb = ProfileAnn.vectors(spark, n).localCheckpoint()
+      val emb = (kind match {
+        case "iso" => ProfileAnn.vectors(spark, n)
+        case _ => clustered(spark, n)
+      }).localCheckpoint()
       // cell size ~250: the ProfileKnn-measured sweet spot (cell 1000
       // quadrupled the graph pass's candidate volume at 1M)
       val kCells = math.max(16, (n / 250).toInt)
@@ -63,7 +89,7 @@ object ProfileGraphAnn {
         (got.getOrElse(qid, Set.empty) & top).size / 10.0
       }.sum / qVecs.length
 
-      println(f"""{"graphann":{"n":$n%d,"layers":${layerSizes.size}%d,""" +
+      println(f"""{"graphann":{"kind":"$kind%s","n":$n%d,"layers":${layerSizes.size}%d,""" +
         f""""layer_nodes":[${layerSizes.mkString(",")}],""" +
         f""""build_sec":$buildSec%.1f,"queries":$nQ%d,""" +
         f""""search_sec":$searchSec%.1f,""" +
