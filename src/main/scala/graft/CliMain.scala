@@ -265,6 +265,9 @@ object CliMain {
           case "ivfpq" =>
             graft.operators.Pq.appendToIvfPq(spark, outDir, emb)
             println(s"ivfpq append: ${emb.count()} vectors -> $outDir")
+          case "ivfsq" =>
+            graft.operators.Sq.appendToIvfSq(spark, outDir, emb)
+            println(s"ivfsq append: ${emb.count()} vectors -> $outDir")
           case "graph" =>
             // HNSW insert: new vectors descend the existing hierarchy;
             // --corpus points at the EXISTING embeddings the descent
@@ -311,6 +314,13 @@ object CliMain {
             emb.selectExpr("vec_id", "embedding"), model)
           graft.operators.Sq.writeSq(model, codes, outDir)
           println(s"sq index: dim ${model.dim} 8-bit grid -> $outDir")
+        case "ivfsq" =>
+          // composed FAISS "IVF_k,SQ8": coarse cells + byte codes
+          val kCells = flagVal("--kcells").map(_.toInt).getOrElse(256)
+          val idx = graft.operators.Sq.buildIvfSq(emb, kCells, iters)
+          graft.operators.Sq.writeIvfSq(idx, outDir)
+          println(s"ivfsq index: $kCells cells, dim ${idx.model.dim} " +
+            s"8-bit grid -> $outDir")
         case "graph" =>
           // proximity-graph index (GraphAnn — the HNSW/DiskANN family):
           // NN-Descent-refined kNN graph + medoid entry points
@@ -447,6 +457,11 @@ object CliMain {
           graft.operators.Sq.searchRerank(codes, model, emb, queries,
             topK, shortlist = flagVal("--shortlist").map(_.toInt)
               .getOrElse(topK * 3))
+        case "ivfsq" =>
+          val idx = graft.operators.Sq.loadIvfSq(spark, indexDir)
+          graft.operators.Sq.searchIvfSq(idx, queries, emb, topK, nprobe,
+            shortlist = flagVal("--shortlist").map(_.toInt)
+              .getOrElse(topK * 3))
         case "graph" =>
           // beam search over the proximity graph (--ef = beam width)
           val idx = graft.operators.GraphAnn.load(spark, indexDir)
@@ -546,11 +561,11 @@ object CliMain {
           |  graft.CliMain optimize <inDir> <outDir> --zorder colX,colY
           |    [--files N] [--bits B]
           |  graft.CliMain index <embeddingsDir> <outDir>
-          |    [--kind ivf|pq|ivfpq|opq|opqivfpq|sq|graph] [--k K] [--m M]
+          |    [--kind ivf|pq|ivfpq|opq|opqivfpq|sq|ivfsq|graph] [--k K] [--m M]
           |    [--kcells K] [--iters N] [--append]
           |    [--degree D --nprobe P --descent R]  (graph kind)
           |  graft.CliMain search <indexDir> <embeddingsDir> <outDir>
-          |    [--kind ivf|ivfpq|opq|opqivfpq|sq|graph] [--topk N]
+          |    [--kind ivf|ivfpq|opq|opqivfpq|sq|ivfsq|graph] [--topk N]
           |    [--nprobe P] [--shortlist N] [--ef N] [--q id,id,...]
           |  graft.CliMain tokenize train <docsDir> <modelDir>
           |    [--algo bpe|unigram|wordpiece] [--merges N | --vocab N --max-piece N]

@@ -78,6 +78,100 @@ object Sq {
     Pq.rerank(search(codes, model, queries, shortlist)
       .select(col("q_id"), col("vec_id")), corpus, queries, topK)
 
+  // ------------------------------------------------------------------
+  // IVF + SQ — the composed index (FAISS factory "IVF_k,SQ8"): coarse
+  // cells for partition-pruned probes, dim-byte SQ codes as the
+  // scanned payload. Mirrors Pq.buildIvfPq/searchIvfPq structurally —
+  // only the payload quantizer differs.
+  // ------------------------------------------------------------------
+
+  final case class IvfSqIndex(assignments: DataFrame,
+      centroids: Array[Array[Float]], model: SqModel)
+
+  def buildIvfSq(embeddings: DataFrame, kCells: Int, iters: Int)
+      : IvfSqIndex = {
+    val ivf = Ann.buildIvf(embeddings, kCells, iters)
+    val model = train(embeddings)
+    IvfSqIndex(ivf.assignments.select(col("vec_id"), col("cell_id"),
+      graft.functions.SqExpressions.encode(col("embedding"),
+        model.vmin, model.vdelta).as("code")), ivf.centroids, model)
+  }
+
+  /** Probe the nprobe nearest cells, asymmetric-dot ONLY their codes,
+    * exact-rerank the shortlist — [[Pq.searchIvfPq]]'s contract. */
+  def searchIvfSq(index: IvfSqIndex, queries: DataFrame,
+      corpus: DataFrame, topK: Int, nprobe: Int,
+      shortlist: Int): DataFrame = {
+    val probes = queries.select(col("q_id"), col("qvec"),
+      explode(graft.functions.QuantExpressions.nearestCells(col("qvec"),
+        index.centroids.flatten, index.centroids.length,
+        index.centroids.head.length, nprobe)).as("cell_id"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sqdot").desc, col("vec_id").asc)
+    val short = index.assignments
+      .join(broadcast(probes), Seq("cell_id"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("sqdot", graft.functions.SqExpressions.dot(
+        col("code"), col("qvec"), index.model.vmin, index.model.vdelta))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= shortlist)
+      .select(col("q_id"), col("vec_id"))
+    Pq.rerank(short, corpus, queries.select(col("q_id"), col("qvec")), topK)
+  }
+
+  /** Materialize the composed index: cell-partitioned codes (pruned
+    * probes) + centroids + grid — [[Pq.writeIvfPq]]'s layout shape. */
+  def writeIvfSq(index: IvfSqIndex, dir: String): Unit = {
+    val spark = index.assignments.sparkSession
+    import spark.implicits._
+    index.assignments.write.mode("overwrite")
+      .partitionBy("cell_id").parquet(s"$dir/assignments")
+    index.centroids.zipWithIndex.map { case (c, i) => (i, c.toSeq) }
+      .toSeq.toDF("cell_id", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+    index.model.vmin.zip(index.model.vdelta).zipWithIndex
+      .map { case ((lo, de), d) => (d, lo, de) }
+      .toSeq.toDF("pos", "vmin", "vdelta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/sq_grid")
+  }
+
+  /** Incremental maintenance: frozen coarse centroids pick the cell,
+    * the frozen grid encodes the code, rows append into the cell
+    * partitions — [[Ann.appendToIvf]]'s grow-in-place contract. */
+  def appendToIvfSq(spark: org.apache.spark.sql.SparkSession,
+      dir: String, newVectors: DataFrame): Unit = {
+    // layout guard BEFORE the model load: SQ assignments carry a BINARY
+    // `code`; refuse plain IVF (embedding) and IVFPQ (codes) layouts,
+    // and OPQ dirs — fail with the guard's message, not a missing-path
+    // read error
+    val assignCols = spark.read.parquet(s"$dir/assignments").columns
+    require(assignCols.contains("code") && !assignCols.contains("codes") &&
+      !assignCols.contains("embedding"),
+      s"$dir/assignments is not an IVF+SQ layout — use the matching append")
+    Ann.requireNoRotation(spark, dir)
+    val idx = loadIvfSq(spark, dir)
+    Ann.nearestCell(newVectors.select(col("vec_id"), col("embedding")),
+        idx.centroids)
+      .select(col("vec_id"), col("cell_id"),
+        graft.functions.SqExpressions.encode(col("embedding"),
+          idx.model.vmin, idx.model.vdelta).as("code"))
+      .write.mode("append").partitionBy("cell_id")
+      .parquet(s"$dir/assignments")
+  }
+
+  def loadIvfSq(spark: org.apache.spark.sql.SparkSession,
+      dir: String): IvfSqIndex = {
+    import spark.implicits._
+    val centroids = spark.read.parquet(s"$dir/centroids")
+      .orderBy("cell_id").select("centroid")
+      .as[Seq[Float]].collect().map(_.toArray)
+    val rows = spark.read.parquet(s"$dir/sq_grid")
+      .orderBy("pos").select("vmin", "vdelta")
+      .as[(Float, Float)].collect()
+    IvfSqIndex(spark.read.parquet(s"$dir/assignments"), centroids,
+      SqModel(rows.map(_._1), rows.map(_._2)))
+  }
+
   /** Materialize: codes table + the tiny per-dim grid, mirroring
     * [[Pq.writePq]]'s layout contract (detection key: `sq_grid`). */
   def writeSq(model: SqModel, codes: DataFrame, dir: String): Unit = {

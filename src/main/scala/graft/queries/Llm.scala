@@ -601,6 +601,19 @@ object Llm extends QueryFamily {
       graft.operators.Sq.searchRerank(codes, model, emb, queries,
         topK = 10, shortlist = 30)
     },
+    "q_ann_ivfsq_topk" -> { (s, d) =>
+      // Composed IVF+SQ (FAISS factory "IVF_k,SQ8"): coarse cells for
+      // partition-pruned probes, dim-byte SQ codes as the scanned
+      // payload, asymmetric-dot shortlist + exact rerank. Rows-only;
+      // SqSpec pins full-probe ≡ flat SQ, probed recall, round-trip,
+      // and the frozen-model append.
+      val emb = Tables.embeddings(s, d)
+      val idx = graft.operators.Sq.buildIvfSq(emb, kCells = 16, iters = 2)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      graft.operators.Sq.searchIvfSq(idx, queries, emb, topK = 10,
+        nprobe = 6, shortlist = 30)
+    },
     "q_ann_pq_topk" -> { (s, d) =>
       // Product-quantization ANN (operators.Pq): 16 subspaces × 16
       // codewords — 16× compression, measured 0.84 recall@10 after exact

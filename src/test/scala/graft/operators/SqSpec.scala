@@ -123,4 +123,64 @@ class SqSpec extends SparkSuite {
     assert(math.abs(row.getDouble(0) - 1.25) < 0.01)
     assert(row.getArray(1).numElements() == 2)
   }
+
+  test("ivf-sq: full probe with deep shortlist equals the flat rerank; " +
+      "probed recall holds; disk round-trip; frozen-model append") {
+    import org.apache.spark.sql.functions.col
+    val kCells = 8
+    val idx = Sq.buildIvfSq(embeddings, kCells, iters = 2)
+    val queries = embeddings.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    // full probe + corpus-deep shortlist => candidate set is the whole
+    // corpus ranked by the SAME asymmetric dot => identical to the flat
+    // searchRerank through the same model
+    val n = embeddings.count().toInt
+    val flat = Sq.searchRerank(Sq.encode(embeddings, idx.model), idx.model,
+      embeddings, queries, topK = 10, shortlist = n).collect().toSeq
+    val full = Sq.searchIvfSq(idx, queries, embeddings, topK = 10,
+      nprobe = kCells, shortlist = n).collect().toSeq
+    assert(full == flat, "full-probe IVF-SQ diverged from flat SQ")
+    // probed search still recovers most of the full-probe answer
+    val probed = Sq.searchIvfSq(idx, queries, embeddings, topK = 10,
+      nprobe = 4, shortlist = 50)
+      .select("q_id", "vec_id").as[(Long, Long)].collect().toSet
+    val fullSet = full.map(r => (r.getLong(0), r.getLong(2))).toSet
+    val rec = (probed & fullSet).size.toDouble / fullSet.size
+    info(f"ivf-sq 4/$kCells%d-probe recall vs full: $rec%.3f")
+    assert(rec >= 0.5, f"probed recall floor: $rec%.3f")
+    // disk round-trip searches identically
+    val dir = java.nio.file.Files.createTempDirectory("ivfsq").toString
+    Sq.writeIvfSq(idx, dir)
+    val back = Sq.loadIvfSq(spark, dir)
+    val again = Sq.searchIvfSq(back, queries, embeddings, topK = 10,
+      nprobe = kCells, shortlist = n).collect().toSeq
+    assert(again == full)
+    // append == assigned-at-build-time: cells AND codes identical
+    val keep = embeddings.filter(col("vec_id") % 10 =!= 3)
+    val extra = embeddings.filter(col("vec_id") % 10 === 3)
+    val dir2 = java.nio.file.Files.createTempDirectory("ivfsq2").toString
+    val small = Sq.buildIvfSq(keep, kCells, iters = 2)
+    Sq.writeIvfSq(small, dir2)
+    Sq.appendToIvfSq(spark, dir2, extra)
+    val grown = Sq.loadIvfSq(spark, dir2)
+    val wantAssign = Ann.nearestCell(
+        extra.select(col("vec_id"), col("embedding")), small.centroids)
+      .select(col("vec_id"), col("cell_id"),
+        graft.functions.SqExpressions.encode(col("embedding"),
+          small.model.vmin, small.model.vdelta).as("code"))
+      .as[(Long, Int, Array[Byte])].collect()
+      .map { case (v, c, b) => (v, c, b.toSeq) }.toSet
+    val gotAssign = grown.assignments
+      .join(extra.select(col("vec_id")), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("cell_id"), col("code"))
+      .as[(Long, Int, Array[Byte])].collect()
+      .map { case (v, c, b) => (v, c, b.toSeq) }.toSet
+    assert(gotAssign == wantAssign, "appended rows differ from build-time")
+    // wrong-layout refusal
+    intercept[IllegalArgumentException] {
+      val ivfDir = java.nio.file.Files.createTempDirectory("ivf").toString
+      Ann.writeIvf(Ann.buildIvf(keep, kCells, 2), ivfDir)
+      Sq.appendToIvfSq(spark, ivfDir, extra)
+    }
+  }
 }
