@@ -132,6 +132,33 @@ object Pipeline extends QueryFamily {
       graft.multimodal.PerceptualHash.nearDupPairs(hs, bandBits = 16,
         maxHamming = 3)
     },
+    "q_audio_neardup" -> { (s, d) =>
+      // The audio arm of the multimodal cascade
+      // (multimodal.AudioFingerprint): Philips-family band-difference
+      // fingerprints over REAL JDK-decoded WAVs synthesized
+      // deterministically from doc_ids, with every 5th clip given a
+      // resampled + volume-shifted twin (the transformations a
+      // re-encoded copy undergoes) — then the SAME banded hamming join
+      // as q_image_neardup: one exact join serves every modality.
+      // Rows-only; AudioFingerprintSpec pins gain/resample/precision.
+      import s.implicits._
+      val ids = Tables.documents(s, d).select("doc_id")
+        .orderBy("doc_id").limit(40).as[Long].collect()
+      val rows = ids.map { i =>
+        graft.multimodal.Media.MediaRow(i, "audio",
+          graft.multimodal.SyntheticAudio.wav(i, ms = 400),
+          graft.multimodal.Media.MediaMeta(0, 0, 16000, 400))
+      } ++ ids.filter(_ % 5 == 0).map { i =>
+        graft.multimodal.Media.MediaRow(i + 1000000L, "audio",
+          graft.multimodal.SyntheticAudio.wav(i, ms = 400, rate = 44100,
+            volume = 0.4),
+          graft.multimodal.Media.MediaMeta(0, 0, 44100, 400))
+      }
+      val media = rows.toSeq.toDS()
+      val hs = graft.multimodal.AudioFingerprint.hashes(media)
+      graft.multimodal.PerceptualHash.nearDupPairs(hs, bandBits = 16,
+        maxHamming = 3)
+    },
     "q_split_hash" -> { (s, d) =>
       // Deterministic train/val/test assignment from a content hash —
       // stable across runs, engines, and partitionings (a random split
