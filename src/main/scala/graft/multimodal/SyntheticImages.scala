@@ -49,4 +49,33 @@ object SyntheticImages {
     javax.imageio.ImageIO.write(img, "jpg", bos)
     bos.toByteArray
   }
+
+  /** A genuine animated GIF from the given frames — the one multi-frame
+    * container a stock JRE both writes and reads ([[VideoCodec]]'s
+    * decode side). GIF's 256-color palette quantizes the gradients,
+    * which is itself a useful perturbation: per-frame dHash must (and
+    * does) survive it. */
+  def animatedGif(frames: Seq[BufferedImage]): Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      frames.foreach { img =>
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Seeded synthetic clip: `nFrames` structured frames whose rectangle
+    * layout EVOLVES with the frame index (seed·1000+frame), so frames
+    * differ the way real video frames do. */
+  def video(seed: Long, nFrames: Int = 8, w: Int = 96,
+      h: Int = 80): Seq[BufferedImage] =
+    (0 until nFrames).map(f => structured(seed * 1000 + f, w, h))
 }

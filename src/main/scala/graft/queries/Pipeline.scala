@@ -159,6 +159,35 @@ object Pipeline extends QueryFamily {
       graft.multimodal.PerceptualHash.nearDupPairs(hs, bandBits = 16,
         maxHamming = 3)
     },
+    "q_video_neardup" -> { (s, d) =>
+      // The multi-frame arm (multimodal.VideoFingerprint): synthetic
+      // animated GIFs through the real JDK multi-frame decoder, every
+      // 4th clip given a per-frame-resized re-encoded twin — per-frame
+      // dHash sequences, then the slot-aligned banded hamming join
+      // (matched_slots is EXACT per the per-slot pigeonhole).
+      // Rows-only; VideoFingerprintSpec pins banded ≡ all-pairs,
+      // planted resize/trim recall, and leniency.
+      import s.implicits._
+      val ids = Tables.documents(s, d).select("doc_id")
+        .orderBy("doc_id").limit(16).as[Long].collect()
+      val rows = ids.map { i =>
+        graft.multimodal.Media.MediaRow(i, "video",
+          graft.multimodal.SyntheticImages.animatedGif(
+            graft.multimodal.SyntheticImages.video(i, nFrames = 6)),
+          graft.multimodal.Media.MediaMeta(96, 80, 0, 0))
+      } ++ ids.filter(_ % 4 == 0).map { i =>
+        graft.multimodal.Media.MediaRow(i + 1000000L, "video",
+          graft.multimodal.SyntheticImages.animatedGif(
+            graft.multimodal.SyntheticImages.video(i, nFrames = 6).map(f =>
+              graft.multimodal.ImageCodec.decode(
+                graft.multimodal.ImageCodec.resizePng(f, 72, 60)).get)),
+          graft.multimodal.Media.MediaMeta(72, 60, 0, 0))
+      }
+      val media = rows.toSeq.toDS()
+      val fh = graft.multimodal.VideoFingerprint.frameHashes(media, 6)
+      graft.multimodal.VideoFingerprint.nearDupPairs(fh, bandBits = 16,
+        maxHamming = 3, minMatched = 5)
+    },
     "q_split_hash" -> { (s, d) =>
       // Deterministic train/val/test assignment from a content hash —
       // stable across runs, engines, and partitionings (a random split

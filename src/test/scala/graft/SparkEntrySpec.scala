@@ -27,6 +27,7 @@ class SparkEntrySpec extends SparkSuite {
     "q_sample_weighted", // A-ES weighted sample (≡ local ref) → PipelineSpec
     "q_image_neardup",   // perceptual-hash banded near-dup → PerceptualHashSpec
     "q_audio_neardup",   // acoustic-fingerprint banded near-dup → AudioFingerprintSpec
+    "q_video_neardup",   // slot-aligned frame-hash near-dup → VideoFingerprintSpec
     "q_bpe_merges",      // BPE tokenizer training → BpeSpec
     "q_bpe_encode",      // BPE corpus encode (greedy apply) → BpeSpec
     "q_unigram_vocab",   // unigram-LM tokenizer training (EM) → UnigramSpec
