@@ -218,6 +218,104 @@ object Sketch {
       .filter(col("c") * den >= num * n)
   }
 
+  // ------------------------------------------------------------------
+  // KMV / theta — distinct counts with SET OPERATIONS (what HLL
+  // registers cannot give you: intersections and Jaccard between
+  // corpus snapshots, the overlap questions decontamination and
+  // mix-design ask)
+  // ------------------------------------------------------------------
+
+  /** KMV bottom-k sketch (Beyer et al. 2007, "On synopses for distinct-
+    * value estimation under multiset operations", SIGMOD; the theta-
+    * sketch family of Dasgupta et al. 2016): the k smallest DISTINCT
+    * xxhash64 values of the column. Unlike HLL's lossy registers the
+    * sketch is an exact SET — deterministic, partitioning-independent
+    * (the k smallest of a set is the k smallest of its parts' k
+    * smallest), and closed under union WITHOUT error accumulation:
+    * kmvMerge(kmv(A), kmv(B)) == kmv(A ∪ B) bit-for-bit, which
+    * SketchSpec pins as an identity.
+    *
+    * Shape: per-partition bounded state (a ≤ k-entry TreeSet in
+    * mapPartitions — the [[mgSummary]] discipline), then one tiny
+    * (≤ k·partitions rows) merge. Shuffle volume is ≤ k rows per
+    * partition regardless of corpus size. Relative SE ≈ 1/√(k−2)
+    * (k = 1024: ~3%). If the column has ≤ k distinct values the sketch
+    * IS the distinct hash set and every downstream estimate is exact. */
+  def kmv(items: DataFrame, itemCol: String, k: Int): DataFrame = {
+    require(k > 1, s"kmv needs k > 1: $k")
+    val spark = items.sparkSession
+    import spark.implicits._
+    items.select(xxhash64(col(itemCol)).as("h")).as[Long]
+      .mapPartitions { it =>
+        val bottom = new java.util.TreeSet[java.lang.Long]()
+        it.foreach { h =>
+          if (bottom.size < k) bottom.add(h)
+          else if (h < bottom.last()) {
+            if (bottom.add(h)) bottom.pollLast()
+          }
+        }
+        import scala.jdk.CollectionConverters._
+        bottom.iterator().asScala.map(_.longValue())
+      }
+      .toDF("h").distinct().orderBy("h").limit(k)
+  }
+
+  /** Lossless union merge: the k smallest of the two sketches' union —
+    * exactly kmv(A ∪ B) when the inputs are kmv(A) and kmv(B). */
+  def kmvMerge(a: DataFrame, b: DataFrame, k: Int): DataFrame =
+    a.union(b).distinct().orderBy("h").limit(k)
+
+  /** Hash value → its fraction of the uniform signed-64 space. */
+  private def hashFraction(h: Long): Double = h.toDouble / 18446744073709551616.0 + 0.5
+
+  /** Distinct-count estimate: exact row count when the sketch holds
+    * < k hashes (the column had ≤ k distincts), else the unbiased
+    * (k−1)/θ with θ = the kth smallest hash's fraction of the hash
+    * space. Driver math over ≤ k longs — model state. */
+  def kmvEstimate(sketch: DataFrame, k: Int): Double = {
+    val spark = sketch.sparkSession
+    import spark.implicits._
+    val hs = sketch.select(col("h")).as[Long].collect().sorted
+    if (hs.length < k) hs.length.toDouble
+    else (k - 1) / hashFraction(hs.last)
+  }
+
+  /** Theta intersection: restrict both sketches below the smaller
+    * cutoff θ = min(θ_a, θ_b); every retained hash is a uniform sample
+    * of A ∩ B at rate θ, so |A ∩ B| ≈ |retained| / θ. Exact when both
+    * sketches are exact (< k rows). This is the operation HLL cannot
+    * express — registers destroy membership. */
+  def kmvIntersectEstimate(a: DataFrame, b: DataFrame, k: Int): Double = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val ha = a.select(col("h")).as[Long].collect().sorted
+    val hb = b.select(col("h")).as[Long].collect().sorted
+    val cutoff = (ha.length >= k, hb.length >= k) match {
+      case (false, false) => Long.MaxValue
+      case (true, false) => ha.last
+      case (false, true) => hb.last
+      case (true, true) => math.min(ha.last, hb.last)
+    }
+    val sa = ha.iterator.takeWhile(_ <= cutoff).toSet
+    val matches = hb.iterator.takeWhile(_ <= cutoff).count(sa)
+    if (cutoff == Long.MaxValue) matches.toDouble
+    else matches / hashFraction(cutoff)
+  }
+
+  /** Jaccard |A∩B| / |A∪B| via the bottom-k of the union (the classic
+    * one-permutation MinHash estimator): U = k smallest of the merged
+    * sketches, J ≈ |U ∩ A ∩ B| / |U|. Exact when the UNION has ≤ k
+    * distincts (then U is the whole union, not a sample). */
+  def kmvJaccard(a: DataFrame, b: DataFrame, k: Int): Double = {
+    val spark = a.sparkSession
+    import spark.implicits._
+    val ha = a.select(col("h")).as[Long].collect().toSet
+    val hb = b.select(col("h")).as[Long].collect().toSet
+    val u = (ha ++ hb).toSeq.sorted.take(k)
+    if (u.isEmpty) 0.0
+    else u.count(h => ha(h) && hb(h)).toDouble / u.size
+  }
+
   def ddSketch(values: DataFrame, valueCol: String,
       alpha: Double): DataFrame = {
     require(alpha > 0 && alpha < 1, s"ddSketch needs 0 < alpha < 1: $alpha")

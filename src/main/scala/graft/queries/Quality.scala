@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryFamily, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Data-quality family: profiling (ANALYZE-style column statistics,
@@ -148,6 +148,36 @@ object Quality extends QueryFamily {
         .localCheckpoint()
       val est = graft.operators.Sketch.hllEstimate(regs, p = 12)
       regs.withColumn("n_distinct_est", lit(est)).orderBy("bucket")
+    },
+    "q_corpus_overlap" -> { (s, d) =>
+      // Snapshot-overlap estimation via KMV/theta sketches
+      // (operators.Sketch.kmv): the set-operation sketch HLL registers
+      // cannot be — bottom-k distinct hashes support INTERSECTION and
+      // Jaccard between corpus snapshots (the question decontamination
+      // and mix design ask: "how much of snapshot B is already in A?").
+      // Each side's state is ≤ k rows per partition; merge is LOSSLESS
+      // (merged shard sketches ≡ whole-corpus sketch bit-for-bit,
+      // SketchSpec). The two "snapshots" are the corpus token sets of
+      // even/odd documents. xxhash64 state ⇒ rows-only; SketchSpec pins
+      // exactness below k, SE bands above, and merge identity.
+      val k = 1024
+      val docs = Tables.documents(s, d)
+      def toks(filter: Column) = docs.filter(filter)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .filter(col("token") =!= "")
+      val ka = graft.operators.Sketch.kmv(
+        toks(pmod(col("doc_id"), lit(2)) === 0), "token", k).localCheckpoint()
+      val kb = graft.operators.Sketch.kmv(
+        toks(pmod(col("doc_id"), lit(2)) === 1), "token", k).localCheckpoint()
+      val estA = graft.operators.Sketch.kmvEstimate(ka, k)
+      val estB = graft.operators.Sketch.kmvEstimate(kb, k)
+      val estU = graft.operators.Sketch.kmvEstimate(
+        graft.operators.Sketch.kmvMerge(ka, kb, k), k)
+      val inter = graft.operators.Sketch.kmvIntersectEstimate(ka, kb, k)
+      val jac = graft.operators.Sketch.kmvJaccard(ka, kb, k)
+      import s.implicits._
+      Seq((estA, estB, estU, inter, jac))
+        .toDF("est_a", "est_b", "est_union", "est_intersect", "jaccard")
     },
     "q_quantile_sketch" -> { (s, d) =>
       // Mergeable quantiles via DDSketch (operators.Sketch.ddSketch):

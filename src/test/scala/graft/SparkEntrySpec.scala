@@ -24,6 +24,7 @@ class SparkEntrySpec extends SparkSuite {
     "q_heavy_hitters_cms", // count-min sketch    → SketchSpec
     "q_quantile_sketch", // DDSketch quantiles (alpha rel-error) → SketchSpec
     "q_cardinality_hll", // HLL registers (se band + merge) → SketchSpec
+    "q_corpus_overlap",  // KMV/theta snapshot set ops → SketchSpec
     "q_sample_weighted", // A-ES weighted sample (≡ local ref) → PipelineSpec
     "q_image_neardup",   // perceptual-hash banded near-dup → PerceptualHashSpec
     "q_audio_neardup",   // acoustic-fingerprint banded near-dup → AudioFingerprintSpec

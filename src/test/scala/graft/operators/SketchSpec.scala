@@ -204,6 +204,73 @@ class SketchSpec extends SparkSuite {
     assert(gotRepart == want)
   }
 
+  test("kmv: exact below k, SE band above it, deterministic under " +
+      "repartitioning") {
+    import spark.implicits._
+    val k = 1024
+    // ≤ k distincts: the sketch IS the distinct hash set -> exact
+    val small = spark.range(700).select(concat(lit("s"), col("id")).as("t"))
+    assert(Sketch.kmvEstimate(Sketch.kmv(small, "t", k), k) == 700.0)
+    // 50k distincts: relative error within 3x the 1/sqrt(k-2) SE
+    val big = spark.range(50000).select(concat(lit("b"), col("id")).as("t"))
+      .union(spark.range(10000).select(concat(lit("b"), col("id")).as("t")))
+    val est = Sketch.kmvEstimate(Sketch.kmv(big, "t", k), k)
+    val err = math.abs(est - 50000) / 50000.0
+    info(f"kmv k=$k 50k: est $est%.0f (err ${err * 100}%.2f%%)")
+    assert(err <= 3.0 / math.sqrt(k - 2.0), f"err ${err * 100}%.2f%%")
+    // partitioning independence: the k smallest distinct hashes are a
+    // set property — bit-identical sketch at any layout
+    val a = Sketch.kmv(big.repartition(3), "t", k).as[Long].collect().toSeq
+    val b = Sketch.kmv(big.repartition(17), "t", k).as[Long].collect().toSeq
+    assert(a == b && a.length == k)
+  }
+
+  test("kmv merge is LOSSLESS: merged shard sketches equal the " +
+      "whole-corpus sketch bit-for-bit") {
+    import spark.implicits._
+    val k = 256
+    val whole = spark.range(20000)
+      .select(concat(lit("m"), col("id")).as("t"))
+    val left = spark.range(12000).select(concat(lit("m"), col("id")).as("t"))
+    val right = spark.range(8000, 20000)
+      .select(concat(lit("m"), col("id")).as("t")) // overlaps left
+    val merged = Sketch.kmvMerge(
+      Sketch.kmv(left, "t", k), Sketch.kmv(right, "t", k), k)
+      .as[Long].collect().toSeq
+    val direct = Sketch.kmv(whole, "t", k).as[Long].collect().toSeq
+    assert(merged == direct)
+  }
+
+  test("kmv theta intersection and jaccard: the set ops HLL cannot " +
+      "answer, exact in the small regime and banded in the large") {
+    import spark.implicits._
+    val k = 1024
+    // small/exact: overlap 200, union 800 ≤ k — both ops degrade to
+    // exact set arithmetic
+    val a1 = spark.range(500).select(concat(lit("x"), col("id")).as("t"))
+    val b1 = spark.range(300, 800)
+      .select(concat(lit("x"), col("id")).as("t"))
+    val ka1 = Sketch.kmv(a1, "t", k)
+    val kb1 = Sketch.kmv(b1, "t", k)
+    assert(Sketch.kmvIntersectEstimate(ka1, kb1, k) == 200.0)
+    assert(math.abs(Sketch.kmvJaccard(ka1, kb1, k) - 200.0 / 800.0) < 1e-12)
+    // large: |A| = |B| = 40k, overlap 20k, union 60k
+    val a2 = spark.range(40000).select(concat(lit("y"), col("id")).as("t"))
+    val b2 = spark.range(20000, 60000)
+      .select(concat(lit("y"), col("id")).as("t"))
+    val ka2 = Sketch.kmv(a2, "t", k)
+    val kb2 = Sketch.kmv(b2, "t", k)
+    val inter = Sketch.kmvIntersectEstimate(ka2, kb2, k)
+    val jac = Sketch.kmvJaccard(ka2, kb2, k)
+    val interErr = math.abs(inter - 20000) / 20000.0
+    val jacErr = math.abs(jac - 20000.0 / 60000.0) / (20000.0 / 60000.0)
+    info(f"kmv intersect est $inter%.0f (err ${interErr * 100}%.2f%%), " +
+      f"jaccard $jac%.4f (err ${jacErr * 100}%.2f%%)")
+    // intersection SE is on the coarser retained sample — allow 5x
+    assert(interErr <= 5.0 / math.sqrt(k - 2.0))
+    assert(jacErr <= 5.0 / math.sqrt(k - 2.0))
+  }
+
   test("mg summary state is bounded by k rows per partition") {
     import spark.implicits._
     val big = spark.range(0L, 100000L)
