@@ -321,6 +321,13 @@ object CliMain {
           graft.operators.Sq.writeIvfSq(idx, outDir)
           println(s"ivfsq index: $kCells cells, dim ${idx.model.dim} " +
             s"8-bit grid -> $outDir")
+        case "bq" =>
+          // binary quantization: 1 bit/dim at the exact median, 32x
+          val model = graft.operators.Bq.train(emb)
+          val codes = graft.operators.Bq.encode(
+            emb.selectExpr("vec_id", "embedding"), model)
+          graft.operators.Bq.writeBq(model, codes, outDir)
+          println(s"bq index: dim ${model.dim} 1-bit codes -> $outDir")
         case "graph" =>
           // proximity-graph index (GraphAnn — the HNSW/DiskANN family):
           // NN-Descent-refined kNN graph + medoid entry points
@@ -462,6 +469,14 @@ object CliMain {
           graft.operators.Sq.searchIvfSq(idx, queries, emb, topK, nprobe,
             shortlist = flagVal("--shortlist").map(_.toInt)
               .getOrElse(topK * 3))
+        case "bq" =>
+          // 1-bit hamming shortlist + exact rerank; default shortlist
+          // is deep (10x) because hamming resolves neighborhoods, not
+          // within-neighborhood ranking
+          val (model, codes) = graft.operators.Bq.loadBq(spark, indexDir)
+          graft.operators.Bq.searchRerank(codes, model, emb, queries,
+            topK, shortlist = flagVal("--shortlist").map(_.toInt)
+              .getOrElse(topK * 10))
         case "graph" =>
           // beam search over the proximity graph (--ef = beam width)
           val idx = graft.operators.GraphAnn.load(spark, indexDir)
@@ -561,11 +576,11 @@ object CliMain {
           |  graft.CliMain optimize <inDir> <outDir> --zorder colX,colY
           |    [--files N] [--bits B]
           |  graft.CliMain index <embeddingsDir> <outDir>
-          |    [--kind ivf|pq|ivfpq|opq|opqivfpq|sq|ivfsq|graph] [--k K] [--m M]
+          |    [--kind ivf|pq|ivfpq|opq|opqivfpq|sq|ivfsq|bq|graph] [--k K] [--m M]
           |    [--kcells K] [--iters N] [--append]
           |    [--degree D --nprobe P --descent R]  (graph kind)
           |  graft.CliMain search <indexDir> <embeddingsDir> <outDir>
-          |    [--kind ivf|ivfpq|opq|opqivfpq|sq|ivfsq|graph] [--topk N]
+          |    [--kind ivf|ivfpq|opq|opqivfpq|sq|ivfsq|bq|graph] [--topk N]
           |    [--nprobe P] [--shortlist N] [--ef N] [--q id,id,...]
           |  graft.CliMain tokenize train <docsDir> <modelDir>
           |    [--algo bpe|unigram|wordpiece] [--merges N | --vocab N --max-piece N]

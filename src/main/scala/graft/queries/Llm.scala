@@ -601,6 +601,23 @@ object Llm extends QueryFamily {
       graft.operators.Sq.searchRerank(codes, model, emb, queries,
         topK = 10, shortlist = 30)
     },
+    "q_ann_bq_topk" -> { (s, d) =>
+      // Binary-quantization ANN (operators.Bq — the 32x end of the
+      // quantizer family, the "BQ" of modern vector stores): 1 bit per
+      // dim at the exact per-dim median (order-free ⇒ bit-deterministic
+      // training), XOR+popcount hamming shortlist over dim/8-byte
+      // codes, exact rerank. Quantized shortlist ⇒ no DuckDB oracle
+      // (rows-only); BqSpec pins kernel ≡ naive reference bit-for-bit,
+      // balanced bits, and recall floors in both corpus regimes.
+      val emb = Tables.embeddings(s, d)
+      val model = graft.operators.Bq.train(emb)
+      val codes = graft.operators.Bq.encode(
+        emb.select(col("vec_id"), col("embedding")), model)
+      val queries = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      graft.operators.Bq.searchRerank(codes, model, emb, queries,
+        topK = 10, shortlist = 100)
+    },
     "q_ann_ivfsq_topk" -> { (s, d) =>
       // Composed IVF+SQ (FAISS factory "IVF_k,SQ8"): coarse cells for
       // partition-pruned probes, dim-byte SQ codes as the scanned

@@ -15,6 +15,7 @@ class SparkEntrySpec extends SparkSuite {
     "q_semdedup",        // cluster-then-search semantic dedup → SemDedupSpec
     "q_ann_pq_topk",     // product-quantization ANN → PqSpec
     "q_ann_sq_topk",     // scalar-quantization (SQ8) ANN → SqSpec
+    "q_ann_bq_topk",     // binary-quantization (1-bit) ANN → BqSpec
     "q_ann_ivfsq_topk",  // composed IVF+SQ index → SqSpec
     "q_ann_ivfpq_topk",  // composed IVF+PQ index → PqSpec
     "q_ann_opq_topk",    // OPQ rotated product quantization → OpqSpec
