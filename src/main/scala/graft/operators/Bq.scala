@@ -15,9 +15,9 @@ import graft.functions.BqExpressions
   * scored, cheapest possible distance) rather than [[Lsh]]'s bucketed
   * candidate generation — the two compose rather than compete.
   *
-  * Training is ONE exact aggregation: the per-dimension MEDIAN
-  * (Spark's sort-based exact `percentile`, order-free ⇒ the model is
-  * bit-deterministic under any partitioning, the [[Sq.train]]
+  * Training is the exact per-dimension MEDIAN, computed in bounded
+  * state by the two-pass bit-prefix histogram below (order-free ⇒ the
+  * model is bit-deterministic under any partitioning, the [[Sq.train]]
   * discipline). The median centers each bit — maximum-entropy codes —
   * where a mean threshold lets a skewed dimension waste its bit.
   *
@@ -32,15 +32,89 @@ object Bq {
     def dim: Int = thresholds.length
   }
 
-  /** One exact aggregation: per-dimension median over the corpus. */
+  /** Exact per-dimension LOWER MEDIAN (the smallest v with
+    * count(x ≤ v) ≥ ⌈n/2⌉) in BOUNDED state — the two-pass discipline
+    * (the Misra–Gries/exact-heavy-hitters shape), because Spark's exact
+    * `percentile` buffers one entry per DISTINCT VALUE per group, which
+    * detonates on continuous floats at corpus scale (measured 60 s at
+    * 1M×64 where this takes one partial-aggregated pass + one
+    * bucket-bounded pass):
+    *
+    *  - floats map to their order-preserving bit pattern (the radix
+    *    trick: flip all bits of negatives, the sign bit of positives);
+    *  - pass 1 histograms the TOP 16 bits per dim (≤ dim·65536 counter
+    *    rows, partial-aggregated map-side) and the driver locates each
+    *    dim's median bucket by cumulative count;
+    *  - pass 2 counts full keys ONLY inside each dim's median bucket —
+    *    structurally ≤ 65536 distinct lower-bit keys per dim, whatever
+    *    the corpus looks like (an all-constant dim is 1 row).
+    *
+    * Both passes are deterministic aggregations of exact integer
+    * counts ⇒ the model is bit-identical under any partitioning. */
   def train(embeddings: DataFrame): BqModel = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val rows = embeddings
+    // order-preserving unsigned 32-bit key of the float bit pattern
+    // (radix trick), via a typed map — one cheap map-only pass per use
+    def keyed = embeddings
       .select(posexplode(col("embedding")).as(Seq("pos", "x")))
-      .groupBy("pos").agg(expr("percentile(x, 0.5)").as("med"))
-      .orderBy("pos").select("med").as[Double].collect()
-    BqModel(rows)
+      .as[(Int, Float)]
+      .map { case (pos, x) =>
+        val bits = java.lang.Float.floatToIntBits(x)
+        val k = (if (bits < 0) ~bits else bits ^ 0x80000000).toLong &
+          0xffffffffL
+        (pos, k)
+      }.toDF("pos", "k")
+    val n = embeddings.count()
+    val target = (n + 1) / 2 // ceil(n/2)
+    // pass 1: 16-bit prefix histogram per dim
+    val hist = keyed
+      .groupBy(col("pos"), (col("k") / lit(65536L)).cast("long").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .as[(Int, Long, Long)].collect()
+    val dims = hist.map(_._1).max + 1
+    val medianBucket = new Array[Long](dims)
+    val rankInBucket = new Array[Long](dims)
+    hist.groupBy(_._1).foreach { case (pos, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, b, c) =>
+        if (cum < target && cum + c >= target) {
+          medianBucket(pos) = b
+          rankInBucket(pos) = target - cum
+        }
+        cum += c
+      }
+    }
+    // pass 2: full-key counts inside each dim's median bucket only
+    // (structurally <= 65536 distinct lower keys per dim)
+    val buckets = medianBucket.zipWithIndex
+      .map { case (b, pos) => (pos, b) }.toSeq.toDF("bpos", "b")
+    val inBucket = keyed
+      .join(broadcast(buckets), col("pos") === col("bpos") &&
+        (col("k") / lit(65536L)).cast("long") === col("b"))
+      .groupBy(col("pos"), col("k"))
+      .agg(count(lit(1)).as("c"))
+      .as[(Int, Long, Long)].collect()
+    val medians = new Array[Double](dims)
+    inBucket.groupBy(_._1).foreach { case (pos, rows) =>
+      var cum = 0L
+      var found = false
+      rows.sortBy(_._2).foreach { case (_, k, c) =>
+        if (!found) {
+          cum += c
+          if (cum >= rankInBucket(pos)) {
+            // undo the order-preserving transform
+            val raw =
+              if (k < 0x80000000L) ~k & 0xffffffffL
+              else k ^ 0x80000000L
+            medians(pos) = java.lang.Float
+              .intBitsToFloat(raw.toInt).toDouble
+            found = true
+          }
+        }
+      }
+    }
+    BqModel(medians)
   }
 
   /** (vec_id, code BINARY) — map-only, one kernel call per row. */

@@ -60,6 +60,31 @@ class BqSpec extends SparkSuite {
     }
   }
 
+  test("two-pass bounded-state train equals the driver-sorted exact " +
+      "lower median (negatives, ties, constant dims, odd/even n)") {
+    val rnd = new scala.util.Random(7)
+    for (n <- Seq(9, 10, 101)) {
+      val vecs = (0L until n.toLong).map { i =>
+        (i, Array(
+          rnd.nextFloat() * 4 - 2,             // mixed sign
+          -math.abs(rnd.nextFloat()),          // all negative
+          3.14f,                               // constant
+          if (i % 2 == 0) 1.0f else -1.0f))    // heavy ties
+      }
+      val df = vecs.toDF("vec_id", "embedding")
+        .select(col("vec_id"),
+          col("embedding").cast("array<float>").as("embedding"))
+        .repartition(3)
+      val got = Bq.train(df).thresholds
+      (0 until 4).foreach { d =>
+        val sorted = vecs.map(_._2(d)).sorted
+        val lowerMedian = sorted((n + 1) / 2 - 1).toDouble
+        assert(got(d) == lowerMedian, s"n=$n dim $d: ${got(d)} vs " +
+          s"$lowerMedian")
+      }
+    }
+  }
+
   test("training is bit-deterministic under any partitioning and " +
       "median thresholds balance the bits") {
     val a = Bq.train(embeddings)
