@@ -589,6 +589,31 @@ object Pipeline extends QueryFamily {
           ZOrder.zvalue3(col("xq"), col("yq"), col("zq")))
         .orderBy("zval3", "event_id")
     },
+    "q_hilbert_layout" -> { (s, d) =>
+      // Hilbert-curve clustering key over the same (user_id, day)
+      // space as q_zorder_layout — strictly better locality than
+      // Morton (unit steps vs quadrant jumps; operators.Hilbert,
+      // HilbertSpec pins the classic xy2d reference bit-for-bit and
+      // the side-by-side pruning). The rotate/reflect recursion
+      // unrolls to 8 projection rounds of integer built-ins, so the
+      // SAME arithmetic runs as chained CTEs in the DuckDB oracle.
+      import graft.operators.{Hilbert, ZOrder}
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day"))
+      val b = ev.agg(min("user_id").as("minu"), max("user_id").as("maxu"),
+        min("day").as("mind"), max("day").as("maxd"))
+      Hilbert.withIndex(
+        ev.crossJoin(broadcast(b))
+          .select(col("event_id"),
+            ZOrder.quantize(col("user_id"), col("minu"), col("maxu"))
+              .as("xq"),
+            ZOrder.quantize(col("day"), col("mind"), col("maxd"))
+              .as("yq")),
+        col("xq"), col("yq"), bits = 8)
+        .orderBy("hval", "event_id")
+    },
     "q_unigram_logprob" -> { (s, d) =>
       // CCNet-style statistical quality score: mean unigram surprisal
       // −ln p(token) under the corpus's OWN unigram model (p = tf/total).
@@ -903,6 +928,45 @@ object Pipeline extends QueryFamily {
        |ORDER BY id_a, id_b""".stripMargin
   }
 
+
+  /** q_hilbert_layout oracle: base quantization + 8 chained CTE rounds
+    * of the classic xy2d rotate/reflect recursion (s = 128..1, n=256),
+    * each round reading only the previous round's columns — the exact
+    * arithmetic of [[graft.operators.Hilbert.withIndex]]. */
+  private def hilbertOracleSql: String = {
+    val base = """WITH b AS (
+      |  SELECT min(user_id) AS minu, max(user_id) AS maxu,
+      |         min(epoch_us(ts) // 86400000000) AS mind,
+      |         max(epoch_us(ts) // 86400000000) AS maxd
+      |  FROM events),
+      |r0 AS (
+      |  SELECT event_id,
+      |    CAST(floor((user_id - minu) * 255.0
+      |      / greatest(maxu - minu, 1)) AS BIGINT) AS xq,
+      |    CAST(floor(((epoch_us(ts) // 86400000000) - mind) * 255.0
+      |      / greatest(maxd - mind, 1)) AS BIGINT) AS yq,
+      |    CAST(floor((user_id - minu) * 255.0
+      |      / greatest(maxu - minu, 1)) AS BIGINT) AS x,
+      |    CAST(floor(((epoch_us(ts) // 86400000000) - mind) * 255.0
+      |      / greatest(maxd - mind, 1)) AS BIGINT) AS y,
+      |    CAST(0 AS BIGINT) AS d
+      |  FROM events, b)""".stripMargin
+    val rounds = (0 until 8).map { i =>
+      val sv = 128L >> i
+      s"""r${i + 1} AS (SELECT event_id, xq, yq,
+         |  CASE WHEN (y & $sv) > 0 THEN x
+         |       WHEN (x & $sv) > 0 THEN 255 - y ELSE y END AS x,
+         |  CASE WHEN (y & $sv) > 0 THEN y
+         |       WHEN (x & $sv) > 0 THEN 255 - x ELSE x END AS y,
+         |  d + ${sv * sv} * xor(
+         |    3 * (CASE WHEN (x & $sv) > 0 THEN 1 ELSE 0 END),
+         |    CASE WHEN (y & $sv) > 0 THEN 1 ELSE 0 END) AS d
+         |  FROM r$i)""".stripMargin
+    }.mkString(",\n", ",\n", "")
+    base + rounds +
+      "\nSELECT event_id, xq, yq, d AS hval FROM r8 ORDER BY hval, event_id"
+  }
+
   def oracle: Map[String, String] = Map(
     "q_split_hash" -> {
       // hex → int without engine-specific casts: positional polynomial
@@ -1143,6 +1207,9 @@ object Pipeline extends QueryFamily {
         |SELECT event_id, xq, yq, zq,
         |  (x4 | (y4 << 1) | (z4 << 2)) AS zval3
         |FROM s4 ORDER BY zval3, event_id""".stripMargin,
+    // the same 8 rotate/reflect rounds the Spark side unrolls as
+    // projections, generated as chained CTEs (engine-exact integers)
+    "q_hilbert_layout" -> hilbertOracleSql,
     "q_unigram_logprob" ->
       """WITH inst AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token
