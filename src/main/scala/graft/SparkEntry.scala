@@ -18,6 +18,7 @@ object SparkEntry {
     q.SetOps,
     q.Scalars,
     q.Streaming,
+    q.Behavior,
     q.Llm,
     q.Pipeline,
     q.Graph,

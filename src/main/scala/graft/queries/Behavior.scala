@@ -1,0 +1,170 @@
+package graft.queries
+
+import graft.{QueryFamily, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Behavioral analytics over the `events` stream table — the funnel /
+  * retention / gap-fill trio every product-analytics engine ships
+  * (reference scope: the sink's consumers run exactly these shapes over
+  * landed event tables; see /root/reference/README.md "query the
+  * partitioned output with any engine").
+  *
+  * Scale design (100 TB of events):
+  *
+  *  - `q_funnel`: ONE exchange on `user_id`, then a cascade of four
+  *    whole-partition window minima over the SAME partitioning —
+  *    Catalyst plans a single shuffle and chains the WindowExecs
+  *    (no orderBy, so no per-step sort either; PlanSpec pins exactly
+  *    one Exchange). Each step's conditional `min` references the
+  *    previous step's per-user timestamp, which is the textbook
+  *    sequential-funnel semantics (ClickHouse `windowFunnel`,
+  *    Amplitude) without materializing per-user event arrays: state
+  *    per row is four timestamps, never a collect_list. The final
+  *    per-user flags collapse through a distinct-on-user aggregation
+  *    that REUSES the window partitioning (no fourth-distinct Expand,
+  *    no second shuffle of the events).
+  *
+  *  - `q_retention_cohort`: two partial-aggregated shuffles (cohort =
+  *    min week per user; activity = distinct user-week) joined on
+  *    user_id — both sides shrink to ~|users| rows before the join,
+  *    so the join input is orders of magnitude below the event count.
+  *
+  *  - `q_gapfill_locf`: the daily grid is generated per user with
+  *    `sequence` + `explode` (grid size = span days, bounded), LEFT
+  *    join back to the daily partial aggregate, then last-observation-
+  *    carried-forward via `last(ignoreNulls)` over (user, day) — the
+  *    window's partitioning matches the join's, so the sort is the
+  *    only post-join work. No driver loop, no global materialized
+  *    calendar.
+  *
+  * Determinism: counts are exact BIGINTs; the one double column
+  * (`v_locf`) is a sum of DECIMAL(12,4) casts (exact at this scale)
+  * converted to double once — same discipline as q_stream_tumbling.
+  */
+object Behavior extends QueryFamily {
+
+  private def tsCol: Column = col("ts")
+  private def dec(c: String) = col(c).cast("decimal(12,4)")
+
+  /** Conditional per-user window min for funnel step `etype`, gated on
+    * the previous step's timestamp `prev` and a 7-day step window. */
+  private def stepMin(etype: String, prev: Column): Column =
+    min(when(col("event_type") === etype && tsCol > prev &&
+      tsCol <= prev + expr("INTERVAL 7 DAYS"), tsCol))
+      .over(Window.partitionBy(col("user_id")))
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel" -> { (s, d) =>
+      // signup → view → click → purchase, each step within 7 days of
+      // the previous step's FIRST qualifying event (strictly after it).
+      val staged = Tables.events(s, d)
+        .withColumn("t1", min(when(col("event_type") === "signup", tsCol))
+          .over(Window.partitionBy(col("user_id"))))
+        .withColumn("t2", stepMin("view", col("t1")))
+        .withColumn("t3", stepMin("click", col("t2")))
+        .withColumn("t4", stepMin("purchase", col("t3")))
+      // t1..t4 are constant per user: collapse to one row per user on
+      // the partitioning the windows already established, then one
+      // global partial-aggregated sum of step flags (avoids the 4-way
+      // count-distinct Expand over the full event table).
+      staged
+        .groupBy(col("user_id"))
+        .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+          max(col("t3")).as("t3"), max(col("t4")).as("t4"))
+        .agg(
+          sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("step1_users"),
+          sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("step2_users"),
+          sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("step3_users"),
+          sum(when(col("t4").isNotNull, 1L).otherwise(0L)).as("step4_users"))
+    },
+    "q_retention_cohort" -> { (s, d) =>
+      val ev = Tables.events(s, d)
+      val cohort = ev.groupBy(col("user_id"))
+        .agg(min(date_trunc("week", tsCol)).as("cw"))
+      val act = ev
+        .select(col("user_id"), date_trunc("week", tsCol).as("w"))
+        .distinct()
+      act.join(cohort, Seq("user_id"))
+        .groupBy(col("cw").cast("date").as("cohort_week"),
+          (datediff(col("w").cast("date"), col("cw").cast("date")) / 7)
+            .cast("long").as("week_no"))
+        .agg(count(lit(1)).as("users"))
+        .orderBy("cohort_week", "week_no")
+    },
+    "q_gapfill_locf" -> { (s, d) =>
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"), date_trunc("day", tsCol).as("day"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec("value")).cast("double").as("v"))
+      val grid = daily.groupBy(col("user_id"))
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY")))
+            .as("day"))
+      grid.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day").cast("date").as("day"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          last(col("v"), ignoreNulls = true)
+            .over(Window.partitionBy(col("user_id")).orderBy(col("day")))
+            .as("v_locf"))
+        .orderBy("user_id", "day")
+    }
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_funnel" ->
+      """WITH s1 AS (
+        |  SELECT *, min(CASE WHEN event_type='signup' THEN ts END)
+        |            OVER (PARTITION BY user_id) AS t1 FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type='view' AND ts > t1
+        |                AND ts <= t1 + INTERVAL 7 DAY THEN ts END)
+        |            OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type='click' AND ts > t2
+        |                AND ts <= t2 + INTERVAL 7 DAY THEN ts END)
+        |            OVER (PARTITION BY user_id) AS t3 FROM s2),
+        |s4 AS (
+        |  SELECT *, min(CASE WHEN event_type='purchase' AND ts > t3
+        |                AND ts <= t3 + INTERVAL 7 DAY THEN ts END)
+        |            OVER (PARTITION BY user_id) AS t4 FROM s3)
+        |SELECT
+        |  count(DISTINCT CASE WHEN t1 IS NOT NULL THEN user_id END) AS step1_users,
+        |  count(DISTINCT CASE WHEN t2 IS NOT NULL THEN user_id END) AS step2_users,
+        |  count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS step3_users,
+        |  count(DISTINCT CASE WHEN t4 IS NOT NULL THEN user_id END) AS step4_users
+        |FROM s4""".stripMargin,
+    "q_retention_cohort" ->
+      """WITH cohort AS (
+        |  SELECT user_id, min(date_trunc('week', ts)) AS cw
+        |  FROM events GROUP BY 1),
+        |act AS (
+        |  SELECT DISTINCT user_id, date_trunc('week', ts) AS w FROM events)
+        |SELECT CAST(c.cw AS DATE) AS cohort_week,
+        |       CAST(date_diff('day', c.cw, a.w)/7 AS BIGINT) AS week_no,
+        |       count(*) AS users
+        |FROM act a JOIN cohort c ON a.user_id = c.user_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_gapfill_locf" ->
+      """WITH daily AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n,
+        |         CAST(sum(CAST(value AS DECIMAL(12,4))) AS DOUBLE) AS v
+        |  FROM events GROUP BY 1, 2),
+        |span AS (
+        |  SELECT user_id, min(day) AS d0, max(day) AS d1
+        |  FROM daily GROUP BY 1),
+        |grid AS (
+        |  SELECT user_id,
+        |         unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS day
+        |  FROM span)
+        |SELECT g.user_id, CAST(g.day AS DATE) AS day,
+        |       coalesce(d.n, 0) AS n,
+        |       last_value(d.v IGNORE NULLS)
+        |         OVER (PARTITION BY g.user_id ORDER BY g.day) AS v_locf
+        |FROM grid g
+        |LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
+        |ORDER BY g.user_id, g.day""".stripMargin
+  )
+}

@@ -106,9 +106,67 @@ object Graph extends QueryFamily {
       .groupBy("degree").agg(count(lit(1)).as("n_nodes"))
       .orderBy("degree")
 
+  /** Triangle count on the co-purchase graph (parts appearing in the
+    * same order — the market-basket projection of lineitem).
+    *
+    * Scale design: the naive wedge enumeration is Σ deg² — quadratic in
+    * the hottest node's degree. The classic fix (Suri & Vassilvitskii
+    * 2011, "Counting Triangles and the Curse of the Last Reducer") is
+    * degree-ordered orientation: direct every undirected edge from its
+    * lower-(degree, id) endpoint to the higher one, so every out-degree
+    * is O(√m) and the wedge join is bounded by m^{3/2} TOTAL — skew
+    * immune, no node ever owns more than √m out-edges. The triangle
+    * total is orientation-independent (each triangle has exactly one
+    * node with out-edges to the other two under ANY acyclic
+    * orientation), which is what lets the simple p1<p2-oriented DuckDB
+    * oracle pin the degree-oriented distributed plan exactly. The edge
+    * list is localCheckpointed: it feeds the orientation join, the
+    * closing-edge join, AND the edge count — three consumers, one
+    * build. */
+  def triangleCount(s: SparkSession, d: String,
+      minQty: Double = 0.0): DataFrame = {
+    // minQty dials the basket density: the declared query runs the
+    // qty>30 projection (bench-sized; the full graph's wedge join is
+    // ~9x the work for the same plan shape — GraphSpec pins the
+    // unfiltered counts, ProfileQ measures both)
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_quantity") > minQty)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e0 = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").cast("long").as("p1"),
+        col("b.l_partkey").cast("long").as("p2"))
+      .distinct()
+      .localCheckpoint()
+    val deg = e0.select(col("p1").as("v"))
+      .union(e0.select(col("p2").as("v")))
+      .groupBy("v").agg(count(lit(1)).as("deg"))
+    // orient low-(deg, id) → high-(deg, id); ties by id (p1 < p2 always)
+    val eo = e0
+      .join(deg.as("d1"), col("p1") === col("d1.v"))
+      .join(deg.as("d2"), col("p2") === col("d2.v"))
+      .select(
+        when(col("d1.deg") <= col("d2.deg"), col("p1")).otherwise(col("p2"))
+          .as("src"),
+        when(col("d1.deg") <= col("d2.deg"), col("p2")).otherwise(col("p1"))
+          .as("dst"))
+    // wedges: ordered pairs of out-neighbors; closing edge looked up in
+    // the CANONICAL (p1 < p2) edge list, which matches because the wedge
+    // endpoints are emitted id-ordered
+    val wedges = eo.as("x")
+      .join(eo.as("y"), col("x.src") === col("y.src") &&
+        col("x.dst") < col("y.dst"))
+      .select(col("x.dst").as("q1"), col("y.dst").as("q2"))
+    wedges.join(e0, col("q1") === col("p1") && col("q2") === col("p2"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .crossJoin(e0.agg(count(lit(1)).as("n_edges")))
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> ((s, d) => pageRank(s, d)),
-    "q_graph_degree" -> ((s, d) => degreeDistribution(s, d))
+    "q_graph_degree" -> ((s, d) => degreeDistribution(s, d)),
+    "q_triangles" -> ((s, d) => triangleCount(s, d, minQty = 30.0))
   )
 
   /** The oracle unrolls the three iterations as CTEs it1..it3 — same
@@ -147,6 +205,18 @@ object Graph extends QueryFamily {
     "q_graph_degree" ->
       s"""WITH $OracleEdges
          |SELECT outdeg AS degree, count(*) AS n_nodes
-         |FROM deg GROUP BY outdeg ORDER BY degree""".stripMargin
+         |FROM deg GROUP BY outdeg ORDER BY degree""".stripMargin,
+    "q_triangles" ->
+      """WITH e AS (
+        |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS p1,
+        |                  CAST(b.l_partkey AS BIGINT) AS p2
+        |  FROM (SELECT * FROM lineitem WHERE l_quantity > 30) a
+        |  JOIN (SELECT * FROM lineitem WHERE l_quantity > 30) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        |SELECT
+        |  (SELECT count(*) FROM e e1
+        |     JOIN e e2 ON e1.p2 = e2.p1
+        |     JOIN e e3 ON e3.p1 = e1.p1 AND e3.p2 = e2.p2) AS n_triangles,
+        |  (SELECT count(*) FROM e) AS n_edges""".stripMargin
   )
 }

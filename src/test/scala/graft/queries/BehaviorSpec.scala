@@ -1,0 +1,90 @@
+package graft.queries
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Semantics pins for the behavioral-analytics family on a hand-built
+  * events fixture — the funnel's ordering/window rules are exactly the
+  * cases a hash-match on uniform testdata could silently get wrong
+  * (out-of-order steps, window boundaries, strict-after). */
+class BehaviorSpec extends SparkSuite {
+
+  /** Write a tiny events table (driver schema, TIMESTAMP_NTZ ts) and
+    * return its directory. */
+  private lazy val dir: String = {
+    import spark.implicits._
+    val rows = Seq(
+      // u1: clean signup → view → click → purchase, one day apart
+      (1L, "signup", "2024-01-01 00:00:00"),
+      (1L, "view", "2024-01-02 00:00:00"),
+      (1L, "click", "2024-01-03 00:00:00"),
+      (1L, "purchase", "2024-01-04 00:00:00"),
+      // u2: view BEFORE signup only — the funnel must not count it
+      (2L, "view", "2024-01-01 00:00:00"),
+      (2L, "signup", "2024-01-02 00:00:00"),
+      // u3: view 8 days after signup — outside the 7-day step window
+      (3L, "signup", "2024-01-01 00:00:00"),
+      (3L, "view", "2024-01-09 00:00:01"),
+      // u4: signup → view, then purchase with NO click — funnel stops
+      (4L, "signup", "2024-01-01 00:00:00"),
+      (4L, "view", "2024-01-02 00:00:00"),
+      (4L, "purchase", "2024-01-03 00:00:00"),
+      // u5: view at EXACTLY signup ts (strict-after: not counted) and a
+      // second view at exactly +7d (<= boundary: counted)
+      (5L, "signup", "2024-01-01 00:00:00"),
+      (5L, "view", "2024-01-01 00:00:00"),
+      (5L, "view", "2024-01-08 00:00:00"),
+      // u6: full path but no signup — contributes nothing
+      (6L, "view", "2024-01-01 00:00:00"),
+      (6L, "click", "2024-01-02 00:00:00"),
+      (6L, "purchase", "2024-01-03 00:00:00"),
+      // u2 again two weeks later (retention: cohort w0, offset 2)
+      (2L, "click", "2024-01-16 00:00:00")
+    )
+    val d = java.nio.file.Files.createTempDirectory("behavior").toString
+    rows.zipWithIndex
+      .map { case ((u, t, ts), i) => (i.toLong, ts, u, t, 1.5, "{}") }
+      .toDF("event_id", "s", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), to_timestamp_ntz(col("s")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("funnel: ordering, strict-after, and 7-day window semantics") {
+    val r = Behavior.queries("q_funnel")(spark, dir).collect().head
+    // step1: u1..u5 signed up; step2: u1, u4, u5 (u2's view precedes
+    // its signup, u3's is past the window, u5's same-instant view is
+    // excluded but its exactly-+7d view counts); step3/4: u1 only
+    assert(r.getLong(0) == 5L, s"step1 ${r.getLong(0)}")
+    assert(r.getLong(1) == 3L, s"step2 ${r.getLong(1)}")
+    assert(r.getLong(2) == 1L, s"step3 ${r.getLong(2)}")
+    assert(r.getLong(3) == 1L, s"step4 ${r.getLong(3)}")
+  }
+
+  test("retention: cohort = first-event week, offsets in whole weeks") {
+    val rows = Behavior.queries("q_retention_cohort")(spark, dir)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    // all six users first appear in the week of Mon 2024-01-01; u3 and
+    // u5 have week-2 events (Jan 8/9 = offset 1) and u2 returns in the
+    // week of Mon 2024-01-15 = offset 2
+    assert(rows.toSeq == Seq(("2024-01-01", 0L, 6L), ("2024-01-01", 1L, 2L),
+      ("2024-01-01", 2L, 1L)), rows.mkString(", "))
+  }
+
+  test("gap-fill: missing days appear with n=0 and carried-forward value") {
+    val rows = Behavior.queries("q_gapfill_locf")(spark, dir)
+      .filter(col("user_id") === 2L)
+      .collect()
+      .map(r => (r.getDate(1).toString, r.getLong(2), r.getDouble(3)))
+    // u2 is active Jan 1, 2 and 16: the grid spans all 16 days, the 13
+    // silent days carry n=0 and the Jan-2 daily sum forward
+    assert(rows.length == 16, s"grid length ${rows.length}")
+    assert(rows.head == ("2024-01-01", 1L, 1.5))
+    assert(rows(1) == ("2024-01-02", 1L, 1.5))
+    assert(rows(2) == ("2024-01-03", 0L, 1.5), s"locf broke: ${rows(2)}")
+    assert(rows.count(_._2 == 0L) == 13)
+    assert(rows.last == ("2024-01-16", 1L, 1.5))
+  }
+}

@@ -38,4 +38,30 @@ class GraphSpec extends SparkSuite {
     assert(avgSup > avgCust,
       s"hub nodes should concentrate rank: sup=$avgSup cust=$avgCust")
   }
+
+  test("triangle count: degree-oriented ≡ naive wedge count, full graph") {
+    import org.apache.spark.sql.functions._
+    // orientation independence — the property the scale plan rests on:
+    // count the same FULL sf0.001 co-purchase graph with the naive
+    // p1<p2 orientation and require equality with the degree-ordered
+    // plan (plus the DuckDB-computed absolute pin)
+    val li = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val e = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").cast("long").as("p1"),
+        col("b.l_partkey").cast("long").as("p2"))
+      .distinct().localCheckpoint()
+    val naive = e.as("e1")
+      .join(e.as("e2"), col("e1.p2") === col("e2.p1"))
+      .join(e.as("e3"), col("e3.p1") === col("e1.p1") &&
+        col("e3.p2") === col("e2.p2"))
+      .count()
+    val r = Graph.triangleCount(spark, sf).collect().head
+    assert(r.getLong(0) == naive,
+      s"degree-oriented ${r.getLong(0)} != naive $naive")
+    assert((r.getLong(0), r.getLong(1)) == (125968L, 8899L),
+      s"sf0.001 full-graph pin moved: $r")
+  }
 }

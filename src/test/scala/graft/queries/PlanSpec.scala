@@ -438,4 +438,35 @@ class PlanSpec extends SparkSuite {
       s"scoring grew an aggregation:\n${plan.take(2000)}")
   }
 
+  test("q_funnel: one event shuffle feeds the whole window cascade") {
+    val plan = executedPlan("q_funnel")
+    // 4 chained windows over the SAME user_id partitioning + the
+    // per-user collapse must share ONE exchange of the events; the only
+    // other exchange is the single-row final rollup
+    assert(plan.split("\\bWindow\\b").length - 1 >= 4,
+      s"funnel window cascade collapsed:\n${plan.take(2000)}")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2,
+      s"funnel re-shuffles the events ($exchanges exchanges):\n${plan.take(3000)}")
+    assert(!plan.contains("Expand"),
+      "funnel regressed to count-distinct Expand over the event table")
+  }
+
+  test("q_triangles: no cartesian anywhere in the three-join chain") {
+    val plan = executedPlan("q_triangles")
+    assert(!plan.contains("Cartesian"),
+      s"triangle joins degenerated:\n${plan.take(3000)}")
+    // the single-row triangles×edges rollup is a deliberate 1×1 cross;
+    // nothing ELSE may nested-loop
+    assert(plan.split("BroadcastNestedLoop").length - 1 <= 1,
+      s"an equi-join degenerated to a nested loop:\n${plan.take(3000)}")
+    // the edge list is localCheckpointed, so the lineitem scan lives in
+    // the checkpoint's OWN plan — assert the basket filter pushes there
+    val edgePlan = graft.Tables.lineitem(spark, sf)
+      .filter(org.apache.spark.sql.functions.col("l_quantity") > 30.0)
+      .queryExecution.executedPlan.toString()
+    assert(edgePlan.contains("GreaterThan(l_quantity,30.0)"),
+      s"basket filter no longer pushed into the lineitem scan:\n$edgePlan")
+  }
+
 }
