@@ -618,6 +618,27 @@ object Llm extends QueryFamily {
       graft.operators.Bq.searchRerank(codes, model, emb, queries,
         topK = 10, shortlist = 100)
     },
+    "q_embed_pca" -> { (s, d) =>
+      // Distributed PCA (operators.Pca): one fixed-point moment pass →
+      // deterministic Jacobi → map-only codegen projection. The only
+      // operator in the quantizer/reduce family that cuts DIM itself
+      // (PQ/SQ/BQ compress within it). Model training has no SQL
+      // analogue ⇒ no DuckDB oracle (rows-only); PcaSpec pins
+      // orthonormality, eigen-variance match, planted-direction
+      // recovery, kernel ≡ local reference, and repartition
+      // bit-identity. Output rounds each component to 4 decimals —
+      // driver-hashable scalars, stable to the float dust the rounding
+      // absorbs.
+      val emb = Tables.embeddings(s, d)
+      val model = graft.operators.Pca.train(emb, kOut = 8)
+      graft.operators.Pca.project(emb, model)
+        .select(col("vec_id"),
+          round(col("pc")(0).cast("double"), 4).as("pc1"),
+          round(col("pc")(1).cast("double"), 4).as("pc2"),
+          round(col("pc")(2).cast("double"), 4).as("pc3"),
+          round(col("pc")(3).cast("double"), 4).as("pc4"))
+        .orderBy("vec_id")
+    },
     "q_ann_ivfsq_topk" -> { (s, d) =>
       // Composed IVF+SQ (FAISS factory "IVF_k,SQ8"): coarse cells for
       // partition-pruned probes, dim-byte SQ codes as the scanned

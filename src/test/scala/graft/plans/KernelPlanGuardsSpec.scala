@@ -99,6 +99,7 @@ class KernelPlanGuardsSpec extends SparkSuite {
     assert(!fallback.isAssignableFrom(classOf[NearestCells]))
     assert(!fallback.isAssignableFrom(classOf[AdcScore]))
     assert(!fallback.isAssignableFrom(classOf[BpeEncode]))
+    assert(!fallback.isAssignableFrom(classOf[ProjectVector]))
     // dynamic: doGenCode's Java must COMPILE (Janino) and agree with
     // the interpreted eval — GenerateMutableProjection throws on bad
     // codegen, which is exactly the regression this test pins
@@ -116,12 +117,18 @@ class KernelPlanGuardsSpec extends SparkSuite {
     val bpe = BpeEncode(
       Literal.create("aa ab", org.apache.spark.sql.types.StringType),
       new BpeRanks(Array(("a", "a")), Array("a", "b")), emitIds = true)
-    val proj = GenerateMutableProjection.generate(Seq(pq, nc, adc, bpe))
+    // PCA projection: identity components, mean (0.5, 0.5) → x − μ
+    val pca = ProjectVector(
+      Literal.create(Seq(1.0f, 2.0f), ArrayType(FloatType)),
+      mean = Array(0.5, 0.5), components = Array(1f, 0f, 0f, 1f),
+      dim = 2, kOut = 2)
+    val proj = GenerateMutableProjection.generate(Seq(pq, nc, adc, bpe, pca))
     val row = proj(org.apache.spark.sql.catalyst.InternalRow.empty)
     assert(row.getArray(0).toIntArray().toSeq == Seq(0, 1))
     assert(row.getArray(1).toIntArray().toSeq == Seq(0, 2))
     assert(row.getDouble(2) == 50.0)
     // "aa ab" with merge (a,a): word "aa" → [aa] (id 2), "ab" → [a, b]
     assert(row.getArray(3).toIntArray().toSeq == Seq(2, 0, 1))
+    assert(row.getArray(4).toFloatArray().toSeq == Seq(0.5f, 1.5f))
   }
 }

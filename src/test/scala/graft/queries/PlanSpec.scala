@@ -438,6 +438,16 @@ class PlanSpec extends SparkSuite {
       s"scoring grew an aggregation:\n${plan.take(2000)}")
   }
 
+  test("q_embed_pca projection is map-only through the codegen kernel") {
+    val plan = executedPlan("q_embed_pca")
+    assert(plan.contains("pca_project"),
+      s"projection kernel missing from plan:\n${plan.take(2000)}")
+    assert(!plan.contains("Join"),
+      s"projection grew a join:\n${plan.take(2000)}")
+    assert(!plan.contains("HashAggregate"),
+      s"projection grew an aggregation:\n${plan.take(2000)}")
+  }
+
   test("q_funnel: one event shuffle feeds the whole window cascade") {
     val plan = executedPlan("q_funnel")
     // 4 chained windows over the SAME user_id partitioning + the
