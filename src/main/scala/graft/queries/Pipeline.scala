@@ -492,6 +492,42 @@ object Pipeline extends QueryFamily {
         .select("doc_id", "source", "h32")
         .orderBy("doc_id")
     },
+    "q_mix_token_budget" -> { (s, d) =>
+      // Token-BUDGET domain mixing (the τ=0.5 temperature-reweighting
+      // recipe of multilingual/multi-domain corpus assembly): each
+      // source's allocation is budget·√T_s / Σ√T — square-root
+      // temperature flattens the head domains — then docs fill the
+      // allocation longest-first until the cumulative token count hits
+      // it. Exact cross-engine arithmetic: IEEE sqrt is correctly
+      // rounded (unlike pow), and for integer T the true sqrt sits
+      // ≥ 1/(2√T+1) from any integer, so floor(sqrt) can never
+      // straddle; allocations use BIGINT multiply + integer DIV
+      // (budget·√T bounded well under 2^63 at any real corpus size).
+      // Shape: two tiny aggregates broadcast back, ONE corpus shuffle
+      // on source for the cumulative window, final per-source agg
+      // reuses that partitioning.
+      val toksDf = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          size(toks).cast("long").as("tok"))
+      val wt = toksDf.groupBy("source").agg(sum(col("tok")).as("t"))
+        .withColumn("w", floor(sqrt(col("t").cast("double"))).cast("long"))
+      // DIV, not "/": double division would lose bits past 2^53 token
+      // corpora before the truncating cast
+      val tb = wt.agg(expr("sum(t) DIV 2").as("budget"),
+        sum(col("w")).as("wsum"))
+      val alloc = wt.crossJoin(broadcast(tb))
+        .select(col("source"),
+          expr("budget * w DIV wsum").as("alloc"))
+      val cum = toksDf.withColumn("ctok",
+        sum(col("tok")).over(Window.partitionBy(col("source"))
+          .orderBy(col("n_chars").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      cum.join(broadcast(alloc), "source")
+        .filter(col("ctok") <= col("alloc"))
+        .groupBy(col("source"), col("alloc"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("tokens_used"))
+        .orderBy("source")
+    },
     "q_token_rarity" -> { (s, d) =>
       // Corpus-frequency doc scoring (the cheap stand-in for LM-based
       // quality filtering): mean corpus frequency of a doc's tokens.
@@ -1116,6 +1152,33 @@ object Pipeline extends QueryFamily {
          |  FROM documents)
          |WHERE h32 < thresh ORDER BY doc_id""".stripMargin
     },
+    "q_mix_token_budget" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source, n_chars,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS tok
+        |  FROM documents),
+        |tot AS (SELECT source, CAST(sum(tok) AS BIGINT) AS t
+        |        FROM toks GROUP BY 1),
+        |wt AS (SELECT source, t,
+        |       CAST(floor(sqrt(CAST(t AS DOUBLE))) AS BIGINT) AS w
+        |       FROM tot),
+        |tb AS (SELECT CAST(sum(t) // 2 AS BIGINT) AS budget,
+        |              CAST(sum(w) AS BIGINT) AS wsum FROM wt),
+        |alloc AS (
+        |  SELECT wt.source,
+        |         CAST((tb.budget * wt.w) // tb.wsum AS BIGINT) AS alloc
+        |  FROM wt CROSS JOIN tb),
+        |cum AS (
+        |  SELECT t.doc_id, t.source, t.tok,
+        |         sum(t.tok) OVER (PARTITION BY t.source
+        |            ORDER BY t.n_chars DESC, t.doc_id
+        |            ROWS UNBOUNDED PRECEDING) AS ctok
+        |  FROM toks t)
+        |SELECT c.source, a.alloc, count(*) AS n_docs,
+        |       CAST(sum(c.tok) AS BIGINT) AS tokens_used
+        |FROM cum c JOIN alloc a ON c.source = a.source
+        |WHERE c.ctok <= a.alloc
+        |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
     "q_token_rarity" ->
       """WITH inst AS (
         |  SELECT doc_id, unnest(string_split(text, ' ')) AS token

@@ -200,4 +200,32 @@ class PipelineSpec extends SparkSuite {
     assert(rows(2L) == ((0, 0)))
     assert(rows(3L) == ((0, 2)))
   }
+
+  test("token budget mix: greedy maximal prefix per source, never over") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val got = Pipeline.queries("q_mix_token_budget")(spark, sf)
+      .as[(String, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // recompute the fill locally from the raw table: docs in
+    // (n_chars desc, doc_id) order, take while cumulative ≤ alloc
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("source"), col("n_chars"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("tok"))
+      .as[(String, Long, Long, Long)].collect()
+      .groupBy(_._1).view
+      .mapValues(_.sortBy(r => (-r._2, r._3)).map(_._4).toSeq).toMap
+    got.foreach { case (src, (alloc, nDocs, used)) =>
+      val ordered = docs(src)
+      val prefix = ordered.take(nDocs.toInt)
+      assert(prefix.sum == used, s"$src: used $used != ${prefix.sum}")
+      assert(used <= alloc, s"$src: spent past the allocation")
+      // maximality: the next doc in order would cross the budget
+      if (nDocs.toInt < ordered.size)
+        assert(used + ordered(nDocs.toInt) > alloc,
+          s"$src: under-filled — next doc still fits")
+    }
+    // every source with a positive allocation is represented
+    assert(got.nonEmpty && got.values.forall(_._2 >= 1))
+  }
 }

@@ -438,6 +438,16 @@ class PlanSpec extends SparkSuite {
       s"scoring grew an aggregation:\n${plan.take(2000)}")
   }
 
+  test("q_mix_token_budget broadcasts allocations; corpus shuffles once") {
+    val plan = executedPlan("q_mix_token_budget")
+    // the per-source allocation table is tiny and must ride broadcasts;
+    // the corpus itself shuffles only for the per-source window
+    assert(plan.split("BroadcastHashJoin").length >= 2,
+      s"allocation join stopped broadcasting:\n${plan.take(3000)}")
+    assert(!plan.contains("SortMergeJoin"),
+      s"a corpus-side join degenerated to SMJ:\n${plan.take(3000)}")
+  }
+
   test("q_embed_pca projection is map-only through the codegen kernel") {
     val plan = executedPlan("q_embed_pca")
     assert(plan.contains("pca_project"),
