@@ -163,10 +163,52 @@ object Graph extends QueryFamily {
       .crossJoin(e0.agg(count(lit(1)).as("n_edges")))
   }
 
+  /** k-core of the trade graph: the maximal subgraph where every node
+    * keeps ≥ k neighbors — the standard "dense backbone" extraction
+    * (spam/bot rings, well-connected trader cores).
+    *
+    * Iterative peeling: drop all nodes with degree < k, recompute,
+    * repeat to fixpoint. Each round is one partial-aggregated degree
+    * count + two semi joins against the (node-sized) survivor list —
+    * the corpus-scaled edge frame is filtered in place, never
+    * re-keyed; `localCheckpoint` per round keeps the plan constant in
+    * the peel depth (the [[pageRank]]/CC loop discipline), and the
+    * round's `count()` doubles as the fixpoint test, so termination
+    * costs no extra job. Peel depth is bounded by the degeneracy
+    * ordering, not the node count — single digits on real graphs.
+    * Fixpoint loop ⇒ no DuckDB oracle (rows-only); GraphSpec pins the
+    * result against a single-threaded reference peeler plus the
+    * nesting property core(k+1) ⊆ core(k). */
+  def kCore(s: SparkSession, d: String, k: Int,
+      maxIters: Int = 100): DataFrame = {
+    var edges = tradeEdges(s, d).localCheckpoint()
+    var m = edges.count()
+    var done = false
+    var it = 0
+    while (!done && it < maxIters) {
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val keep = deg.filter(col("deg") >= k).select(col("src").as("node"))
+      val pruned = edges
+        .join(keep.hint("shuffle_hash"), edges("src") === keep("node"),
+          "left_semi")
+        .join(keep.hint("shuffle_hash"), edges("dst") === keep("node"),
+          "left_semi")
+        .localCheckpoint()
+      val m2 = pruned.count()
+      if (m2 == m) done = true
+      else { edges = pruned; m = m2 }
+      it += 1
+    }
+    edges.groupBy("src").agg(count(lit(1)).as("core_degree"))
+      .select(col("src").as("node"), col("core_degree"))
+      .orderBy("node")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> ((s, d) => pageRank(s, d)),
     "q_graph_degree" -> ((s, d) => degreeDistribution(s, d)),
-    "q_triangles" -> ((s, d) => triangleCount(s, d, minQty = 30.0))
+    "q_triangles" -> ((s, d) => triangleCount(s, d, minQty = 30.0)),
+    "q_kcore" -> ((s, d) => kCore(s, d, k = 10))
   )
 
   /** The oracle unrolls the three iterations as CTEs it1..it3 — same

@@ -21,6 +21,7 @@ class SparkEntrySpec extends SparkSuite {
     "q_ann_opq_topk",    // OPQ rotated product quantization → OpqSpec
     "q_ann_graph_topk",  // proximity-graph beam search → GraphAnnSpec
     "q_embed_pca",       // distributed PCA (moments+Jacobi) → PcaSpec
+    "q_kcore",           // fixpoint peeling loop → GraphSpec
     "q_knn_graph",       // IVF-join kNN graph (full-probe ≡ exact) → KnnJoinSpec
     "q_knn_clusters",    // thresholded kNN graph + CC clustering → KnnJoinSpec
     "q_heavy_hitters_cms", // count-min sketch    → SketchSpec

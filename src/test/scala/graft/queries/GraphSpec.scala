@@ -64,4 +64,40 @@ class GraphSpec extends SparkSuite {
     assert((r.getLong(0), r.getLong(1)) == (125968L, 8899L),
       s"sf0.001 full-graph pin moved: $r")
   }
+
+  test("k-core ≡ single-threaded peeler; cores nest") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // rebuild the trade edges locally and peel to fixpoint — the
+    // reference the distributed loop must match node-for-node
+    val pairs = graft.Tables.lineitem(spark, sf)
+      .join(graft.Tables.orders(spark, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").cast("long").as("s"),
+        (col("o_custkey") + (1L << 40)).cast("long").as("c"))
+      .distinct().as[(Long, Long)].collect()
+    def peel(k: Int): Map[Long, Int] = {
+      var edges = pairs.flatMap(p => Seq(p, p.swap)).toSet
+      var changed = true
+      while (changed) {
+        val deg = edges.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
+        val keep = deg.filter(_._2 >= k).keySet
+        val e2 = edges.filter(e => keep(e._1) && keep(e._2))
+        changed = e2.size != edges.size
+        edges = e2
+      }
+      edges.toSeq.groupBy(_._1).view.mapValues(_.size).toMap
+    }
+    val want10 = peel(10)
+    val got10 = Graph.kCore(spark, sf, k = 10)
+      .as[(Long, Long)].collect().map(r => r._1 -> r._2.toInt).toMap
+    assert(got10 == want10,
+      s"k=10 core diverged: ${got10.size} vs ${want10.size} nodes")
+    // nesting: the 12-core's nodes are a subset of the 10-core's
+    val got12 = Graph.kCore(spark, sf, k = 12)
+      .as[(Long, Long)].collect().map(_._1).toSet
+    assert(got12.subsetOf(got10.keySet), "core(12) ⊄ core(10)")
+    assert(got10.nonEmpty && got10.values.min >= 10,
+      "a surviving node dropped below k within the core")
+  }
 }
