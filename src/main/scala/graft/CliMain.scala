@@ -242,6 +242,26 @@ object CliMain {
         bits = flagVal("--bits").map(_.toInt).getOrElse(8))
       println(s"optimized $n rows -> $outDir")
       if (!reused) spark.stop()
+    // reduce <embeddingsDir> <outDir> [--k N]: train PCA on the
+    // embedding column, land the model (components/meta) and the
+    // projected corpus — the dimensionality-cut front-end of the index
+    // family (operators.Pca).
+    case "reduce" :: embDir :: outDir :: flags =>
+      def flagVal(name: String): Option[String] = flagValIn(flags, name)
+      val reused =
+        org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+      val spark = Sessions.get("graft-reduce")
+      val k = flagVal("--k").map(_.toInt).getOrElse(8)
+      val emb = spark.read.parquet(embDir)
+      val model = graft.operators.Pca.train(emb, kOut = k)
+      graft.operators.Pca.write(spark, model, outDir)
+      graft.operators.Pca.project(emb, model)
+        .select(org.apache.spark.sql.functions.col("vec_id"),
+          org.apache.spark.sql.functions.col("pc"))
+        .write.mode("overwrite").parquet(s"$outDir/projected")
+      println(f"pca: dim ${model.dim} -> $k, " +
+        f"variance explained ${model.varianceExplained}%.4f -> $outDir")
+      if (!reused) spark.stop()
     // index <embeddingsDir> <outDir> --kind ivf|pq: build + materialize
     // an ANN index from an embeddings parquet — the write side of the
     // similarity-search story. ivf lands cell-partitioned assignments
@@ -575,6 +595,7 @@ object CliMain {
           |  graft.CliMain quality score <docsDir> <modelDir> <outDir>
           |  graft.CliMain optimize <inDir> <outDir> --zorder colX,colY
           |    [--files N] [--bits B]
+          |  graft.CliMain reduce <embeddingsDir> <outDir> [--k N]
           |  graft.CliMain index <embeddingsDir> <outDir>
           |    [--kind ivf|pq|ivfpq|opq|opqivfpq|sq|ivfsq|bq|graph] [--k K] [--m M]
           |    [--kcells K] [--iters N] [--append]

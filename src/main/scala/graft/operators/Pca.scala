@@ -130,4 +130,31 @@ object Pca {
     embeddings.withColumn("pc",
       PcaExpressions.project(col("embedding"), model.mean,
         model.components, model.dim, model.kOut))
+
+  /** Persist the model per component row (the [[Opq.writeOpq]] layout
+    * discipline: small model state lands as ordered parquet rows). */
+  def write(spark: org.apache.spark.sql.SparkSession, model: PcaModel,
+      dir: String): Unit = {
+    import spark.implicits._
+    (0 until model.kOut).map { r =>
+      (r, model.components.slice(r * model.dim, (r + 1) * model.dim).toSeq,
+        model.evals(r))
+    }.toDF("r", "row", "eval")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/components")
+    Seq((model.mean.toSeq, model.dim, model.kOut, model.totalVariance))
+      .toDF("mean", "dim", "k_out", "total_variance")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
+  }
+
+  def load(spark: org.apache.spark.sql.SparkSession, dir: String)
+      : PcaModel = {
+    import spark.implicits._
+    val (mean, dim, kOut, tv) = spark.read.parquet(s"$dir/meta")
+      .as[(Seq[Double], Int, Int, Double)].head()
+    val rows = spark.read.parquet(s"$dir/components")
+      .orderBy("r").select("row", "eval")
+      .as[(Seq[Float], Double)].collect()
+    PcaModel(mean.toArray, rows.flatMap(_._1).toArray, rows.map(_._2),
+      dim, kOut, tv)
+  }
 }

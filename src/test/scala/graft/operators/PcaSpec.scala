@@ -115,4 +115,24 @@ class PcaSpec extends SparkSuite {
     assert(java.util.Arrays.equals(model.mean, m2.mean))
     assert(java.util.Arrays.equals(model.evals, m2.evals))
   }
+
+  test("model write → load round-trips bit-for-bit; CLI reduce lands both") {
+    val dir = java.nio.file.Files.createTempDirectory("pca").toString
+    Pca.write(spark, model, s"$dir/model")
+    val back = Pca.load(spark, s"$dir/model")
+    assert(java.util.Arrays.equals(model.components, back.components))
+    assert(java.util.Arrays.equals(model.mean, back.mean))
+    assert(java.util.Arrays.equals(model.evals, back.evals))
+    assert((back.dim, back.kOut, back.totalVariance) ==
+      ((model.dim, model.kOut, model.totalVariance)))
+    // CLI path: reduce writes model + projected corpus
+    corpus.write.mode("overwrite").parquet(s"$dir/emb")
+    graft.CliMain.main(Array("reduce", s"$dir/emb", s"$dir/out",
+      "--k", "4"))
+    val cliModel = Pca.load(spark, s"$dir/out")
+    assert(java.util.Arrays.equals(model.components, cliModel.components))
+    val projected = spark.read.parquet(s"$dir/out/projected")
+    assert(projected.count() == 2000)
+    assert(projected.columns.toSeq == Seq("vec_id", "pc"))
+  }
 }
