@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Scale sweep for the round-11 graph additions: triangle counting
+  * (degree-oriented wedge join) and k-core peeling on the FULL
+  * co-purchase / trade graphs at sf0.01 and sf0.1 — the evidence the
+  * declared bench-sized configs (qty>30 projection, k=10) ride the
+  * same plans that hold at 10× the edges.
+  *
+  * Usage: runMain graft.ProfileGraph [sfDir ...]
+  */
+object ProfileGraph {
+
+  def main(args: Array[String]): Unit = {
+    val spark = Sessions.get("profile-graph")
+    val dirs = if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.01", "/root/testdata/sf0.1")
+    dirs.foreach { d =>
+      val t0 = System.nanoTime()
+      val tri = queries.Graph.triangleCount(spark, d).collect().head
+      val triSec = (System.nanoTime() - t0) / 1e9
+      val t1 = System.nanoTime()
+      val core = queries.Graph.kCore(spark, d, k = 10)
+        .agg(count(lit(1)), sum(col("core_degree"))).collect().head
+      val coreSec = (System.nanoTime() - t1) / 1e9
+      println(f"GRAPH $d full-graph: triangles=${tri.getLong(0)} " +
+        f"edges=${tri.getLong(1)} in $triSec%.2fs; " +
+        f"10-core nodes=${core.getLong(0)} " +
+        f"coreEdges=${core.getLong(1) / 2} in $coreSec%.2fs")
+    }
+    spark.stop()
+  }
+}
