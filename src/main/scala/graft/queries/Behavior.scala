@@ -55,29 +55,75 @@ object Behavior extends QueryFamily {
       tsCol <= prev + expr("INTERVAL 7 DAYS"), tsCol))
       .over(Window.partitionBy(col("user_id")))
 
+  /** One row per user with the funnel cascade's step timestamps
+    * t1..t4 — the shared core of q_funnel and q_funnel_latency. The
+    * window cascade and the per-user collapse share ONE exchange. */
+  private def funnelStages(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .withColumn("t1", min(when(col("event_type") === "signup", tsCol))
+        .over(Window.partitionBy(col("user_id"))))
+      .withColumn("t2", stepMin("view", col("t1")))
+      .withColumn("t3", stepMin("click", col("t2")))
+      .withColumn("t4", stepMin("purchase", col("t3")))
+      .groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
+        max(col("t3")).as("t3"), max(col("t4")).as("t4"))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_funnel" -> { (s, d) =>
       // signup → view → click → purchase, each step within 7 days of
       // the previous step's FIRST qualifying event (strictly after it).
-      val staged = Tables.events(s, d)
-        .withColumn("t1", min(when(col("event_type") === "signup", tsCol))
-          .over(Window.partitionBy(col("user_id"))))
-        .withColumn("t2", stepMin("view", col("t1")))
-        .withColumn("t3", stepMin("click", col("t2")))
-        .withColumn("t4", stepMin("purchase", col("t3")))
       // t1..t4 are constant per user: collapse to one row per user on
       // the partitioning the windows already established, then one
       // global partial-aggregated sum of step flags (avoids the 4-way
       // count-distinct Expand over the full event table).
-      staged
-        .groupBy(col("user_id"))
-        .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"),
-          max(col("t3")).as("t3"), max(col("t4")).as("t4"))
+      funnelStages(s, d)
         .agg(
           sum(when(col("t1").isNotNull, 1L).otherwise(0L)).as("step1_users"),
           sum(when(col("t2").isNotNull, 1L).otherwise(0L)).as("step2_users"),
           sum(when(col("t3").isNotNull, 1L).otherwise(0L)).as("step3_users"),
           sum(when(col("t4").isNotNull, 1L).otherwise(0L)).as("step4_users"))
+    },
+    "q_funnel_latency" -> { (s, d) =>
+      // Per-step time-to-convert: among users who completed each
+      // transition, the mean seconds between the two step timestamps.
+      // Exact integer arithmetic end to end (the micro-unit
+      // discipline): each latency is a floored whole-second BIGINT and
+      // the mean is an integer DIV — no float summation order, no
+      // AVG() precision drift between engines.
+      val st = funnelStages(s, d)
+      def sec(a: String, b: String): Column =
+        expr(s"(unix_micros(cast($b as timestamp)) - " +
+          s"unix_micros(cast($a as timestamp))) DIV 1000000")
+      val lat = st.select(
+        explode(array(
+          struct(lit(2L).as("step"), sec("t1", "t2").as("sec")),
+          struct(lit(3L).as("step"), sec("t2", "t3").as("sec")),
+          struct(lit(4L).as("step"), sec("t3", "t4").as("sec")))).as("l"))
+        .select(col("l.step").as("step"), col("l.sec").as("sec"))
+        .filter(col("sec").isNotNull)
+      lat.groupBy("step")
+        .agg(count(lit(1)).as("n_converts"),
+          expr("sum(sec) DIV count(1)").as("avg_sec"))
+        .orderBy("step")
+    },
+    "q_running_distinct" -> { (s, d) =>
+      // Daily new vs cumulative distinct users — the scalable form of
+      // count(DISTINCT) OVER (ORDER BY day): tag each user's FIRST day
+      // (one per-user aggregation), roll new-user counts up per day,
+      // then a running sum over the DAY-level frame. The global window
+      // is safe because its input is |days| rows, not the corpus —
+      // the corpus-sized distinct state never exists.
+      val firstDay = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(min(date_trunc("day", tsCol)).as("first_day"))
+      val dailyNew = firstDay.groupBy(col("first_day").cast("date").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+      dailyNew.select(col("day"), col("new_users"),
+          sum(col("new_users")).over(Window.orderBy(col("day"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .as("cum_users"))
+        .orderBy("day")
     },
     "q_retention_cohort" -> { (s, d) =>
       val ev = Tables.events(s, d)
@@ -136,6 +182,51 @@ object Behavior extends QueryFamily {
         |  count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS step3_users,
         |  count(DISTINCT CASE WHEN t4 IS NOT NULL THEN user_id END) AS step4_users
         |FROM s4""".stripMargin,
+    "q_funnel_latency" ->
+      """WITH s1 AS (
+        |  SELECT *, min(CASE WHEN event_type='signup' THEN ts END)
+        |            OVER (PARTITION BY user_id) AS t1 FROM events),
+        |s2 AS (
+        |  SELECT *, min(CASE WHEN event_type='view' AND ts > t1
+        |                AND ts <= t1 + INTERVAL 7 DAY THEN ts END)
+        |            OVER (PARTITION BY user_id) AS t2 FROM s1),
+        |s3 AS (
+        |  SELECT *, min(CASE WHEN event_type='click' AND ts > t2
+        |                AND ts <= t2 + INTERVAL 7 DAY THEN ts END)
+        |            OVER (PARTITION BY user_id) AS t3 FROM s2),
+        |s4 AS (
+        |  SELECT *, min(CASE WHEN event_type='purchase' AND ts > t3
+        |                AND ts <= t3 + INTERVAL 7 DAY THEN ts END)
+        |            OVER (PARTITION BY user_id) AS t4 FROM s3),
+        |st AS (
+        |  SELECT user_id, min(t1) AS t1, min(t2) AS t2,
+        |         min(t3) AS t3, min(t4) AS t4
+        |  FROM s4 GROUP BY user_id),
+        |lat AS (
+        |  SELECT CAST(2 AS BIGINT) AS step,
+        |         (epoch_us(t2) - epoch_us(t1)) // 1000000 AS sec
+        |  FROM st WHERE t2 IS NOT NULL
+        |  UNION ALL
+        |  SELECT CAST(3 AS BIGINT),
+        |         (epoch_us(t3) - epoch_us(t2)) // 1000000
+        |  FROM st WHERE t3 IS NOT NULL
+        |  UNION ALL
+        |  SELECT CAST(4 AS BIGINT),
+        |         (epoch_us(t4) - epoch_us(t3)) // 1000000
+        |  FROM st WHERE t4 IS NOT NULL)
+        |SELECT step, count(*) AS n_converts,
+        |       CAST(sum(sec) // count(*) AS BIGINT) AS avg_sec
+        |FROM lat GROUP BY step ORDER BY step""".stripMargin,
+    "q_running_distinct" ->
+      """WITH fd AS (
+        |  SELECT user_id,
+        |         CAST(min(date_trunc('day', ts)) AS DATE) AS day
+        |  FROM events GROUP BY 1),
+        |dn AS (SELECT day, count(*) AS new_users FROM fd GROUP BY 1)
+        |SELECT day, new_users,
+        |       CAST(sum(new_users) OVER (ORDER BY day
+        |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
+        |FROM dn ORDER BY day""".stripMargin,
     "q_retention_cohort" ->
       """WITH cohort AS (
         |  SELECT user_id, min(date_trunc('week', ts)) AS cw

@@ -62,6 +62,25 @@ class BehaviorSpec extends SparkSuite {
     assert(r.getLong(3) == 1L, s"step4 ${r.getLong(3)}")
   }
 
+  test("funnel latency: per-transition mean seconds, integer-exact") {
+    val rows = Behavior.queries("q_funnel_latency")(spark, dir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // step2 converters: u1 (1 day), u4 (1 day), u5 (exactly 7 days) →
+    // mean = 777600 DIV 3; steps 3/4: u1 alone, 1 day each
+    assert(rows(2L) == ((3L, 259200L)), s"step2 ${rows(2L)}")
+    assert(rows(3L) == ((1L, 86400L)))
+    assert(rows(4L) == ((1L, 86400L)))
+  }
+
+  test("running distinct: first-seen flags roll into the cumulative") {
+    val rows = Behavior.queries("q_running_distinct")(spark, dir)
+      .collect()
+      .map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2)))
+    // all six users first appear on Jan 1; u2's Jan-16 return adds none
+    assert(rows.toSeq == Seq(("2024-01-01", 6L, 6L)), rows.mkString(", "))
+  }
+
   test("retention: cohort = first-event week, offsets in whole weeks") {
     val rows = Behavior.queries("q_retention_cohort")(spark, dir)
       .collect()
