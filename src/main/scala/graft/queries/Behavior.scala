@@ -125,6 +125,69 @@ object Behavior extends QueryFamily {
             .as("cum_users"))
         .orderBy("day")
     },
+    "q_rolling_anomaly" -> { (s, d) =>
+      // Rolling per-user anomaly days: |x − μ| > 2σ over the trailing
+      // 7-observed-day window, decided ENTIRELY in integer arithmetic —
+      // the z-test inequality (x−s/n)² > 4(q/n − s²/n²) multiplied
+      // through by n² is (n·x−s)² > 4(n·q−s²), all BIGINTs, so both
+      // engines flag the identical set with zero float σ drift. One
+      // shuffle on user_id; the three window aggregates share a frame.
+      // Runs on observed days (compose with q_gapfill_locf's grid for
+      // zero-filled silence detection).
+      val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(-6, Window.currentRow)
+      Tables.events(s, d)
+        .groupBy(col("user_id"), date_trunc("day", tsCol).cast("date")
+          .as("day"))
+        .agg(count(lit(1)).as("x"))
+        .select(col("user_id"), col("day"), col("x"),
+          count(lit(1)).over(w).as("n"),
+          sum(col("x")).over(w).as("s"),
+          sum(col("x") * col("x")).over(w).as("q"))
+        .filter(col("n") >= 4 &&
+          (col("n") * col("x") - col("s")) *
+            (col("n") * col("x") - col("s")) >
+            lit(4) * (col("n") * col("q") - col("s") * col("s")))
+        .select(col("user_id"), col("day"), col("x"), col("n"))
+        .orderBy("user_id", "day")
+    },
+    "q_assoc_rules" -> { (s, d) =>
+      // Market-basket association rules over co-purchased parts:
+      // support count, confidence and lift for every pair appearing in
+      // ≥ 2 orders, in exact micro-units (conf_u = ⌊1e6·c_ab/c_a⌋,
+      // lift_u = ⌊1e6·n·c_ab/(c_a·c_b)⌋ — BIGINT multiply + integer
+      // DIV, so both engines rank identically; the n·c_ab·1e6 < 2^63
+      // bound holds to ~10⁶ orders per basket pair — lower the
+      // micro-unit scale past that).
+      // Shape: one distinct (order, part) shuffle feeds the pair
+      // count, the item counts AND the order count; the pair→item-
+      // count joins are part-keyed (dim-sized sides, AQE broadcasts
+      // them at small SF, hash-shuffles at scale); the final top-100
+      // is TakeOrdered, never a global sort.
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+        .localCheckpoint()
+      val n = op.agg(countDistinct(col("l_orderkey")).as("n"))
+      val ca = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+      val cab = op.as("a")
+        .join(op.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+        .groupBy(col("a.l_partkey").cast("long").as("p1"),
+          col("b.l_partkey").cast("long").as("p2"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 2)
+      cab
+        .join(ca.select(col("l_partkey").as("p1k"), col("c").as("c_a")),
+          col("p1") === col("p1k"))
+        .join(ca.select(col("l_partkey").as("p2k"), col("c").as("c_b")),
+          col("p2") === col("p2k"))
+        .crossJoin(broadcast(n))
+        .select(col("p1"), col("p2"), col("c_ab"),
+          expr("c_ab * 1000000 DIV c_a").as("conf_u"),
+          expr("c_ab * n * 1000000 DIV (c_a * c_b)").as("lift_u"))
+        .orderBy(col("lift_u").desc, col("p1"), col("p2"))
+        .limit(100)
+    },
     "q_retention_cohort" -> { (s, d) =>
       val ev = Tables.events(s, d)
       val cohort = ev.groupBy(col("user_id"))
@@ -182,6 +245,45 @@ object Behavior extends QueryFamily {
         |  count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS step3_users,
         |  count(DISTINCT CASE WHEN t4 IS NOT NULL THEN user_id END) AS step4_users
         |FROM s4""".stripMargin,
+    "q_rolling_anomaly" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |win AS (
+        |  SELECT user_id, day, x,
+        |         CAST(count(*) OVER w AS BIGINT) AS n,
+        |         CAST(sum(x) OVER w AS BIGINT) AS s,
+        |         CAST(sum(x*x) OVER w AS BIGINT) AS q
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY day
+        |               ROWS BETWEEN 6 PRECEDING AND CURRENT ROW))
+        |SELECT user_id, day, x, n FROM win
+        |WHERE n >= 4 AND (n*x - s)*(n*x - s) > 4*(n*q - s*s)
+        |ORDER BY user_id, day""".stripMargin,
+    "q_assoc_rules" ->
+      """WITH op AS (
+        |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |nn AS (
+        |  SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n FROM op),
+        |ca AS (
+        |  SELECT l_partkey, CAST(count(*) AS BIGINT) AS c
+        |  FROM op GROUP BY 1),
+        |cab AS (
+        |  SELECT CAST(a.l_partkey AS BIGINT) AS p1,
+        |         CAST(b.l_partkey AS BIGINT) AS p2,
+        |         CAST(count(*) AS BIGINT) AS c_ab
+        |  FROM op a JOIN op b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |  GROUP BY 1, 2 HAVING count(*) >= 2)
+        |SELECT cab.p1, cab.p2, cab.c_ab,
+        |       (cab.c_ab * 1000000) // ca1.c AS conf_u,
+        |       (cab.c_ab * nn.n * 1000000) // (ca1.c * ca2.c) AS lift_u
+        |FROM cab
+        |JOIN ca ca1 ON cab.p1 = ca1.l_partkey
+        |JOIN ca ca2 ON cab.p2 = ca2.l_partkey
+        |CROSS JOIN nn
+        |ORDER BY lift_u DESC, p1, p2 LIMIT 100""".stripMargin,
     "q_funnel_latency" ->
       """WITH s1 AS (
         |  SELECT *, min(CASE WHEN event_type='signup' THEN ts END)

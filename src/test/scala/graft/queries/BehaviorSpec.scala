@@ -81,6 +81,68 @@ class BehaviorSpec extends SparkSuite {
     assert(rows.toSeq == Seq(("2024-01-01", 6L, 6L)), rows.mkString(", "))
   }
 
+  test("association rules ≡ local reference on sf0.001 lineitem") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val op = graft.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").cast("long"), col("l_partkey").cast("long"))
+      .distinct().as[(Long, Long)].collect()
+    val n = op.map(_._1).distinct.length.toLong
+    val ca = op.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val cab = op.groupBy(_._1).values.toSeq
+      .flatMap { parts =>
+        val ps = parts.map(_._2).sorted
+        for (i <- ps.indices; j <- (i + 1) until ps.size)
+          yield (ps(i), ps(j))
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong)
+      .filter(_._2 >= 2L)
+    val want = cab.toSeq.map { case ((p1, p2), c) =>
+      (p1, p2, c, c * 1000000L / ca(p1), c * n * 1000000L / (ca(p1) * ca(p2)))
+    }.sortBy(r => (-r._5, r._1, r._2)).take(100)
+    val got = Behavior.queries("q_assoc_rules")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == want, s"rules diverged; first got ${got.headOption}, " +
+      s"want ${want.headOption}")
+    assert(got.nonEmpty)
+  }
+
+  test("rolling anomaly: the integer z-inequality flags |x−μ| > 2σ exactly") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val daily = graft.Tables.events(spark, sf)
+      .groupBy(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").cast("string").as("day"))
+      .agg(count(lit(1)).as("x"))
+      .as[(Long, String, Long)].collect()
+    val want = daily.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val ordered = rows.sortBy(_._2)
+      ordered.indices.flatMap { i =>
+        val frame = ordered.slice(math.max(0, i - 6), i + 1).map(_._3)
+        val (x, nn) = (ordered(i)._3, frame.length.toLong)
+        val s = frame.sum
+        val q = frame.map(v => v * v).sum
+        // float cross-check: the integer inequality IS |x−μ| > 2σ
+        val mu = s.toDouble / nn
+        val sigma = math.sqrt(q.toDouble / nn - mu * mu)
+        val intFlag = nn >= 4 &&
+          (nn * x - s) * (nn * x - s) > 4 * (nn * q - s * s)
+        if (nn >= 4)
+          assert(intFlag == math.abs(x - mu) > 2 * sigma + 1e-12 ||
+            math.abs(math.abs(x - mu) - 2 * sigma) < 1e-9,
+            s"integer/float disagree off the boundary: u=$u x=$x")
+        if (intFlag) Some((u, ordered(i)._2, x, nn)) else None
+      }
+    }.sortBy(r => (r._1, r._2))
+    val got = Behavior.queries("q_rolling_anomaly")(spark, sf)
+      .select(col("user_id"), col("day").cast("string"), col("x"), col("n"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(got == want, s"anomaly sets diverged: ${got.size} vs ${want.size}")
+    assert(got.nonEmpty)
+  }
+
   test("retention: cohort = first-event week, offsets in whole weeks") {
     val rows = Behavior.queries("q_retention_cohort")(spark, dir)
       .collect()
