@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{FloatVectorDot, MinHashSignature}
+import graft.functions.{BqHamming, FloatVectorDot, MinHashSignature, UnicodeNormalize}
 
 /** SparkSessionExtensions entry point:
   * `.withExtensions(new GraftExtensions)` or
@@ -42,6 +42,29 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"nPerm must be an integer literal, got $other")
         }
         MinHashSignature(children.head, n)
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bq_hamming"),
+      new ExpressionInfo(classOf[BqHamming].getName, "bq_hamming"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "bq_hamming(codeA, codeB) takes two BINARY arguments")
+        BqHamming(children.head, children(1))
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("unicode_normalize"),
+      new ExpressionInfo(classOf[UnicodeNormalize].getName,
+        "unicode_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          "unicode_normalize(str, 'NFC'|'NFD'|'NFKC'|'NFKD')")
+        val form = children(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _)
+            if v != null => v.toString
+          case other => throw new IllegalArgumentException(
+            s"form must be a string literal, got $other")
+        }
+        UnicodeNormalize(children.head, form)
       }))
   }
 }

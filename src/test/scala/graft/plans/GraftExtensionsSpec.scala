@@ -23,6 +23,16 @@ class GraftExtensionsSpec extends AnyFunSuite {
           |               array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d
           |""".stripMargin).collect().head.getDouble(0)
       assert(r == 11.0)
+      // round-11 registrations: XOR+popcount hamming over BINARY codes
+      // and the Normalizer-backed unicode form expression
+      val h = spark.sql(
+        "SELECT bq_hamming(X'FF00', X'0F01') AS h")
+        .collect().head.getInt(0)
+      assert(h == 5) // F^0 = 4 bits + 0^1 = 1 bit
+      val nfc = spark.sql(
+        "SELECT unicode_normalize('e" + "\u0301" + "', 'NFC') AS s")
+        .collect().head.getString(0)
+      assert(nfc == "\u00e9", "NFC should compose e + combining acute")
     } finally {
       SparkSession.setDefaultSession(base)
       SparkSession.setActiveSession(base)
