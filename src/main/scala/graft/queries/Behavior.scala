@@ -203,10 +203,13 @@ object Behavior extends QueryFamily {
         .orderBy("cohort_week", "week_no")
     },
     "q_gapfill_locf" -> { (s, d) =>
+      // checkpointed: the grid build AND the left join both read it —
+      // one aggregation, not two (the q_quantile_sketch lesson)
       val daily = Tables.events(s, d)
         .groupBy(col("user_id"), date_trunc("day", tsCol).as("day"))
         .agg(count(lit(1)).as("n"),
           sum(dec("value")).cast("double").as("v"))
+        .localCheckpoint()
       val grid = daily.groupBy(col("user_id"))
         .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
         .select(col("user_id"),

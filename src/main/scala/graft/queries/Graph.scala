@@ -151,6 +151,10 @@ object Graph extends QueryFamily {
           .as("src"),
         when(col("d1.deg") <= col("d2.deg"), col("p2")).otherwise(col("p1"))
           .as("dst"))
+      // checkpointed: the wedge self-join consumes eo on BOTH sides and
+      // Catalyst does not reuse the orientation join's exchanges across
+      // them — without this the edge⋈deg work runs twice
+      .localCheckpoint()
     // wedges: ordered pairs of out-neighbors; closing edge looked up in
     // the CANONICAL (p1 < p2) edge list, which matches because the wedge
     // endpoints are emitted id-ordered

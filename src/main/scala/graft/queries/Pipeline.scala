@@ -506,9 +506,12 @@ object Pipeline extends QueryFamily {
       // Shape: two tiny aggregates broadcast back, ONE corpus shuffle
       // on source for the cumulative window, final per-source agg
       // reuses that partitioning.
+      // checkpointed: the per-source totals AND the cumulative window
+      // both read it — tokenize the corpus once
       val toksDf = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"),
           size(toks).cast("long").as("tok"))
+        .localCheckpoint()
       val wt = toksDf.groupBy("source").agg(sum(col("tok")).as("t"))
         .withColumn("w", floor(sqrt(col("t").cast("double"))).cast("long"))
       // DIV, not "/": double division would lose bits past 2^53 token

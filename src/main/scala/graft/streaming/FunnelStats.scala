@@ -76,27 +76,47 @@ object FunnelStats {
             val grown = prev ++ rows.map { case (t, _, e) =>
               t.getTime * 8L + stepIdx(e)
             }
-            // trim to the horizon of the current best t1 (t1 only ever
-            // decreases, so a trimmed event can never re-qualify)
-            var t1 = Long.MaxValue
-            var maxTs = Long.MinValue
-            grown.foreach { p =>
-              if ((p & 7L) == 0L && p >>> 3 < t1) t1 = p >>> 3
-              if (p >>> 3 > maxTs) maxTs = p >>> 3
+            val (kept, sealAt) = updateBuffer(grown, horizonMs,
+              state.getCurrentWatermarkMs())
+            if (kept.isEmpty) {
+              // every buffered event is provably dead — drop the state
+              // entirely instead of parking an empty buffer on a timer
+              if (state.exists) state.remove()
+            } else {
+              state.update(kept)
+              // the timeout must sit past the current watermark; if the
+              // horizon already passed (one replayed batch covering it
+              // all), the earliest legal timeout fires next batch
+              state.setTimeoutTimestamp(
+                math.max(sealAt, state.getCurrentWatermarkMs() + 1))
             }
-            val kept =
-              if (t1 == Long.MaxValue) grown
-              else grown.filter(p => (p >>> 3) <= t1 + horizonMs)
-            state.update(kept)
-            val sealAt = (if (t1 == Long.MaxValue) maxTs else t1) + horizonMs
-            // the timeout must sit past the current watermark; if the
-            // horizon already passed (one replayed batch covering it
-            // all), the earliest legal timeout fires next batch
-            state.setTimeoutTimestamp(
-              math.max(sealAt, state.getCurrentWatermarkMs() + 1))
             Iterator.empty
           }
       }
+  }
+
+  /** Trim the grown buffer to what can still affect the outcome and
+    * compute the seal point. With a step-1 event at t1: keep ts ≤ t1 +
+    * horizon (t1 only decreases, so nothing trimmed can re-qualify),
+    * seal at t1 + horizon. WITHOUT one: any event can only qualify
+    * behind a FUTURE step-1 whose ts must exceed the watermark, so
+    * everything at or below it is dead weight — this is what bounds
+    * the state of a user who views forever but never signs up to the
+    * watermark lag, not the stream length. Pure → unit-tested
+    * directly (FunnelStatsSpec). */
+  private[streaming] def updateBuffer(grown: Array[Long], horizonMs: Long,
+      watermarkMs: Long): (Array[Long], Long) = {
+    var t1 = Long.MaxValue
+    grown.foreach { p =>
+      if ((p & 7L) == 0L && (p >>> 3) < t1) t1 = p >>> 3
+    }
+    if (t1 != Long.MaxValue)
+      (grown.filter(p => (p >>> 3) <= t1 + horizonMs), t1 + horizonMs)
+    else {
+      val kept = grown.filter(p => (p >>> 3) > watermarkMs)
+      if (kept.isEmpty) (kept, Long.MinValue)
+      else (kept, kept.map(_ >>> 3).max + horizonMs)
+    }
   }
 
   /** Replay the cascade over the buffered slice: t_j = min ts of a

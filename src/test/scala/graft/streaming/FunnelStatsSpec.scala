@@ -43,6 +43,28 @@ class FunnelStatsSpec extends SparkSuite {
       }
     }
 
+  test("buffer update: horizon trim with t1, watermark trim without") {
+    def pack(tsMs: Long, step: Int): Long = tsMs * 8L + step
+    val horizon = 100L
+    // with a step-1 at 50: keep ≤ 150, seal at 150
+    val (k1, s1) = FunnelStats.updateBuffer(
+      Array(pack(50, 0), pack(120, 1), pack(151, 2), pack(150, 3)),
+      horizon, watermarkMs = 0L)
+    assert(k1.toSeq == Seq(pack(50, 0), pack(120, 1), pack(150, 3)))
+    assert(s1 == 150L)
+    // without one: everything ≤ watermark is dead (a future step-1
+    // must sit above it), the rest seals at maxTs + horizon
+    val (k2, s2) = FunnelStats.updateBuffer(
+      Array(pack(30, 1), pack(70, 2), pack(90, 1)), horizon,
+      watermarkMs = 70L)
+    assert(k2.toSeq == Seq(pack(90, 1)))
+    assert(s2 == 190L)
+    // fully dead buffer → empty, caller drops the state
+    val (k3, s3) = FunnelStats.updateBuffer(
+      Array(pack(30, 1), pack(40, 2)), horizon, watermarkMs = 99L)
+    assert(k3.isEmpty && s3 == Long.MinValue)
+  }
+
   test("streamed outcomes ≡ batch cascade; revision, late-drop, GC") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
