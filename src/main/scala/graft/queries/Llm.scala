@@ -618,6 +618,61 @@ object Llm extends QueryFamily {
       graft.operators.Bq.searchRerank(codes, model, emb, queries,
         topK = 10, shortlist = 100)
     },
+    "q_dbscan" -> { (s, d) =>
+      // Density-based clustering (DBSCAN, Ester 1996) over the
+      // embedding corpus: core = ≥ minPts neighbors (self included)
+      // within the cosine ball, clusters = connected components of the
+      // core-core ε-graph (min-id labels — Dedup.components' contract
+      // matches the oracle's recursive min(r)), borders attach to the
+      // MIN cluster among their core neighbors, the rest is noise (−1).
+      // Fully deterministic — no seed, no scan order — because every
+      // tie is resolved by min-id, which is what makes the recursive-
+      // CTE oracle possible. The ε-join is the exact thresholded
+      // nested-loop of q_embed_neardup (cut on the ROUNDED cosine so
+      // both engines keep identical edges); at corpus scale the
+      // candidate generator swaps to the IVF-cell join (q_knn_clusters'
+      // path) with the same downstream labeling.
+      val eps = 0.35
+      val minPts = 4
+      val e = Tables.embeddings(s, d)
+      val a = e.repartition(
+          e.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
+        .select(col("vec_id").as("id_a"), col("embedding").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+      val cos = round(graft.functions.Vectors.dot(col("va"), col("vb")), 6)
+      val pairs = a.join(b, col("id_a") < col("id_b") && cos >= eps)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val deg = edges.groupBy("src").agg(count(lit(1)).as("nbrs"))
+      val cores = deg.filter(col("nbrs") + 1 >= minPts)
+        .select(col("src").as("node")).localCheckpoint()
+      val corePairs = pairs
+        .join(cores.hint("shuffle_hash"), pairs("id_a") === cores("node"),
+          "left_semi")
+        .join(cores.hint("shuffle_hash"), pairs("id_b") === cores("node"),
+          "left_semi")
+        .select(col("id_a").as("src"), col("id_b").as("dst"))
+      val comp = graft.operators.Dedup.components(corePairs)
+      // isolated cores (no core neighbor) are their own cluster
+      val coreLab = cores
+        .join(comp, cores("node") === comp("id"), "left")
+        .select(col("node"), coalesce(col("comp"), col("node"))
+          .as("core_cluster"))
+      val nbrMin = edges
+        .join(coreLab, edges("dst") === coreLab("node"))
+        .groupBy(edges("src").as("vec_id"))
+        .agg(min(col("core_cluster")).as("nbr_cluster"))
+      e.select(col("vec_id"))
+        .join(coreLab.select(col("node").as("vec_id"),
+          col("core_cluster")), Seq("vec_id"), "left")
+        .join(nbrMin, Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("core_cluster"), col("nbr_cluster"), lit(-1L))
+            .cast("long").as("cluster"),
+          col("core_cluster").isNotNull.cast("int").as("is_core"))
+        .orderBy("vec_id")
+    },
     "q_embed_pca" -> { (s, d) =>
       // Distributed PCA (operators.Pca): one fixed-point moment pass →
       // deterministic Jacobi → map-only codegen projection. The only
@@ -1089,6 +1144,40 @@ object Llm extends QueryFamily {
         |SELECT id_a, id_b, jaccard_u FROM scored
         |WHERE jaccard_u >= 500000
         |ORDER BY id_a, id_b""".stripMargin,
+    "q_dbscan" ->
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id < b.vec_id
+        |   AND round(list_sum(list_transform(list_zip(a.embedding,
+        |         b.embedding),
+        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6)
+        |       >= 0.35),
+        |edges AS (SELECT ia AS src, ib AS dst FROM p
+        |          UNION ALL SELECT ib, ia FROM p),
+        |deg AS (SELECT src, count(*) AS c FROM edges GROUP BY 1),
+        |cores AS (SELECT src AS node FROM deg WHERE c + 1 >= 4),
+        |ce AS (
+        |  SELECT e.src, e.dst FROM edges e
+        |  JOIN cores c1 ON e.src = c1.node
+        |  JOIN cores c2 ON e.dst = c2.node),
+        |reach AS (
+        |  SELECT node AS id, node AS r FROM cores
+        |  UNION
+        |  SELECT ce.src AS id, reach.r
+        |  FROM ce JOIN reach ON ce.dst = reach.id),
+        |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        |nbr AS (
+        |  SELECT e.src AS id, min(l.cluster) AS nc
+        |  FROM edges e JOIN lab l ON e.dst = l.id GROUP BY 1)
+        |SELECT emb.vec_id,
+        |       CAST(coalesce(l.cluster, n.nc, -1) AS BIGINT) AS cluster,
+        |       CAST(CASE WHEN l.id IS NOT NULL THEN 1 ELSE 0 END
+        |            AS INT) AS is_core
+        |FROM embeddings emb
+        |LEFT JOIN lab l ON emb.vec_id = l.id
+        |LEFT JOIN nbr n ON emb.vec_id = n.id
+        |ORDER BY emb.vec_id""".stripMargin,
     "q_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding),

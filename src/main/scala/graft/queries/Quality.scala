@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryFamily, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality family: profiling (ANALYZE-style column statistics,
@@ -227,9 +228,67 @@ object Quality extends QueryFamily {
             |  AS (rule, violations, total)""".stripMargin))
         .withColumn("pass", (col("violations") === 0).cast("int"))
         .orderBy("rule")
+    },
+    "q_drift_ks" -> { (s, d) =>
+      // Exact two-sample Kolmogorov–Smirnov distance over the doc-
+      // length distribution (the nonparametric sibling of q_drift_psi;
+      // same even/odd snapshot stand-ins). ENTIRELY integer:
+      // D = max_v |F_A(v) − F_B(v)| = max |ca(v)·nB − cb(v)·nA| /
+      // (nA·nB) — the numerator is the statistic in exact integer
+      // units, ks_micro its ⌊1e6·⌋ scaling, so both engines agree
+      // bit-for-bit with no float CDF drift. One shuffle (per-length
+      // counts, partial-agged); the cumulative runs over |distinct
+      // lengths| rows — the day-level-safe global-window argument of
+      // q_running_distinct, not a corpus-sized sort. The nA·nB product
+      // bounds exactness to ~3·10⁹ docs per side; shard the test past
+      // that (each shard's counts are mergeable before the cumsum).
+      val lens = Tables.documents(s, d)
+        .select((col("doc_id") % 2).as("snap"),
+          size(split(col("text"), " ")).cast("long").as("v"))
+      val byV = lens.groupBy("v").agg(
+        sum(when(col("snap") === 0, 1L).otherwise(0L)).as("a"),
+        sum(when(col("snap") === 1, 1L).otherwise(0L)).as("b"))
+      val wv = Window.orderBy(col("v"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val tot = byV.agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"))
+      byV.select(col("v"), sum(col("a")).over(wv).as("ca"),
+          sum(col("b")).over(wv).as("cb"))
+        .crossJoin(broadcast(tot))
+        .select(abs(col("ca") * col("n_b") - col("cb") * col("n_a"))
+          .as("dev"), col("n_a"), col("n_b"))
+        .groupBy(col("n_a"), col("n_b"))
+        .agg(max(col("dev")).as("ks_num"))
+        .select(col("n_a"), col("n_b"), col("ks_num"),
+          expr("ks_num * 1000000 DIV (n_a * n_b)").as("ks_micro"))
     })
 
   def oracle: Map[String, String] = Map(
+    "q_drift_ks" ->
+      """WITH lens AS (
+        |  SELECT doc_id % 2 AS snap,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS v
+        |  FROM documents),
+        |byv AS (
+        |  SELECT v,
+        |         CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS a,
+        |         CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END)
+        |              AS BIGINT) AS b
+        |  FROM lens GROUP BY v),
+        |tot AS (SELECT CAST(sum(a) AS BIGINT) AS n_a,
+        |               CAST(sum(b) AS BIGINT) AS n_b FROM byv),
+        |cum AS (
+        |  SELECT CAST(sum(a) OVER w AS BIGINT) AS ca,
+        |         CAST(sum(b) OVER w AS BIGINT) AS cb
+        |  FROM byv
+        |  WINDOW w AS (ORDER BY v ROWS UNBOUNDED PRECEDING))
+        |SELECT t.n_a, t.n_b,
+        |       CAST(max(abs(c.ca * t.n_b - c.cb * t.n_a)) AS BIGINT)
+        |         AS ks_num,
+        |       CAST(max(abs(c.ca * t.n_b - c.cb * t.n_a)) * 1000000
+        |            // (t.n_a * t.n_b) AS BIGINT) AS ks_micro
+        |FROM cum c CROSS JOIN tot t
+        |GROUP BY t.n_a, t.n_b""".stripMargin,
     "q_profile_outliers" ->
       """WITH c AS (
         |  SELECT l_returnflag,

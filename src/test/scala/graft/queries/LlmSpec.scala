@@ -171,4 +171,72 @@ class LlmSpec extends SparkSuite {
     assert(Llm.queries("q_minhash_neardup")(spark, dir).count() >= 0)
   }
 
+  test("dbscan: planted clusters/borders/noise ≡ local reference DBSCAN") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dim = 48
+    def unit(parts: (Int, Double)*): Seq[Float] = {
+      val v = new Array[Double](dim)
+      parts.foreach { case (i, w) => v(i) += w }
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / n).toFloat).toSeq
+    }
+    // three spread clusters of 5 (pairwise cos ≈ 0.81 — all core at
+    // minPts 4), one border hanging off each FIRST member through its
+    // PRIVATE dimension (cos ≈ 0.37 to that member alone, 0 to the
+    // rest — one neighbor, so never core), five one-hot noise
+    val rows = Seq.newBuilder[(Long, Seq[Float])]
+    var id = 0L
+    for (c <- 0 until 3) {
+      for (i <- 0 until 5) {
+        rows += ((id, unit(c -> 1.0, (10 + 5 * c + i) -> 0.48)))
+        id += 1
+      }
+      rows += ((id, unit((10 + 5 * c) -> 0.85, (30 + c) -> 0.527)))
+      id += 1
+    }
+    for (j <- 0 until 5) { rows += ((id, unit((40 + j) -> 1.0))); id += 1 }
+    val all = rows.result()
+    val dir = java.nio.file.Files.createTempDirectory("dbscan").toString
+    all.toDF("vec_id", "embedding")
+      .select(col("vec_id"), col("embedding").cast("array<float>")
+        .as("embedding"), lit(0).as("label"))
+      .write.parquet(s"$dir/embeddings.parquet")
+
+    // local reference DBSCAN with the query's exact tie rules
+    val cos = (x: Seq[Float], y: Seq[Float]) =>
+      math.rint(x.zip(y).map { case (a, b) =>
+        a.toDouble * b.toDouble }.sum * 1e6) / 1e6
+    val nbrs = all.map { case (i, v) =>
+      i -> all.filter { case (j, w) => j != i && cos(v, w) >= 0.35 }
+        .map(_._1).toSet
+    }.toMap
+    val cores = nbrs.filter(_._2.size + 1 >= 4).keySet
+    def reach(seed: Long): Set[Long] = {
+      var seen = Set(seed); var frontier = Set(seed)
+      while (frontier.nonEmpty) {
+        frontier = frontier.flatMap(nbrs(_)).intersect(cores) -- seen
+        seen ++= frontier
+      }
+      seen
+    }
+    val coreLab = cores.map(c => c -> reach(c).min).toMap
+    val want = all.map { case (i, _) =>
+      val cl =
+        if (coreLab.contains(i)) coreLab(i)
+        else nbrs(i).intersect(cores).map(coreLab) match {
+          case s if s.nonEmpty => s.min
+          case _ => -1L
+        }
+      (i, cl, if (coreLab.contains(i)) 1 else 0)
+    }.sortBy(_._1)
+    val got = Llm.queries("q_dbscan")(spark, dir)
+      .as[(Long, Long, Int)].collect().toSeq
+    assert(got == want, s"dbscan diverged:\n$got\nvs\n$want")
+    // the fixture exercises every role: 3 clusters, 3 borders, 5 noise
+    assert(got.count(_._3 == 1) == 15)
+    assert(got.filter(_._3 == 1).map(_._2).distinct.size == 3)
+    assert(got.count(r => r._3 == 0 && r._2 >= 0) == 3, "borders")
+    assert(got.count(_._2 == -1L) == 5, "noise")
+  }
 }
