@@ -125,6 +125,28 @@ object Behavior extends QueryFamily {
             .as("cum_users"))
         .orderBy("day")
     },
+    "q_event_transitions" -> { (s, d) =>
+      // First-order Markov transition matrix of the event stream: per
+      // user, consecutive event-type pairs (ts order, event_id
+      // tie-break), counted and row-normalized in micro-units (n·1e6
+      // DIV row total — exact integers, no float probabilities). One
+      // shuffle on user_id for the lag window, one partial-agged count
+      // shuffle; the |types|² matrix is trivially small.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"), col("event_type").as("to_type"),
+          lag(col("event_type"), 1).over(w).as("from_type"))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val rowTot = pairs.groupBy(col("from_type").as("ft"))
+        .agg(sum(col("n")).as("row_total"))
+      pairs.join(broadcast(rowTot), col("from_type") === col("ft"))
+        .select(col("from_type"), col("to_type"), col("n"),
+          expr("n * 1000000 DIV row_total").as("p_u"))
+        .orderBy("from_type", "to_type")
+    },
     "q_rolling_anomaly" -> { (s, d) =>
       // Rolling per-user anomaly days: |x − μ| > 2σ over the trailing
       // 7-observed-day window, decided ENTIRELY in integer arithmetic —
@@ -248,6 +270,22 @@ object Behavior extends QueryFamily {
         |  count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS step3_users,
         |  count(DISTINCT CASE WHEN t4 IS NOT NULL THEN user_id END) AS step4_users
         |FROM s4""".stripMargin,
+    "q_event_transitions" ->
+      """WITH pairs AS (
+        |  SELECT lag(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS from_type,
+        |         event_type AS to_type
+        |  FROM events),
+        |cnt AS (
+        |  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+        |  FROM pairs WHERE from_type IS NOT NULL GROUP BY 1, 2),
+        |tot AS (
+        |  SELECT from_type AS ft, CAST(sum(n) AS BIGINT) AS row_total
+        |  FROM cnt GROUP BY 1)
+        |SELECT c.from_type, c.to_type, c.n,
+        |       CAST((c.n * 1000000) // t.row_total AS BIGINT) AS p_u
+        |FROM cnt c JOIN tot t ON c.from_type = t.ft
+        |ORDER BY c.from_type, c.to_type""".stripMargin,
     "q_rolling_anomaly" ->
       """WITH daily AS (
         |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,

@@ -81,6 +81,25 @@ class BehaviorSpec extends SparkSuite {
     assert(rows.toSeq == Seq(("2024-01-01", 6L, 6L)), rows.mkString(", "))
   }
 
+  test("event transitions: per-user consecutive pairs, exact row probs") {
+    val got = Behavior.queries("q_event_transitions")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2),
+        r.getLong(3)))).toMap
+    // u1: signup→view→click→purchase; u2: view→signup(→click wks later)
+    // u3: signup→view; u4: signup→view→purchase; u5: signup→view→view;
+    // u6: view→click→purchase (ts order; u5's same-instant pair orders
+    // by event_id: signup id 11 precedes view id 12)
+    // row totals: signup→ 5, view→ 5, click→ 2
+    assert(got(("signup", "view")) == ((4L, 800000L)), got.toString)
+    assert(got(("view", "click")) == ((2L, 400000L)))
+    assert(got(("click", "purchase")) == ((2L, 1000000L)))
+    assert(got(("view", "signup")) == ((1L, 200000L)))
+    assert(got(("signup", "click")) == ((1L, 200000L)))
+    assert(got(("view", "view")) == ((1L, 200000L)))
+    assert(got.values.map(_._1).sum == 12L) // 18 events − 6 chain starts
+  }
+
   test("association rules ≡ local reference on sf0.001 lineitem") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
