@@ -125,6 +125,30 @@ object Behavior extends QueryFamily {
             .as("cum_users"))
         .orderBy("day")
     },
+    "q_sequence_pattern" -> { (s, d) =>
+      // Consecutive-pattern detection (the MATCH_RECOGNIZE-lite /
+      // "did sequence" shape): each user's events collapse to one
+      // character string in (ts, event_id) order — s/v/c/p/e initials
+      // — and patterns are pure SUBSTRING containment (no regex, so no
+      // engine-dialect risk). Per-user state is the user's own event
+      // string (bounded by their activity, the collect_list contract
+      // documented on q_pack_sequences); one shuffle on user_id, the
+      // pattern probes are map-side over |users| rows.
+      val ini = substring(col("event_type"), 1, 1)
+      val strs = Tables.events(s, d)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"), ini.as("i")).as("e"))
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(sort_array(collect_list(col("e"))),
+          x => x.getField("i")), "").as("seq"))
+      strs.agg(
+          sum(when(col("seq").contains("sp"), 1L).otherwise(0L))
+            .as("signup_then_purchase"),
+          sum(when(col("seq").contains("vvv"), 1L).otherwise(0L))
+            .as("three_views_row"),
+          sum(when(col("seq").contains("ee"), 1L).otherwise(0L))
+            .as("error_pair"))
+    },
     "q_event_transitions" -> { (s, d) =>
       // First-order Markov transition matrix of the event stream: per
       // user, consecutive event-type pairs (ts order, event_id
@@ -270,6 +294,20 @@ object Behavior extends QueryFamily {
         |  count(DISTINCT CASE WHEN t3 IS NOT NULL THEN user_id END) AS step3_users,
         |  count(DISTINCT CASE WHEN t4 IS NOT NULL THEN user_id END) AS step4_users
         |FROM s4""".stripMargin,
+    "q_sequence_pattern" ->
+      """WITH strs AS (
+        |  SELECT user_id,
+        |         string_agg(substring(event_type, 1, 1), ''
+        |           ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  CAST(sum(CASE WHEN contains(seq, 'sp') THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS signup_then_purchase,
+        |  CAST(sum(CASE WHEN contains(seq, 'vvv') THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS three_views_row,
+        |  CAST(sum(CASE WHEN contains(seq, 'ee') THEN 1 ELSE 0 END)
+        |       AS BIGINT) AS error_pair
+        |FROM strs""".stripMargin,
     "q_event_transitions" ->
       """WITH pairs AS (
         |  SELECT lag(event_type) OVER (PARTITION BY user_id

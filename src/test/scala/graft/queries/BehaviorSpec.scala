@@ -81,6 +81,35 @@ class BehaviorSpec extends SparkSuite {
     assert(rows.toSeq == Seq(("2024-01-01", 6L, 6L)), rows.mkString(", "))
   }
 
+  test("sequence pattern: consecutive substrings over ordered event strings") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("seqpat").toString
+    // uA signup→purchase back-to-back; uB three consecutive views
+    // SPLIT by an interleaved-user event (still consecutive for uB);
+    // uC an error pair; uD the near-miss s,v,p
+    val rows = Seq(
+      (0L, "2024-01-01 10:00:00", 1L, "signup"),
+      (1L, "2024-01-01 10:01:00", 1L, "purchase"),
+      (2L, "2024-01-01 10:00:00", 2L, "view"),
+      (3L, "2024-01-01 10:01:00", 2L, "view"),
+      (4L, "2024-01-01 10:01:30", 3L, "error"),
+      (5L, "2024-01-01 10:02:00", 2L, "view"),
+      (6L, "2024-01-01 10:02:30", 3L, "error"),
+      (7L, "2024-01-01 10:00:00", 4L, "signup"),
+      (8L, "2024-01-01 10:01:00", 4L, "view"),
+      (9L, "2024-01-01 10:02:00", 4L, "purchase"))
+    rows.toDF("event_id", "s", "user_id", "event_type")
+      .select(col("event_id"), to_timestamp_ntz(col("s")).as("ts"),
+        col("user_id"), col("event_type"), lit(1.5).as("value"),
+        lit("{}").as("props"))
+      .write.parquet(s"$d2/events.parquet")
+    val r = Behavior.queries("q_sequence_pattern")(spark, d2)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1L, 1L, 1L)),
+      r.toString)
+  }
+
   test("event transitions: per-user consecutive pairs, exact row probs") {
     val got = Behavior.queries("q_event_transitions")(spark, dir)
       .collect()
