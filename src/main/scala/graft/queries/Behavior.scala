@@ -158,12 +158,16 @@ object Behavior extends QueryFamily {
       // shuffle; the |types|² matrix is trivially small.
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
+      // checkpointed: the row-total aggregate AND the final join both
+      // read it, and without this the corpus lag-window runs twice —
+      // the matrix is |types|² rows, so materializing is free
       val pairs = Tables.events(s, d)
         .select(col("user_id"), col("event_type").as("to_type"),
           lag(col("event_type"), 1).over(w).as("from_type"))
         .filter(col("from_type").isNotNull)
         .groupBy(col("from_type"), col("to_type"))
         .agg(count(lit(1)).as("n"))
+        .localCheckpoint()
       val rowTot = pairs.groupBy(col("from_type").as("ft"))
         .agg(sum(col("n")).as("row_total"))
       pairs.join(broadcast(rowTot), col("from_type") === col("ft"))

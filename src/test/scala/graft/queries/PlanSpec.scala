@@ -438,6 +438,26 @@ class PlanSpec extends SparkSuite {
       s"scoring grew an aggregation:\n${plan.take(2000)}")
   }
 
+  test("q_assoc_rules: top-100 is TakeOrdered, never a global sort") {
+    val plan = executedPlan("q_assoc_rules")
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"rule ranking regressed to sort+limit:\n${plan.take(2000)}")
+    assert(!plan.contains("Cartesian"),
+      s"a pair join degenerated:\n${plan.take(2000)}")
+  }
+
+  test("q_event_transitions / q_rolling_anomaly: one window pass each") {
+    // the three rolling aggregates share a frame (exactly one Window);
+    // the transition matrix localCheckpoints the lag-window result, so
+    // its declared plan must show NO residual window — two Windows in
+    // either plan means the corpus is re-sorted per consumer (the bug
+    // this guard caught on the first cut)
+    assert(executedPlan("q_rolling_anomaly")
+      .split("\\bWindow\\b").length - 1 == 1)
+    assert(executedPlan("q_event_transitions")
+      .split("\\bWindow\\b").length - 1 == 0)
+  }
+
   test("q_mix_token_budget broadcasts allocations; corpus shuffles once") {
     val plan = executedPlan("q_mix_token_budget")
     // the per-source allocation table is tiny and must ride broadcasts;
