@@ -218,7 +218,9 @@ object Behavior extends QueryFamily {
         .select(col("l_orderkey"), col("l_partkey")).distinct()
         .localCheckpoint()
       val n = op.agg(countDistinct(col("l_orderkey")).as("n"))
+      // checkpointed: both endpoint joins read the item counts
       val ca = op.groupBy(col("l_partkey")).agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val cab = op.as("a")
         .join(op.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))

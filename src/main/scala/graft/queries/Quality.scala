@@ -245,9 +245,12 @@ object Quality extends QueryFamily {
       val lens = Tables.documents(s, d)
         .select((col("doc_id") % 2).as("snap"),
           size(split(col("text"), " ")).cast("long").as("v"))
+      // checkpointed: the totals AND the cumulative window both read
+      // it — |distinct lengths| rows, one corpus aggregation
       val byV = lens.groupBy("v").agg(
         sum(when(col("snap") === 0, 1L).otherwise(0L)).as("a"),
         sum(when(col("snap") === 1, 1L).otherwise(0L)).as("b"))
+        .localCheckpoint()
       val wv = Window.orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = byV.agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"))
