@@ -25,10 +25,11 @@ object ProfileBehavior {
         .createTempDirectory(s"behav$n").toString
       spark.range(n)
         .select(col("id").as("event_id"),
-          // 60 days of microsecond-striped event time
+          // 60 days of event time, hash-spread (a small linear stripe
+          // covered only minutes — every window test was degenerate)
           timestamp_micros(lit(1704067200000000L) +
-            (col("id") * 37L) % (60L * 86400000000L)).cast("timestamp_ntz")
-            .as("ts"),
+            pmod(xxhash64(col("id"), lit(3)), lit(60L * 86400000000L)))
+            .cast("timestamp_ntz").as("ts"),
           pmod(xxhash64(col("id")), lit(users)).as("user_id"),
           element_at(array(lit("signup"), lit("view"), lit("click"),
             lit("purchase"), lit("error")),

@@ -203,6 +203,9 @@ object Graph extends QueryFamily {
       else { edges = pruned; m = m2 }
       it += 1
     }
+    require(done,
+      s"k-core peel did not reach a fixpoint in $maxIters rounds — " +
+        "raise maxIters (pathological chain graphs peel O(n) rounds)")
     edges.groupBy("src").agg(count(lit(1)).as("core_degree"))
       .select(col("src").as("node"), col("core_degree"))
       .orderBy("node")

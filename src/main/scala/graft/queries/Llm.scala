@@ -685,7 +685,7 @@ object Llm extends QueryFamily {
       // driver-hashable scalars, stable to the float dust the rounding
       // absorbs.
       val emb = Tables.embeddings(s, d)
-      val model = graft.operators.Pca.train(emb, kOut = 8)
+      val model = graft.operators.Pca.train(emb, kOut = 4)
       graft.operators.Pca.project(emb, model)
         .select(col("vec_id"),
           round(col("pc")(0).cast("double"), 4).as("pc1"),

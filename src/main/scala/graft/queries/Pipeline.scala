@@ -501,8 +501,9 @@ object Pipeline extends QueryFamily {
       // it. Exact cross-engine arithmetic: IEEE sqrt is correctly
       // rounded (unlike pow), and for integer T the true sqrt sits
       // ≥ 1/(2√T+1) from any integer, so floor(sqrt) can never
-      // straddle; allocations use BIGINT multiply + integer DIV
-      // (budget·√T bounded well under 2^63 at any real corpus size).
+      // straddle; allocations multiply in DECIMAL(38,0) (DuckDB:
+      // HUGEINT) — budget·√T ≈ T^1.5/2 would wrap a BIGINT at ~7e12
+      // total tokens, squarely inside the 100 TB design point.
       // Shape: two tiny aggregates broadcast back, ONE corpus shuffle
       // on source for the cumulative window, final per-source agg
       // reuses that partitioning.
@@ -520,7 +521,8 @@ object Pipeline extends QueryFamily {
         sum(col("w")).as("wsum"))
       val alloc = wt.crossJoin(broadcast(tb))
         .select(col("source"),
-          expr("budget * w DIV wsum").as("alloc"))
+          expr("CAST((CAST(budget AS DECIMAL(38,0)) * w) DIV wsum " +
+            "AS BIGINT)").as("alloc"))
       val cum = toksDf.withColumn("ctok",
         sum(col("tok")).over(Window.partitionBy(col("source"))
           .orderBy(col("n_chars").desc, col("doc_id"))
@@ -1169,7 +1171,8 @@ object Pipeline extends QueryFamily {
         |              CAST(sum(w) AS BIGINT) AS wsum FROM wt),
         |alloc AS (
         |  SELECT wt.source,
-        |         CAST((tb.budget * wt.w) // tb.wsum AS BIGINT) AS alloc
+        |         CAST((CAST(tb.budget AS HUGEINT) * wt.w) // tb.wsum
+        |              AS BIGINT) AS alloc
         |  FROM wt CROSS JOIN tb),
         |cum AS (
         |  SELECT t.doc_id, t.source, t.tok,

@@ -239,9 +239,9 @@ object Quality extends QueryFamily {
       // bit-for-bit with no float CDF drift. One shuffle (per-length
       // counts, partial-agged); the cumulative runs over |distinct
       // lengths| rows — the day-level-safe global-window argument of
-      // q_running_distinct, not a corpus-sized sort. The nA·nB product
-      // bounds exactness to ~3·10⁹ docs per side; shard the test past
-      // that (each shard's counts are mergeable before the cumsum).
+      // q_running_distinct, not a corpus-sized sort. ks_micro divides
+      // in DECIMAL(38,0) (DuckDB: HUGEINT) — BIGINT would wrap at
+      // D·nA·nB·1e6 > 2^63, i.e. only ~3e6 docs per side.
       val lens = Tables.documents(s, d)
         .select((col("doc_id") % 2).as("snap"),
           size(split(col("text"), " ")).cast("long").as("v"))
@@ -262,7 +262,9 @@ object Quality extends QueryFamily {
         .groupBy(col("n_a"), col("n_b"))
         .agg(max(col("dev")).as("ks_num"))
         .select(col("n_a"), col("n_b"), col("ks_num"),
-          expr("ks_num * 1000000 DIV (n_a * n_b)").as("ks_micro"))
+          expr("CAST((CAST(ks_num AS DECIMAL(38,0)) * 1000000) DIV " +
+            "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
+            .as("ks_micro"))
     })
 
   def oracle: Map[String, String] = Map(
@@ -288,8 +290,10 @@ object Quality extends QueryFamily {
         |SELECT t.n_a, t.n_b,
         |       CAST(max(abs(c.ca * t.n_b - c.cb * t.n_a)) AS BIGINT)
         |         AS ks_num,
-        |       CAST(max(abs(c.ca * t.n_b - c.cb * t.n_a)) * 1000000
-        |            // (t.n_a * t.n_b) AS BIGINT) AS ks_micro
+        |       CAST(CAST(max(abs(c.ca * t.n_b - c.cb * t.n_a))
+        |                 AS HUGEINT) * 1000000
+        |            // (CAST(t.n_a AS HUGEINT) * t.n_b)
+        |            AS BIGINT) AS ks_micro
         |FROM cum c CROSS JOIN tot t
         |GROUP BY t.n_a, t.n_b""".stripMargin,
     "q_profile_outliers" ->
