@@ -283,7 +283,17 @@ object GraphAnn {
   }
 
   /** Persist / load — the `index --kind graph` layout: one parquet of
-    * (layer, src, dst) plus the entry ids in order. */
+    * (layer, src, dst), the entry ids in order, and a meta parquet
+    * carrying the LAYER COUNT. The count is load-bearing: an upper
+    * layer whose tiny member set happened to build zero edges writes
+    * no graph rows, and a load that reconstructed layers from the
+    * DISTINCT layer values present would silently shift every higher
+    * layer down one index — [[append]]'s pow4(maxLevel) membership
+    * arithmetic would then file new top-layer members at the wrong
+    * level. Materializing the recorded count (missing levels become
+    * empty edge frames — a valid routing layer: its members still seed
+    * from the layer above) keeps load ≡ the written index structurally,
+    * not just on the layers that happened to have edges. */
   def write(index: GraphIndex, dir: String): Unit = {
     val spark = index.layers.head.sparkSession
     import spark.implicits._
@@ -296,16 +306,26 @@ object GraphAnn {
     index.entries.toSeq.zipWithIndex.map { case (v, i) => (i, v) }
       .toDF("rnk", "vec_id")
       .coalesce(1).write.mode("overwrite").parquet(s"$dir/entries")
+    Seq(index.layers.size).toDF("num_layers")
+      .coalesce(1).write.mode("overwrite").parquet(s"$dir/meta")
   }
 
   def load(spark: org.apache.spark.sql.SparkSession,
       dir: String): GraphIndex = {
     import spark.implicits._
     val g = spark.read.parquet(s"$dir/graph")
-    val levels = g.select("layer").distinct()
-      .orderBy("layer").as[Int].collect()
-    val layers = levels.toSeq.map(l =>
-      g.filter(col("layer") === l).select("src", "dst"))
+    val metaPath = new org.apache.hadoop.fs.Path(s"$dir/meta")
+    val fs = metaPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val nLayers =
+      if (fs.exists(metaPath))
+        spark.read.parquet(s"$dir/meta")
+          .select(col("num_layers")).as[Int].head()
+      else // pre-meta layout: every layer built edges, distinct is safe
+        g.select(max(col("layer")).cast("int")).as[Int].head() + 1
+    val layers = (0 until nLayers).map { l =>
+      g.filter(col("layer") === l).select("src", "dst")
+    }
+    require(layers.nonEmpty, s"$dir/meta records zero layers")
     GraphIndex(layers,
       spark.read.parquet(s"$dir/entries")
         .orderBy("rnk").select("vec_id").as[Long].collect())

@@ -209,11 +209,16 @@ object Sketch {
       num: Int, den: Int): DataFrame = {
     require(num > 0 && den >= num, s"threshold $num/$den not in (0,1]")
     val k = (den + num - 1) / num
-    val n = tokens.count()
-    val cands = mgSummary(tokens, tokenCol, k)
+    // three consumers read the token stream (the count, the MG pass,
+    // the exact-count semi join) — checkpoint the projected column once
+    // so the upstream tokenization/explode runs once, not three times
+    // (the multi-consumer localCheckpoint discipline)
+    val toks = tokens.select(tokenCol).localCheckpoint()
+    val n = toks.count()
+    val cands = mgSummary(toks, tokenCol, k)
       .filter((col("c_low") * (k + 1) + n) * den >= num * n * (k + 1))
       .select(tokenCol)
-    tokens.join(broadcast(cands), Seq(tokenCol), "left_semi")
+    toks.join(broadcast(cands), Seq(tokenCol), "left_semi")
       .groupBy(tokenCol).agg(count(lit(1)).as("c"))
       .filter(col("c") * den >= num * n)
   }
@@ -280,26 +285,35 @@ object Sketch {
     else (k - 1) / hashFraction(hs.last)
   }
 
-  /** Theta intersection: restrict both sketches below the smaller
-    * cutoff θ = min(θ_a, θ_b); every retained hash is a uniform sample
-    * of A ∩ B at rate θ, so |A ∩ B| ≈ |retained| / θ. Exact when both
-    * sketches are exact (< k rows). This is the operation HLL cannot
-    * express — registers destroy membership. */
+  /** Theta intersection: restrict both sketches STRICTLY below the
+    * smaller cutoff θ = min(θ_a, θ_b); every retained hash is a uniform
+    * sample of A ∩ B at rate θ, so |A ∩ B| ≈ |retained| / θ. Strict
+    * inequality matches [[kmvEstimate]]'s (k−1)/θ convention — the
+    * cutoff hash itself is the sample BOUNDARY, not a sample member;
+    * including it (the first cut's `<=`) biased the estimate up
+    * whenever the cutoff hash was shared. Exact when both sketches are
+    * exact (< k rows — then there is no cutoff and nothing is
+    * excluded). This is the operation HLL cannot express — registers
+    * destroy membership. */
   def kmvIntersectEstimate(a: DataFrame, b: DataFrame, k: Int): Double = {
     val spark = a.sparkSession
     import spark.implicits._
     val ha = a.select(col("h")).as[Long].collect().sorted
     val hb = b.select(col("h")).as[Long].collect().sorted
-    val cutoff = (ha.length >= k, hb.length >= k) match {
-      case (false, false) => Long.MaxValue
-      case (true, false) => ha.last
-      case (false, true) => hb.last
-      case (true, true) => math.min(ha.last, hb.last)
+    (ha.length >= k, hb.length >= k) match {
+      case (false, false) => // both exact: plain set intersection
+        val sa = ha.toSet
+        hb.count(sa).toDouble
+      case pair =>
+        val cutoff = pair match {
+          case (true, false) => ha.last
+          case (false, true) => hb.last
+          case _             => math.min(ha.last, hb.last)
+        }
+        val sa = ha.iterator.takeWhile(_ < cutoff).toSet
+        val matches = hb.iterator.takeWhile(_ < cutoff).count(sa)
+        matches / hashFraction(cutoff)
     }
-    val sa = ha.iterator.takeWhile(_ <= cutoff).toSet
-    val matches = hb.iterator.takeWhile(_ <= cutoff).count(sa)
-    if (cutoff == Long.MaxValue) matches.toDouble
-    else matches / hashFraction(cutoff)
   }
 
   /** Jaccard |A∩B| / |A∪B| via the bottom-k of the union (the classic

@@ -205,10 +205,12 @@ object Behavior extends QueryFamily {
       // Market-basket association rules over co-purchased parts:
       // support count, confidence and lift for every pair appearing in
       // ≥ 2 orders, in exact micro-units (conf_u = ⌊1e6·c_ab/c_a⌋,
-      // lift_u = ⌊1e6·n·c_ab/(c_a·c_b)⌋ — BIGINT multiply + integer
-      // DIV, so both engines rank identically; the n·c_ab·1e6 < 2^63
-      // bound holds to ~10⁶ orders per basket pair — lower the
-      // micro-unit scale past that).
+      // lift_u = ⌊1e6·n·c_ab/(c_a·c_b)⌋). The lift numerator
+      // n·c_ab·1e6 outgrows BIGINT past ~10⁶ orders per frequent pair,
+      // so it multiplies in DECIMAL(38,0) (DuckDB: HUGEINT) — the
+      // q_drift_ks/q_mix_token_budget discipline — making the bound
+      // enforced by the type, not documented in a comment; integer DIV
+      // keeps both engines ranking identically.
       // Shape: one distinct (order, part) shuffle feeds the pair
       // count, the item counts AND the order count; the pair→item-
       // count joins are part-keyed (dim-sized sides, AQE broadcasts
@@ -236,7 +238,8 @@ object Behavior extends QueryFamily {
         .crossJoin(broadcast(n))
         .select(col("p1"), col("p2"), col("c_ab"),
           expr("c_ab * 1000000 DIV c_a").as("conf_u"),
-          expr("c_ab * n * 1000000 DIV (c_a * c_b)").as("lift_u"))
+          expr("CAST((CAST(c_ab AS DECIMAL(38,0)) * n * 1000000) DIV " +
+            "(CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)").as("lift_u"))
         .orderBy(col("lift_u").desc, col("p1"), col("p2"))
         .limit(100)
     },
@@ -363,7 +366,8 @@ object Behavior extends QueryFamily {
         |  GROUP BY 1, 2 HAVING count(*) >= 2)
         |SELECT cab.p1, cab.p2, cab.c_ab,
         |       (cab.c_ab * 1000000) // ca1.c AS conf_u,
-        |       (cab.c_ab * nn.n * 1000000) // (ca1.c * ca2.c) AS lift_u
+        |       CAST((CAST(cab.c_ab AS HUGEINT) * nn.n * 1000000)
+        |            // (CAST(ca1.c AS HUGEINT) * ca2.c) AS BIGINT) AS lift_u
         |FROM cab
         |JOIN ca ca1 ON cab.p1 = ca1.l_partkey
         |JOIN ca ca2 ON cab.p2 = ca2.l_partkey
