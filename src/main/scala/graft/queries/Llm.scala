@@ -405,6 +405,42 @@ object Llm extends QueryFamily {
       graft.operators.GraphAnn.search(idx, e, queries, topK = 10,
         ef = 12, maxRounds = 3)
     },
+    "q_ann_filtered_topk" -> { (s, d) =>
+      // Metadata-FILTERED vector search (operators.FilteredSearch):
+      // top-10 among label = 3 vectors only — the production retrieval
+      // shape (predicate + vector). Cardinality-routed: the ~10%-
+      // selective eligible set here is far below the scan budget, so
+      // auto takes the EXACT eligible-subset path — deterministic
+      // brute force, hence a DuckDB oracle (the graph path's recall
+      // pins live in FilteredSearchSpec and q_ann_filtered_graph_topk).
+      // Never a post-filter: the predicate prunes BEFORE scoring.
+      val e = Tables.embeddings(s, d)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      val eligible = e.filter(col("label") === 3).select("vec_id")
+      graft.operators.FilteredSearch.exactFiltered(
+        e.select(col("vec_id"), col("embedding")), queries, eligible,
+        topK = 10)
+    },
+    "q_ann_filtered_graph_topk" -> { (s, d) =>
+      // The same filtered search FORCED down the graph path
+      // (filter-during-search: navigation unfiltered, ranking
+      // filtered, beam widened ~1/selectivity) — the plan that holds
+      // when the eligible set is corpus-scaled and the exact scan
+      // isn't. Rows-only (iterative graph model); FilteredSearchSpec
+      // pins recall@10 vs exact filtered brute force at 1%/10%/50%
+      // selectivities and the auto router's path choice.
+      // bench-sized config (the q_ann_graph_topk discipline).
+      val e = Tables.embeddings(s, d)
+      val idx = graft.operators.GraphAnn.build(e, degree = 8,
+        kCells = 8, iters = 1, probes = 2, descentRounds = 0,
+        minTopLayer = 128)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      val eligible = e.filter(col("label") === 3).select("vec_id")
+      graft.operators.GraphAnn.searchFiltered(idx, e, queries, eligible,
+        topK = 10, ef = 48, maxRounds = 3)
+    },
     "q_edit_distance" -> { (s, d) =>
       // Levenshtein on bounded prefixes — the fuzzy-dedup primitive for
       // short fields (titles/names); O(m·n) per pair so inputs are CAPPED
@@ -619,59 +655,31 @@ object Llm extends QueryFamily {
         topK = 10, shortlist = 100)
     },
     "q_dbscan" -> { (s, d) =>
-      // Density-based clustering (DBSCAN, Ester 1996) over the
-      // embedding corpus: core = ≥ minPts neighbors (self included)
-      // within the cosine ball, clusters = connected components of the
-      // core-core ε-graph (min-id labels — Dedup.components' contract
-      // matches the oracle's recursive min(r)), borders attach to the
-      // MIN cluster among their core neighbors, the rest is noise (−1).
-      // Fully deterministic — no seed, no scan order — because every
-      // tie is resolved by min-id, which is what makes the recursive-
-      // CTE oracle possible. The ε-join is the exact thresholded
-      // nested-loop of q_embed_neardup (cut on the ROUNDED cosine so
-      // both engines keep identical edges); at corpus scale the
-      // candidate generator swaps to the IVF-cell join (q_knn_clusters'
-      // path) with the same downstream labeling.
-      val eps = 0.35
-      val minPts = 4
+      // Density-based clustering (DBSCAN, Ester 1996) via
+      // operators.Dbscan: this declared form feeds the labeler from the
+      // ALL-PAIRS ε-join — the documented-quadratic ORACLE BASELINE,
+      // kept deliberately beside the scale path (the dedup-cascade
+      // discipline: q_dedup_cascade anchors q_dedup_cascade_ppjoin the
+      // same way). q_dbscan_ivf is the bucketed form that holds at
+      // corpus scale; both answer to the SAME recursive-CTE oracle.
       val e = Tables.embeddings(s, d)
-      val a = e.repartition(
-          e.sparkSession.sparkContext.defaultParallelism, col("vec_id"))
-        .select(col("vec_id").as("id_a"), col("embedding").as("va"))
-      val b = e.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
-      val cos = round(graft.functions.Vectors.dot(col("va"), col("vb")), 6)
-      val pairs = a.join(b, col("id_a") < col("id_b") && cos >= eps)
-        .select(col("id_a"), col("id_b")).localCheckpoint()
-      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("nbrs"))
-      val cores = deg.filter(col("nbrs") + 1 >= minPts)
-        .select(col("src").as("node")).localCheckpoint()
-      val corePairs = pairs
-        .join(cores.hint("shuffle_hash"), pairs("id_a") === cores("node"),
-          "left_semi")
-        .join(cores.hint("shuffle_hash"), pairs("id_b") === cores("node"),
-          "left_semi")
-        .select(col("id_a").as("src"), col("id_b").as("dst"))
-      val comp = graft.operators.Dedup.components(corePairs)
-      // isolated cores (no core neighbor) are their own cluster
-      val coreLab = cores
-        .join(comp, cores("node") === comp("id"), "left")
-        .select(col("node"), coalesce(col("comp"), col("node"))
-          .as("core_cluster"))
-      val nbrMin = edges
-        .join(coreLab, edges("dst") === coreLab("node"))
-        .groupBy(edges("src").as("vec_id"))
-        .agg(min(col("core_cluster")).as("nbr_cluster"))
-      e.select(col("vec_id"))
-        .join(coreLab.select(col("node").as("vec_id"),
-          col("core_cluster")), Seq("vec_id"), "left")
-        .join(nbrMin, Seq("vec_id"), "left")
-        .select(col("vec_id"),
-          coalesce(col("core_cluster"), col("nbr_cluster"), lit(-1L))
-            .cast("long").as("cluster"),
-          col("core_cluster").isNotNull.cast("int").as("is_core"))
-        .orderBy("vec_id")
+      graft.operators.Dbscan.label(e,
+        graft.operators.Dbscan.epsPairsExact(e, eps = 0.35), minPts = 4)
+    },
+    "q_dbscan_ivf" -> { (s, d) =>
+      // DBSCAN at scale: the SAME labeling fed by the IVF cell
+      // equi-join (operators.Dbscan.epsPairsIvf — KnnJoin's candidate
+      // shape: one hash exchange on cell_id, shuffle-hash build, no
+      // cartesian anywhere in the plan). probes = kCells scans every
+      // cell, so the ε-graph is EXACTLY the all-pairs one and the
+      // recursive-CTE oracle stays green (DbscanSpec also pins the
+      // pair-set identity directly); at corpus scale probes shrinks and
+      // kCells grows with n, making candidate volume ~probes·n·cellSize
+      // — linear at fixed probes (ProfileDbscan's 10× sweep).
+      val e = Tables.embeddings(s, d)
+      graft.operators.Dbscan.label(e,
+        graft.operators.Dbscan.epsPairsIvf(e, eps = 0.35, kCells = 16,
+          probes = 16), minPts = 4)
     },
     "q_embed_pca" -> { (s, d) =>
       // Distributed PCA (operators.Pca): one fixed-point moment pass →
@@ -955,7 +963,10 @@ object Llm extends QueryFamily {
       val lexRanked = bm25Scores(s, d)
         .orderBy(col("bm25_u").desc, col("doc_id").asc).limit(50)
         .withColumn("r_lex", row_number().over(
-          Window.orderBy(col("bm25_u").desc, col("doc_id").asc)).cast("long"))
+          // post-limit(50) frame; pmod: non-foldable constant key (a
+          // literal would be stripped back to SinglePartition)
+          Window.partitionBy(pmod(col("doc_id"), lit(1)))
+            .orderBy(col("bm25_u").desc, col("doc_id").asc)).cast("long"))
         .select(col("doc_id"), col("r_lex"))
       val qv = Tables.embeddings(s, d).filter(col("vec_id") === 7)
         .select(col("embedding").as("qvec"))
@@ -970,7 +981,10 @@ object Llm extends QueryFamily {
             |  0L, (acc, x) -> acc + x)""".stripMargin).as("dot_q"))
         .orderBy(col("dot_q").desc, col("doc_id").asc).limit(50)
         .withColumn("r_dense", row_number().over(
-          Window.orderBy(col("dot_q").desc, col("doc_id").asc)).cast("long"))
+          // post-limit(50) frame; pmod: non-foldable constant key (a
+          // literal would be stripped back to SinglePartition)
+          Window.partitionBy(pmod(col("doc_id"), lit(1)))
+            .orderBy(col("dot_q").desc, col("doc_id").asc)).cast("long"))
         .select(col("doc_id"), col("r_dense"))
       lexRanked.join(denseRanked, Seq("doc_id"), "full_outer")
         .withColumn("rrf_u",
@@ -1144,40 +1158,10 @@ object Llm extends QueryFamily {
         |SELECT id_a, id_b, jaccard_u FROM scored
         |WHERE jaccard_u >= 500000
         |ORDER BY id_a, id_b""".stripMargin,
-    "q_dbscan" ->
-      """WITH RECURSIVE p AS (
-        |  SELECT a.vec_id AS ia, b.vec_id AS ib
-        |  FROM embeddings a JOIN embeddings b
-        |    ON a.vec_id < b.vec_id
-        |   AND round(list_sum(list_transform(list_zip(a.embedding,
-        |         b.embedding),
-        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6)
-        |       >= 0.35),
-        |edges AS (SELECT ia AS src, ib AS dst FROM p
-        |          UNION ALL SELECT ib, ia FROM p),
-        |deg AS (SELECT src, count(*) AS c FROM edges GROUP BY 1),
-        |cores AS (SELECT src AS node FROM deg WHERE c + 1 >= 4),
-        |ce AS (
-        |  SELECT e.src, e.dst FROM edges e
-        |  JOIN cores c1 ON e.src = c1.node
-        |  JOIN cores c2 ON e.dst = c2.node),
-        |reach AS (
-        |  SELECT node AS id, node AS r FROM cores
-        |  UNION
-        |  SELECT ce.src AS id, reach.r
-        |  FROM ce JOIN reach ON ce.dst = reach.id),
-        |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
-        |nbr AS (
-        |  SELECT e.src AS id, min(l.cluster) AS nc
-        |  FROM edges e JOIN lab l ON e.dst = l.id GROUP BY 1)
-        |SELECT emb.vec_id,
-        |       CAST(coalesce(l.cluster, n.nc, -1) AS BIGINT) AS cluster,
-        |       CAST(CASE WHEN l.id IS NOT NULL THEN 1 ELSE 0 END
-        |            AS INT) AS is_core
-        |FROM embeddings emb
-        |LEFT JOIN lab l ON emb.vec_id = l.id
-        |LEFT JOIN nbr n ON emb.vec_id = n.id
-        |ORDER BY emb.vec_id""".stripMargin,
+    // full-probe cell candidates cover all pairs, so the bucketed form
+    // answers to the SAME oracle as the all-pairs baseline
+    "q_dbscan_ivf" -> dbscanOracle,
+    "q_dbscan" -> dbscanOracle,
     "q_embed_neardup" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
@@ -1311,6 +1295,22 @@ object Llm extends QueryFamily {
         |  FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id)
         |SELECT doc_id, r_lex, r_dense, rrf_u FROM fused
         |ORDER BY rrf_u DESC, doc_id LIMIT 20""".stripMargin,
+    "q_ann_filtered_topk" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qvec
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    round(list_sum(list_transform(list_zip(e.embedding, q.qvec),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cos
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.q_id AND e.label = 3),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM scored)
+        |SELECT q_id, rnk, vec_id, cos FROM ranked
+        |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
     "q_ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qvec
         |           FROM embeddings WHERE vec_id < 5),
@@ -1328,4 +1328,42 @@ object Llm extends QueryFamily {
         |SELECT q_id, rnk, vec_id, cos FROM ranked
         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
   )
+
+  /** Shared by q_dbscan (all-pairs baseline) and q_dbscan_ivf (cell
+    * equi-join at full probe): the candidate sets cover the same pair
+    * universe, so one recursive-CTE oracle adjudicates both. */
+  private val dbscanOracle =
+      """WITH RECURSIVE p AS (
+        |  SELECT a.vec_id AS ia, b.vec_id AS ib
+        |  FROM embeddings a JOIN embeddings b
+        |    ON a.vec_id < b.vec_id
+        |   AND round(list_sum(list_transform(list_zip(a.embedding,
+        |         b.embedding),
+        |         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6)
+        |       >= 0.35),
+        |edges AS (SELECT ia AS src, ib AS dst FROM p
+        |          UNION ALL SELECT ib, ia FROM p),
+        |deg AS (SELECT src, count(*) AS c FROM edges GROUP BY 1),
+        |cores AS (SELECT src AS node FROM deg WHERE c + 1 >= 4),
+        |ce AS (
+        |  SELECT e.src, e.dst FROM edges e
+        |  JOIN cores c1 ON e.src = c1.node
+        |  JOIN cores c2 ON e.dst = c2.node),
+        |reach AS (
+        |  SELECT node AS id, node AS r FROM cores
+        |  UNION
+        |  SELECT ce.src AS id, reach.r
+        |  FROM ce JOIN reach ON ce.dst = reach.id),
+        |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id),
+        |nbr AS (
+        |  SELECT e.src AS id, min(l.cluster) AS nc
+        |  FROM edges e JOIN lab l ON e.dst = l.id GROUP BY 1)
+        |SELECT emb.vec_id,
+        |       CAST(coalesce(l.cluster, n.nc, -1) AS BIGINT) AS cluster,
+        |       CAST(CASE WHEN l.id IS NOT NULL THEN 1 ELSE 0 END
+        |            AS INT) AS is_core
+        |FROM embeddings emb
+        |LEFT JOIN lab l ON emb.vec_id = l.id
+        |LEFT JOIN nbr n ON emb.vec_id = n.id
+        |ORDER BY emb.vec_id""".stripMargin
 }

@@ -251,7 +251,12 @@ object Quality extends QueryFamily {
         sum(when(col("snap") === 0, 1L).otherwise(0L)).as("a"),
         sum(when(col("snap") === 1, 1L).otherwise(0L)).as("b"))
         .localCheckpoint()
-      val wv = Window.orderBy(col("v"))
+      // constant partition key (the q_running_distinct discipline):
+      // bounded |distinct lengths| frame, no SinglePartition in-plan;
+      // pmod(v,1)=0 — non-foldable, so Catalyst can't strip it the way
+      // it strips a bare literal from a window partition spec
+      val wv = Window.partitionBy(pmod(col("v"), lit(1)))
+        .orderBy(col("v"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val tot = byV.agg(sum(col("a")).as("n_a"), sum(col("b")).as("n_b"))
       byV.select(col("v"), sum(col("a")).over(wv).as("ca"),

@@ -20,6 +20,9 @@ class SparkEntrySpec extends SparkSuite {
     "q_ann_ivfpq_topk",  // composed IVF+PQ index → PqSpec
     "q_ann_opq_topk",    // OPQ rotated product quantization → OpqSpec
     "q_ann_graph_topk",  // proximity-graph beam search → GraphAnnSpec
+    "q_ann_filtered_graph_topk", // filter-during-search graph path
+                         //   → FilteredSearchSpec (the auto-routed
+                         //   q_ann_filtered_topk IS oracled)
     "q_embed_pca",       // distributed PCA (moments+Jacobi) → PcaSpec
     "q_kcore",           // fixpoint peeling loop → GraphSpec
     "q_knn_graph",       // IVF-join kNN graph (full-probe ≡ exact) → KnnJoinSpec

@@ -110,6 +110,41 @@ class BehaviorSpec extends SparkSuite {
       r.toString)
   }
 
+  test("sequence regex: quantifiers, alternation, classes, anchors") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("seqre").toString
+    // uA "sp": s[^p]*p, ^s; uB "vvv": v{3,}; uC "ee": nothing (two
+    // errors don't make three; no c/p before either); uD "svp":
+    // s[^p]*p spans the view, ^s; uE "cevee": (c|p)e and the
+    // non-consecutive three errors e[^e]*e[^e]*e
+    val rows = Seq(
+      (0L, "2024-01-01 10:00:00", 1L, "signup"),
+      (1L, "2024-01-01 10:01:00", 1L, "purchase"),
+      (2L, "2024-01-01 10:00:00", 2L, "view"),
+      (3L, "2024-01-01 10:01:00", 2L, "view"),
+      (4L, "2024-01-01 10:02:00", 2L, "view"),
+      (5L, "2024-01-01 10:00:00", 3L, "error"),
+      (6L, "2024-01-01 10:01:00", 3L, "error"),
+      (7L, "2024-01-01 10:00:00", 4L, "signup"),
+      (8L, "2024-01-01 10:01:00", 4L, "view"),
+      (9L, "2024-01-01 10:02:00", 4L, "purchase"),
+      (10L, "2024-01-01 10:00:00", 5L, "click"),
+      (11L, "2024-01-01 10:01:00", 5L, "error"),
+      (12L, "2024-01-01 10:02:00", 5L, "view"),
+      (13L, "2024-01-01 10:03:00", 5L, "error"),
+      (14L, "2024-01-01 10:04:00", 5L, "error"))
+    rows.toDF("event_id", "s", "user_id", "event_type")
+      .select(col("event_id"), to_timestamp_ntz(col("s")).as("ts"),
+        col("user_id"), col("event_type"), lit(1.5).as("value"),
+        lit("{}").as("props"))
+      .write.parquet(s"$d2/events.parquet")
+    val r = Behavior.queries("q_sequence_regex")(spark, d2)
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == ((2L, 1L, 1L, 2L, 1L)), r.toString)
+  }
+
   test("event transitions: per-user consecutive pairs, exact row probs") {
     val got = Behavior.queries("q_event_transitions")(spark, dir)
       .collect()

@@ -64,6 +64,26 @@ class PlanSpec extends SparkSuite {
       s"packing window collapsed to one partition:\n${plan.take(2000)}")
   }
 
+  test("bounded global windows carry a constant partition key, never SinglePartition") {
+    // the machine-checkable form of the "no single-partition window over
+    // corpus-scaled input" invariant: every declared window that ranks a
+    // provably bounded frame (|days|, |distinct lengths|, post-limit(50))
+    // partitions by a literal, so NO window in these plans feeds from an
+    // Exchange SinglePartition (global aggregates may — those reduce
+    // bounded partials, not rank rows)
+    for (q <- Seq("q_running_distinct", "q_drift_ks", "q_hybrid_rrf")) {
+      val lines = executedPlan(q).linesIterator.toVector
+      val winIdxs = lines.zipWithIndex
+        .filter(_._1.contains("Window")).map(_._2)
+      assert(winIdxs.nonEmpty, s"$q lost its window?")
+      winIdxs.foreach { i =>
+        val below = lines.slice(i + 1, i + 4).mkString("\n")
+        assert(!below.contains("Exchange SinglePartition"),
+          s"$q window still feeds from SinglePartition:\n$below")
+      }
+    }
+  }
+
   test("q_split_hash is map-only above the scan (no shuffle before sort)") {
     val plan = executedPlan("q_split_hash")
     // exactly one exchange: the final presentation orderBy
