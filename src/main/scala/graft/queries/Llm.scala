@@ -430,7 +430,10 @@ object Llm extends QueryFamily {
       // isn't. Rows-only (iterative graph model); FilteredSearchSpec
       // pins recall@10 vs exact filtered brute force at 1%/10%/50%
       // selectivities and the auto router's path choice.
-      // bench-sized config (the q_ann_graph_topk discipline).
+      // bench-sized config (the q_ann_graph_topk discipline: the
+      // layered frontier loop is JOB-count-bound at toy scale — the
+      // deep ef/rounds recall pins live in FilteredSearchSpec, where
+      // they are measured against exact filtered brute force).
       val e = Tables.embeddings(s, d)
       val idx = graft.operators.GraphAnn.build(e, degree = 8,
         kCells = 8, iters = 1, probes = 2, descentRounds = 0,
@@ -439,7 +442,7 @@ object Llm extends QueryFamily {
         .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
       val eligible = e.filter(col("label") === 3).select("vec_id")
       graft.operators.GraphAnn.searchFiltered(idx, e, queries, eligible,
-        topK = 10, ef = 48, maxRounds = 3)
+        topK = 10, ef = 24, maxRounds = 2)
     },
     "q_edit_distance" -> { (s, d) =>
       // Levenshtein on bounded prefixes — the fuzzy-dedup primitive for
