@@ -199,6 +199,25 @@ object Ann {
       .orderBy("q_id", "rnk")
   }
 
+  /** Metadata-FILTERED IVF search: the predicate's id set semi-joins
+    * the assignments BEFORE scoring, so the probe scan reads only
+    * eligible vectors — pre-filtering, never post- (the
+    * [[FilteredSearch]] contract; this is FAISS' IDSelector /
+    * filtered-IVF shape). Exact at nprobe = kCells on the eligible
+    * subset (FilteredSearchSpec pins ≡ [[FilteredSearch
+    * .exactFiltered]] bit-for-bit); under partial probes, widen nprobe
+    * as selectivity drops — expected eligible candidates per query are
+    * (nprobe/kCells)·|eligible|. At 100 TB the semi join runs on the
+    * partition-pruned probe scan ([[writeIvf]]'s cell layout), and a
+    * predicate on a real column pushes into the parquet scan before
+    * the join. */
+  def searchFiltered(index: IvfIndex, queries: DataFrame,
+      eligible: DataFrame, topK: Int, nprobe: Int): DataFrame = {
+    val data = index.assignments
+      .join(eligible.select(col("vec_id")), Seq("vec_id"), "left_semi")
+    search(IvfIndex(data, index.centroids), queries, topK, nprobe)
+  }
+
   private def probeCellsExpr(
       centroids: Array[Array[Float]], nprobe: Int): Column = {
     // rank cells by dot(qvec, centroid); take the nprobe best
