@@ -28,15 +28,19 @@ object ProfileDbscan {
 
   /** Clustered unit vectors around n/1000 planted directions —
     * executor-side, zero RNG state on the driver. */
-  /** kGroups ∝ n (constant cluster SIZE): cluster count grows with the
-    * corpus, intra-cluster ε-edges stay linear. A fixture with FIXED
-    * cluster count grows each cluster's ε-clique quadratically — real
-    * DBSCAN output is itself quadratic on such data, so that shape
-    * measures the data, not the engine. */
-  def corpus(spark: SparkSession, n: Long, dim: Int): DataFrame = {
+  /** Shared clustered-corpus generator (DbscanSpec and
+    * FilteredSearchSpec call it too — ONE fixture shape, parameterized,
+    * instead of drifting copies). Default kGroups ∝ n (constant cluster
+    * SIZE): cluster count grows with the corpus, intra-cluster ε-edges
+    * stay linear. A fixture with FIXED cluster count grows each
+    * cluster's ε-clique quadratically — real DBSCAN output is itself
+    * quadratic on such data, so that shape measures the data, not the
+    * engine. */
+  def corpus(spark: SparkSession, n: Long, dim: Int, kGroups: Int = -1,
+      noise: Double = 0.08): DataFrame = {
     import spark.implicits._
-    val kGroups = math.max(20, (n / 1000L).toInt)
-    val cents = Array.tabulate(kGroups) { c =>
+    val kg = if (kGroups > 0) kGroups else math.max(20, (n / 1000L).toInt)
+    val cents = Array.tabulate(kg) { c =>
       val v = Array.tabulate(dim)(j => gauss(c.toLong * 1009 + j))
       val nrm = math.sqrt(v.map(x => x * x).sum)
       v.map(x => (x / nrm).toFloat)
@@ -46,7 +50,7 @@ object ProfileDbscan {
       val cs = bc.value
       val g = (mix(i).abs % cs.length).toInt
       val v = Array.tabulate(dim)(j =>
-        cs(g)(j) + 0.08 * gauss(i * 131 + j * 17))
+        cs(g)(j) + noise * gauss(i * 131 + j * 17))
       val nrm = math.sqrt(v.map(x => x * x).sum)
       (i, v.map(x => (x / nrm).toFloat).toSeq)
     }.toDF("vec_id", "embedding")

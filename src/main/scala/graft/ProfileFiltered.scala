@@ -28,8 +28,12 @@ object ProfileFiltered {
       .localCheckpoint()
     val kCells = math.max(16, (n / 1000L).toInt)
     println(s"FILTERED building IVF (kCells=$kCells) + graph indexes...")
-    val ivf = Ann.buildIvf(emb, kCells, iters = 2)
-    ivf.assignments.localCheckpoint()
+    // materialize the assignments INTO the searched index —
+    // localCheckpoint returns a new frame, so the timed sweeps would
+    // otherwise recompute the k-means assignment scan per search
+    val ivf0 = Ann.buildIvf(emb, kCells, iters = 2)
+    val ivf = Ann.IvfIndex(ivf0.assignments.localCheckpoint(),
+      ivf0.centroids)
     val graph = GraphAnn.build(emb, degree = 12, kCells = kCells,
       iters = 2, probes = 2, descentRounds = 1)
 

@@ -68,10 +68,12 @@ object FilteredSearch {
       maxRounds: Int = 10): DataFrame = {
     val elig = eligible.select(col("vec_id")).localCheckpoint()
     val nElig = elig.count()
-    val n = corpus.count()
     if (nElig <= scanBudget)
       exactFiltered(corpus, queries, elig, topK)
     else {
+      // corpus count only on the graph branch — the routed-exact case
+      // (the dominant one) must not pay a corpus-wide aggregation
+      val n = corpus.count()
       val widened = math.min(efCap.toLong,
         math.max(ef.toLong, ef.toLong * n / math.max(1L, nElig))).toInt
       GraphAnn.searchFiltered(index, corpus, queries, elig, topK,

@@ -180,7 +180,7 @@ object Behavior extends QueryFamily {
           sum(when(col("seq").rlike("v{3,}"), 1L).otherwise(0L))
             .as("three_plus_views_row"),
           sum(when(col("seq").rlike("(c|p)e"), 1L).otherwise(0L))
-            .as("checkout_then_error"),
+            .as("click_or_purchase_then_error"),
           sum(when(col("seq").rlike("^s"), 1L).otherwise(0L))
             .as("signup_first_event"),
           sum(when(col("seq").rlike("e[^e]*e[^e]*e"), 1L).otherwise(0L))
@@ -366,7 +366,7 @@ object Behavior extends QueryFamily {
         |  CAST(sum(CASE WHEN regexp_matches(seq, 'v{3,}')
         |       THEN 1 ELSE 0 END) AS BIGINT) AS three_plus_views_row,
         |  CAST(sum(CASE WHEN regexp_matches(seq, '(c|p)e')
-        |       THEN 1 ELSE 0 END) AS BIGINT) AS checkout_then_error,
+        |       THEN 1 ELSE 0 END) AS BIGINT) AS click_or_purchase_then_error,
         |  CAST(sum(CASE WHEN regexp_matches(seq, '^s')
         |       THEN 1 ELSE 0 END) AS BIGINT) AS signup_first_event,
         |  CAST(sum(CASE WHEN regexp_matches(seq, 'e[^e]*e[^e]*e')

@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 
 /** Streaming sequence-pattern matching — the continuous form of
-  * [[graft.queries.Behavior]]'s `q_sequence_pattern`: per user, which
-  * substring patterns the (ts, event_id)-ordered event-initial string
-  * contains, emitted once per session when the watermark seals it.
+  * [[graft.queries.Behavior]]'s `q_sequence_pattern`: per user and
+  * SESSION (events separated by ≤ `sessionGap`), which substring
+  * patterns the (ts, event_id)-ordered event-initial string contains,
+  * emitted once per session when it is provably closed.
   *
   * The state discipline that makes this hold on an unbounded stream
   * (where the batch query's per-user collect_list cannot): events are
@@ -26,24 +27,31 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * sequence containment is a left fold, so the horizon is the
   * watermark itself.
   *
-  * Sealing: a session closes when the watermark passes
-  * lastEventTs + gap; everything pending is then ≤ lastEventTs ≤
-  * watermark, hence folded, and the flags are final. A user active
-  * again later starts a fresh session (new state). With gap wider than
-  * the corpus span, one session = the batch query's whole-string
-  * semantics — SequenceStatsSpec pins streamed ≡ batch bit-for-bit
-  * under adversarially shuffled cross-batch arrival.
+  * Sessionization happens INSIDE the fold: the order-final slice
+  * segments at event-time gaps > sessionGap, and order-finality makes
+  * each gap final (every future event has ts above the watermark,
+  * hence above both sides of the gap), so earlier segments close —
+  * and emit — the moment the fold sees them, no matter how the
+  * watermark lagged while they were buffered. Two bursts a day apart
+  * arriving before any watermark movement still split. The event-time
+  * timeout at lastSeenTs + gap handles the final session of a user who
+  * simply stops. SequenceStatsSpec pins streamed ≡ batch whole-string
+  * containment (single-session corpora) and the multi-session split
+  * bit-for-bit under shuffled cross-batch arrival.
   */
 object SequenceStats {
 
   /** (user_id, matched-pattern bitmask (bit i = patterns(i)),
-    * n_events folded, t_last). */
+    * n_events in the session, ts of the session's last event). */
   type Outcome = (Long, Int, Long, Timestamp)
 
-  /** tail: last maxLen−1 folded initials; flags: matched bitmask;
-    * lastTs: max event ts seen (the seal anchor); n: folded count;
-    * pend*: parallel arrays of not-yet-order-final events. */
-  case class SeqState(tail: String, flags: Int, lastTs: Long, n: Long,
+  /** tail: last maxLen−1 folded initials of the OPEN session; flags:
+    * its matched bitmask; n: its folded count; lastFoldTs: its last
+    * folded event ts (MinValue before anything folds); lastTs: max
+    * event ts SEEN incl. pending (the timeout anchor); pend*: parallel
+    * arrays of not-yet-order-final events. */
+  case class SeqState(tail: String, flags: Int, n: Long,
+      lastFoldTs: Long, lastTs: Long,
       pendTs: Array[Long], pendId: Array[Long], pendCh: String)
 
   def transform(events: DataFrame, patterns: Seq[String],
@@ -68,14 +76,21 @@ object SequenceStats {
           if (state.hasTimedOut) {
             val st = state.get
             state.remove()
-            // pending events all sit ≤ lastTs ≤ watermark at timeout —
-            // fold the stragglers, then emit the sealed flags
-            val fin = fold(st, Long.MaxValue, pats, keep)
-            Iterator.single((user, fin.flags, fin.n,
-              new Timestamp(fin.lastTs)))
+            // timeout fires once the watermark passes lastTs + gap, so
+            // every pending event is ≤ lastTs ≤ watermark — fold the
+            // stragglers (which may themselves split sessions), then
+            // the remaining open session is final too
+            val (fin, closed) = fold(st, Long.MaxValue, pats, keep,
+              gapMs)
+            val all =
+              if (fin.n > 0) closed :+ ((fin.flags, fin.n, fin.lastFoldTs))
+              else closed
+            all.iterator.map { case (f, cnt, tl) =>
+              (user, f, cnt, new Timestamp(tl))
+            }
           } else {
             val prev = state.getOption.getOrElse(
-              SeqState("", 0, Long.MinValue, 0L,
+              SeqState("", 0, 0L, Long.MinValue, Long.MinValue,
                 Array.emptyLongArray, Array.emptyLongArray, ""))
             val add = rows.toArray
             val grown = prev.copy(
@@ -84,42 +99,71 @@ object SequenceStats {
               pendTs = prev.pendTs ++ add.map(_._1.getTime),
               pendId = prev.pendId ++ add.map(_._3),
               pendCh = prev.pendCh + add.map(_._4).mkString)
-            val folded = fold(grown, state.getCurrentWatermarkMs(), pats,
-              keep)
+            val (folded, closed) = fold(grown,
+              state.getCurrentWatermarkMs(), pats, keep, gapMs)
             state.update(folded)
             state.setTimeoutTimestamp(math.max(folded.lastTs + gapMs,
               state.getCurrentWatermarkMs() + 1))
-            Iterator.empty
+            closed.iterator.map { case (f, cnt, tl) =>
+              (user, f, cnt, new Timestamp(tl))
+            }
           }
       }
   }
 
-  /** Fold every pending event with ts ≤ `upTo` into (tail, flags):
-    * sort the order-final slice by (ts, event_id), scan tail ++ chunk
-    * for each still-unmatched pattern, keep the new maxLen−1 tail.
-    * Pure → unit-tested directly. */
+  /** Fold every pending event with ts ≤ `upTo` into the open session:
+    * sort the order-final slice by (ts, event_id), SEGMENT it at
+    * event-time gaps > gapMs (each gap is final — no future event can
+    * land inside it), close-and-collect every segment but the last,
+    * scan tail ++ chunk for each still-unmatched pattern, keep the new
+    * maxLen−1 tail. Returns (state with the open session, closed
+    * sessions as (flags, n, lastEventTs) in order). Pure → unit-tested
+    * directly. */
   private[streaming] def fold(st: SeqState, upTo: Long,
-      pats: Array[String], keep: Int): SeqState = {
+      pats: Array[String], keep: Int, gapMs: Long)
+      : (SeqState, List[(Int, Long, Long)]) = {
     val idx = st.pendTs.indices.filter(i => st.pendTs(i) <= upTo)
-    if (idx.isEmpty) return st
+    if (idx.isEmpty) return (st, Nil)
     val ordered = idx.sortBy(i => (st.pendTs(i), st.pendId(i)))
-    val chunk = ordered.iterator.map(st.pendCh.charAt).mkString
-    val hay = st.tail + chunk
+    var tail = st.tail
     var flags = st.flags
-    var p = 0
-    while (p < pats.length) {
-      if ((flags & (1 << p)) == 0 && hay.contains(pats(p)))
-        flags |= 1 << p
-      p += 1
+    var n = st.n
+    var lastTs = st.lastFoldTs
+    val closed = List.newBuilder[(Int, Long, Long)]
+    val seg = new StringBuilder
+    var segN = 0L
+    def flushSeg(): Unit = if (segN > 0) {
+      val hay = tail + seg.result()
+      var p = 0
+      while (p < pats.length) {
+        if ((flags & (1 << p)) == 0 && hay.contains(pats(p)))
+          flags |= 1 << p
+        p += 1
+      }
+      tail = hay.takeRight(keep)
+      n += segN
+      seg.clear()
+      segN = 0
     }
+    ordered.foreach { i =>
+      val ts = st.pendTs(i)
+      if (lastTs != Long.MinValue && ts - lastTs > gapMs) {
+        flushSeg()
+        closed += ((flags, n, lastTs))
+        tail = ""; flags = 0; n = 0
+      }
+      seg.append(st.pendCh.charAt(i))
+      segN += 1
+      lastTs = ts
+    }
+    flushSeg()
     val rest = st.pendTs.indices.filterNot(i => st.pendTs(i) <= upTo)
-    st.copy(
-      tail = hay.takeRight(keep),
-      flags = flags,
-      n = st.n + idx.size,
+    (st.copy(
+      tail = tail, flags = flags, n = n, lastFoldTs = lastTs,
       pendTs = rest.iterator.map(st.pendTs).toArray,
       pendId = rest.iterator.map(st.pendId).toArray,
-      pendCh = rest.iterator.map(st.pendCh.charAt).mkString)
+      pendCh = rest.iterator.map(st.pendCh.charAt).mkString),
+      closed.result())
   }
 
   private def windowMillis(len: String): Long = {

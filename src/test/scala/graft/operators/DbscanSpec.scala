@@ -14,37 +14,11 @@ class DbscanSpec extends SparkSuite {
 
   private val dim = 48
 
-  /** Clustered unit vectors: kGroups planted directions, members
-    * perturbed deterministically (ProfileEmbedDedup's generator shape,
-    * inlined so the fixture is self-contained). */
-  private def corpus(n: Int, kGroups: Int) = {
-    import spark.implicits._
-    def mix(z0: Long): Long = {
-      var z = z0 + 0x9e3779b97f4a7c15L
-      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-      z ^ (z >>> 31)
-    }
-    def gauss(seed: Long): Double = {
-      val u1 = ((mix(seed).abs % 1000000) + 1) / 1000001.0
-      val u2 = (mix(seed * 31 + 7).abs % 1000000) / 1000000.0
-      math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
-    }
-    val cents = Array.tabulate(kGroups) { c =>
-      val v = Array.tabulate(dim)(j => gauss(c.toLong * 1009 + j))
-      val nrm = math.sqrt(v.map(x => x * x).sum)
-      v.map(x => (x / nrm).toFloat)
-    }
-    (0 until n).map { i =>
-      val g = (mix(i.toLong).abs % kGroups).toInt
-      val v = Array.tabulate(dim)(j =>
-        cents(g)(j) + 0.25 * gauss(i.toLong * 131 + j * 17))
-      val nrm = math.sqrt(v.map(x => x * x).sum)
-      (i.toLong, v.map(x => (x / nrm).toFloat).toSeq)
-    }.toDF("vec_id", "embedding")
-      .select(col("vec_id"),
-        col("embedding").cast("array<float>").as("embedding"))
-  }
+  /** Clustered unit vectors — graft.ProfileDbscan.corpus, the ONE
+    * shared fixture generator, at this spec's noise scale. */
+  private def corpus(n: Int, kGroups: Int) =
+    graft.ProfileDbscan.corpus(spark, n.toLong, dim, kGroups,
+      noise = 0.25)
 
   private def pairSet(df: org.apache.spark.sql.DataFrame) = {
     import spark.implicits._

@@ -13,39 +13,12 @@ class FilteredSearchSpec extends SparkSuite {
   private val dim = 48
   private val k = 10
 
-  private def mix(z0: Long): Long = {
-    var z = z0 + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
-  }
-
-  private def gauss(seed: Long): Double = {
-    val u1 = ((mix(seed).abs % 1000000) + 1) / 1000001.0
-    val u2 = (mix(seed * 31 + 7).abs % 1000000) / 1000000.0
-    math.sqrt(-2.0 * math.log(u1)) * math.cos(2.0 * math.Pi * u2)
-  }
-
-  /** 2000 clustered unit vectors, 12 planted directions. */
-  private lazy val corpus: DataFrame = {
-    import spark.implicits._
-    val kGroups = 12
-    val cents = Array.tabulate(kGroups) { c =>
-      val v = Array.tabulate(dim)(j => gauss(c.toLong * 1009 + j))
-      val nrm = math.sqrt(v.map(x => x * x).sum)
-      v.map(x => (x / nrm).toFloat)
-    }
-    (0 until 2000).map { i =>
-      val g = (mix(i.toLong).abs % kGroups).toInt
-      val v = Array.tabulate(dim)(j =>
-        cents(g)(j) + 0.3 * gauss(i.toLong * 131 + j * 17))
-      val nrm = math.sqrt(v.map(x => x * x).sum)
-      (i.toLong, v.map(x => (x / nrm).toFloat).toSeq)
-    }.toDF("vec_id", "embedding")
-      .select(col("vec_id"),
-        col("embedding").cast("array<float>").as("embedding"))
-      .localCheckpoint()
-  }
+  /** 2000 clustered unit vectors, 12 planted directions —
+    * graft.ProfileDbscan.corpus, the ONE shared fixture generator, at
+    * this spec's noise scale. */
+  private lazy val corpus: DataFrame =
+    graft.ProfileDbscan.corpus(spark, 2000L, dim, kGroups = 12,
+      noise = 0.3).localCheckpoint()
 
   private lazy val queries: DataFrame = corpus
     .filter(col("vec_id") < 8)

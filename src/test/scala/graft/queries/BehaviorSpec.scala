@@ -116,7 +116,7 @@ class BehaviorSpec extends SparkSuite {
     val d2 = java.nio.file.Files.createTempDirectory("seqre").toString
     // uA "sp": s[^p]*p, ^s; uB "vvv": v{3,}; uC "ee": nothing (two
     // errors don't make three; no c/p before either); uD "svp":
-    // s[^p]*p spans the view, ^s; uE "cevee": (c|p)e and the
+    // s[^p]*p spans the view, ^s; uE "cevee": click-then-error fires (c|p)e and the
     // non-consecutive three errors e[^e]*e[^e]*e
     val rows = Seq(
       (0L, "2024-01-01 10:00:00", 1L, "signup"),
