@@ -92,7 +92,16 @@ object SequenceStats {
             val prev = state.getOption.getOrElse(
               SeqState("", 0, 0L, Long.MinValue, Long.MinValue,
                 Array.emptyLongArray, Array.emptyLongArray, ""))
-            val add = rows.toArray
+            // EXPLICIT late-drop: flatMapGroupsWithState does not
+            // filter late rows (unlike aggregations) — a row at or
+            // below the watermark would insert into an order-final,
+            // possibly already-emitted session and rewrite history
+            // (or resurrect a removed state as a spurious session)
+            val add = rows
+              .filter(_._1.getTime > state.getCurrentWatermarkMs())
+              .toArray
+            if (add.isEmpty && state.getOption.isEmpty) Iterator.empty
+            else {
             val grown = prev.copy(
               lastTs = math.max(prev.lastTs,
                 if (add.isEmpty) Long.MinValue else add.map(_._1.getTime).max),
@@ -106,6 +115,7 @@ object SequenceStats {
               state.getCurrentWatermarkMs() + 1))
             closed.iterator.map { case (f, cnt, tl) =>
               (user, f, cnt, new Timestamp(tl))
+            }
             }
           }
       }
