@@ -84,6 +84,19 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q_ann_filtered_topk pre-filters: predicate pushed, semi join before scoring") {
+    val plan = SparkEntry.queries("q_ann_filtered_topk")(spark, sf)
+      .queryExecution.executedPlan.toString()
+    // the predicate reaches the eligible scan — never post-filtering
+    // the scored top-k
+    assert(plan.contains("EqualTo(label,3)"),
+      s"label predicate not pushed to the parquet scan:\n${plan.take(2000)}")
+    // eligibility is a semi join (dim-sized side), not a row filter
+    // after scoring
+    assert(plan.contains("LeftSemi"),
+      "eligible-subset semi join regressed")
+  }
+
   test("q_split_hash is map-only above the scan (no shuffle before sort)") {
     val plan = executedPlan("q_split_hash")
     // exactly one exchange: the final presentation orderBy
