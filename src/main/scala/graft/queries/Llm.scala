@@ -422,6 +422,21 @@ object Llm extends QueryFamily {
         e.select(col("vec_id"), col("embedding")), queries, eligible,
         topK = 10)
     },
+    "q_ann_filtered_ivf_topk" -> { (s, d) =>
+      // The filtered-IVF form at FULL probe: the eligible semi join
+      // prunes the assignments before scoring and every cell is
+      // scanned, so the result is exactly filtered brute force on the
+      // eligible subset — independent of the k-means model — and the
+      // query shares q_ann_filtered_topk's oracle (the q_dbscan_ivf
+      // pattern). Partial-probe recall lives in FilteredSearchSpec.
+      val e = Tables.embeddings(s, d)
+      val idx = graft.operators.Ann.buildIvf(e, k = 16, iters = 2)
+      val queries = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+      val eligible = e.filter(col("label") === 3).select("vec_id")
+      graft.operators.Ann.searchFiltered(idx, queries, eligible,
+        topK = 10, nprobe = 16)
+    },
     "q_ann_filtered_graph_topk" -> { (s, d) =>
       // The same filtered search FORCED down the graph path
       // (filter-during-search: navigation unfiltered, ranking
@@ -1298,22 +1313,10 @@ object Llm extends QueryFamily {
         |  FROM lex FULL OUTER JOIN den ON lex.doc_id = den.doc_id)
         |SELECT doc_id, r_lex, r_dense, rrf_u FROM fused
         |ORDER BY rrf_u DESC, doc_id LIMIT 20""".stripMargin,
-    "q_ann_filtered_topk" ->
-      """WITH q AS (SELECT vec_id AS q_id, embedding AS qvec
-        |           FROM embeddings WHERE vec_id < 5),
-        |scored AS (
-        |  SELECT q.q_id, e.vec_id,
-        |    round(list_sum(list_transform(list_zip(e.embedding, q.qvec),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cos
-        |  FROM embeddings e CROSS JOIN q
-        |  WHERE e.vec_id <> q.q_id AND e.label = 3),
-        |ranked AS (
-        |  SELECT q_id, vec_id, cos,
-        |    row_number() OVER (PARTITION BY q_id
-        |      ORDER BY cos DESC, vec_id ASC) AS rnk
-        |  FROM scored)
-        |SELECT q_id, rnk, vec_id, cos FROM ranked
-        |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin,
+    // full-probe filtered IVF covers the whole eligible set exactly,
+    // so it answers to the SAME oracle as the exact filtered scan
+    "q_ann_filtered_ivf_topk" -> filteredOracle,
+    "q_ann_filtered_topk" -> filteredOracle,
     "q_ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qvec
         |           FROM embeddings WHERE vec_id < 5),
@@ -1331,6 +1334,26 @@ object Llm extends QueryFamily {
         |SELECT q_id, rnk, vec_id, cos FROM ranked
         |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
   )
+
+  /** Shared by q_ann_filtered_topk (exact eligible-subset scan) and
+    * q_ann_filtered_ivf_topk (filtered IVF at full probe): both are
+    * exactly filtered brute force, so one oracle adjudicates both. */
+  private val filteredOracle =
+      """WITH q AS (SELECT vec_id AS q_id, embedding AS qvec
+        |           FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.q_id, e.vec_id,
+        |    round(list_sum(list_transform(list_zip(e.embedding, q.qvec),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cos
+        |  FROM embeddings e CROSS JOIN q
+        |  WHERE e.vec_id <> q.q_id AND e.label = 3),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM scored)
+        |SELECT q_id, rnk, vec_id, cos FROM ranked
+        |WHERE rnk <= 10 ORDER BY q_id, rnk""".stripMargin
 
   /** Shared by q_dbscan (all-pairs baseline) and q_dbscan_ivf (cell
     * equi-join at full probe): the candidate sets cover the same pair
