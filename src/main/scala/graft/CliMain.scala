@@ -446,6 +446,10 @@ object CliMain {
     // score) parquet — the read side of the similarity-search story.
     // Queries default to the first 5 corpus vectors; --q takes a
     // comma-separated vec_id list from the same embeddings parquet.
+    // --filter-label L (kinds ivf|graph): metadata-FILTERED search —
+    // the predicate pre-filters before scoring (never post-); graph
+    // routes through FilteredSearch.auto (--scan-budget N overrides
+    // the exact-scan crossover).
     case "search" :: indexDir :: embDir :: outDir :: flags =>
       def flagVal(name: String): Option[String] = flagValIn(flags, name)
       val reused =
@@ -460,10 +464,21 @@ object CliMain {
         .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
       val topK = flagVal("--topk").map(_.toInt).getOrElse(10)
       val nprobe = flagVal("--nprobe").map(_.toInt).getOrElse(8)
-      val result = flagVal("--kind").getOrElse("ivfpq") match {
+      val eligible = flagVal("--filter-label").map(l =>
+        emb.filter(col("label") === l.toInt).select("vec_id"))
+      val kind = flagVal("--kind").getOrElse("ivfpq")
+      require(eligible.isEmpty || kind == "ivf" || kind == "graph",
+        s"--filter-label supports --kind ivf|graph, not $kind")
+      val result = kind match {
         case "ivf" =>
           val idx = graft.operators.Ann.loadIvf(spark, indexDir)
-          graft.operators.Ann.search(idx, queries, topK, nprobe)
+          eligible match {
+            case Some(e) =>
+              graft.operators.Ann.searchFiltered(idx, queries, e, topK,
+                nprobe)
+            case None =>
+              graft.operators.Ann.search(idx, queries, topK, nprobe)
+          }
         case "ivfpq" =>
           val idx = graft.operators.Pq.loadIvfPq(spark, indexDir)
           graft.operators.Pq.searchIvfPq(idx, queries, emb, topK, nprobe,
@@ -500,8 +515,15 @@ object CliMain {
         case "graph" =>
           // beam search over the proximity graph (--ef = beam width)
           val idx = graft.operators.GraphAnn.load(spark, indexDir)
-          graft.operators.GraphAnn.search(idx, emb, queries, topK,
-            ef = flagVal("--ef").map(_.toInt).getOrElse(math.max(32, topK)))
+          val ef = flagVal("--ef").map(_.toInt).getOrElse(math.max(32, topK))
+          eligible match {
+            case Some(e) =>
+              graft.operators.FilteredSearch.auto(idx, emb, queries, e,
+                topK, ef, scanBudget = flagVal("--scan-budget")
+                  .map(_.toLong).getOrElse(100000L))
+            case None =>
+              graft.operators.GraphAnn.search(idx, emb, queries, topK, ef)
+          }
         case other => sys.error(s"unknown search kind: $other")
       }
       result.write.mode("overwrite").parquet(outDir)

@@ -226,6 +226,40 @@ class CliMainSpec extends SparkSuite {
     }
   }
 
+  test("search --filter-label pre-filters: CLI ≡ in-memory filtered search") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("cli-filter").toString
+    val emb = "/root/testdata/sf0.001/embeddings.parquet"
+    CliMain.main(Array("index", emb, s"$root/idx", "--kind", "ivf",
+      "--k", "8"))
+    CliMain.main(Array("search", s"$root/idx", emb, s"$root/out",
+      "--kind", "ivf", "--topk", "5", "--nprobe", "8",
+      "--filter-label", "3"))
+    val fromCli = spark.read.parquet(s"$root/out")
+      .orderBy("q_id", "rnk")
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    val embDf = spark.read.parquet(emb)
+    val queries = embDf.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("q_id"), col("embedding").as("qvec"))
+    val idx = graft.operators.Ann.loadIvf(spark, s"$root/idx")
+    val mem = graft.operators.Ann.searchFiltered(idx, queries,
+        embDf.filter(col("label") === 3).select("vec_id"), topK = 5,
+        nprobe = 8)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(fromCli == mem, "CLI filtered search diverged")
+    // the predicate actually filtered: every hit carries label 3
+    val lab3 = embDf.filter(col("label") === 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(fromCli.nonEmpty && fromCli.forall(r => lab3(r._3)),
+      "an ineligible vector surfaced")
+    // unsupported kind fails fast rather than silently post-filtering
+    intercept[IllegalArgumentException] {
+      CliMain.main(Array("search", s"$root/idx", emb, s"$root/out2",
+        "--kind", "ivfpq", "--filter-label", "3"))
+    }
+  }
+
   test("index --append grows a materialized index without retraining") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("cli-app").toString
