@@ -157,6 +157,32 @@ object Behavior extends QueryFamily {
           sum(when(col("seq").contains("ee"), 1L).otherwise(0L))
             .as("error_pair"))
     },
+    "q_sessionize" -> { (s, d) =>
+      // Gap-based sessionization — the batch form of the 30-minute
+      // session semantics streaming/SequenceStats seals continuously:
+      // a session breaks where the gap to the previous event exceeds
+      // 30 minutes; session ids are the running count of breaks (the
+      // classic lag + cumulative-sum idiom, both windows sharing ONE
+      // user_id exchange and ONE (ts, event_id) sort). Durations in
+      // whole seconds (exact BIGINTs — no interval/float drift).
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val gapUs = 1800L * 1000000L
+      val us = expr("unix_micros(cast(ts as timestamp))")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          us.as("us"), lag(us, 1).over(w).as("prev_us"))
+        .select(col("user_id"), col("ts"), col("event_id"), col("us"),
+          when(col("prev_us").isNull ||
+            col("us") - col("prev_us") > gapUs, 1L).otherwise(0L)
+            .as("brk"))
+        .select(col("user_id"), col("us"),
+          sum(col("brk")).over(w).as("session_idx"))
+        .groupBy(col("user_id"), col("session_idx"))
+        .agg(count(lit(1)).as("n_events"),
+          expr("(max(us) - min(us)) DIV 1000000").as("duration_sec"))
+        .orderBy("user_id", "session_idx")
+    },
     "q_sequence_regex" -> { (s, d) =>
       // Regex-CLASS sequence patterns over the same per-user event
       // strings — MATCH_RECOGNIZE's real power (quantifiers,
@@ -354,6 +380,29 @@ object Behavior extends QueryFamily {
         |  CAST(sum(CASE WHEN contains(seq, 'ee') THEN 1 ELSE 0 END)
         |       AS BIGINT) AS error_pair
         |FROM strs""".stripMargin,
+    "q_sessionize" ->
+      """WITH e AS (
+        |  SELECT user_id, epoch_us(ts) AS us, event_id FROM events),
+        |marked AS (
+        |  SELECT user_id, us,
+        |    CASE WHEN lag(us) OVER (PARTITION BY user_id
+        |           ORDER BY us, event_id) IS NULL
+        |         OR us - lag(us) OVER (PARTITION BY user_id
+        |           ORDER BY us, event_id) > 1800000000
+        |         THEN 1 ELSE 0 END AS brk,
+        |    event_id
+        |  FROM e),
+        |sess AS (
+        |  SELECT user_id, us,
+        |    sum(brk) OVER (PARTITION BY user_id
+        |      ORDER BY us, event_id) AS session_idx
+        |  FROM marked)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       CAST((max(us) - min(us)) // 1000000 AS BIGINT)
+        |         AS duration_sec
+        |FROM sess GROUP BY user_id, session_idx
+        |ORDER BY user_id, session_idx""".stripMargin,
     "q_sequence_regex" ->
       """WITH strs AS (
         |  SELECT user_id,

@@ -110,6 +110,30 @@ class BehaviorSpec extends SparkSuite {
       r.toString)
   }
 
+  test("sessionize: 30-min gap rule, boundaries, singleton sessions") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val d2 = java.nio.file.Files.createTempDirectory("sess").toString
+    // u1: 10:00, 10:20, 10:45 chain (gaps 20/25 min — one session,
+    // duration 2700 s), then 11:15 at EXACTLY +30:00 (<= gap: SAME
+    // session), then 11:46 at +31 min (> gap: new session);
+    // u2: one event — a singleton zero-duration session
+    val rows = Seq(
+      (0L, "2024-01-01 10:00:00", 1L), (1L, "2024-01-01 10:20:00", 1L),
+      (2L, "2024-01-01 10:45:00", 1L), (3L, "2024-01-01 11:15:00", 1L),
+      (4L, "2024-01-01 11:46:00", 1L),
+      (5L, "2024-01-01 09:00:00", 2L))
+    rows.toDF("event_id", "s", "user_id")
+      .select(col("event_id"), to_timestamp_ntz(col("s")).as("ts"),
+        col("user_id"), lit("view").as("event_type"),
+        lit(1.5).as("value"), lit("{}").as("props"))
+      .write.parquet(s"$d2/events.parquet")
+    val got = Behavior.queries("q_sessionize")(spark, d2)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 1L, 4L, 4500L), (1L, 2L, 1L, 0L),
+      (2L, 1L, 1L, 0L)), got.toString)
+  }
+
   test("sequence regex: quantifiers, alternation, classes, anchors") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
