@@ -48,9 +48,12 @@ object ProfileBehavior {
       val trans = time("q_event_transitions")
       val anom = time("q_rolling_anomaly")
       val ret = time("q_retention_cohort")
+      val sess = time("q_sessionize")
+      val regex = time("q_sequence_regex")
       println(f"BEHAVIOR n=$n users=$users funnel=$funnel%.2fs " +
         f"transitions=$trans%.2fs anomaly=$anom%.2fs " +
-        f"retention=$ret%.2fs (${n / funnel / 1e6}%.1fM ev/s funnel)")
+        f"retention=$ret%.2fs sessionize=$sess%.2fs " +
+        f"seq_regex=$regex%.2fs (${n / funnel / 1e6}%.1fM ev/s funnel)")
     }
     spark.stop()
   }
