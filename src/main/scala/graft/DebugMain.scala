@@ -14,9 +14,13 @@ object DebugMain {
         else SparkEntry.queries(name)(s, d)
       if (args.contains("--plan")) df.explain("formatted")
       val outIdx = args.indexOf("--out")
-      if (outIdx >= 0 && outIdx + 1 < args.length)
+      if (outIdx >= 0 && outIdx + 1 < args.length) {
         df.coalesce(1).write.mode("overwrite")
           .parquet(s"${args(outIdx + 1)}/$name")
+        // oracle_sql.json alongside, so tools/check.py can compare a
+        // single query without a full Verify pass (dev loop only)
+        Verify.writeOracleJson(args(outIdx + 1))
+      }
       df.show(20, truncate = false)
       println(s"[debug] $name rows=${df.count()}")
     } catch { case e: Throwable => e.printStackTrace() }

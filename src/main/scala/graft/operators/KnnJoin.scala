@@ -49,15 +49,20 @@ import graft.functions.Vectors
 object KnnJoin {
 
   /** (q_id, rnk, vec_id, cos): the kNN graph, `topK` edges per vector,
-    * deterministic (score desc, then smaller vec_id). */
+    * deterministic (score desc, then smaller vec_id). `rankRounded`
+    * ranks on the score ROUNDED to 6 dp instead of the raw double —
+    * the cross-engine determinism contract of q_ann_cosine_topk (both
+    * engines tie-break the identical rounded value by vec_id), used by
+    * the full-probe DuckDB-oracled declared form. */
   def knnGraph(embeddings: DataFrame, topK: Int, kCells: Int,
-      iters: Int = 2, probes: Int = 2): DataFrame = {
+      iters: Int = 2, probes: Int = 2,
+      rankRounded: Boolean = false): DataFrame = {
     val idx = Ann.buildIvf(embeddings, kCells, iters)
-    knnGraphOnIndex(idx, embeddings, topK, probes)
+    knnGraphOnIndex(idx, embeddings, topK, probes, rankRounded)
   }
 
   def knnGraphOnIndex(idx: Ann.IvfIndex, embeddings: DataFrame,
-      topK: Int, probes: Int): DataFrame = {
+      topK: Int, probes: Int, rankRounded: Boolean = false): DataFrame = {
     val spark = embeddings.sparkSession
     import spark.implicits._
     val probeCells = graft.functions.QuantExpressions.nearestCells(
@@ -69,11 +74,12 @@ object KnnJoin {
       .select(col("vec_id").as("q_id"), col("embedding").as("qv"),
         explode(probeCells).as("cell_id"))
       .repartition(col("cell_id"))
+    val rawScore = Vectors.dot(col("qv"), col("vd"))
     queries
       .join(data.hint("shuffle_hash"), Seq("cell_id"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id"),
-        Vectors.dot(col("qv"), col("vd")).as("score"))
+        (if (rankRounded) round(rawScore, 6) else rawScore).as("score"))
       .transform(topKPerQuery(topK))
   }
 

@@ -340,6 +340,62 @@ object Behavior extends QueryFamily {
             .over(Window.partitionBy(col("user_id")).orderBy(col("day")))
             .as("v_locf"))
         .orderBy("user_id", "day")
+    },
+    "q_attribution" -> { (s, d) =>
+      // Last-touch conversion attribution: each purchase credits the
+      // user's most recent PRIOR non-purchase event within a 7-day
+      // lookback, else 'direct' — the marketing-attribution shape the
+      // funnel doesn't answer (funnels count converters; attribution
+      // splits conversions across acquisition channels). ONE exchange
+      // on user_id; the two last-ignoreNulls windows share frame and
+      // sort; the final rollup is |types| rows. The 7-day cut compares
+      // epoch micros (exact BIGINTs — no interval-arithmetic dialect
+      // drift), tie-break (ts, event_id) as everywhere in this family.
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val us = expr("unix_micros(cast(ts as timestamp))")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), us.as("us"),
+          last(when(col("event_type") =!= "purchase", col("event_type")),
+            ignoreNulls = true).over(w).as("touch_type"),
+          last(when(col("event_type") =!= "purchase", us),
+            ignoreNulls = true).over(w).as("touch_us"))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          when(col("touch_us").isNotNull &&
+            col("us") - col("touch_us") <= 604800000000L,
+            col("touch_type")).otherwise("direct").as("touch_type"))
+        .groupBy("touch_type")
+        .agg(count(lit(1)).as("conversions"),
+          countDistinct(col("user_id")).as("users"))
+        .orderBy("touch_type")
+    },
+    "q_ewma" -> { (s, d) =>
+      // Per-user EWMA (α = 1/2) of daily event counts — the smoothed
+      // activity baseline behind the anomaly family, decided ENTIRELY
+      // in integer arithmetic: the recurrence e_i = (e_{i-1} + x_i·1e6)
+      // DIV 2 floors at every step, so both engines walk the identical
+      // integer sequence (no float summation order, no pow() drift) and
+      // the state never outgrows max(x)·1e6·2 — the q_rolling_anomaly
+      // micro-unit discipline applied to a left fold. Shape: one
+      // partial-agged daily shuffle, one user_id shuffle; the fold is
+      // map-side over per-user day arrays (bounded by the span in days,
+      // the q_pack_sequences collect_list contract). The -1 seed is a
+      // sentinel: counts are ≥ 1, so x·1e6 ≥ 1e6 and the first element
+      // passes through as the classic ewma_1 = x_1 initialization —
+      // matching DuckDB list_reduce's first-element-as-seed exactly.
+      val daily = Tables.events(s, d)
+        .groupBy(col("user_id"),
+          date_trunc("day", tsCol).cast("date").as("day"))
+        .agg(count(lit(1)).as("x"))
+      daily.groupBy(col("user_id"))
+        .agg(array_sort(collect_list(struct(col("day"), col("x"))))
+          .as("ds"))
+        .select(col("user_id"), size(col("ds")).as("n_days"),
+          expr("aggregate(transform(ds, s -> s.x * 1000000L), -1L, " +
+            "(acc, v) -> IF(acc = -1L, v, (acc + v) DIV 2))").as("ewma_u"))
+        .orderBy("user_id")
     }
   )
 
@@ -551,6 +607,36 @@ object Behavior extends QueryFamily {
         |         OVER (PARTITION BY g.user_id ORDER BY g.day) AS v_locf
         |FROM grid g
         |LEFT JOIN daily d ON g.user_id = d.user_id AND g.day = d.day
-        |ORDER BY g.user_id, g.day""".stripMargin
+        |ORDER BY g.user_id, g.day""".stripMargin,
+    "q_attribution" ->
+      """WITH t AS (
+        |  SELECT user_id, event_type, epoch_us(ts) AS us,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |                    THEN event_type END IGNORE NULLS)
+        |      OVER w AS touch_type,
+        |    last_value(CASE WHEN event_type <> 'purchase'
+        |                    THEN epoch_us(ts) END IGNORE NULLS)
+        |      OVER w AS touch_us
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))
+        |SELECT CASE WHEN touch_us IS NOT NULL
+        |            AND us - touch_us <= 604800000000
+        |            THEN touch_type ELSE 'direct' END AS touch_type,
+        |       CAST(count(*) AS BIGINT) AS conversions,
+        |       CAST(count(DISTINCT user_id) AS BIGINT) AS users
+        |FROM t WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_ewma" ->
+      """WITH daily AS (
+        |  SELECT user_id, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |         CAST(count(*) AS BIGINT) AS x
+        |  FROM events GROUP BY 1, 2),
+        |arr AS (SELECT user_id, list(x ORDER BY day) AS xs
+        |        FROM daily GROUP BY 1)
+        |SELECT user_id, CAST(len(xs) AS INTEGER) AS n_days,
+        |  list_reduce(list_transform(xs, x -> x * 1000000),
+        |              (a, b) -> (a + b) // 2) AS ewma_u
+        |FROM arr ORDER BY user_id""".stripMargin
   )
 }

@@ -764,6 +764,19 @@ object Llm extends QueryFamily {
       graft.operators.KnnJoin.knnGraph(Tables.embeddings(s, d),
         topK = 5, kCells = 16, iters = 2, probes = 2)
     },
+    "q_knn_graph_full" -> { (s, d) =>
+      // The SAME cell-join machinery at probes = kCells: the candidate
+      // set covers every pair, so the result is EXACTLY the brute-force
+      // kNN graph and DuckDB can adjudicate it row-for-row (the
+      // q_dbscan_ivf pattern — declare the exact full-probe form
+      // through the scale-path operator so the oracle certifies the
+      // bucketing machinery itself, keeping q_knn_graph's partial-probe
+      // form as the at-scale config). rankRounded: both engines rank
+      // the 6-dp-rounded score with a vec_id tie-break — identical
+      // order guaranteed, the q_ann_cosine_topk contract.
+      graft.operators.KnnJoin.knnGraph(Tables.embeddings(s, d),
+        topK = 5, kCells = 16, iters = 2, probes = 16, rankRounded = true)
+    },
     "q_knn_clusters" -> { (s, d) =>
       // Graph-based corpus clustering: threshold the kNN graph, then
       // connected components — two composed operators (KnnJoin +
@@ -1317,6 +1330,21 @@ object Llm extends QueryFamily {
     // so it answers to the SAME oracle as the exact filtered scan
     "q_ann_filtered_ivf_topk" -> filteredOracle,
     "q_ann_filtered_topk" -> filteredOracle,
+    // full-probe kNN graph ≡ brute force, so the all-pairs SQL
+    // adjudicates the IVF cell-join machinery end to end
+    "q_knn_graph_full" ->
+      """WITH scored AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+        |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos,
+        |    CAST(row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk
+        |  FROM scored)
+        |SELECT q_id, rnk, vec_id, cos FROM ranked
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "q_ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qvec
         |           FROM embeddings WHERE vec_id < 5),

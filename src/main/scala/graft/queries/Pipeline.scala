@@ -823,6 +823,125 @@ object Pipeline extends QueryFamily {
         .withColumn("pos", row_number().over(w))
         .select("doc_id", "shard", "pos")
         .orderBy("shard", "pos")
+    },
+    "q_collocations" -> { (s, d) =>
+      // PMI collocation mining — the corpus-statistics pass behind
+      // tokenizer-vocab curation and boilerplate phrase discovery:
+      // pointwise mutual information ln(p(xy)/(p(x)p(y))) over adjacent
+      // token pairs, support-filtered (c_xy ≥ 5), top-100. Shape: ONE
+      // corpus-sized shuffle builds the bigram count table (the
+      // sufficient statistic, localCheckpointed — it feeds the
+      // marginals, the total AND the filter, and is only |vocab|²
+      // rows); marginals re-aggregate it, the scoring joins are
+      // vocab-sized SHUFFLE_HASH, N is a 1-row broadcast, top-100 is
+      // TakeOrdered. Determinism: the q_bigram_logprob micro-nat
+      // contract — counts exact BIGINTs, ONE double divide + ln per
+      // surviving bigram with identical operand order in both engines,
+      // floored to integer micro-nats before the rank.
+      val big = Tables.documents(s, d)
+        .select(expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+        .filter(size(col("ts")) >= 2)
+        .select(explode(expr("transform(sequence(1, size(ts) - 1), " +
+          "i -> struct(ts[i-1] AS prev, ts[i] AS cur))")).as("bg"))
+        .select(col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      val cb = big.groupBy("prev", "cur").agg(count(lit(1)).as("c_xy"))
+        .localCheckpoint()
+      val cx = cb.groupBy("prev").agg(sum(col("c_xy")).as("c_x"))
+      val cy = cb.groupBy("cur").agg(sum(col("c_xy")).as("c_y"))
+      val n = cb.agg(sum(col("c_xy")).as("n"))
+      cb.filter(col("c_xy") >= 5)
+        .join(cx.hint("shuffle_hash"), Seq("prev"))
+        .join(cy.hint("shuffle_hash"), Seq("cur"))
+        .crossJoin(broadcast(n))
+        .select(col("prev"), col("cur"), col("c_xy"),
+          floor(lit(1000000) * log(
+            (col("c_xy").cast("double") * col("n").cast("double")) /
+            (col("c_x").cast("double") * col("c_y").cast("double"))))
+            .cast("long").as("pmi_u"))
+        .orderBy(col("pmi_u").desc, col("prev"), col("cur"))
+        .limit(100)
+    },
+    "q_vocab_growth" -> { (s, d) =>
+      // Heaps-law vocabulary growth over 3-gram shingle types — the
+      // curve that sizes shingle dictionaries, dedup fingerprint stores
+      // and tokenizer vocabularies before a full-corpus pass commits
+      // the memory: per corpus decile (doc_id order), shingle instances
+      // seen, NEW shingle types first appearing there, and both
+      // cumulatives. ONE corpus-sized shuffle builds (decile, gram)
+      // counts (localCheckpointed — instance rollup AND first-decile
+      // pass both read it, and it is |types|·10 rows at most);
+      // everything downstream is type-sized, and the running sums
+      // partition on the pmod constant key (bounded 10-row frame,
+      // machine-checkably never SinglePartition — the
+      // q_running_distinct discipline).
+      val nd = Tables.documents(s, d)
+        .agg((max(col("doc_id")) + 1).as("n_docs"))
+      val grams = Tables.documents(s, d)
+        .crossJoin(broadcast(nd))
+        .select(expr("least(doc_id * 10 DIV n_docs, 9)").as("decile"),
+          expr("filter(split(text, ' '), t -> t <> '')").as("ts"))
+        .filter(size(col("ts")) >= 3)
+        .select(col("decile"), explode(expr(
+          "transform(sequence(1, size(ts) - 2), " +
+            "i -> concat(ts[i-1], ' ', ts[i], ' ', ts[i+1]))")).as("g"))
+      val gc = grams.groupBy("decile", "g").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val perDec = gc.groupBy("decile").agg(sum(col("c")).as("n_grams"))
+      val newTypes = gc.groupBy("g").agg(min(col("decile")).as("decile"))
+        .groupBy("decile").agg(count(lit(1)).as("new_types"))
+      val cumW = Window.partitionBy(pmod(col("decile"), lit(1)))
+        .orderBy(col("decile"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      perDec.join(newTypes, Seq("decile"), "left")
+        .select(col("decile"), col("n_grams"),
+          coalesce(col("new_types"), lit(0L)).as("new_types"))
+        .select(col("decile"), col("n_grams"),
+          sum(col("n_grams")).over(cumW).as("cum_grams"),
+          col("new_types"),
+          sum(col("new_types")).over(cumW).as("cum_types"))
+        .orderBy("decile")
+    },
+    "q_dsir_sample" -> { (s, d) =>
+      // DSIR-style importance resampling (Xie et al. 2023, "Data
+      // Selection for Language Models via Importance Resampling"):
+      // score every document by the unigram log-likelihood ratio
+      // between a target domain (sources src0/src1 here) and the whole
+      // corpus, add-1 smoothed, and keep the top-50 — the
+      // domain-upweighting selection pass a pretraining pipeline runs
+      // after dedup and before mixing (q_mix_token_budget allocates
+      // BETWEEN domains; this selects WITHIN one). Shape: one
+      // corpus-sized token shuffle builds per-token (corpus, target)
+      // counts TOGETHER (single aggregation, localCheckpointed — the
+      // totals and the scoring join both read the vocab-sized frame);
+      // the per-token log-ratio joins back token-keyed with the
+      // vocab-sized side SHUFFLE_HASH-pinned; top-50 is TakeOrdered.
+      // Determinism: the micro-nat contract — one double expression
+      // per DISTINCT token with identical operand order in both
+      // engines, floored BEFORE the per-doc sum.
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(expr("filter(split(text, ' '), t -> t <> '')"))
+            .as("token"))
+      val counts = toks.groupBy("token").agg(
+          count(lit(1)).as("c_a"),
+          sum(when(col("source").isin("src0", "src1"), 1L).otherwise(0L))
+            .as("c_t"))
+        .localCheckpoint()
+      val tots = counts.agg(sum(col("c_a")).as("t_a"),
+        sum(col("c_t")).as("t_t"), count(lit(1)).as("v"))
+      val lr = counts.crossJoin(broadcast(tots))
+        .select(col("token"),
+          floor(lit(1000000) * log(
+            ((col("c_t").cast("double") + 1) *
+              (col("t_a").cast("double") + col("v").cast("double"))) /
+            ((col("c_a").cast("double") + 1) *
+              (col("t_t").cast("double") + col("v").cast("double")))))
+            .cast("long").as("lr_u"))
+      toks.join(lr.hint("shuffle_hash"), Seq("token"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("lr_u")).as("score_u"))
+        .orderBy(col("score_u").desc, col("doc_id"))
+        .limit(50)
     }
   )
 
@@ -1371,6 +1490,83 @@ object Pipeline extends QueryFamily {
          |SELECT doc_id, shard,
          |  row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
          |FROM s ORDER BY shard, pos""".stripMargin
-    }
+    },
+    "q_collocations" ->
+      """WITH toks AS (
+        |  SELECT list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents),
+        |big AS (
+        |  SELECT ts[i] AS prev, ts[i+1] AS cur
+        |  FROM toks, unnest(range(1, len(ts))) AS t(i)
+        |  WHERE len(ts) >= 2),
+        |cb AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c_xy
+        |       FROM big GROUP BY 1, 2),
+        |cx AS (SELECT prev, CAST(sum(c_xy) AS BIGINT) AS c_x
+        |       FROM cb GROUP BY 1),
+        |cy AS (SELECT cur, CAST(sum(c_xy) AS BIGINT) AS c_y
+        |       FROM cb GROUP BY 1),
+        |n AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n FROM cb)
+        |SELECT prev, cur, c_xy,
+        |  CAST(floor(1000000 * ln(
+        |    (CAST(c_xy AS DOUBLE) * CAST(n AS DOUBLE)) /
+        |    (CAST(c_x AS DOUBLE) * CAST(c_y AS DOUBLE)))) AS BIGINT)
+        |    AS pmi_u
+        |FROM cb JOIN cx USING (prev) JOIN cy USING (cur) CROSS JOIN n
+        |WHERE c_xy >= 5
+        |ORDER BY pmi_u DESC, prev, cur LIMIT 100""".stripMargin,
+    "q_vocab_growth" ->
+      """WITH nd AS (SELECT max(doc_id) + 1 AS n_docs FROM documents),
+        |toks AS (
+        |  SELECT least(doc_id * 10 // n_docs, 9) AS decile,
+        |         list_filter(string_split(text, ' '), t -> t <> '') AS ts
+        |  FROM documents CROSS JOIN nd),
+        |grams AS (
+        |  SELECT decile, ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2] AS g
+        |  FROM toks, unnest(range(1, len(ts) - 1)) AS t(i)
+        |  WHERE len(ts) >= 3),
+        |gc AS (SELECT decile, g, CAST(count(*) AS BIGINT) AS c
+        |       FROM grams GROUP BY 1, 2),
+        |per_dec AS (SELECT decile, CAST(sum(c) AS BIGINT) AS n_grams
+        |            FROM gc GROUP BY 1),
+        |newt AS (
+        |  SELECT decile, CAST(count(*) AS BIGINT) AS new_types FROM (
+        |    SELECT g, min(decile) AS decile FROM gc GROUP BY 1)
+        |  GROUP BY 1)
+        |SELECT decile, n_grams,
+        |  CAST(sum(n_grams) OVER (ORDER BY decile
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_grams,
+        |  coalesce(new_types, 0) AS new_types,
+        |  CAST(sum(coalesce(new_types, 0)) OVER (ORDER BY decile
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_types
+        |FROM per_dec LEFT JOIN newt USING (decile)
+        |ORDER BY decile""".stripMargin,
+    "q_dsir_sample" ->
+      """WITH toks AS (
+        |  SELECT doc_id, source,
+        |    unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+        |      AS token
+        |  FROM documents),
+        |counts AS (
+        |  SELECT token, CAST(count(*) AS BIGINT) AS c_a,
+        |    CAST(count(*) FILTER (WHERE source IN ('src0', 'src1'))
+        |      AS BIGINT) AS c_t
+        |  FROM toks GROUP BY 1),
+        |tots AS (
+        |  SELECT CAST(sum(c_a) AS BIGINT) AS t_a,
+        |         CAST(sum(c_t) AS BIGINT) AS t_t,
+        |         CAST(count(*) AS BIGINT) AS v
+        |  FROM counts),
+        |lr AS (
+        |  SELECT token, CAST(floor(1000000 * ln(
+        |      ((CAST(c_t AS DOUBLE) + 1) *
+        |       (CAST(t_a AS DOUBLE) + CAST(v AS DOUBLE))) /
+        |      ((CAST(c_a AS DOUBLE) + 1) *
+        |       (CAST(t_t AS DOUBLE) + CAST(v AS DOUBLE)))))
+        |    AS BIGINT) AS lr_u
+        |  FROM counts CROSS JOIN tots)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(sum(lr_u) AS BIGINT) AS score_u
+        |FROM toks JOIN lr USING (token)
+        |GROUP BY doc_id ORDER BY score_u DESC, doc_id LIMIT 50""".stripMargin
   )
 }

@@ -2,6 +2,7 @@ package graft.queries
 
 import graft.{QueryFamily, Tables}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Ingest-analog + event-time family (SURVEY.md §2.C-2, §2.C-9).
@@ -123,6 +124,25 @@ object Streaming extends QueryFamily {
           col("sw.end").as("session_end"), col("n"))
         .orderBy("user_id", "session_start")
     },
+    "q_stream_topk" -> { (s, d) =>
+      // Windowed top-k (trending event types): per 6-hour tumbling
+      // window, the 3 most frequent event types with their rank — the
+      // "trending now" dashboard shape. Batch-equivalent declared form;
+      // the streaming form (watermarked windowed counts ranked at
+      // window seal) is pinned streamed ≡ batch in WindowTopKSpec. The
+      // rank window partitions per time-window (bounded |types| frame,
+      // never corpus-scaled); ties break on event_type so both engines
+      // rank identically.
+      val counts = Tables.events(s, d)
+        .groupBy(window(tsCol, "6 hours").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("ws"), col("event_type"), col("n"))
+      val rw = Window.partitionBy(col("ws"))
+        .orderBy(col("n").desc, col("event_type"))
+      counts.withColumn("rnk", row_number().over(rw))
+        .filter(col("rnk") <= 3)
+        .orderBy("ws", "rnk")
+    },
     "q_stream_dedup_latest" -> { (s, d) =>
       // Streaming dropDuplicates analog: latest event per (user, type) —
       // the batch shape of `dropDuplicates` + max-ts state (§2.B stateful).
@@ -210,6 +230,18 @@ object Streaming extends QueryFamily {
     "q_stream_dedup_latest" ->
       """SELECT user_id, event_type, epoch_us(max(ts)) AS last_us,
         |  count(*) AS n_events
-        |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin
+        |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+    "q_stream_topk" ->
+      """WITH c AS (
+        |  SELECT time_bucket(INTERVAL '6 hours', ts) AS ws, event_type,
+        |         CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT ws, event_type, n,
+        |    CAST(row_number() OVER (PARTITION BY ws
+        |      ORDER BY n DESC, event_type) AS INTEGER) AS rnk
+        |  FROM c)
+        |SELECT ws, event_type, n, rnk FROM r
+        |WHERE rnk <= 3 ORDER BY ws, rnk""".stripMargin
   )
 }

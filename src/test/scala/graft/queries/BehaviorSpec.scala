@@ -275,4 +275,93 @@ class BehaviorSpec extends SparkSuite {
     assert(rows.count(_._2 == 0L) == 13)
     assert(rows.last == ("2024-01-16", 1L, 1.5))
   }
+
+  /** Attribution fixture: purchases with a touch inside/at/over the
+    * 7-day lookback, a purchase-only user (direct), and a same-ts
+    * touch (event_id order decides "prior"). */
+  private lazy val attrDir: String = {
+    import spark.implicits._
+    val rows = Seq(
+      // u1: click 1d before purchase → attributed to click
+      (1L, "click", "2024-01-03 00:00:00"),
+      (1L, "purchase", "2024-01-04 00:00:00"),
+      // u2: view EXACTLY 7 days before → boundary is inclusive
+      (2L, "view", "2024-01-01 00:00:00"),
+      (2L, "purchase", "2024-01-08 00:00:00"),
+      // u3: signup 7d + 1s before → outside lookback, direct
+      (3L, "signup", "2024-01-01 00:00:00"),
+      (3L, "purchase", "2024-01-08 00:00:01"),
+      // u4: no prior events at all → direct
+      (4L, "purchase", "2024-01-05 00:00:00"),
+      // u5: prior PURCHASE then buy again → earlier view wins (the
+      // last NON-purchase touch), not the intervening purchase
+      (5L, "view", "2024-01-02 00:00:00"),
+      (5L, "purchase", "2024-01-03 00:00:00"),
+      (5L, "purchase", "2024-01-04 00:00:00"),
+      // u6: error at the SAME ts as the purchase but a smaller
+      // event_id → counts as prior (rows-frame, (ts, event_id) order)
+      (6L, "error", "2024-01-02 00:00:00"),
+      (6L, "purchase", "2024-01-02 00:00:00")
+    )
+    val d = java.nio.file.Files.createTempDirectory("attr").toString
+    rows.zipWithIndex
+      .map { case ((u, t, ts), i) => (i.toLong, ts, u, t, 1.0, "{}") }
+      .toDF("event_id", "s", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), to_timestamp_ntz(col("s")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    d
+  }
+
+  test("attribution: last non-purchase touch, 7-day inclusive lookback") {
+    val rows = Behavior.queries("q_attribution")(spark, attrDir)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows("click") == ((1L, 1L)))            // u1
+    assert(rows("view") == ((3L, 2L)))             // u2 + u5 twice
+    assert(rows("direct") == ((2L, 2L)))           // u3 (outside), u4
+    assert(rows("error") == ((1L, 1L)))            // u6 same-ts touch
+    assert(!rows.contains("signup"))               // u3 fell to direct
+    assert(!rows.contains("purchase"))             // never a touch type
+  }
+
+  test("ewma: integer halving recurrence, day order, sentinel seed") {
+    import spark.implicits._
+    // u1 daily counts [3, 1, 2] (days out of order in the file):
+    // e = 3e6 → (3e6+1e6)/2 = 2e6 → (2e6+2e6)/2 = 2e6
+    // u2 single day [2] → seed passthrough 2e6
+    val rows = Seq(
+      (1L, "2024-01-03 05:00:00"), (1L, "2024-01-03 06:00:00"),
+      (1L, "2024-01-01 01:00:00"), (1L, "2024-01-01 02:00:00"),
+      (1L, "2024-01-01 03:00:00"),
+      (1L, "2024-01-02 01:00:00"),
+      (2L, "2024-01-05 01:00:00"), (2L, "2024-01-05 02:00:00")
+    )
+    val d = java.nio.file.Files.createTempDirectory("ewma").toString
+    rows.zipWithIndex
+      .map { case ((u, ts), i) => (i.toLong, ts, u, "view", 1.0, "{}") }
+      .toDF("event_id", "s", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), to_timestamp_ntz(col("s")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$d/events.parquet")
+    val got = Behavior.queries("q_ewma")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1L, 3, 2000000L), (2L, 1, 2000000L)),
+      got.mkString(", "))
+    // half-unit result: u1's [3, 2] → (3e6+2e6) DIV 2 = 2500000 (the
+    // DIV keeps both engines on the same integer; DuckDB // floors too)
+    val rows2 = Seq((1L, "2024-01-01 01:00:00"), (1L, "2024-01-01 02:00:00"),
+      (1L, "2024-01-01 03:00:00"), (1L, "2024-01-02 01:00:00"),
+      (1L, "2024-01-02 02:00:00"))
+    val d2 = java.nio.file.Files.createTempDirectory("ewma2").toString
+    rows2.zipWithIndex
+      .map { case ((u, ts), i) => (i.toLong, ts, u, "view", 1.0, "{}") }
+      .toDF("event_id", "s", "user_id", "event_type", "value", "props")
+      .select(col("event_id"), to_timestamp_ntz(col("s")).as("ts"),
+        col("user_id"), col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$d2/events.parquet")
+    val got2 = Behavior.queries("q_ewma")(spark, d2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(got2.toSeq == Seq((1L, 2, 2500000L)), got2.mkString(", "))
+  }
 }

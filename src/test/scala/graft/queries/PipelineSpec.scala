@@ -228,4 +228,88 @@ class PipelineSpec extends SparkSuite {
     // every source with a positive allocation is represented
     assert(got.nonEmpty && got.values.forall(_._2 >= 1))
   }
+
+  test("collocations: PMI sign and support laws, local recount agrees") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = Pipeline.queries("q_collocations")(spark, sf)
+      .as[(String, String, Long, Long)].collect()
+    assert(got.length > 0 && got.length <= 100)
+    // support filter and rank order hold
+    assert(got.forall(_._3 >= 5), "support filter broke")
+    assert(got.map(_._4).toSeq == got.map(_._4).sortBy(-_).toSeq)
+    // local recount: every reported pair's count and PMI match a
+    // single-threaded pass over the corpus
+    val toks = graft.Tables.documents(spark, sf)
+      .select(col("text")).as[String].collect()
+      .map(_.split(" ").filter(_.nonEmpty))
+    val bigs = toks.filter(_.length >= 2)
+      .flatMap(ts => ts.dropRight(1).zip(ts.drop(1)))
+    val cb = bigs.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cx = bigs.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    val cy = bigs.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val n = bigs.length.toDouble
+    got.foreach { case (p, c, cxy, pmiU) =>
+      assert(cb((p, c)) == cxy, s"count of ($p,$c)")
+      val want = math.floor(1000000 *
+        math.log(cxy.toDouble * n / (cx(p).toDouble * cy(c).toDouble))).toLong
+      assert(pmiU == want, s"pmi of ($p,$c): $pmiU vs $want")
+    }
+  }
+
+  test("vocab growth: cumulatives consistent, types sum to the corpus") {
+    import spark.implicits._
+    val rows = Pipeline.queries("q_vocab_growth")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.map(_._1) == (0L to 9L), "all ten deciles present")
+    // cumulatives are exact running sums of the per-decile columns
+    assert(rows.map(_._2).scanLeft(0L)(_ + _).tail == rows.map(_._3))
+    assert(rows.map(_._4).scanLeft(0L)(_ + _).tail == rows.map(_._5))
+    // total new types = corpus-wide distinct 3-gram count; instances
+    // sum to total shingles
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("text")).as[String].collect()
+      .map(_.split(" ").filter(_.nonEmpty))
+    val grams = docs.filter(_.length >= 3)
+      .flatMap(_.sliding(3).map(_.mkString(" ")))
+    assert(rows.last._5 == grams.distinct.length.toLong)
+    assert(rows.last._3 == grams.length.toLong)
+    // a growth curve on real data: later deciles add FEWER new types
+    // than the first (Heaps-law shape, not a degenerate flat corpus)
+    assert(rows.head._4 > rows.last._4)
+  }
+
+  test("dsir: target-domain docs outrank; score equals the local LR sum") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val got = Pipeline.queries("q_dsir_sample")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.length == 50)
+    assert(got.map(_._3) == got.map(_._3).sortBy(-_), "rank order")
+    // local reference: same add-1-smoothed unigram LR in the same
+    // operand order
+    val docs = graft.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)].collect()
+    val all = docs.flatMap(d => d._3.split(" ").filter(_.nonEmpty))
+    val tgt = docs.filter(d => d._2 == "src0" || d._2 == "src1")
+      .flatMap(d => d._3.split(" ").filter(_.nonEmpty))
+    val ca = all.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val ct = tgt.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      .withDefaultValue(0L)
+    val (tA, tT, v) = (all.length.toDouble, tgt.length.toDouble,
+      ca.size.toDouble)
+    val lrU = ca.map { case (t, c) =>
+      t -> math.floor(1000000 * math.log(
+        ((ct(t).toDouble + 1) * (tA + v)) /
+          ((c.toDouble + 1) * (tT + v)))).toLong
+    }
+    val scores = docs.map { d =>
+      val ts = d._3.split(" ").filter(_.nonEmpty)
+      (d._1, ts.length.toLong, ts.map(lrU).sum)
+    }
+    val want = scores.sortBy(s => (-s._3, s._1)).take(50).toSeq
+    assert(got == want, "distributed DSIR diverged from local reference")
+  }
 }

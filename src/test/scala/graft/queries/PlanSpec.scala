@@ -71,7 +71,8 @@ class PlanSpec extends SparkSuite {
     // partitions by a literal, so NO window in these plans feeds from an
     // Exchange SinglePartition (global aggregates may — those reduce
     // bounded partials, not rank rows)
-    for (q <- Seq("q_running_distinct", "q_drift_ks", "q_hybrid_rrf")) {
+    for (q <- Seq("q_running_distinct", "q_drift_ks", "q_hybrid_rrf",
+        "q_vocab_growth")) {
       val lines = executedPlan(q).linesIterator.toVector
       val winIdxs = lines.zipWithIndex
         .filter(_._1.contains("Window")).map(_._2)
@@ -523,6 +524,43 @@ class PlanSpec extends SparkSuite {
       s"funnel re-shuffles the events ($exchanges exchanges):\n${plan.take(3000)}")
     assert(!plan.contains("Expand"),
       "funnel regressed to count-distinct Expand over the event table")
+  }
+
+  test("q_attribution: one event shuffle feeds both touch windows") {
+    val plan = executedPlan("q_attribution")
+    // the two last-ignoreNulls windows share frame, sort and the ONE
+    // user_id exchange; the only other exchanges are the |types|-sized
+    // rollup and its presentation sort
+    assert(plan.split("\\bWindow\\b").length - 1 >= 1,
+      s"attribution lost its window:\n${plan.take(2000)}")
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 3,
+      s"attribution re-shuffles the events ($exchanges):\n${plan.take(3000)}")
+  }
+
+  test("q_collocations / q_dsir_sample: vocab sides pinned, corpus never broadcast") {
+    for (q <- Seq("q_collocations", "q_dsir_sample")) {
+      val plan = executedPlan(q)
+      // the hint-pinned vocabulary joins stay shuffled-hash (AQE's
+      // compressed-size broadcast mispromotion is the known hazard);
+      // the 1-row totals ride the only nested-loop
+      assert(plan.contains("ShuffledHashJoin"),
+        s"$q: vocabulary join lost its SHUFFLE_HASH pin:\n${plan.take(2000)}")
+      assert(!plan.contains("SortMergeJoin"), s"$q: SMJ crept in")
+      assert(plan.split("BroadcastNestedLoop").length - 1 <= 1,
+        s"$q: something beyond the 1-row totals nested-loops:\n${plan.take(3000)}")
+    }
+  }
+
+  test("q_stream_topk: rank limit stays partial, window per time-bucket") {
+    val plan = executedPlan("q_stream_topk")
+    // row_number ≤ 3 per 6-hour window plans the partial+final
+    // WindowGroupLimit pair — each map task forwards ≤ 3 rows per window
+    assert(plan.split("WindowGroupLimit").length >= 3,
+      s"q_stream_topk rank-limit pushdown regressed:\n${plan.take(2000)}")
+    assert(!plan.contains("Exchange SinglePartition") ||
+      plan.contains("orderBy"), // presentation sort only
+      s"q_stream_topk ranks on a single partition:\n${plan.take(2000)}")
   }
 
   test("q_triangles: no cartesian anywhere in the three-join chain") {
