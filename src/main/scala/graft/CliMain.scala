@@ -262,6 +262,30 @@ object CliMain {
       println(f"pca: dim ${model.dim} -> $k, " +
         f"variance explained ${model.varianceExplained}%.4f -> $outDir")
       if (!reused) spark.stop()
+    // select <docsDir> <outDir> --target <sql-predicate> [--top N]:
+    // DSIR-style importance selection — score every document by the
+    // unigram log-likelihood ratio toward the target-domain predicate
+    // (add-1 smoothed, integer micro-nats; Pipeline.dsirScores) and
+    // land the top-N (doc_id, n_tokens, score_u).
+    case "select" :: docsDir :: outDir :: flags =>
+      def flagVal(name: String): Option[String] = flagValIn(flags, name)
+      val reused =
+        org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+      val spark = Sessions.get("graft-select")
+      import org.apache.spark.sql.functions.{col, expr}
+      val target = flagVal("--target").getOrElse(
+        sys.error("--target <sql-predicate> is required (e.g. " +
+          "\"source = 'src0'\")"))
+      val top = flagVal("--top").map(_.toInt).getOrElse(1000)
+      val docs = spark.read.parquet(docsDir)
+      val picked = graft.queries.Pipeline
+        .dsirScores(docs, expr(target))
+        .orderBy(col("score_u").desc, col("doc_id"))
+        .limit(top)
+      picked.coalesce(1).write.mode("overwrite").parquet(outDir)
+      println(s"select: top $top of ${docs.count()} docs by " +
+        s"LR toward ($target) -> $outDir")
+      if (!reused) spark.stop()
     // index <embeddingsDir> <outDir> --kind ivf|pq: build + materialize
     // an ANN index from an embeddings parquet — the write side of the
     // similarity-search story. ivf lands cell-partitioned assignments
@@ -618,6 +642,8 @@ object CliMain {
           |  graft.CliMain optimize <inDir> <outDir> --zorder colX,colY
           |    [--files N] [--bits B]
           |  graft.CliMain reduce <embeddingsDir> <outDir> [--k N]
+          |  graft.CliMain select <docsDir> <outDir>
+          |    --target <sql-predicate> [--top N]
           |  graft.CliMain index <embeddingsDir> <outDir>
           |    [--kind ivf|pq|ivfpq|opq|opqivfpq|sq|ivfsq|bq|graph] [--k K] [--m M]
           |    [--kcells K] [--iters N] [--append]

@@ -50,10 +50,19 @@ object ProfileBehavior {
       val ret = time("q_retention_cohort")
       val sess = time("q_sessionize")
       val regex = time("q_sequence_regex")
+      val attr = time("q_attribution")
+      val ewma = time("q_ewma")
+      def timeS(q: String): Double = {
+        val t0 = System.nanoTime()
+        graft.queries.Streaming.queries(q)(spark, dir).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      val topk = timeS("q_stream_topk")
       println(f"BEHAVIOR n=$n users=$users funnel=$funnel%.2fs " +
         f"transitions=$trans%.2fs anomaly=$anom%.2fs " +
         f"retention=$ret%.2fs sessionize=$sess%.2fs " +
-        f"seq_regex=$regex%.2fs (${n / funnel / 1e6}%.1fM ev/s funnel)")
+        f"seq_regex=$regex%.2fs attribution=$attr%.2fs ewma=$ewma%.2fs " +
+        f"stream_topk=$topk%.2fs (${n / funnel / 1e6}%.1fM ev/s funnel)")
     }
     spark.stop()
   }

@@ -66,15 +66,29 @@ object Graph extends QueryFamily {
     * contrib, as pr_u ← 150000 + (Σ floor(pr_u/outdeg))·17 div 20.
     * Every node appears as both src and dst (symmetrized edges), so
     * there are no dangling nodes and the dst aggregate covers all
-    * nodes each round. */
-  def pageRank(s: SparkSession, d: String, iters: Int = PrIters): DataFrame = {
+    * nodes each round.
+    *
+    * `personalized` makes it seeded PPR (the crawl-frontier /
+    * graph-recommendation variant): the teleport mass lands ONLY on the
+    * seed set (here every 10th supplier node — a deterministic
+    * predicate both engines evaluate identically) and ranks start at 0
+    * off-seed, so mass measures proximity to the seeds instead of
+    * global centrality. Same loop, same exchanges, same micro-unit
+    * exactness. */
+  def pageRank(s: SparkSession, d: String, iters: Int = PrIters,
+      personalized: Boolean = false): DataFrame = {
     // edges cached AND pre-partitioned on src: the per-iteration join
     // below reuses this exchange every round (only ranks re-shuffle)
     val edges = tradeEdges(s, d).repartition(col("src")).cache()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .withColumnRenamed("src", "node")
       .cache()
-    var ranks = deg.select(col("node"), lit(1000000L).as("pr_u"))
+    def seed = col("node") < CustOffset && col("node") % 10 === 0
+    val init = if (personalized)
+      when(seed, 1000000L).otherwise(0L) else lit(1000000L)
+    val tele = if (personalized)
+      when(seed, 150000L).otherwise(0L) else lit(150000L)
+    var ranks = deg.select(col("node"), init.as("pr_u"))
     var it = 0
     while (it < iters) {
       // per-node contribution first (node-sized join, both sides keyed by
@@ -87,9 +101,10 @@ object Graph extends QueryFamily {
         .select(col("dst"), col("contrib_u"))
         .groupBy("dst")
         .agg(sum("contrib_u").as("mass_u"))
-        .select(col("dst").as("node"),
-          (lit(150000L) +
-            floor(col("mass_u") * 17 / lit(20.0)).cast("long")).as("pr_u"))
+        .select(col("dst").as("node"), col("mass_u"))
+        .select(col("node"),
+          (tele + floor(col("mass_u") * 17 / lit(20.0)).cast("long"))
+            .as("pr_u"))
         .localCheckpoint()
       it += 1
     }
@@ -213,6 +228,8 @@ object Graph extends QueryFamily {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> ((s, d) => pageRank(s, d)),
+    "q_pagerank_personalized" ->
+      ((s, d) => pageRank(s, d, personalized = true)),
     "q_graph_degree" -> ((s, d) => degreeDistribution(s, d)),
     "q_triangles" -> ((s, d) => triangleCount(s, d, minQty = 30.0)),
     "q_kcore" -> ((s, d) => kCore(s, d, k = 10))
@@ -232,16 +249,21 @@ object Graph extends QueryFamily {
       |deg AS (SELECT src AS node, count(*) AS outdeg
       |        FROM edges GROUP BY src)""".stripMargin
 
-  private def prStep(prev: String, out: String): String =
+  private def prStep(prev: String, out: String,
+      tele: String = "150000"): String =
     s"""$out AS (
        |  SELECT e.dst AS node,
-       |    CAST(150000 + floor(sum(CAST(floor(CAST(p.pr_u AS DOUBLE) / d.outdeg)
+       |    CAST(($tele) + floor(sum(CAST(floor(CAST(p.pr_u AS DOUBLE) / d.outdeg)
        |                                 AS BIGINT)) * 17 / 20.0) AS BIGINT)
        |      AS pr_u
        |  FROM edges e
        |  JOIN $prev p ON e.src = p.node
        |  JOIN deg d ON e.src = d.node
        |  GROUP BY e.dst)""".stripMargin
+
+  /** seed predicate of the personalized variant, over a column name. */
+  private def seedSql(c: String): String =
+    s"CASE WHEN $c < 1099511627776 AND $c % 10 = 0"
 
   def oracle: Map[String, String] = Map(
     "q_pagerank" ->
@@ -251,6 +273,17 @@ object Graph extends QueryFamily {
           |${prStep("it1", "it2")},
           |${prStep("it2", "it3")}
           |SELECT node, pr_u FROM it3 ORDER BY node""".stripMargin),
+    "q_pagerank_personalized" -> {
+      val tele = s"${seedSql("e.dst")} THEN 150000 ELSE 0 END"
+      s"""WITH $OracleEdges,
+         |pr0 AS (SELECT node,
+         |  CAST(${seedSql("node")} THEN 1000000 ELSE 0 END AS BIGINT)
+         |    AS pr_u FROM deg),
+         |${prStep("pr0", "it1", tele)},
+         |${prStep("it1", "it2", tele)},
+         |${prStep("it2", "it3", tele)}
+         |SELECT node, pr_u FROM it3 ORDER BY node""".stripMargin
+    },
     "q_graph_degree" ->
       s"""WITH $OracleEdges
          |SELECT outdeg AS degree, count(*) AS n_nodes

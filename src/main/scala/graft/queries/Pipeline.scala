@@ -918,32 +918,41 @@ object Pipeline extends QueryFamily {
       // Determinism: the micro-nat contract — one double expression
       // per DISTINCT token with identical operand order in both
       // engines, floored BEFORE the per-doc sum.
-      val toks = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"),
-          explode(expr("filter(split(text, ' '), t -> t <> '')"))
-            .as("token"))
-      val counts = toks.groupBy("token").agg(
-          count(lit(1)).as("c_a"),
-          sum(when(col("source").isin("src0", "src1"), 1L).otherwise(0L))
-            .as("c_t"))
-        .localCheckpoint()
-      val tots = counts.agg(sum(col("c_a")).as("t_a"),
-        sum(col("c_t")).as("t_t"), count(lit(1)).as("v"))
-      val lr = counts.crossJoin(broadcast(tots))
-        .select(col("token"),
-          floor(lit(1000000) * log(
-            ((col("c_t").cast("double") + 1) *
-              (col("t_a").cast("double") + col("v").cast("double"))) /
-            ((col("c_a").cast("double") + 1) *
-              (col("t_t").cast("double") + col("v").cast("double")))))
-            .cast("long").as("lr_u"))
-      toks.join(lr.hint("shuffle_hash"), Seq("token"))
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tokens"), sum(col("lr_u")).as("score_u"))
+      dsirScores(Tables.documents(s, d),
+          col("source").isin("src0", "src1"))
         .orderBy(col("score_u").desc, col("doc_id"))
         .limit(50)
     }
   )
+
+  /** DSIR unigram log-likelihood-ratio score for EVERY document
+    * against a target-domain predicate (add-1 smoothed, integer
+    * micro-nats) — factored so the declared query and the CLI `select`
+    * command share the kernel. Output: (doc_id, n_tokens, score_u). */
+  private[graft] def dsirScores(docs: DataFrame,
+      isTarget: Column): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), isTarget.as("is_target"),
+        explode(expr("filter(split(text, ' '), t -> t <> '')"))
+          .as("token"))
+    val counts = toks.groupBy("token").agg(
+        count(lit(1)).as("c_a"),
+        sum(when(col("is_target"), 1L).otherwise(0L)).as("c_t"))
+      .localCheckpoint()
+    val tots = counts.agg(sum(col("c_a")).as("t_a"),
+      sum(col("c_t")).as("t_t"), count(lit(1)).as("v"))
+    val lr = counts.crossJoin(broadcast(tots))
+      .select(col("token"),
+        floor(lit(1000000) * log(
+          ((col("c_t").cast("double") + 1) *
+            (col("t_a").cast("double") + col("v").cast("double"))) /
+          ((col("c_a").cast("double") + 1) *
+            (col("t_t").cast("double") + col("v").cast("double")))))
+          .cast("long").as("lr_u"))
+    toks.join(lr.hint("shuffle_hash"), Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lr_u")).as("score_u"))
+  }
 
   /** q_span_excise's core over any (doc_id, text) frame — factored so
     * the spec can run it against planted repeats. */

@@ -270,6 +270,35 @@ object Quality extends QueryFamily {
           expr("CAST((CAST(ks_num AS DECIMAL(38,0)) * 1000000) DIV " +
             "(CAST(n_a AS DECIMAL(38,0)) * n_b) AS BIGINT)")
             .as("ks_micro"))
+    },
+    "q_quality_normalize" -> { (s, d) =>
+      // Per-source CDF quantile transform of the doc-length quality
+      // signal — the calibration pass that makes quality scores
+      // comparable ACROSS sources before a global threshold (a web
+      // crawl and a books corpus have incommensurable raw scores; their
+      // percentiles are commensurable). pr_u = ⌊1e6·|{v' < v}| /
+      // (n_src − 1)⌋, ties sharing their value's rank — exact integers
+      // end to end. Scale shape: the rank is NEVER a per-doc sort —
+      // value-level counts cumulate over |distinct lengths per source|
+      // rows (the q_drift_ks bounded-frame discipline; both windows
+      // share the source partitioning) and the per-doc ranks arrive by
+      // broadcasting that value-level table back onto the corpus.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      // checkpointed: the windows AND the join both read it — one
+      // corpus aggregation, |source × distinct lengths| rows
+      val byV = docs.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val below = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = byV.select(col("source"), col("n_chars"),
+        coalesce(sum(col("c")).over(below), lit(0L)).as("below"),
+        sum(col("c")).over(Window.partitionBy(col("source"))).as("n_src"))
+      docs.join(broadcast(cum), Seq("source", "n_chars"))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("below * 1000000 DIV greatest(n_src - 1, 1)").as("pr_u"))
+        .orderBy("doc_id")
     })
 
   def oracle: Map[String, String] = Map(
@@ -394,5 +423,22 @@ object Quality extends QueryFamily {
         |  UNION ALL SELECT 'returnflag_domain', v_rf, total FROM a
         |  UNION ALL SELECT 'ship_era', v_era, total FROM a
         |  UNION ALL SELECT 'tax_nonnegative', v_tax, total FROM a)
-        |ORDER BY rule""".stripMargin)
+        |ORDER BY rule""".stripMargin,
+    "q_quality_normalize" ->
+      """WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+        |byv AS (
+        |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+        |  FROM docs GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, n_chars,
+        |    CAST(coalesce(sum(c) OVER (PARTITION BY source
+        |      ORDER BY n_chars
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS BIGINT) AS below,
+        |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_src
+        |  FROM byv)
+        |SELECT d.doc_id, d.source, d.n_chars,
+        |       below * 1000000 // greatest(n_src - 1, 1) AS pr_u
+        |FROM docs d JOIN cum USING (source, n_chars)
+        |ORDER BY doc_id""".stripMargin)
 }

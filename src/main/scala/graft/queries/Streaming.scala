@@ -124,6 +124,28 @@ object Streaming extends QueryFamily {
           col("sw.end").as("session_end"), col("n"))
         .orderBy("user_id", "session_start")
     },
+    "q_scd2" -> { (s, d) =>
+      // Type-2 slowly-changing dimension from the event stream — the
+      // lakehouse-ingest staple q_stream_dedup_latest (type-1: keep
+      // latest) doesn't cover: every (user, type) observation becomes a
+      // VALIDITY INTERVAL [ts, next ts) with the open current version
+      // flagged. One user_id exchange; the lead window shares it with
+      // nothing else; epoch-micro BIGINTs (NULL valid_to = current) so
+      // both engines emit identical intervals. At ingest scale this is
+      // the merge the RangeSink's landed tables feed — here declared
+      // over events as the batch-equivalent form.
+      val w = Window.partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      val us = expr("unix_micros(cast(ts as timestamp))")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          us.as("valid_from"),
+          lead(us, 1).over(w).as("valid_to"))
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          col("valid_from"), col("valid_to"),
+          col("valid_to").isNull.cast("boolean").as("is_current"))
+        .orderBy("user_id", "event_type", "valid_from", "event_id")
+    },
     "q_stream_topk" -> { (s, d) =>
       // Windowed top-k (trending event types): per 6-hour tumbling
       // window, the 3 most frequent event types with their rank — the
@@ -231,6 +253,15 @@ object Streaming extends QueryFamily {
       """SELECT user_id, event_type, epoch_us(max(ts)) AS last_us,
         |  count(*) AS n_events
         |FROM events GROUP BY 1, 2 ORDER BY user_id, event_type""".stripMargin,
+    "q_scd2" ->
+      """SELECT user_id, event_type, event_id,
+        |  epoch_us(ts) AS valid_from,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS valid_to,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM events
+        |ORDER BY user_id, event_type, valid_from, event_id""".stripMargin,
     "q_stream_topk" ->
       """WITH c AS (
         |  SELECT time_bucket(INTERVAL '6 hours', ts) AS ws, event_type,

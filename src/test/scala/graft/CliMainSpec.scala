@@ -226,6 +226,31 @@ class CliMainSpec extends SparkSuite {
     }
   }
 
+  test("select lands the DSIR top-N toward an arbitrary target predicate") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("cli-select").toString
+    val docs = "/root/testdata/sf0.001/documents.parquet"
+    CliMain.main(Array("select", docs, s"$root/out",
+      "--target", "lang = 'en'", "--top", "20"))
+    val got = spark.read.parquet(s"$root/out")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got.length == 20)
+    // CLI ≡ the in-memory kernel with the same predicate
+    val want = graft.queries.Pipeline
+      .dsirScores(spark.read.parquet(docs),
+        org.apache.spark.sql.functions.expr("lang = 'en'"))
+      .orderBy(org.apache.spark.sql.functions.col("score_u").desc,
+        org.apache.spark.sql.functions.col("doc_id"))
+      .limit(20).as[(Long, Long, Long)].collect().toSeq
+    assert(got.sortBy(_._1) == want.sortBy(_._1))
+    // selection direction: the picked docs skew toward the target
+    val langs = spark.read.parquet(docs)
+      .select("doc_id", "lang").as[(Long, String)].collect().toMap
+    val enShare = got.count(r => langs(r._1) == "en").toDouble / got.size
+    val base = langs.values.count(_ == "en").toDouble / langs.size
+    assert(enShare > base, s"selected en share $enShare vs base $base")
+  }
+
   test("search --filter-label pre-filters: CLI ≡ in-memory filtered search") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

@@ -100,4 +100,38 @@ class GraphSpec extends SparkSuite {
     assert(got10.nonEmpty && got10.values.min >= 10,
       "a surviving node dropped below k within the core")
   }
+
+  test("personalized PageRank concentrates mass around the seed set") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val offset = 1L << 40
+    def isSeed(n: Long) = n < offset && n % 10 == 0
+    val ppr = Graph.queries("q_pagerank_personalized")(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    val global = Graph.queries("q_pagerank")(spark, sf)
+      .as[(Long, Long)].collect().toMap
+    // same node universe, exact determinism across runs
+    assert(ppr.map(_._1).toSet == global.keySet)
+    val again = Graph.queries("q_pagerank_personalized")(spark, sf)
+      .as[(Long, Long)].collect().toSeq
+    assert(again == ppr)
+    // teleport lands only on seeds: seeds' MEAN rank dominates the
+    // OTHER SUPPLIERS' (the like-for-like pool — suppliers as a class
+    // outrank customers in the global walk too, since the supplier key
+    // space is far smaller, so the vacuity guard compares suppliers
+    // against suppliers)
+    val sup = ppr.filter(_._1 < offset)
+    val (seeds, rest) = sup.partition(r => isSeed(r._1))
+    assert(seeds.nonEmpty && rest.nonEmpty)
+    def mean(xs: Seq[Long]) = xs.sum.toDouble / xs.size
+    assert(mean(seeds.map(_._2)) > 2 * mean(rest.map(_._2)),
+      "seed mass does not dominate — teleport leaked")
+    val gSup = global.filter(_._1 < offset)
+    val gSeeds = gSup.filter(kv => isSeed(kv._1)).values.toSeq
+    val gRest = gSup.filterNot(kv => isSeed(kv._1)).values.toSeq
+    assert(mean(gSeeds) < 2 * mean(gRest),
+      "global walk already favors seeds — the pin would be vacuous")
+    // total PPR mass stays below the global walk's (teleport is seeds-only)
+    assert(ppr.map(_._2).sum < global.values.sum)
+  }
 }

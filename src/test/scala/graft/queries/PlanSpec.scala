@@ -552,6 +552,19 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("q_quality_normalize: ranks ride a broadcast, never a per-doc sort") {
+    val plan = executedPlan("q_quality_normalize")
+    // the value-level rank table broadcasts back onto the corpus — the
+    // corpus itself is never sorted or ranked per-doc
+    assert(plan.contains("BroadcastHashJoin"),
+      s"value-level rank join stopped broadcasting:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"), "SMJ crept in")
+    assert(!plan.contains("Exchange SinglePartition") ||
+      !plan.linesIterator.exists(l => l.contains("Window") &&
+        l.contains("SinglePartition")),
+      s"rank window went single-partition:\n${plan.take(2000)}")
+  }
+
   test("q_stream_topk: rank limit stays partial, window per time-bucket") {
     val plan = executedPlan("q_stream_topk")
     // row_number ≤ 3 per 6-hour window plans the partial+final
