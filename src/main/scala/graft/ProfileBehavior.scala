@@ -39,25 +39,20 @@ object ProfileBehavior {
             .as("value"),
           lit("{}").as("props"))
         .write.mode("overwrite").parquet(s"$dir/events.parquet")
-      def time(q: String): Double = {
+      def time(fam: QueryFamily, q: String): Double = {
         val t0 = System.nanoTime()
-        graft.queries.Behavior.queries(q)(spark, dir).count()
+        fam.queries(q)(spark, dir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val funnel = time("q_funnel")
-      val trans = time("q_event_transitions")
-      val anom = time("q_rolling_anomaly")
-      val ret = time("q_retention_cohort")
-      val sess = time("q_sessionize")
-      val regex = time("q_sequence_regex")
-      val attr = time("q_attribution")
-      val ewma = time("q_ewma")
-      def timeS(q: String): Double = {
-        val t0 = System.nanoTime()
-        graft.queries.Streaming.queries(q)(spark, dir).count()
-        (System.nanoTime() - t0) / 1e9
-      }
-      val topk = timeS("q_stream_topk")
+      val funnel = time(queries.Behavior, "q_funnel")
+      val trans = time(queries.Behavior, "q_event_transitions")
+      val anom = time(queries.Behavior, "q_rolling_anomaly")
+      val ret = time(queries.Behavior, "q_retention_cohort")
+      val sess = time(queries.Behavior, "q_sessionize")
+      val regex = time(queries.Behavior, "q_sequence_regex")
+      val attr = time(queries.Behavior, "q_attribution")
+      val ewma = time(queries.Behavior, "q_ewma")
+      val topk = time(queries.Streaming, "q_stream_topk")
       println(f"BEHAVIOR n=$n users=$users funnel=$funnel%.2fs " +
         f"transitions=$trans%.2fs anomaly=$anom%.2fs " +
         f"retention=$ret%.2fs sessionize=$sess%.2fs " +

@@ -143,7 +143,7 @@ object Streaming extends QueryFamily {
           lead(us, 1).over(w).as("valid_to"))
         .select(col("user_id"), col("event_type"), col("event_id"),
           col("valid_from"), col("valid_to"),
-          col("valid_to").isNull.cast("boolean").as("is_current"))
+          col("valid_to").isNull.as("is_current"))
         .orderBy("user_id", "event_type", "valid_from", "event_id")
     },
     "q_stream_topk" -> { (s, d) =>

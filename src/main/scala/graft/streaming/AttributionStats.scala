@@ -48,8 +48,11 @@ object AttributionStats {
   case class AttrState(touchUs: Long, touchTy: String,
       pendUs: Array[Long], pendId: Array[Long], pendTy: Array[String])
 
-  private def micros(ts: Timestamp): Long =
-    ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+  private[streaming] def micros(ts: Timestamp): Long =
+    // floorDiv, not /: getTime truncates toward zero on pre-1970
+    // values while getNanos stays positive — plain division would
+    // sign-flip the fractional second (−0.5 s → +0.5 s)
+    Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
 
   def transform(events: DataFrame, watermark: String,
       lookbackUs: Long = 7L * 86400 * 1000000): Dataset[Outcome] = {

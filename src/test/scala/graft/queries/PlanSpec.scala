@@ -552,6 +552,23 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  /** No Window operator in `q`'s executed plan may feed from an
+    * Exchange SinglePartition within the next few plan lines — the
+    * bounded-global-windows guard's check, shared (global AGGREGATES
+    * and the final presentation sort may single-partition; rank
+    * windows may not). */
+  private def assertNoSinglePartitionWindow(q: String): Unit = {
+    val lines = executedPlan(q).linesIterator.toVector
+    val winIdxs = lines.zipWithIndex
+      .filter(_._1.contains("Window")).map(_._2)
+    assert(winIdxs.nonEmpty, s"$q lost its window?")
+    winIdxs.foreach { i =>
+      val below = lines.slice(i + 1, i + 4).mkString("\n")
+      assert(!below.contains("Exchange SinglePartition"),
+        s"$q window feeds from SinglePartition:\n$below")
+    }
+  }
+
   test("q_quality_normalize: ranks ride a broadcast, never a per-doc sort") {
     val plan = executedPlan("q_quality_normalize")
     // the value-level rank table broadcasts back onto the corpus — the
@@ -559,10 +576,7 @@ class PlanSpec extends SparkSuite {
     assert(plan.contains("BroadcastHashJoin"),
       s"value-level rank join stopped broadcasting:\n${plan.take(2000)}")
     assert(!plan.contains("SortMergeJoin"), "SMJ crept in")
-    assert(!plan.contains("Exchange SinglePartition") ||
-      !plan.linesIterator.exists(l => l.contains("Window") &&
-        l.contains("SinglePartition")),
-      s"rank window went single-partition:\n${plan.take(2000)}")
+    assertNoSinglePartitionWindow("q_quality_normalize")
   }
 
   test("q_stream_topk: rank limit stays partial, window per time-bucket") {
@@ -571,9 +585,7 @@ class PlanSpec extends SparkSuite {
     // WindowGroupLimit pair — each map task forwards ≤ 3 rows per window
     assert(plan.split("WindowGroupLimit").length >= 3,
       s"q_stream_topk rank-limit pushdown regressed:\n${plan.take(2000)}")
-    assert(!plan.contains("Exchange SinglePartition") ||
-      plan.contains("orderBy"), // presentation sort only
-      s"q_stream_topk ranks on a single partition:\n${plan.take(2000)}")
+    assertNoSinglePartitionWindow("q_stream_topk")
   }
 
   test("q_triangles: no cartesian anywhere in the three-join chain") {

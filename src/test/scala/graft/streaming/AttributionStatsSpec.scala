@@ -21,6 +21,23 @@ class AttributionStatsSpec extends SparkSuite {
 
   private def us(m: Int): Long = ts(m).getTime * 1000L
 
+  test("micros: exact epoch micros on both sides of 1970") {
+    // epoch-ms constructor (TZ-independent, unlike Timestamp.valueOf);
+    // setNanos refines the sub-second part
+    def t(ms: Long, nanos: Int = -1): Timestamp = {
+      val ts = new Timestamp(ms)
+      if (nanos >= 0) ts.setNanos(nanos)
+      ts
+    }
+    assert(AttributionStats.micros(t(1704103200000L, 123000)) ==
+      1704103200000123L)
+    assert(AttributionStats.micros(t(500L)) == 500000L)
+    // pre-1970 fractional second: floorDiv keeps −0.5 s at −500000 µs
+    // (plain / would sign-flip it to +500000)
+    assert(AttributionStats.micros(t(-500L)) == -500000L)
+    assert(AttributionStats.micros(t(-1000L, 1000)) == -1000000L + 1L)
+  }
+
   test("fold: order, carry, boundary, same-ts tie-break, retention") {
     // lookback 10 minutes (600s) in micros
     val lb = 600L * 1000000
