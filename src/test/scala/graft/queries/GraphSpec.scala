@@ -99,6 +99,11 @@ class GraphSpec extends SparkSuite {
     assert(got12.subsetOf(got10.keySet), "core(12) ⊄ core(10)")
     assert(got10.nonEmpty && got10.values.min >= 10,
       "a surviving node dropped below k within the core")
+    // the unrolled-CTE oracle is exact only while the true peel depth
+    // stays inside its 8 rounds — pin the margin: the fixpoint (which
+    // kCore requires) must arrive within 8 rounds, or this fails
+    // loudly before the driver's hash compare would
+    Graph.kCore(spark, sf, k = 10, maxIters = 8).count()
   }
 
   test("personalized PageRank concentrates mass around the seed set") {
