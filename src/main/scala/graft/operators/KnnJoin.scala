@@ -164,8 +164,10 @@ object KnnJoin {
     * connected components — graph-based corpus clustering in two
     * composed operators. Returns (vec_id, cluster). */
   def knnClusters(embeddings: DataFrame, topK: Int, kCells: Int,
-      tau: Double, iters: Int = 2, probes: Int = 2): DataFrame = {
-    val edges = knnGraph(embeddings, topK, kCells, iters, probes)
+      tau: Double, iters: Int = 2, probes: Int = 2,
+      rankRounded: Boolean = false): DataFrame = {
+    val edges = knnGraph(embeddings, topK, kCells, iters, probes,
+        rankRounded)
       .filter(col("cos") >= tau)
       .select(col("q_id").as("src"), col("vec_id").as("dst"))
     // size-gated CC: thresholded survivors are usually corpus-tiny, so

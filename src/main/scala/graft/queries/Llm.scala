@@ -785,6 +785,18 @@ object Llm extends QueryFamily {
       graft.operators.KnnJoin.knnClusters(Tables.embeddings(s, d),
         topK = 5, kCells = 16, tau = 0.2, iters = 2, probes = 2)
     },
+    "q_knn_clusters_full" -> { (s, d) =>
+      // The SAME composite at probes = kCells + rankRounded: the kNN
+      // graph is exactly brute force, the thresholded edges therefore
+      // engine-independent, and the min-id connected components answer
+      // to a recursive-CTE oracle — the q_dbscan_ivf pattern applied
+      // one composite deeper (kNN graph → threshold → CC, all
+      // adjudicated row-for-row; q_knn_clusters keeps the partial-probe
+      // at-scale config).
+      graft.operators.KnnJoin.knnClusters(Tables.embeddings(s, d),
+        topK = 5, kCells = 16, tau = 0.2, iters = 2, probes = 16,
+        rankRounded = true)
+    },
     "q_ann_opq_topk" -> { (s, d) =>
       // Optimized PQ (operators.Opq — Ge 2013's parametric OPQ): a
       // PCA rotation with eigenvalue allocation decorrelates the
@@ -1330,6 +1342,34 @@ object Llm extends QueryFamily {
     // so it answers to the SAME oracle as the exact filtered scan
     "q_ann_filtered_ivf_topk" -> filteredOracle,
     "q_ann_filtered_topk" -> filteredOracle,
+    // full-probe thresholded kNN graph ≡ brute force, so min-id CC
+    // over it answers to a recursive-CTE oracle (reachability in the
+    // symmetrized edge set; min reachable id = component min)
+    "q_knn_clusters_full" ->
+      """WITH RECURSIVE scored AS (
+        |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+        |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cos
+        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+        |ranked AS (
+        |  SELECT q_id, vec_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, vec_id ASC) AS rnk
+        |  FROM scored),
+        |p AS MATERIALIZED (
+        |  SELECT q_id AS ia, vec_id AS ib FROM ranked
+        |  WHERE rnk <= 5 AND cos >= 0.2),
+        |edges AS MATERIALIZED (SELECT ia AS src, ib AS dst FROM p
+        |          UNION ALL SELECT ib, ia FROM p),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM edges
+        |  UNION
+        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+        |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+        |SELECT emb.vec_id,
+        |       CAST(coalesce(l.cluster, emb.vec_id) AS BIGINT) AS cluster
+        |FROM embeddings emb LEFT JOIN lab l ON emb.vec_id = l.id
+        |ORDER BY emb.vec_id""".stripMargin,
     // full-probe kNN graph ≡ brute force, so the all-pairs SQL
     // adjudicates the IVF cell-join machinery end to end
     "q_knn_graph_full" ->
