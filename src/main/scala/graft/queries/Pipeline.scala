@@ -824,6 +824,39 @@ object Pipeline extends QueryFamily {
         .select("doc_id", "shard", "pos")
         .orderBy("shard", "pos")
     },
+    "q_curriculum" -> { (s, d) =>
+      // Curriculum training order (easy→hard): docs ascend through
+      // per-source quality-percentile TIERS (the q_quality_normalize
+      // CDF, quartiled — cross-source calibrated, so no source
+      // monopolizes a tier), deterministically shuffled WITHIN each
+      // tier, and sharded for the write layout — the q_corpus_shuffle
+      // shape with a curriculum prefix on the sort key. Composes the
+      // calibration pass with the training-order pass; one value-level
+      // aggregation + one per-shard window, nothing global.
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val byV = docs.groupBy(col("source"), col("n_chars"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val below = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val cum = byV.select(col("source"), col("n_chars"),
+        coalesce(sum(col("c")).over(below), lit(0L)).as("below"),
+        sum(col("c")).over(Window.partitionBy(col("source"))).as("n_src"))
+      val k = md5(concat(lit("curr42:"), col("doc_id").cast("string")))
+      val w = Window.partitionBy(col("shard"))
+        .orderBy(col("tier"), col("k"), col("doc_id"))
+      docs.join(broadcast(cum), Seq("source", "n_chars"))
+        .select(col("doc_id"),
+          expr("least(below * 4 DIV greatest(n_src, 1), 3)").as("tier"),
+          k.as("k"))
+        .withColumn("shard",
+          pmod(conv(substring(col("k"), 1, 4), 16, 10).cast("long"),
+            lit(16)))
+        .withColumn("pos", row_number().over(w))
+        .select("doc_id", "tier", "shard", "pos")
+        .orderBy("shard", "pos")
+    },
     "q_collocations" -> { (s, d) =>
       // PMI collocation mining — the corpus-statistics pass behind
       // tokenizer-vocab curation and boilerplate phrase discovery:
@@ -1498,6 +1531,34 @@ object Pipeline extends QueryFamily {
          |s AS (SELECT doc_id, k, ($h4) % 64 AS shard FROM h)
          |SELECT doc_id, shard,
          |  row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+         |FROM s ORDER BY shard, pos""".stripMargin
+    },
+    "q_curriculum" -> {
+      val nib = (i: Int) =>
+        s"(strpos('0123456789abcdef', substring(k, $i, 1)) - 1)"
+      val h4 = (1 to 4).map(i =>
+        s"${nib(i)} * ${math.pow(16, 4 - i).toLong}").mkString(" + ")
+      s"""WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+         |byv AS (
+         |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
+         |  FROM docs GROUP BY 1, 2),
+         |cum AS (
+         |  SELECT source, n_chars,
+         |    CAST(coalesce(sum(c) OVER (PARTITION BY source
+         |      ORDER BY n_chars
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         |      AS BIGINT) AS below,
+         |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_src
+         |  FROM byv),
+         |h AS (
+         |  SELECT d.doc_id,
+         |    least(below * 4 // greatest(n_src, 1), 3) AS tier,
+         |    md5(concat('curr42:', CAST(d.doc_id AS VARCHAR))) AS k
+         |  FROM docs d JOIN cum USING (source, n_chars)),
+         |s AS (SELECT doc_id, tier, k, ($h4) % 16 AS shard FROM h)
+         |SELECT doc_id, tier, shard,
+         |  row_number() OVER (PARTITION BY shard
+         |    ORDER BY tier, k, doc_id) AS pos
          |FROM s ORDER BY shard, pos""".stripMargin
     },
     "q_collocations" ->

@@ -229,6 +229,30 @@ class PipelineSpec extends SparkSuite {
     assert(got.nonEmpty && got.values.forall(_._2 >= 1))
   }
 
+  test("curriculum: tiers ascend within shards, quartile-balanced, complete") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Pipeline.queries("q_curriculum")(spark, sf)
+      .as[(Long, Long, Long, Int)].collect().toSeq
+    val nDocs = graft.Tables.documents(spark, sf).count()
+    // complete and exhaustive: every doc exactly once
+    assert(rows.length == nDocs && rows.map(_._1).distinct.length == nDocs)
+    rows.groupBy(_._3).foreach { case (shard, g) =>
+      val ordered = g.sortBy(_._4)
+      // positions are 1..|shard| dense
+      assert(ordered.map(_._4) == (1 to g.size), s"shard $shard holes")
+      // the curriculum law: tier never decreases along training order
+      val tiers = ordered.map(_._2)
+      assert(tiers == tiers.sorted, s"shard $shard not easy→hard")
+    }
+    // calibrated quartiles: each tier holds ~25% globally (value ties
+    // can skew small sources, so a loose band)
+    val byTier = rows.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(byTier.keySet.subsetOf(Set(0L, 1L, 2L, 3L)))
+    byTier.values.foreach(n =>
+      assert(n > nDocs / 10 && n < nDocs / 2, byTier.toString))
+  }
+
   test("collocations: PMI sign and support laws, local recount agrees") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
