@@ -240,7 +240,11 @@ object Graph extends QueryFamily {
       ((s, d) => pageRank(s, d, personalized = true)),
     "q_graph_degree" -> ((s, d) => degreeDistribution(s, d)),
     "q_triangles" -> ((s, d) => triangleCount(s, d, minQty = 30.0)),
-    "q_kcore" -> ((s, d) => kCore(s, d, k = 10))
+    // maxIters = 9, not the 100 default: the oracle unrolls 8 peel
+    // rounds, and 8 changing rounds + 1 confirming = 9 iterations —
+    // any graph the oracle CAN'T adjudicate now trips the fixpoint
+    // require loudly instead of hash-mismatching downstream
+    "q_kcore" -> ((s, d) => kCore(s, d, k = 10, maxIters = 9))
   )
 
   /** The oracle unrolls the three iterations as CTEs it1..it3 — same

@@ -1346,45 +1346,27 @@ object Llm extends QueryFamily {
     // over it answers to a recursive-CTE oracle (reachability in the
     // symmetrized edge set; min reachable id = component min)
     "q_knn_clusters_full" ->
-      """WITH RECURSIVE scored AS (
-        |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
-        |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cos
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
-        |ranked AS (
-        |  SELECT q_id, vec_id, cos,
-        |    row_number() OVER (PARTITION BY q_id
-        |      ORDER BY cos DESC, vec_id ASC) AS rnk
-        |  FROM scored),
-        |p AS MATERIALIZED (
-        |  SELECT q_id AS ia, vec_id AS ib FROM ranked
-        |  WHERE rnk <= 5 AND cos >= 0.2),
-        |edges AS MATERIALIZED (SELECT ia AS src, ib AS dst FROM p
-        |          UNION ALL SELECT ib, ia FROM p),
-        |reach AS (
-        |  SELECT src AS id, src AS r FROM edges
-        |  UNION
-        |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
-        |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
-        |SELECT emb.vec_id,
-        |       CAST(coalesce(l.cluster, emb.vec_id) AS BIGINT) AS cluster
-        |FROM embeddings emb LEFT JOIN lab l ON emb.vec_id = l.id
-        |ORDER BY emb.vec_id""".stripMargin,
+      s"""WITH RECURSIVE $knnBruteCtes,
+         |p AS MATERIALIZED (
+         |  SELECT q_id AS ia, vec_id AS ib FROM ranked
+         |  WHERE rnk <= 5 AND cos >= 0.2),
+         |edges AS MATERIALIZED (SELECT ia AS src, ib AS dst FROM p
+         |          UNION ALL SELECT ib, ia FROM p),
+         |reach AS (
+         |  SELECT src AS id, src AS r FROM edges
+         |  UNION
+         |  SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.id),
+         |lab AS (SELECT id, min(r) AS cluster FROM reach GROUP BY id)
+         |SELECT emb.vec_id,
+         |       CAST(coalesce(l.cluster, emb.vec_id) AS BIGINT) AS cluster
+         |FROM embeddings emb LEFT JOIN lab l ON emb.vec_id = l.id
+         |ORDER BY emb.vec_id""".stripMargin,
     // full-probe kNN graph ≡ brute force, so the all-pairs SQL
     // adjudicates the IVF cell-join machinery end to end
     "q_knn_graph_full" ->
-      """WITH scored AS (
-        |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
-        |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
-        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cos
-        |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
-        |ranked AS (
-        |  SELECT q_id, vec_id, cos,
-        |    CAST(row_number() OVER (PARTITION BY q_id
-        |      ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk
-        |  FROM scored)
-        |SELECT q_id, rnk, vec_id, cos FROM ranked
-        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+      s"""WITH $knnBruteCtes
+         |SELECT q_id, rnk, vec_id, cos FROM ranked
+         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "q_ann_cosine_topk" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding AS qvec
         |           FROM embeddings WHERE vec_id < 5),
@@ -1426,6 +1408,22 @@ object Llm extends QueryFamily {
   /** Shared by q_dbscan (all-pairs baseline) and q_dbscan_ivf (cell
     * equi-join at full probe): the candidate sets cover the same pair
     * universe, so one recursive-CTE oracle adjudicates both. */
+  /** Brute-force exact kNN CTEs shared by the two full-probe oracles
+    * (q_knn_graph_full, q_knn_clusters_full): the q_ann_cosine_topk
+    * contract — 6-dp-rounded dot, (cos desc, vec_id asc) rank — in ONE
+    * definition, so a precision/tie-break change cannot split them. */
+  private val knnBruteCtes =
+    """scored AS (
+      |  SELECT a.vec_id AS q_id, b.vec_id AS vec_id,
+      |    round(list_sum(list_transform(list_zip(a.embedding, b.embedding),
+      |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))), 6) AS cos
+      |  FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT q_id, vec_id, cos,
+      |    CAST(row_number() OVER (PARTITION BY q_id
+      |      ORDER BY cos DESC, vec_id ASC) AS INTEGER) AS rnk
+      |  FROM scored)""".stripMargin
+
   private val dbscanOracle =
       """WITH RECURSIVE p AS (
         |  SELECT a.vec_id AS ia, b.vec_id AS ib

@@ -835,18 +835,10 @@ object Pipeline extends QueryFamily {
       // aggregation + one per-shard window, nothing global.
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"))
-      val byV = docs.groupBy(col("source"), col("n_chars"))
-        .agg(count(lit(1)).as("c"))
-        .localCheckpoint()
-      val below = Window.partitionBy(col("source")).orderBy(col("n_chars"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cum = byV.select(col("source"), col("n_chars"),
-        coalesce(sum(col("c")).over(below), lit(0L)).as("below"),
-        sum(col("c")).over(Window.partitionBy(col("source"))).as("n_src"))
       val k = md5(concat(lit("curr42:"), col("doc_id").cast("string")))
       val w = Window.partitionBy(col("shard"))
         .orderBy(col("tier"), col("k"), col("doc_id"))
-      docs.join(broadcast(cum), Seq("source", "n_chars"))
+      docs.join(broadcast(Quality.sourceCdf(docs)), Seq("source", "n_chars"))
         .select(col("doc_id"),
           expr("least(below * 4 DIV greatest(n_src, 1), 3)").as("tier"),
           k.as("k"))
@@ -1044,14 +1036,20 @@ object Pipeline extends QueryFamily {
       |FROM spans JOIN firsts USING (h)
       |GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Positional polynomial over the first `chars` hex nibbles of
+    * `hexExpr` — the engine-neutral hex→int every shard/bucket/simhash
+    * oracle uses (matches Spark's conv(substring(…), 16, 10) exactly);
+    * ONE definition so a width or decoding fix reaches all of them. */
+  private def hexPrefixSum(hexExpr: String, chars: Int): String =
+    (1 to chars).map(i =>
+      s"(strpos('0123456789abcdef', substring($hexExpr, $i, 1)) - 1) * " +
+        s"${math.pow(16, chars - i).toLong}").mkString(" + ")
+
   /** DuckDB mirror of [[simhash16]]: token hash = first 4 md5 nibbles as
     * an int (strpos polynomial — matches the Spark conv() exactly). */
   private def simhashSql(bits: Int, outCol: String): String = {
     val nibbles = bits / 4
-    val nib = (i: Int) =>
-      s"(strpos('0123456789abcdef', substring(md5(token), $i, 1)) - 1)"
-    val h = (1 to nibbles).map(i =>
-      s"${nib(i)} * ${math.pow(16, nibbles - i).toLong}").mkString(" + ")
+    val h = hexPrefixSum("md5(token)", nibbles)
     val votes = (0 until bits).map(b =>
       s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
       .mkString(", ")
@@ -1173,10 +1171,7 @@ object Pipeline extends QueryFamily {
     "q_split_hash" -> {
       // hex → int without engine-specific casts: positional polynomial
       // over the first 8 md5 nibbles (16^7 … 16^0)
-      val nib = (i: Int) =>
-        s"(strpos('0123456789abcdef', substring(md5(text), $i, 1)) - 1)"
-      val h = (1 to 8).map(i =>
-        s"${nib(i)} * ${math.pow(16, 8 - i).toLong}").mkString(" + ")
+      val h = hexPrefixSum("md5(text)", 8)
       s"""SELECT doc_id, bucket,
          |  CASE WHEN bucket < 900 THEN 'train'
          |       WHEN bucket < 950 THEN 'val'
@@ -1304,11 +1299,7 @@ object Pipeline extends QueryFamily {
         |WHERE rnk <= 100
         |ORDER BY source, rnk""".stripMargin,
     "q_mix_sample" -> {
-      val nib = (i: Int) =>
-        s"(strpos('0123456789abcdef', " +
-          s"substring(md5(CAST(doc_id AS VARCHAR)), $i, 1)) - 1)"
-      val h = (1 to 8).map(i =>
-        s"${nib(i)} * ${math.pow(16, 8 - i).toLong}").mkString(" + ")
+      val h = hexPrefixSum("md5(CAST(doc_id AS VARCHAR))", 8)
       s"""SELECT doc_id, source, h32 FROM (
          |  SELECT doc_id, source, ($h) AS h32,
          |    CASE WHEN source = 'src0' THEN 4294967296
@@ -1520,10 +1511,7 @@ object Pipeline extends QueryFamily {
     // with the md5 path span for span, so one oracle certifies both
     "q_span_dedup_rolling" -> spanDedupSql,
     "q_corpus_shuffle" -> {
-      val nib = (i: Int) =>
-        s"(strpos('0123456789abcdef', substring(k, $i, 1)) - 1)"
-      val h4 = (1 to 4).map(i =>
-        s"${nib(i)} * ${math.pow(16, 4 - i).toLong}").mkString(" + ")
+      val h4 = hexPrefixSum("k", 4)
       s"""WITH h AS (
          |  SELECT doc_id,
          |         md5(concat('shuf42:', CAST(doc_id AS VARCHAR))) AS k
@@ -1534,10 +1522,7 @@ object Pipeline extends QueryFamily {
          |FROM s ORDER BY shard, pos""".stripMargin
     },
     "q_curriculum" -> {
-      val nib = (i: Int) =>
-        s"(strpos('0123456789abcdef', substring(k, $i, 1)) - 1)"
-      val h4 = (1 to 4).map(i =>
-        s"${nib(i)} * ${math.pow(16, 4 - i).toLong}").mkString(" + ")
+      val h4 = hexPrefixSum("k", 4)
       s"""WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
          |byv AS (
          |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c

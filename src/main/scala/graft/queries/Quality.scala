@@ -285,21 +285,29 @@ object Quality extends QueryFamily {
       // broadcasting that value-level table back onto the corpus.
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"))
-      // checkpointed: the windows AND the join both read it — one
-      // corpus aggregation, |source × distinct lengths| rows
-      val byV = docs.groupBy(col("source"), col("n_chars"))
-        .agg(count(lit(1)).as("c"))
-        .localCheckpoint()
-      val below = Window.partitionBy(col("source")).orderBy(col("n_chars"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val cum = byV.select(col("source"), col("n_chars"),
-        coalesce(sum(col("c")).over(below), lit(0L)).as("below"),
-        sum(col("c")).over(Window.partitionBy(col("source"))).as("n_src"))
-      docs.join(broadcast(cum), Seq("source", "n_chars"))
+      docs.join(broadcast(sourceCdf(docs)), Seq("source", "n_chars"))
         .select(col("doc_id"), col("source"), col("n_chars"),
           expr("below * 1000000 DIV greatest(n_src - 1, 1)").as("pr_u"))
         .orderBy("doc_id")
     })
+
+  /** Value-level per-source CDF of the n_chars quality signal:
+    * (source, n_chars, below = docs with a strictly smaller value,
+    * n_src) — the shared calibration pass of q_quality_normalize and
+    * q_curriculum (one definition, so the "same CDF" contract between
+    * them cannot drift). Checkpointed: the two windows AND every
+    * downstream join read it — one corpus aggregation,
+    * |source × distinct lengths| rows. */
+  private[queries] def sourceCdf(docs: DataFrame): DataFrame = {
+    val byV = docs.groupBy(col("source"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val below = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    byV.select(col("source"), col("n_chars"),
+      coalesce(sum(col("c")).over(below), lit(0L)).as("below"),
+      sum(col("c")).over(Window.partitionBy(col("source"))).as("n_src"))
+  }
 
   def oracle: Map[String, String] = Map(
     "q_drift_ks" ->

@@ -24,7 +24,6 @@ class SparkEntrySpec extends SparkSuite {
                          //   → FilteredSearchSpec (the auto-routed
                          //   q_ann_filtered_topk IS oracled)
     "q_embed_pca",       // distributed PCA (moments+Jacobi) → PcaSpec
-    "q_kcore",           // fixpoint peeling loop → GraphSpec
     "q_knn_graph",       // IVF-join kNN graph (full-probe ≡ exact) → KnnJoinSpec
     "q_knn_clusters",    // thresholded kNN graph + CC clustering → KnnJoinSpec
     "q_heavy_hitters_cms", // count-min sketch    → SketchSpec
@@ -56,6 +55,10 @@ class SparkEntrySpec extends SparkSuite {
     assert(unchecked.isEmpty,
       s"declared without oracle or spec pin: $unchecked")
     assert(specPinned.subsetOf(SparkEntry.queries.keySet))
+    // a spec-pin is a WEAKER check than an oracle — a query carrying
+    // both would let a dropped oracle pass silently
+    val both = specPinned.intersect(SparkEntry.oracleSql.keySet)
+    assert(both.isEmpty, s"oracled queries still spec-pinned: $both")
   }
 
   test("entry() answers on sf0.001 (driver smoke contract)") {
