@@ -176,6 +176,18 @@ class PlanSpec extends SparkSuite {
       s"shuffle rank collapsed to one partition:\n${plan.take(2000)}")
   }
 
+  test("q_curriculum windows per shard; CDF tiers ride a broadcast") {
+    val plan = executedPlan("q_curriculum")
+    // training-order rank is per shard (the q_corpus_shuffle shape)…
+    assert(plan.contains("Window"))
+    assertNoSinglePartitionWindow("q_curriculum")
+    // …and the tier lookup is the q_quality_normalize broadcast — the
+    // corpus is never sorted or joined by value at corpus scale
+    assert(plan.contains("BroadcastHashJoin"),
+      s"CDF tier join stopped broadcasting:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"), "SMJ crept in")
+  }
+
   test("q_chunk_windows is map-only above the scan") {
     val plan = executedPlan("q_chunk_windows")
     // generate + project only; one exchange for the presentation sort
