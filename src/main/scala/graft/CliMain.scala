@@ -283,8 +283,9 @@ object CliMain {
         .orderBy(col("score_u").desc, col("doc_id"))
         .limit(top)
       picked.coalesce(1).write.mode("overwrite").parquet(outDir)
-      println(s"select: top $top of ${docs.count()} docs by " +
-        s"LR toward ($target) -> $outDir")
+      // no docs.count() here: it would re-scan the full input parquet
+      // solely for the log line (ADVICE r13)
+      println(s"select: top $top docs by LR toward ($target) -> $outDir")
       if (!reused) spark.stop()
     // index <embeddingsDir> <outDir> --kind ivf|pq: build + materialize
     // an ANN index from an embeddings parquet — the write side of the

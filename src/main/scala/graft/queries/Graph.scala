@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.{QueryFamily, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Graph analytics over the relational tables (driver north star: the
@@ -65,8 +65,10 @@ object Graph extends QueryFamily {
   /** PageRank in exact micro-unit arithmetic: pr ← 0.15 + 0.85·Σ
     * contrib, as pr_u ← 150000 + (Σ floor(pr_u/outdeg))·17 div 20.
     * Every node appears as both src and dst (symmetrized edges), so
-    * there are no dangling nodes and the dst aggregate covers all
-    * nodes each round.
+    * there are no dangling nodes; next-round membership is additionally
+    * made STRUCTURAL by a zero-contribution union over the node set,
+    * so teleport mass reaches in-degree-0 nodes on any edge list
+    * (textbook semantics — GraphSpec pins an isolated seed).
     *
     * `personalized` makes it seeded PPR (the crawl-frontier /
     * graph-recommendation variant): the teleport mass lands ONLY on the
@@ -80,10 +82,21 @@ object Graph extends QueryFamily {
     // edges cached AND pre-partitioned on src: the per-iteration join
     // below reuses this exchange every round (only ranks re-shuffle)
     val edges = tradeEdges(s, d).repartition(col("src")).cache()
+    val out = pageRankOn(edges, iters, personalized,
+      col("node") < CustOffset && col("node") % 10 === 0)
+    edges.unpersist()
+    out
+  }
+
+  /** The iteration loop over an arbitrary edge list — factored so
+    * GraphSpec can run it on a synthetic graph with an in-degree-0
+    * seed (the teleport-coverage case the trade graph cannot exhibit:
+    * symmetrized edges give every node in-edges). */
+  private[queries] def pageRankOn(edges: DataFrame, iters: Int,
+      personalized: Boolean, seed: Column): DataFrame = {
     val deg = edges.groupBy("src").agg(count(lit(1)).as("outdeg"))
       .withColumnRenamed("src", "node")
       .cache()
-    def seed = col("node") < CustOffset && col("node") % 10 === 0
     val init = if (personalized)
       when(seed, 1000000L).otherwise(0L) else lit(1000000L)
     val tele = if (personalized)
@@ -96,9 +109,16 @@ object Graph extends QueryFamily {
       val perNode = ranks.join(deg.hint("shuffle_hash"), "node")
         .select(col("node"),
           floor(col("pr_u") / col("outdeg")).as("contrib_u"))
+      // teleport lands on EVERY node: a zero-contribution row per node
+      // unions into the same aggregation, so a seed with no in-edges
+      // keeps its teleport mass (textbook PPR) instead of silently
+      // dropping out of next-round membership (VERDICT r13 #2) — one
+      // node-sized append, no extra join, same single shuffle
       ranks = edges
         .join(perNode.hint("shuffle_hash"), edges("src") === perNode("node"))
         .select(col("dst"), col("contrib_u"))
+        .unionByName(deg.select(col("node").as("dst"),
+          lit(0L).as("contrib_u")))
         .groupBy("dst")
         .agg(sum("contrib_u").as("mass_u"))
         .select(col("dst").as("node"), col("mass_u"))
@@ -109,7 +129,7 @@ object Graph extends QueryFamily {
       it += 1
     }
     val out = ranks.orderBy("node")
-    edges.unpersist(); deg.unpersist()
+    deg.unpersist()
     out
   }
 
@@ -251,9 +271,9 @@ object Graph extends QueryFamily {
     * micro-unit integer arithmetic, so the match is exact, not
     * tolerance-based. */
   private val OracleEdges =
-    """pairs AS (
+    s"""pairs AS (
       |  SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS s,
-      |         CAST(o.o_custkey + 1099511627776 AS BIGINT) AS c
+      |         CAST(o.o_custkey + $CustOffset AS BIGINT) AS c
       |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey),
       |edges AS (SELECT s AS src, c AS dst FROM pairs
       |          UNION ALL
@@ -263,19 +283,30 @@ object Graph extends QueryFamily {
 
   private def prStep(prev: String, out: String,
       tele: String = "150000"): String =
+    // the zero-contribution UNION ALL mirrors the Spark loop's
+    // every-node teleport: a node with no in-mass this round still
+    // aggregates (mass 0) and keeps its teleport share
     s"""$out AS (
-       |  SELECT e.dst AS node,
-       |    CAST(($tele) + floor(sum(CAST(floor(CAST(p.pr_u AS DOUBLE) / d.outdeg)
-       |                                 AS BIGINT)) * 17 / 20.0) AS BIGINT)
+       |  SELECT t.node,
+       |    CAST(($tele) + floor(sum(t.contrib_u) * 17 / 20.0) AS BIGINT)
        |      AS pr_u
-       |  FROM edges e
-       |  JOIN $prev p ON e.src = p.node
-       |  JOIN deg d ON e.src = d.node
-       |  GROUP BY e.dst)""".stripMargin
+       |  FROM (
+       |    SELECT e.dst AS node,
+       |      CAST(floor(CAST(p.pr_u AS DOUBLE) / d.outdeg) AS BIGINT)
+       |        AS contrib_u
+       |    FROM edges e
+       |    JOIN $prev p ON e.src = p.node
+       |    JOIN deg d ON e.src = d.node
+       |    UNION ALL
+       |    SELECT node, CAST(0 AS BIGINT) FROM deg) t
+       |  GROUP BY t.node)""".stripMargin
 
-  /** seed predicate of the personalized variant, over a column name. */
+  /** seed predicate of the personalized variant, over a column name —
+    * interpolates [[CustOffset]] so the Spark predicate and the oracle
+    * share one constant (a drift would otherwise only surface as an
+    * opaque verify hash mismatch). */
   private def seedSql(c: String): String =
-    s"CASE WHEN $c < 1099511627776 AND $c % 10 = 0"
+    s"CASE WHEN $c < $CustOffset AND $c % 10 = 0"
 
   /** One unrolled k-core peel round: survivors of `prev` with degree
     * ≥ k keep their edges. Idempotent at the fixpoint, so 8 rounds
@@ -300,7 +331,7 @@ object Graph extends QueryFamily {
           |${prStep("it2", "it3")}
           |SELECT node, pr_u FROM it3 ORDER BY node""".stripMargin),
     "q_pagerank_personalized" -> {
-      val tele = s"${seedSql("e.dst")} THEN 150000 ELSE 0 END"
+      val tele = s"${seedSql("t.node")} THEN 150000 ELSE 0 END"
       s"""WITH $OracleEdges,
          |pr0 AS (SELECT node,
          |  CAST(${seedSql("node")} THEN 1000000 ELSE 0 END AS BIGINT)

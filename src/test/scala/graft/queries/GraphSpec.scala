@@ -139,4 +139,21 @@ class GraphSpec extends SparkSuite {
     // total PPR mass stays below the global walk's (teleport is seeds-only)
     assert(ppr.map(_._2).sum < global.values.sum)
   }
+
+  test("PPR teleport reaches an in-degree-0 seed (textbook semantics)") {
+    import spark.implicits._
+    // 1 → 2 → 3 → 2: seed node 1 has out-edges but NO in-edges — the
+    // case the symmetrized trade graph cannot exhibit. Before the r14
+    // fix the seed dropped out of next-round membership (defined by
+    // the in-mass aggregation) and lost its teleport share.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 2L)).toDF("src", "dst")
+    val ranks = Graph.pageRankOn(edges, iters = 3, personalized = true,
+      seed = org.apache.spark.sql.functions.col("node") === 1L)
+      .as[(Long, Long)].collect().toMap
+    // no in-mass ever: pr(seed) is exactly its teleport share
+    assert(ranks.get(1L).contains(150000L),
+      s"isolated seed lost its teleport mass: $ranks")
+    // and the seed's mass flows downstream (node 2 receives it)
+    assert(ranks(2L) > 150000L, s"seed mass did not propagate: $ranks")
+  }
 }
