@@ -834,7 +834,10 @@ object Pipeline extends QueryFamily {
       // calibration pass with the training-order pass; one value-level
       // aggregation + one per-shard window, nothing global.
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("n_chars"))
+        .select(col("doc_id"), col("source"),
+          // quantized like the CDF side (identity here) — see
+          // Quality.cdfBin's join contract
+          Quality.cdfBin(col("n_chars")).as("n_chars"))
       val k = md5(concat(lit("curr42:"), col("doc_id").cast("string")))
       val w = Window.partitionBy(col("shard"))
         .orderBy(col("tier"), col("k"), col("doc_id"))

@@ -284,27 +284,51 @@ object Quality extends QueryFamily {
       // share the source partitioning) and the per-doc ranks arrive by
       // broadcasting that value-level table back onto the corpus.
       val docs = Tables.documents(s, d)
-        .select(col("doc_id"), col("source"), col("n_chars"))
+        .select(col("doc_id"), col("source"),
+          // per-doc side rides the SAME quantizer as the CDF side
+          // (identity on integer lengths < 2^20) — the join contract
+          cdfBin(col("n_chars")).as("n_chars"))
       docs.join(broadcast(sourceCdf(docs)), Seq("source", "n_chars"))
         .select(col("doc_id"), col("source"), col("n_chars"),
           expr("below * 1000000 DIV greatest(n_src - 1, 1)").as("pr_u"))
         .orderBy("doc_id")
     })
 
-  /** Value-level per-source CDF of the n_chars quality signal:
-    * (source, n_chars, below = docs with a strictly smaller value,
-    * n_src) — the shared calibration pass of q_quality_normalize and
-    * q_curriculum (one definition, so the "same CDF" contract between
-    * them cannot drift). Checkpointed: the two windows AND every
-    * downstream join read it — one corpus aggregation,
-    * |source × distinct lengths| rows. */
-  private[queries] def sourceCdf(docs: DataFrame): DataFrame = {
-    val byV = docs.groupBy(col("source"), col("n_chars"))
+  /** Bin count of the [[cdfBin]] quantizer — the hard ceiling on the
+    * value-level calibration frame, per source. */
+  private[graft] val CdfBins = 1 << 20
+
+  /** Fixed-point quantizer for the calibration signal: clamp to
+    * [0, CdfBins) after the integer cast. Identity on non-negative
+    * integer signals below 2^20 (doc lengths: fixture max ~600, and
+    * even book-length docs sit around 10^6 chars ≈ the cap), which is
+    * what keeps the q_quality_normalize / q_curriculum oracles exact;
+    * a CONTINUOUS quality score must be scaled to fixed point by the
+    * caller (e.g. score·1e5 for a [0,10] score) and is then bounded by
+    * construction. Consumers must join through the SAME quantizer —
+    * exposed so the per-doc side and the CDF side cannot drift. */
+  private[graft] def cdfBin(signal: Column): Column =
+    least(greatest(signal.cast("long"), lit(0L)), lit(CdfBins - 1L))
+
+  /** Value-level per-source CDF of a quality signal, quantized through
+    * [[cdfBin]]: (source, <signal name>, below = docs with a strictly
+    * smaller quantized value, n_src) — the shared calibration pass of
+    * q_quality_normalize and q_curriculum (one definition, so the
+    * "same CDF" contract between them cannot drift). Checkpointed: the
+    * two windows AND every downstream join read it — one corpus
+    * aggregation. The quantizer bounds the frame at |source| × 2^20
+    * rows BY CONSTRUCTION (VERDICT r13 #1): with a continuous double
+    * signal, distinct raw values ≈ corpus size and the unquantized
+    * broadcast (and the bounded-window claim) would collapse at
+    * 100 TB. */
+  private[queries] def sourceCdf(docs: DataFrame,
+      signal: String = "n_chars"): DataFrame = {
+    val byV = docs.groupBy(col("source"), cdfBin(col(signal)).as(signal))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint()
-    val below = Window.partitionBy(col("source")).orderBy(col("n_chars"))
+    val below = Window.partitionBy(col("source")).orderBy(col(signal))
       .rowsBetween(Window.unboundedPreceding, -1)
-    byV.select(col("source"), col("n_chars"),
+    byV.select(col("source"), col(signal),
       coalesce(sum(col("c")).over(below), lit(0L)).as("below"),
       sum(col("c")).over(Window.partitionBy(col("source"))).as("n_src"))
   }
