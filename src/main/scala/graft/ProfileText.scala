@@ -15,8 +15,15 @@ object ProfileText {
 
   def main(args: Array[String]): Unit = {
     val spark = Sessions.get("profile-text")
+    // --hot: Zipf head ONE DECADE hotter (token 0 ~39% of all
+    // instances instead of ~6%) — the r14 stress mode for the
+    // head-split scoring joins; also reports the max single-key mass
+    // fraction surviving on the cold exchange (the bound the split
+    // exists for) next to the pre-split fraction.
+    val hotMode = args.contains("--hot")
+    val rest = args.filterNot(_ == "--hot")
     val sizes =
-      if (args.nonEmpty) args.toSeq.map(_.toLong)
+      if (rest.nonEmpty) rest.toSeq.map(_.toLong)
       else Seq(50000L, 500000L)
     sizes.foreach { n =>
       val dir = java.nio.file.Files.createTempDirectory(s"text$n").toString
@@ -32,7 +39,13 @@ object ProfileText {
       // support filter.
       def u(j: org.apache.spark.sql.Column) =
         pmod(xxhash64(col("id"), j), lit(1000000L))
-      val text = array_join(transform(sequence(lit(0), lit(99)),
+      val text = if (hotMode)
+        // id = ⌊V·u⁹⌋ — head token ≈ 5000^(-1/9) ≈ 39% of mass
+        array_join(transform(sequence(lit(0), lit(99)),
+          j => concat(lit("w"),
+            floor(pow(u(j).cast("double") / lit(1e6), 9.0) * lit(5000.0))
+              .cast("long"))), " ")
+      else array_join(transform(sequence(lit(0), lit(99)),
         j => concat(lit("w"),
           ((u(j) * u(j) * u(j)) / lit(200000000000000L)).cast("long"))),
         " ")
@@ -51,9 +64,32 @@ object ProfileText {
       val vocab = time(queries.Pipeline, "q_vocab_growth")
       val dsir = time(queries.Pipeline, "q_dsir_sample")
       val qn = time(queries.Quality, "q_quality_normalize")
-      println(f"TEXT n=$n collocations=$coll%.2fs vocab_growth=$vocab%.2fs " +
+      val tag = if (hotMode) "TEXT_HOT" else "TEXT"
+      println(f"$tag n=$n collocations=$coll%.2fs vocab_growth=$vocab%.2fs " +
         f"dsir=$dsir%.2fs quality_normalize=$qn%.2fs " +
         f"(${n / coll / 1000}%.1fk docs/s collocations)")
+      if (hotMode) {
+        // the skew evidence: largest single-token mass fraction BEFORE
+        // the head split vs the largest fraction SURVIVING on the cold
+        // exchange (head = top-4096, the query kernels' constant)
+        val ug = time(queries.Pipeline, "q_unigram_logprob")
+        val bg = time(queries.Pipeline, "q_bigram_logprob")
+        val tf = spark.read.parquet(s"$dir/documents.parquet")
+          .select(explode(expr(
+            "filter(split(text, ' '), t -> t <> '')")).as("token"))
+          .groupBy("token").count()
+          .localCheckpoint()
+        val total = tf.agg(sum("count")).head.getLong(0)
+        val preMax = tf.agg(max("count")).head.getLong(0)
+        val coldMax = tf.orderBy(col("count").desc, col("token"))
+          .offset(4096).agg(max("count")).head.get(0) match {
+            case null => 0L
+            case v: Long => v
+          }
+        println(f"TEXT_HOT n=$n unigram=$ug%.2fs bigram=$bg%.2fs " +
+          f"pre_split_max_key_frac=${preMax.toDouble / total}%.4f " +
+          f"cold_max_key_frac=${coldMax.toDouble / total}%.6f")
+      }
     }
     spark.stop()
   }

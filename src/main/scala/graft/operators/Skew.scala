@@ -67,6 +67,59 @@ object Skew {
       .withColumnRenamed("__key", "key")
   }
 
+  /** Zipf-head-hardened scoring join: `big` (a corpus-scaled instance
+    * frame) ⋈ `small` (a vocab-sized scoring table) on `keys`, where a
+    * handful of head keys own a constant fraction of the corpus — the
+    * Zipf shape of token-keyed joins, whose hottest key's partition is
+    * ~5% of the corpus at 100 TB (VERDICT r13 #3).
+    *
+    *  - `hot` (a caller-bounded subset of `small`, e.g. its top-K rows
+    *    by frequency) joins map-side via broadcast — head rows never
+    *    enter a key-partitioned exchange;
+    *  - tail rows shuffle-hash-join the remaining table; the already-
+    *    matched head rows ride the SAME exchange under a per-row
+    *    (marker, key, `spread`) struct key, so they distribute by
+    *    `spread` (e.g. doc_id) and can collide with nothing — the
+    *    hottest surviving key's partition share is bounded by the
+    *    caller's hot threshold BY CONSTRUCTION.
+    *
+    * Contract: `hot` ⊆ `small` with identical schema and bounded size;
+    * every `big` key appears in `small` (the scoring table derives from
+    * big's own corpus — a missing key would surface as a null score
+    * where the plain inner join dropped the row); `small` should be
+    * checkpointed by the caller (it is read twice: hot anti-filter +
+    * cold side). Result ≡ the plain inner equi-join, row for row —
+    * HeadSplitJoinSpec pins the equality on a synthetic Zipf corpus. */
+  private[graft] def headSplitJoin(big: DataFrame, small: DataFrame,
+      keys: Seq[String], spread: Column, hot: DataFrame): DataFrame = {
+    val valCols = small.columns.filterNot(keys.contains).toSeq
+    require(valCols.nonEmpty, "small must carry at least one value column")
+    val hotT = broadcast(hot.select(
+      keys.map(col) ++ valCols.map(c => col(c).as(s"__hot_$c")) :+
+        lit(true).as("__hot_m"): _*))
+    // exact set difference (not a predicate re-evaluation, so a hot set
+    // chosen by top-K-with-ties stays consistent between the two sides)
+    val cold = small.join(broadcast(hot.selectExpr(keys: _*)), keys,
+      "left_anti")
+    // 0x1F unit separator keeps composite keys unambiguous —
+    // ("ab","c") must not collide with ("a","bc")
+    def keyStr(cols: Seq[Column]) = concat_ws("", cols: _*)
+    val coldT = cold.select(
+      struct(lit(false).as("h"), keyStr(keys.map(col)).as("k"),
+        lit(0L).as("s")).as("__sk") +:
+        valCols.map(c => col(c).as(s"__cold_$c")): _*)
+    val tagged = big.join(hotT, keys, "left")
+      .withColumn("__sk", struct(
+        coalesce(col("__hot_m"), lit(false)).as("h"),
+        keyStr(keys.map(col)).as("k"),
+        when(col("__hot_m").isNotNull, spread.cast("long"))
+          .otherwise(lit(0L)).as("s")))
+    tagged.join(coldT.hint("shuffle_hash"), Seq("__sk"), "left")
+      .select(big.columns.map(col).toSeq ++
+        valCols.map(c =>
+          coalesce(col(s"__hot_$c"), col(s"__cold_$c")).as(c)): _*)
+  }
+
   /** Per-group top-k under skew: partial top-k per (key, salt) bounds the
     * final per-key sort input to saltBuckets·k rows. */
   def saltedTopK(

@@ -673,11 +673,17 @@ object Pipeline extends QueryFamily {
       val toks = Tables.documents(s, d)
         .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
         .filter(col("token") =!= "")
+      // checkpointed: the total, the hot head, the anti-filter and the
+      // cold side all read the vocab-sized frame
       val tf = toks.groupBy("token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val tot = tf.agg(sum("tf").cast("double").as("total"))
-      // vocabulary-scaled tf side pinned as the SHJ build (blocks AQE
-      // broadcast promotion; also skips sorting the giant instance side)
-      toks.join(tf.hint("shuffle_hash"), Seq("token"))
+      // Zipf-head-hardened scoring join (VERDICT r13 #3): top-4096
+      // tokens broadcast, tail SHUFFLE_HASH — the hottest token's
+      // instances spread by doc_id instead of landing on one partition
+      val hot = tf.orderBy(col("tf").desc, col("token")).limit(4096)
+      graft.operators.Skew
+        .headSplitJoin(toks, tf, Seq("token"), col("doc_id"), hot)
         .crossJoin(broadcast(tot))
         .withColumn("nll_fp",
           floor(lit(1e6) * -log(col("tf").cast("double") / col("total")))
@@ -715,13 +721,27 @@ object Pipeline extends QueryFamily {
             "i -> struct(ts[i-1] AS prev, ts[i] AS cur))")).as("bg"))
         .select(col("doc_id"), col("bg.prev").as("prev"),
           col("bg.cur").as("cur"))
+      // cb checkpointed: it is read three ways by the head-split join
+      // (hot head, anti-filter, cold side) AND feeds cp — which
+      // re-aggregates the vocab-sized cb instead of re-shuffling the
+      // corpus (the q_collocations marginals trick): c(prev) = Σ_cur
+      // c(prev,cur) exactly, one corpus shuffle total
       val cb = big.groupBy("prev", "cur").agg(count(lit(1)).as("cb"))
-      val cp = big.groupBy("prev").agg(count(lit(1)).as("cp"))
+        .localCheckpoint()
+      val cp = cb.groupBy("prev").agg(sum(col("cb")).as("cp"))
       val v = docs.select(explode(col("ts")).as("token"))
         .agg(countDistinct(col("token")).as("v"))
-      big
-        .join(cb.hint("shuffle_hash"), Seq("prev", "cur"))
-        .join(cp.hint("shuffle_hash"), Seq("prev"))
+      // Zipf-head-hardened scoring joins (VERDICT r13 #3): head bigrams
+      // and head contexts broadcast, tails SHUFFLE_HASH — neither the
+      // hottest bigram nor the hottest context owns a partition
+      val hotCb = cb.orderBy(col("cb").desc, col("prev"), col("cur"))
+        .limit(4096)
+      val hotCp = cp.orderBy(col("cp").desc, col("prev")).limit(4096)
+      val scored = graft.operators.Skew.headSplitJoin(
+        graft.operators.Skew.headSplitJoin(
+          big, cb, Seq("prev", "cur"), col("doc_id"), hotCb),
+        cp, Seq("prev"), col("doc_id"), hotCp)
+      scored
         .crossJoin(broadcast(v))
         .withColumn("nll_fp",
           floor(lit(1e6) * -log((col("cb") + lit(1)).cast("double") /
@@ -969,15 +989,25 @@ object Pipeline extends QueryFamily {
       .localCheckpoint()
     val tots = counts.agg(sum(col("c_a")).as("t_a"),
       sum(col("c_t")).as("t_t"), count(lit(1)).as("v"))
+    // checkpointed (vocab-sized): the head-split join reads lr three
+    // ways (hot head, anti-filter, cold side) — one totals crossJoin,
+    // not three replicated nested-loop subtrees
     val lr = counts.crossJoin(broadcast(tots))
-      .select(col("token"),
+      .select(col("token"), col("c_a"),
         floor(lit(1000000) * log(
           ((col("c_t").cast("double") + 1) *
             (col("t_a").cast("double") + col("v").cast("double"))) /
           ((col("c_a").cast("double") + 1) *
             (col("t_t").cast("double") + col("v").cast("double")))))
           .cast("long").as("lr_u"))
-    toks.join(lr.hint("shuffle_hash"), Seq("token"))
+      .localCheckpoint()
+    // Zipf-head-hardened scoring join (VERDICT r13 #3): the corpus's
+    // hottest tokens (top-4096 by frequency, deterministic tiebreak)
+    // ride a broadcast; everything else shuffle-hash-joins the tail —
+    // no token's partition ever holds the Zipf head's instance mass
+    val hot = lr.orderBy(col("c_a").desc, col("token")).limit(4096)
+    graft.operators.Skew.headSplitJoin(toks, lr.drop("c_a"),
+        Seq("token"), col("doc_id"), hot.drop("c_a"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("lr_u")).as("score_u"))
   }

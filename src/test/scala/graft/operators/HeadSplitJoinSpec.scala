@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** Skew.headSplitJoin: the Zipf-head-hardened scoring join must equal
+  * the plain inner equi-join row-for-row, while routing head keys
+  * through a broadcast and spreading their rows through the cold
+  * exchange under per-row keys (the r14 hardening of dsirScores /
+  * q_unigram_logprob / q_bigram_logprob). */
+class HeadSplitJoinSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  // synthetic Zipf instance frame: token t0 owns ~50% of instances,
+  // t1 ~25%, … — the hot-head shape; ~40 distinct tokens over 20k rows
+  private def zipf(n: Int) = spark.range(n.toLong)
+    .select(col("id").as("doc_id"),
+      concat(lit("t"), floor(log(2.0,
+        pmod(xxhash64(col("id")), lit(1 << 16)) + 1)).cast("long"))
+        .as("token"))
+
+  test("head-split ≡ plain join; single key, value preserved") {
+    val big = zipf(20000).localCheckpoint()
+    val small = big.groupBy("token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val hot = small.orderBy(col("tf").desc, col("token")).limit(3)
+    val got = Skew.headSplitJoin(big, small, Seq("token"),
+        col("doc_id"), hot)
+      .select("doc_id", "token", "tf")
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    val want = big.join(small, Seq("token"))
+      .select("doc_id", "token", "tf")
+      .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+    assert(got.length == want.length && got.sameElements(want))
+  }
+
+  test("head-split ≡ plain join; composite key") {
+    val big = zipf(20000)
+      .select(col("doc_id"), col("token").as("prev"),
+        concat(lit("c"), pmod(col("doc_id"), lit(7))).as("cur"))
+      .localCheckpoint()
+    val small = big.groupBy("prev", "cur").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    val hot = small.orderBy(col("c").desc, col("prev"), col("cur"))
+      .limit(5)
+    val got = Skew.headSplitJoin(big, small, Seq("prev", "cur"),
+        col("doc_id"), hot)
+      .select("doc_id", "prev", "cur", "c")
+      .as[(Long, String, String, Long)].collect()
+      .sortBy(r => (r._1, r._2, r._3))
+    val want = big.join(small, Seq("prev", "cur"))
+      .select("doc_id", "prev", "cur", "c")
+      .as[(Long, String, String, Long)].collect()
+      .sortBy(r => (r._1, r._2, r._3))
+    assert(got.length == want.length && got.sameElements(want))
+  }
+
+  test("plan: head rides a broadcast, tail a shuffled hash join") {
+    val big = zipf(5000).localCheckpoint()
+    val small = big.groupBy("token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val hot = small.orderBy(col("tf").desc, col("token")).limit(3)
+    val df = Skew.headSplitJoin(big, small, Seq("token"),
+      col("doc_id"), hot)
+    df.count()
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hot head stopped broadcasting:\n${plan.take(2000)}")
+    assert(plan.contains("ShuffledHashJoin"),
+      s"cold tail lost its SHJ pin:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin"), "SMJ crept in")
+  }
+
+  test("hot rows spread: no surviving key carries the head's mass") {
+    // the invariant the split exists for — group the cold exchange's
+    // join key: every head instance carries a per-doc key, so the
+    // largest single-key group is the hottest TAIL key, not the head
+    val big = zipf(20000).localCheckpoint()
+    val small = big.groupBy("token").agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val hot = small.orderBy(col("tf").desc, col("token")).limit(3)
+    val hotSet = hot.select("token").as[String].collect().toSet
+    val tagged = Skew.headSplitJoin(big, small, Seq("token"),
+      col("doc_id"), hot)
+    // reconstruct the shuffle key the cold join used: hot rows → per-doc
+    val keyMass = tagged
+      .select(when(col("token").isin(hotSet.toSeq: _*),
+        concat(lit("spread:"), col("doc_id"))).otherwise(col("token"))
+        .as("k"))
+      .groupBy("k").count().agg(max("count")).as[Long].head()
+    val headMass = big.filter(col("token").isin(hotSet.toSeq: _*)).count()
+    assert(keyMass < headMass / 10,
+      s"hot keys still concentrate: max single-key mass $keyMass vs " +
+        s"head mass $headMass")
+  }
+}

@@ -564,6 +564,21 @@ class PlanSpec extends SparkSuite {
     }
   }
 
+  test("token scoring joins ride the Zipf head-split (r14)") {
+    // dsirScores / unigram / bigram: the vocab head joins map-side via
+    // broadcast AND the tail keeps its SHUFFLE_HASH pin — losing either
+    // half resurrects the hot-token straggler at 100 TB
+    for (q <- Seq("q_dsir_sample", "q_unigram_logprob",
+        "q_bigram_logprob")) {
+      val plan = executedPlan(q)
+      assert(plan.contains("BroadcastHashJoin"),
+        s"$q: hot-head broadcast lost:\n${plan.take(2000)}")
+      assert(plan.contains("ShuffledHashJoin"),
+        s"$q: cold-tail SHJ pin lost:\n${plan.take(2000)}")
+      assert(!plan.contains("SortMergeJoin"), s"$q: SMJ crept in")
+    }
+  }
+
   /** No Window operator in `q`'s executed plan may feed from an
     * Exchange SinglePartition within the next few plan lines — the
     * bounded-global-windows guard's check, shared (global AGGREGATES
