@@ -124,28 +124,7 @@ object Streaming extends QueryFamily {
           col("sw.end").as("session_end"), col("n"))
         .orderBy("user_id", "session_start")
     },
-    "q_scd2" -> { (s, d) =>
-      // Type-2 slowly-changing dimension from the event stream — the
-      // lakehouse-ingest staple q_stream_dedup_latest (type-1: keep
-      // latest) doesn't cover: every (user, type) observation becomes a
-      // VALIDITY INTERVAL [ts, next ts) with the open current version
-      // flagged. One user_id exchange; the lead window shares it with
-      // nothing else; epoch-micro BIGINTs (NULL valid_to = current) so
-      // both engines emit identical intervals. At ingest scale this is
-      // the merge the RangeSink's landed tables feed — here declared
-      // over events as the batch-equivalent form.
-      val w = Window.partitionBy(col("user_id"), col("event_type"))
-        .orderBy(col("ts"), col("event_id"))
-      val us = expr("unix_micros(cast(ts as timestamp))")
-      Tables.events(s, d)
-        .select(col("user_id"), col("event_type"), col("event_id"),
-          us.as("valid_from"),
-          lead(us, 1).over(w).as("valid_to"))
-        .select(col("user_id"), col("event_type"), col("event_id"),
-          col("valid_from"), col("valid_to"),
-          col("valid_to").isNull.as("is_current"))
-        .orderBy("user_id", "event_type", "valid_from", "event_id")
-    },
+    "q_scd2" -> ((s, d) => scd2(Tables.events(s, d))),
     "q_stream_topk" -> { (s, d) =>
       // Windowed top-k (trending event types): per 6-hour tumbling
       // window, the 3 most frequent event types with their rank — the
@@ -179,6 +158,31 @@ object Streaming extends QueryFamily {
         .orderBy("user_id", "event_type")
     }
   )
+
+  /** q_scd2's kernel over any events frame — Type-2 slowly-changing
+    * dimension: every (user, type) observation becomes a VALIDITY
+    * INTERVAL [ts, next ts) with the open current version flagged. One
+    * user_id exchange; the lead window shares it with nothing else;
+    * epoch-micro BIGINTs (NULL valid_to = current) so both engines
+    * emit identical intervals. At ingest scale this is the merge the
+    * RangeSink's landed tables feed — declared over events as the
+    * batch-equivalent form; the CONTINUOUS form is
+    * [[graft.streaming.Scd2Stats]], whose closed intervals
+    * Scd2StatsSpec pins against THIS kernel (factored so the pair
+    * cannot drift). */
+  private[graft] def scd2(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+    val us = expr("unix_micros(cast(ts as timestamp))")
+    events
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        us.as("valid_from"),
+        lead(us, 1).over(w).as("valid_to"))
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        col("valid_from"), col("valid_to"),
+        col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "event_type", "valid_from", "event_id")
+  }
 
   def oracle: Map[String, String] = Map(
     "q_explode_tokens" ->
