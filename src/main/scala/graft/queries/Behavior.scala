@@ -385,19 +385,26 @@ object Behavior extends QueryFamily {
       // sentinel: counts are ≥ 1, so x·1e6 ≥ 1e6 and the first element
       // passes through as the classic ewma_1 = x_1 initialization —
       // matching DuckDB list_reduce's first-element-as-seed exactly.
-      val daily = Tables.events(s, d)
-        .groupBy(col("user_id"),
-          date_trunc("day", tsCol).cast("date").as("day"))
-        .agg(count(lit(1)).as("x"))
-      daily.groupBy(col("user_id"))
-        .agg(array_sort(collect_list(struct(col("day"), col("x"))))
-          .as("ds"))
-        .select(col("user_id"), size(col("ds")).as("n_days"),
-          expr("aggregate(transform(ds, s -> s.x * 1000000L), -1L, " +
-            "(acc, v) -> IF(acc = -1L, v, (acc + v) DIV 2))").as("ewma_u"))
-        .orderBy("user_id")
+      ewma(Tables.events(s, d))
     }
   )
+
+  /** q_ewma's kernel over any events frame — factored so
+    * EwmaStatsSpec can pin the streaming fold ([[
+    * graft.streaming.EwmaStats]]) against the SAME code. */
+  private[graft] def ewma(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"),
+        date_trunc("day", col("ts")).cast("date").as("day"))
+      .agg(count(lit(1)).as("x"))
+    daily.groupBy(col("user_id"))
+      .agg(array_sort(collect_list(struct(col("day"), col("x"))))
+        .as("ds"))
+      .select(col("user_id"), size(col("ds")).as("n_days"),
+        expr("aggregate(transform(ds, s -> s.x * 1000000L), -1L, " +
+          "(acc, v) -> IF(acc = -1L, v, (acc + v) DIV 2))").as("ewma_u"))
+      .orderBy("user_id")
+  }
 
   def oracle: Map[String, String] = Map(
     "q_funnel" ->
