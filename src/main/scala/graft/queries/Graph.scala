@@ -43,6 +43,7 @@ object Graph extends QueryFamily {
 
   private val CustOffset = 1L << 40
   private val PrIters = 3
+  private val LpaIters = 4
 
   /** Distinct supplier↔customer trade pairs, symmetrized into a directed
     * edge list `(src, dst)`. One pass builds both directions (explode of
@@ -254,6 +255,50 @@ object Graph extends QueryFamily {
       .orderBy("node")
   }
 
+  /** Community detection by synchronous label propagation (Raghavan
+    * et al. 2007), determinized: labels start as node ids; each round
+    * every node adopts its neighbors' most frequent label, ties to the
+    * SMALLEST label — so every round is a pure function of the
+    * previous one (classic LPA's random tie-break and asynchronous
+    * order would make the result run-dependent and un-oracle-able).
+    * A FIXED round count (like [[pageRank]]'s unrolled iterations)
+    * rather than a fixpoint: synchronous LPA can 2-cycle on bipartite
+    * structure, so "converged" is not well-defined — after `iters`
+    * rounds the assignment is deterministic either way and the
+    * unrolled-CTE oracle adjudicates it exactly.
+    *
+    * Scale shape: per round, ONE edge-sized join (labels re-keyed onto
+    * the cached src-partitioned edge list) and two partial-aggregated
+    * shuffles — (node, label) counts, then the per-node argmax as a
+    * single `max(struct(count, -label))` aggregate (no rank window:
+    * the frame would be per-node neighbor-label lists, and a struct
+    * max is map-side combinable). `localCheckpoint` per round keeps
+    * the plan constant in the round count. */
+  def labelPropagation(s: SparkSession, d: String,
+      iters: Int = LpaIters): DataFrame = {
+    val edges = tradeEdges(s, d).repartition(col("src")).cache()
+    var labels = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var it = 0
+    while (it < iters) {
+      labels = edges
+        .join(labels.hint("shuffle_hash"), edges("dst") === labels("node"))
+        .select(col("src"), col("label"))
+        .groupBy("src", "label").agg(count(lit(1)).as("c"))
+        // argmax by (count desc, label asc): max struct wins on the
+        // higher count, then the higher -label = the smaller label
+        .groupBy("src")
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("src").as("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint()
+      it += 1
+    }
+    val out = labels.orderBy("node")
+    edges.unpersist()
+    out
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> ((s, d) => pageRank(s, d)),
     "q_pagerank_personalized" ->
@@ -264,7 +309,8 @@ object Graph extends QueryFamily {
     // rounds, and 8 changing rounds + 1 confirming = 9 iterations —
     // any graph the oracle CAN'T adjudicate now trips the fixpoint
     // require loudly instead of hash-mismatching downstream
-    "q_kcore" -> ((s, d) => kCore(s, d, k = 10, maxIters = 9))
+    "q_kcore" -> ((s, d) => kCore(s, d, k = 10, maxIters = 9)),
+    "q_communities" -> ((s, d) => labelPropagation(s, d))
   )
 
   /** The oracle unrolls the three iterations as CTEs it1..it3 — same
@@ -307,6 +353,21 @@ object Graph extends QueryFamily {
     * opaque verify hash mismatch). */
   private def seedSql(c: String): String =
     s"CASE WHEN $c < $CustOffset AND $c % 10 = 0"
+
+  /** One unrolled label-propagation round: every node adopts its
+    * neighbors' most frequent label, ties to the smallest — the exact
+    * mirror of [[labelPropagation]]'s struct-max argmax. MATERIALIZED:
+    * the round chain is linear, but materializing keeps the planner
+    * from re-inlining the windowed subquery per reference. */
+  private def lpaStep(prev: String, out: String): String =
+    s"""$out AS MATERIALIZED (
+       |  SELECT node, label FROM (
+       |    SELECT e.src AS node, p.label,
+       |      row_number() OVER (PARTITION BY e.src
+       |        ORDER BY count(*) DESC, p.label) AS rn
+       |    FROM edges e JOIN $prev p ON e.dst = p.node
+       |    GROUP BY e.src, p.label)
+       |  WHERE rn = 1)""".stripMargin
 
   /** One unrolled k-core peel round: survivors of `prev` with degree
     * ≥ k keep their edges. Idempotent at the fixpoint, so 8 rounds
@@ -352,6 +413,12 @@ object Graph extends QueryFamily {
             .mkString(",\n")}
           |SELECT src AS node, CAST(count(*) AS BIGINT) AS core_degree
           |FROM e8 GROUP BY src ORDER BY node""".stripMargin),
+    "q_communities" ->
+      (s"""WITH $OracleEdges,
+          |l0 AS MATERIALIZED (SELECT node, node AS label FROM deg),
+          |${(0 until LpaIters).map(i => lpaStep(s"l$i", s"l${i + 1}"))
+            .mkString(",\n")}
+          |SELECT node, label FROM l$LpaIters ORDER BY node""".stripMargin),
     "q_triangles" ->
       """WITH e AS (
         |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS p1,

@@ -140,6 +140,43 @@ class GraphSpec extends SparkSuite {
     assert(ppr.map(_._2).sum < global.values.sum)
   }
 
+  test("label propagation ≡ single-threaded reference; communities sane") {
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val got = Graph.labelPropagation(spark, sf)
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    // single-threaded reference: same synchronous min-tie-break LPA
+    // over the collected edge list
+    val rawEdges = {
+      import org.apache.spark.sql.functions._
+      graft.Tables.lineitem(spark, sf)
+        .join(graft.Tables.orders(spark, sf),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_suppkey").cast("long").as("s"),
+          (col("o_custkey") + (1L << 40)).cast("long").as("c"))
+        .distinct().as[(Long, Long)].collect()
+    }
+    val adj = scala.collection.mutable.Map[Long, List[Long]]()
+      .withDefaultValue(Nil)
+    rawEdges.foreach { case (s, c) =>
+      adj(s) = c :: adj(s); adj(c) = s :: adj(c)
+    }
+    var labels: Map[Long, Long] = adj.keys.map(n => n -> n).toMap
+    (1 to 4).foreach { _ =>
+      labels = adj.keys.map { n =>
+        val freq = adj(n).groupBy(labels).view.mapValues(_.size)
+        n -> freq.toSeq.maxBy { case (l, c) => (c, -l) }._1
+      }.toMap
+    }
+    val want = labels.toSeq.sortBy(_._1)
+    assert(got == want,
+      s"first diff: ${got.zip(want).find(p => p._1 != p._2)}")
+    // communities are real: fewer labels than nodes, more than one
+    val nLabels = got.map(_._2).distinct.size
+    assert(nLabels > 1 && nLabels < got.size,
+      s"$nLabels communities over ${got.size} nodes")
+  }
+
   test("PPR teleport reaches an in-degree-0 seed (textbook semantics)") {
     import spark.implicits._
     // 1 → 2 → 3 → 2: seed node 1 has out-edges but NO in-edges — the
