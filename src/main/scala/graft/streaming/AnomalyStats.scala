@@ -54,14 +54,21 @@ object AnomalyStats {
         case (user, rows, state: GroupState[S]) =>
           val (open0, sealed0) =
             state.getOption.getOrElse((Array.emptyLongArray, Array.emptyLongArray))
-          // merge arriving events into the open-day counts
+          val wm = AttributionStats.wmFloorMs(
+            state.getCurrentWatermarkMs())
+          // merge arriving events into the open-day counts — EXPLICIT
+          // late-drop first (r14): a row at or below the watermark
+          // belongs to a day the seal below may already have consumed;
+          // admitting it would re-open and re-seal that day (duplicate
+          // flag, partial count). The floor also keeps the seal from
+          // treating pre-epoch days as final before any watermark
+          // exists (ADVICE r13).
           val open = scala.collection.mutable.LongMap[Long]()
           open0.foreach(p => open(p >>> 32) = p & 0xffffffffL)
-          rows.foreach { case (t, _) =>
+          rows.filter(_._1.getTime > wm).foreach { case (t, _) =>
             val day = Math.floorDiv(t.getTime, DayMs)
             open(day) = open.getOrElse(day, 0L) + 1L
           }
-          val wm = state.getCurrentWatermarkMs()
           // seal every open day whose end the watermark has passed, in
           // day order — the anomaly test sees days exactly as the
           // batch window does
@@ -84,8 +91,11 @@ object AnomalyStats {
             // wake when the earliest open day can seal; with no open
             // days the ring just waits for the user's next event
             if (still.nonEmpty)
-              state.setTimeoutTimestamp(
-                math.max((still.head._1 + 1) * DayMs, wm + 1))
+              // raw watermark bound: the floored −∞ would underflow
+              // the timer's must-be-past-the-watermark contract
+              state.setTimeoutTimestamp(math.max(
+                (still.head._1 + 1) * DayMs,
+                state.getCurrentWatermarkMs() + 1))
           }
           out.result().iterator
       }

@@ -54,6 +54,24 @@ object AttributionStats {
     // sign-flip the fractional second (−0.5 s → +0.5 s)
     Math.floorDiv(ts.getTime, 1000L) * 1000000L + ts.getNanos / 1000
 
+  /** Watermark floor for fMGWS late-drops and folds, shared by every
+    * order-final fold operator: Spark initializes the watermark to 0
+    * before the first one is computed, and a literal 0 would silently
+    * late-drop pre-1970 event times AND prematurely fold them as
+    * order-final (ADVICE r13) — treat "no watermark yet" as −∞
+    * (millisecond flavor; [[wmFloorUs]] is the micros one). A stream
+    * of ONLY pre-epoch events buffers until a post-1970 event advances
+    * the watermark — the conservative side of the ambiguity. Timers
+    * must keep using the RAW getCurrentWatermarkMs() lower bound:
+    * setTimeoutTimestamp rejects values at or below the real
+    * watermark, floored or not. */
+  private[streaming] def wmFloorMs(wmMs: Long): Long =
+    if (wmMs == 0) Long.MinValue else wmMs
+
+  /** [[wmFloorMs]] in epoch micros. */
+  private[streaming] def wmFloorUs(wmMs: Long): Long =
+    if (wmMs == 0) Long.MinValue else wmMs * 1000L
+
   def transform(events: DataFrame, watermark: String,
       lookbackUs: Long = 7L * 86400 * 1000000): Dataset[Outcome] = {
     val spark = events.sparkSession
@@ -67,7 +85,7 @@ object AttributionStats {
       .flatMapGroupsWithState[AttrState, Outcome](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (user, rows, state: GroupState[AttrState]) =>
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val wmUs = wmFloorUs(state.getCurrentWatermarkMs())
           val prev = state.getOption.getOrElse(AttrState(Long.MinValue,
             "", Array.emptyLongArray, Array.emptyLongArray,
             Array.empty[String]))

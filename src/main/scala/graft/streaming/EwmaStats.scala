@@ -60,8 +60,8 @@ object EwmaStats {
       .flatMapGroupsWithState[EwmaState, DayRow](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (user, rows, state: GroupState[EwmaState]) =>
-          val wmMs = state.getCurrentWatermarkMs()
-          val wmUs = if (wmMs == 0) Long.MinValue else wmMs * 1000L
+          val wmUs = AttributionStats.wmFloorUs(
+            state.getCurrentWatermarkMs())
           val prev = state.getOption.getOrElse(EwmaState(-1L, 0L,
             Array.emptyLongArray, Array.emptyLongArray))
           // EXPLICIT late-drop: a row at or below the watermark could

@@ -73,11 +73,18 @@ object FunnelStats {
             seal(user, buf, nSteps, deltaMs)
           } else {
             val prev = state.getOption.getOrElse(Array.emptyLongArray)
-            val grown = prev ++ rows.map { case (t, _, e) =>
-              t.getTime * 8L + stepIdx(e)
-            }
-            val (kept, sealAt) = updateBuffer(grown, horizonMs,
+            // EXPLICIT late-drop (r14): a late STEP-1 event arriving
+            // after its user's funnel sealed (state removed) would
+            // otherwise re-create state with t1 below the watermark
+            // and emit a DUPLICATE outcome at the next seal; the
+            // no-step-1 trim inside updateBuffer only covers the
+            // other steps. Floored so pre-epoch events are not
+            // dropped by the wm = 0 initialization (ADVICE r13).
+            val wmF = AttributionStats.wmFloorMs(
               state.getCurrentWatermarkMs())
+            val grown = prev ++ rows.filter(_._1.getTime > wmF)
+              .map { case (t, _, e) => t.getTime * 8L + stepIdx(e) }
+            val (kept, sealAt) = updateBuffer(grown, horizonMs, wmF)
             if (kept.isEmpty) {
               // every buffered event is provably dead — drop the state
               // entirely instead of parking an empty buffer on a timer

@@ -19,10 +19,14 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * ts is at or below the watermark), no admissible future event can
   * precede it — late rows are dropped, on-time rows sit above the
   * watermark — so the first folded event's week IS the user's final
-  * cohort, never revised. Retained state is the cohort week + the set
-  * of week_nos already emitted, bounded by the stream's CALENDAR span
-  * in weeks (the FunnelStats sealed-ring argument), plus the
-  * watermark-lag pending slice.
+  * cohort, never revised. Retained state is the cohort week + the
+  * LAST emitted week_no — O(1) per user regardless of stream lifetime
+  * (r14; the emitted-week_nos SET it replaces grew with the calendar
+  * span): events fold in (ts, event_id) order and the late-drop keeps
+  * cross-fold order too (folded ≤ watermark < pending), so week
+  * numbers arrive NON-DECREASING and "already emitted" is exactly
+  * "≤ lastWn" — plus the watermark-lag pending slice.
+  * StreamingGcSpec pins the bound over a 10-year synthetic stream.
   *
   * Weeks are ISO Monday-start on UTC epoch days — bit-compatible with
   * `date_trunc('week')` in the UTC-pinned session and in DuckDB, so
@@ -36,9 +40,10 @@ object RetentionStats {
   type Delta = (Long, Long, Long)
 
   /** cohortDays: epoch-day Monday of the user's first folded week
-    * (MinValue before any fold); emittedWn: week_nos already emitted;
+    * (MinValue before any fold); lastWn: largest week_no emitted so
+    * far (−1 before any — week numbers are non-decreasing, see above);
     * pend*: parallel arrays of not-yet-order-final events. */
-  case class RetState(cohortDays: Long, emittedWn: Array[Long],
+  case class RetState(cohortDays: Long, lastWn: Long,
       pendUs: Array[Long], pendId: Array[Long])
 
   /** Monday-start week (epoch days) of an epoch-micros instant —
@@ -59,10 +64,10 @@ object RetentionStats {
       .flatMapGroupsWithState[RetState, Delta](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (user, rows, state: GroupState[RetState]) =>
-          val wmUs = state.getCurrentWatermarkMs() * 1000L
+          val wmUs = AttributionStats.wmFloorUs(
+            state.getCurrentWatermarkMs())
           val prev = state.getOption.getOrElse(RetState(Long.MinValue,
-            Array.emptyLongArray, Array.emptyLongArray,
-            Array.emptyLongArray))
+            -1L, Array.emptyLongArray, Array.emptyLongArray))
           // EXPLICIT late-drop (fMGWS admits late rows): one at or
           // below the watermark could otherwise precede the folded
           // first event and rewrite the cohort
@@ -85,27 +90,30 @@ object RetentionStats {
 
   /** Fold every pending event with ts ≤ `upTo` in (ts, event_id)
     * order: the first fold fixes the cohort; each NEW active week
-    * emits one (cohort_days, week_no). Pure → unit-tested directly. */
+    * emits one (cohort_days, week_no). The fold walks timestamps in
+    * non-decreasing order, so a week is new exactly when its number
+    * exceeds the last emitted one — O(1) dedup state. Pure →
+    * unit-tested directly. */
   private[streaming] def fold(st: RetState, upTo: Long)
       : (RetState, List[(Long, Long)]) = {
     val idx = st.pendUs.indices.filter(i => st.pendUs(i) <= upTo)
     if (idx.isEmpty) return (st, Nil)
     val ordered = idx.sortBy(i => (st.pendUs(i), st.pendId(i)))
     var cohort = st.cohortDays
-    var emitted = st.emittedWn
+    var lastWn = st.lastWn
     val out = List.newBuilder[(Long, Long)]
     ordered.foreach { i =>
       val ws = weekStartDays(st.pendUs(i))
       if (cohort == Long.MinValue) cohort = ws
       val wn = (ws - cohort) / 7
-      if (!emitted.contains(wn)) {
-        emitted = emitted :+ wn
+      if (wn > lastWn) {
+        lastWn = wn
         out += ((cohort, wn))
       }
     }
     val rest = st.pendUs.indices.filterNot(i => st.pendUs(i) <= upTo)
     (st.copy(
-      cohortDays = cohort, emittedWn = emitted,
+      cohortDays = cohort, lastWn = lastWn,
       pendUs = rest.iterator.map(st.pendUs).toArray,
       pendId = rest.iterator.map(st.pendId).toArray),
       out.result())

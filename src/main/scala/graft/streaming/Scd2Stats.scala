@@ -61,10 +61,8 @@ object Scd2Stats {
       .flatMapGroupsWithState[Scd2State, Version](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case ((user, ty), rows, state: GroupState[Scd2State]) =>
-          val wmMs = state.getCurrentWatermarkMs()
-          // −∞ until a watermark exists: wm 0 before the first batch
-          // would late-drop pre-epoch event times (ADVICE r13)
-          val wmUs = if (wmMs == 0) Long.MinValue else wmMs * 1000L
+          val wmUs = AttributionStats.wmFloorUs(
+            state.getCurrentWatermarkMs())
           val prev = state.getOption.getOrElse(Scd2State(Long.MinValue,
             0L, Array.emptyLongArray, Array.emptyLongArray))
           // EXPLICIT late-drop (fMGWS admits late rows): one at or

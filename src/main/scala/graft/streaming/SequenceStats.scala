@@ -98,7 +98,8 @@ object SequenceStats {
             // possibly already-emitted session and rewrite history
             // (or resurrect a removed state as a spurious session)
             val add = rows
-              .filter(_._1.getTime > state.getCurrentWatermarkMs())
+              .filter(_._1.getTime > AttributionStats.wmFloorMs(
+                state.getCurrentWatermarkMs()))
               .toArray
             if (add.isEmpty && state.getOption.isEmpty) Iterator.empty
             else {
@@ -109,7 +110,8 @@ object SequenceStats {
               pendId = prev.pendId ++ add.map(_._3),
               pendCh = prev.pendCh + add.map(_._4).mkString)
             val (folded, closed) = fold(grown,
-              state.getCurrentWatermarkMs(), pats, keep, gapMs)
+              AttributionStats.wmFloorMs(state.getCurrentWatermarkMs()),
+              pats, keep, gapMs)
             state.update(folded)
             state.setTimeoutTimestamp(math.max(folded.lastTs + gapMs,
               state.getCurrentWatermarkMs() + 1))

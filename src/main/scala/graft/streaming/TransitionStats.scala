@@ -48,7 +48,8 @@ object TransitionStats {
       .flatMapGroupsWithState[TransState, Delta](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (_, rows, state: GroupState[TransState]) =>
-          val wm = state.getCurrentWatermarkMs()
+          val wm = AttributionStats.wmFloorMs(
+            state.getCurrentWatermarkMs())
           val prev = state.getOption.getOrElse(TransState("",
             Array.emptyLongArray, Array.emptyLongArray,
             Array.empty[String]))
@@ -71,8 +72,10 @@ object TransitionStats {
             // soon as the watermark passes it; no pending → no timer
             // (retained state is just lastType, the semantics' minimum)
             if (folded.pendTs.nonEmpty)
-              state.setTimeoutTimestamp(
-                math.max(folded.pendTs.min, wm + 1))
+              // raw watermark here: the floored −∞ would underflow the
+              // timer's must-be-past-the-watermark contract
+              state.setTimeoutTimestamp(math.max(folded.pendTs.min,
+                state.getCurrentWatermarkMs() + 1))
             deltas.iterator
           }
       }

@@ -37,7 +37,7 @@ class RetentionStatsSpec extends SparkSuite {
     def us(d: Int): Long = AttributionStats.micros(ts(d))
     // pending out of order: day 8 (week 1) arrives before day 0
     val st0 = RetentionStats.RetState(Long.MinValue,
-      Array.emptyLongArray, Array(us(8), us(0), us(1)), Array(1L, 2L, 3L))
+      -1L, Array(us(8), us(0), us(1)), Array(1L, 2L, 3L))
     val (st1, d1) = RetentionStats.fold(st0, us(8))
     // cohort = week of day 0 (the EARLIEST pending, not first-arrived);
     // day 1 shares week 0 with it — one delta each for weeks 0 and 1
@@ -48,7 +48,7 @@ class RetentionStatsSpec extends SparkSuite {
     val st2 = st1.copy(pendUs = Array(us(9), us(22)), pendId = Array(4L, 5L))
     val (st3, d2) = RetentionStats.fold(st2, Long.MaxValue)
     assert(d2 == List((mon, 3L)), d2.toString)
-    assert(st3.emittedWn.toSeq == Seq(0L, 1L, 3L))
+    assert(st3.lastWn == 3L)
   }
 
   test("counted streamed deltas ≡ batch retention under shuffled arrival") {

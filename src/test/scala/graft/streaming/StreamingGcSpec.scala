@@ -1,0 +1,153 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** State-GC audit for the order-final fold operators (VERDICT r13 #8):
+  * state must NOT grow with stream LIFETIME — only with watermark lag.
+  * Each pure fold is driven through a years-long synthetic stream with
+  * an advancing watermark and its retained state asserted bounded.
+  * (WindowTopK aggregates with native watermark eviction and
+  * AnomalyStats caps its ring at 6 sealed days by construction —
+  * their bounds don't need a fold drive.) Plus the wm-floor contract:
+  * before any watermark exists, nothing is late and nothing is
+  * order-final (ADVICE r13 pre-epoch case). */
+class StreamingGcSpec extends AnyFunSuite {
+
+  private val DayUs = 86400000000L
+
+  test("wm floor: no watermark ⇒ −∞ (pre-epoch rows neither late nor final)") {
+    assert(AttributionStats.wmFloorMs(0L) == Long.MinValue)
+    assert(AttributionStats.wmFloorUs(0L) == Long.MinValue)
+    assert(AttributionStats.wmFloorMs(5L) == 5L)
+    assert(AttributionStats.wmFloorUs(5L) == 5000L)
+    // a pre-epoch event is NOT dropped by the > −∞ filter and NOT
+    // folded by the ≤ −∞ finality test
+    val preEpoch = -86400000000L
+    assert(preEpoch > AttributionStats.wmFloorUs(0L))
+    val (st, out) = Scd2Stats.fold(
+      Scd2Stats.Scd2State(Long.MinValue, 0L, Array(preEpoch), Array(1L)),
+      AttributionStats.wmFloorUs(0L))
+    assert(out.isEmpty && st.pendUs.length == 1)
+  }
+
+  test("RetentionStats: 10-year weekly stream, O(1) state") {
+    // one event per ISO week for 520 weeks, folded incrementally with
+    // the watermark trailing one week behind — the shape that grew the
+    // old emitted-week_nos set to 520 entries
+    var st = RetentionStats.RetState(Long.MinValue, -1L,
+      Array.emptyLongArray, Array.emptyLongArray)
+    var emitted = 0L
+    (0 until 520).foreach { w =>
+      val us = (4L + 7L * w) * DayUs + 3600000000L // Mondays (day 4 = 1970-01-05)
+      st = st.copy(pendUs = st.pendUs :+ us, pendId = st.pendId :+ w.toLong)
+      val (st2, out) = RetentionStats.fold(st, us - 7L * DayUs)
+      st = st2
+      emitted += out.size
+    }
+    val (stF, outF) = RetentionStats.fold(st, Long.MaxValue)
+    emitted += outF.size
+    assert(emitted == 520L, s"one delta per active week: $emitted")
+    assert(stF.lastWn == 519L && stF.pendUs.isEmpty)
+    // state is scalars + the pending slice — nothing proportional to
+    // the 10-year span survives the fold
+    assert(stF.productArity == 4)
+    // same-week repeats dedup against lastWn, not a set
+    val (_, dup) = RetentionStats.fold(
+      stF.copy(pendUs = Array(519L * 7L * DayUs + (4L * DayUs)),
+        pendId = Array(999L)), Long.MaxValue)
+    assert(dup.isEmpty, "re-emitted an already-counted week")
+  }
+
+  test("AttributionStats: 10k-event stream, state is carry + lag slice") {
+    var st = AttributionStats.AttrState(Long.MinValue, "",
+      Array.emptyLongArray, Array.emptyLongArray, Array.empty[String])
+    var purchases = 0
+    (0 until 10000).foreach { i =>
+      val us = i.toLong * 3600000000L
+      val ty = if (i % 5 == 4) "purchase" else "view"
+      st = st.copy(pendUs = st.pendUs :+ us, pendId = st.pendId :+ i.toLong,
+        pendTy = st.pendTy :+ ty)
+      val (st2, out) = AttributionStats.fold(st, us - 2L * 3600000000L,
+        7L * 86400000000L)
+      st = st2
+      purchases += out.size
+    }
+    // watermark lag = 2 events: the pending slice never exceeds it
+    assert(st.pendUs.length <= 2,
+      s"pending slice grew with lifetime: ${st.pendUs.length}")
+    val (stF, outF) = AttributionStats.fold(st, Long.MaxValue,
+      7L * 86400000000L)
+    assert(purchases + outF.size == 2000)
+    assert(stF.pendUs.isEmpty)
+  }
+
+  test("EwmaStats: 10-year daily stream, pending bounded by lag in days") {
+    var st = EwmaStats.EwmaState(-1L, 0L, Array.emptyLongArray,
+      Array.emptyLongArray)
+    var maxPend = 0
+    (0 until 3650).foreach { d =>
+      st = st.copy(pendDay = st.pendDay :+ d.toLong,
+        pendCnt = st.pendCnt :+ 1L)
+      val (st2, _) = EwmaStats.fold(st, d.toLong * DayUs) // wm = day start
+      st = st2
+      maxPend = math.max(maxPend, st.pendDay.length)
+    }
+    assert(maxPend <= 2, s"pending days grew with lifetime: $maxPend")
+    val (stF, _) = EwmaStats.fold(st, Long.MaxValue)
+    assert(stF.nDays == 3650L && stF.pendDay.isEmpty)
+    // carry stays bounded by 2·max-count micro-units (here x = 1e6)
+    assert(stF.ewmaU <= 2000000L)
+  }
+
+  test("Scd2Stats: 10k-version stream, one open version retained") {
+    var st = Scd2Stats.Scd2State(Long.MinValue, 0L,
+      Array.emptyLongArray, Array.emptyLongArray)
+    var closed = 0
+    (0 until 10000).foreach { i =>
+      val us = i.toLong * 60000000L
+      st = st.copy(pendUs = st.pendUs :+ us, pendId = st.pendId :+ i.toLong)
+      val (st2, out) = Scd2Stats.fold(st, us - 3L * 60000000L)
+      st = st2
+      closed += out.size
+    }
+    assert(st.pendUs.length <= 3,
+      s"pending slice grew with lifetime: ${st.pendUs.length}")
+    val (stF, outF) = Scd2Stats.fold(st, Long.MaxValue)
+    assert(closed + outF.size == 9999 && stF.pendUs.isEmpty)
+    assert(stF.openUs == 9999L * 60000000L) // exactly one open version
+  }
+
+  test("FunnelStats: a user who views forever but never signs up") {
+    // no step-1 event: the buffer must stay bounded by watermark lag,
+    // not accumulate 10k views
+    var buf = Array.emptyLongArray
+    var maxKept = 0
+    (0 until 10000).foreach { i =>
+      val ms = i.toLong * 60000L
+      buf = buf ++ Array(ms * 8L + 1L) // step index 1 = not step-1
+      val (kept, _) = FunnelStats.updateBuffer(buf, 21L * 60000L,
+        ms - 5L * 60000L)
+      buf = kept
+      maxKept = math.max(maxKept, kept.length)
+    }
+    assert(maxKept <= 6, s"no-step1 buffer grew with lifetime: $maxKept")
+  }
+
+  test("SequenceStats: one endless session, tail capped at maxLen−1") {
+    val pats = Array("svp", "vvv")
+    var st = SequenceStats.SeqState("", 0, 0L, Long.MinValue,
+      Long.MinValue, Array.emptyLongArray, Array.emptyLongArray, "")
+    (0 until 10000).foreach { i =>
+      val ms = i.toLong * 1000L // 1s apart, gap never exceeded
+      st = st.copy(lastTs = ms, pendTs = st.pendTs :+ ms,
+        pendId = st.pendId :+ i.toLong, pendCh = st.pendCh + "v")
+      val (st2, _) = SequenceStats.fold(st, ms - 2000L, pats, 2, 60000L)
+      st = st2
+    }
+    assert(st.tail.length <= 2,
+      s"open-session tail grew with lifetime: ${st.tail.length}")
+    assert(st.pendTs.length <= 2,
+      s"pending slice grew with lifetime: ${st.pendTs.length}")
+    assert(st.n > 9000, "the endless session kept counting")
+  }
+}
