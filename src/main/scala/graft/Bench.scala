@@ -199,8 +199,19 @@ object Bench {
     // on this number, the raw total stays for continuity
     val calibMid = (calibStart + calibEnd) / 2.0
     val totalNorm = if (calibMid > 0) total / calibMid else -1.0
+    // shared-set norm (VERDICT r13 #7): the same normalized total
+    // restricted to queries that were ALSO timed last round
+    // (BENCH_mins.json's key set, same-sf) — round-over-round reads
+    // head-to-head without subtracting the new queries by hand; -1
+    // when no prior record exists at this sf
+    val sharedSet = results.view.filterKeys(lastMins.contains).toMap
+    val totalNormShared =
+      if (calibMid > 0 && sharedSet.nonEmpty) sharedSet.values.sum / calibMid
+      else -1.0
     val tailFields =
       s""""total_calib_norm":${f"$totalNorm%.2f"},""" +
+      s""""total_calib_norm_shared":${f"$totalNormShared%.2f"},""" +
+      s""""queries_shared":${sharedSet.size},""" +
       s""""calib_sec":[${f"$calibStart%.2f"},${f"$calibEnd%.2f"}],""" +
       s""""rerun_outliers":${outliers.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""excluded":${excluded.keys.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
@@ -250,6 +261,7 @@ object Bench {
       s"""{"metric":"total","value":${f"$total%.2f"},"unit":"sec",""" +
       s""""value_min":${f"$totalMin%.2f"},"queries_timed":${results.size},""" +
       s""""total_calib_norm":${f"$totalNorm%.2f"},""" +
+      s""""total_calib_norm_shared":${f"$totalNormShared%.2f"},""" +
       s""""calib_sec":[${f"$calibStart%.2f"},${f"$calibEnd%.2f"}],""" +
       s""""ingest_blocks_per_sec":${f"$ingestBps%.0f"},""" +
       s""""sf":"$sfDir","runs":$runs,"queries_full":"BENCH_full.json"}""")
