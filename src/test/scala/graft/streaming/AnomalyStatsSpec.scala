@@ -46,6 +46,11 @@ class AnomalyStatsSpec extends SparkSuite {
     query.processAllAvailable()
     stream.addData((ts(12, 10), 99L))
     query.processAllAvailable()
+    // late row for u1's SEALED burst day: before the r14 explicit
+    // late-drop it re-opened the day with a partial count and
+    // re-sealed it immediately (duplicate flag with x = 1)
+    stream.addData((ts(8, 3), 1L))
+    query.processAllAvailable()
     query.stop()
 
     val got = spark.table("anomaly_stats")

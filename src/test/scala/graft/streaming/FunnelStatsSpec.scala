@@ -110,15 +110,23 @@ class FunnelStatsSpec extends SparkSuite {
     // a late step-2 event for the SEALED u10 funnel: must change nothing
     stream.addData((ts(3), 10L, "view"))
     query.processAllAvailable()
+    // a late STEP-1 event for the sealed u10: before the r14 explicit
+    // late-drop this re-created state (updateBuffer's no-step1 trim
+    // does not cover a late signup) and emitted a DUPLICATE outcome at
+    // the next seal
+    stream.addData((ts(2), 10L, "signup"))
+    query.processAllAvailable()
     stream.addData((ts(150), 99L, "view"))
     query.processAllAvailable()
     query.stop()
 
-    val got = spark.table("funnel_stats")
+    val rows = spark.table("funnel_stats")
       .selectExpr("user_id", "stage", "cast(t_first as string)",
         "cast(t_last as string)")
       .as[(Long, Int, String, String)].collect()
-      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(rows.length == rows.map(_._1).distinct.length,
+      s"a user emitted twice: ${rows.mkString(",")}")
+    val got = rows.map(r => r._1 -> ((r._2, r._3, r._4))).toMap
 
     val want = reference(
       (batch1 ++ batch2).map { case (u, e, m) => (u, e, m) })
