@@ -107,8 +107,16 @@ object Bench {
     // fresh-JVM second opinion for >2× regressions vs last round's mins:
     // a real regression reproduces in isolation; host contention doesn't
     val lastMins = readMins("BENCH_mins.json", sfDir)
+    // NEW queries (no last-round min to compare against) get the
+    // fresh-JVM second opinion too when they read slow in-suite —
+    // otherwise a new query's first stamp is whatever the shared
+    // JVM's accumulated heap state made of it (r14: q_communities
+    // read 10.1 s in-suite vs 3.96 s fresh-JVM on its first round)
     val outliers = mins.filter { case (n, m) =>
-      lastMins.get(n).exists(prev => m > 2.0 * prev && m - prev > 0.5)
+      lastMins.get(n) match {
+        case Some(prev) => m > 2.0 * prev && m - prev > 0.5
+        case None => m > 2.0
+      }
     }.keys.toSeq.sorted
     val reruns = outliers.flatMap { n =>
       BenchOne.inFreshJvm(sfDir, n).map(n -> _)
