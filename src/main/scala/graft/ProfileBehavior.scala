@@ -53,11 +53,13 @@ object ProfileBehavior {
       val attr = time(queries.Behavior, "q_attribution")
       val ewma = time(queries.Behavior, "q_ewma")
       val topk = time(queries.Streaming, "q_stream_topk")
+      val scd2 = time(queries.Streaming, "q_scd2")
       println(f"BEHAVIOR n=$n users=$users funnel=$funnel%.2fs " +
         f"transitions=$trans%.2fs anomaly=$anom%.2fs " +
         f"retention=$ret%.2fs sessionize=$sess%.2fs " +
         f"seq_regex=$regex%.2fs attribution=$attr%.2fs ewma=$ewma%.2fs " +
-        f"stream_topk=$topk%.2fs (${n / funnel / 1e6}%.1fM ev/s funnel)")
+        f"stream_topk=$topk%.2fs scd2=$scd2%.2fs " +
+        f"(${n / funnel / 1e6}%.1fM ev/s funnel)")
     }
     spark.stop()
   }

@@ -24,10 +24,18 @@ object ProfileGraph {
       val core = queries.Graph.kCore(spark, d, k = 10)
         .agg(count(lit(1)), sum(col("core_degree"))).collect().head
       val coreSec = (System.nanoTime() - t1) / 1e9
+      // r14: label propagation on the full trade graph — community
+      // count + coverage at 10× the edges on the same per-round plan
+      val t2 = System.nanoTime()
+      val comm = queries.Graph.labelPropagation(spark, d)
+        .agg(count(lit(1)), countDistinct(col("label"))).collect().head
+      val commSec = (System.nanoTime() - t2) / 1e9
       println(f"GRAPH $d full-graph: triangles=${tri.getLong(0)} " +
         f"edges=${tri.getLong(1)} in $triSec%.2fs; " +
         f"10-core nodes=${core.getLong(0)} " +
-        f"coreEdges=${core.getLong(1) / 2} in $coreSec%.2fs")
+        f"coreEdges=${core.getLong(1) / 2} in $coreSec%.2fs; " +
+        f"lpa nodes=${comm.getLong(0)} " +
+        f"communities=${comm.getLong(1)} in $commSec%.2fs")
     }
     spark.stop()
   }
