@@ -320,27 +320,7 @@ object Behavior extends QueryFamily {
         .agg(count(lit(1)).as("users"))
         .orderBy("cohort_week", "week_no")
     },
-    "q_gapfill_locf" -> { (s, d) =>
-      // checkpointed: the grid build AND the left join both read it —
-      // one aggregation, not two (the q_quantile_sketch lesson)
-      val daily = Tables.events(s, d)
-        .groupBy(col("user_id"), date_trunc("day", tsCol).as("day"))
-        .agg(count(lit(1)).as("n"),
-          sum(dec("value")).cast("double").as("v"))
-        .localCheckpoint()
-      val grid = daily.groupBy(col("user_id"))
-        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
-        .select(col("user_id"),
-          explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY")))
-            .as("day"))
-      grid.join(daily, Seq("user_id", "day"), "left")
-        .select(col("user_id"), col("day").cast("date").as("day"),
-          coalesce(col("n"), lit(0L)).as("n"),
-          last(col("v"), ignoreNulls = true)
-            .over(Window.partitionBy(col("user_id")).orderBy(col("day")))
-            .as("v_locf"))
-        .orderBy("user_id", "day")
-    },
+    "q_gapfill_locf" -> ((s, d) => gapfillLocf(Tables.events(s, d))),
     "q_attribution" -> { (s, d) =>
       // Last-touch conversion attribution: each purchase credits the
       // user's most recent PRIOR non-purchase event within a 7-day
@@ -388,6 +368,32 @@ object Behavior extends QueryFamily {
       ewma(Tables.events(s, d))
     }
   )
+
+  /** q_gapfill_locf's kernel over any events frame — factored so
+    * GapfillStatsSpec can pin the streaming fold ([[
+    * graft.streaming.GapfillStats]]) against the SAME code.
+    * Checkpointed: the grid build AND the left join both read the
+    * daily aggregate — one aggregation, not two (the
+    * q_quantile_sketch lesson). */
+  private[graft] def gapfillLocf(events: DataFrame): DataFrame = {
+    val daily = events
+      .groupBy(col("user_id"), date_trunc("day", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(12,4)")).cast("double").as("v"))
+      .localCheckpoint()
+    val grid = daily.groupBy(col("user_id"))
+      .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+      .select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"), expr("INTERVAL 1 DAY")))
+          .as("day"))
+    grid.join(daily, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day").cast("date").as("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        last(col("v"), ignoreNulls = true)
+          .over(Window.partitionBy(col("user_id")).orderBy(col("day")))
+          .as("v_locf"))
+      .orderBy("user_id", "day")
+  }
 
   /** q_ewma's kernel over any events frame — factored so
     * EwmaStatsSpec can pin the streaming fold ([[

@@ -117,6 +117,28 @@ class StreamingGcSpec extends AnyFunSuite {
     assert(stF.openUs == 9999L * 60000000L) // exactly one open version
   }
 
+  test("GapfillStats: 10-year daily stream, O(1) carry + lag slice") {
+    var st = GapfillStats.GapState(Long.MinValue, 0L, hasCarry = false,
+      Array.emptyLongArray, Array.emptyLongArray, Array.emptyLongArray,
+      Array.empty[Boolean])
+    var maxPend = 0
+    var emitted = 0L
+    (0 until 3650 by 2).foreach { d => // every OTHER day: gaps backfill
+      st = st.copy(pendDay = st.pendDay :+ d.toLong,
+        pendN = st.pendN :+ 1L, pendFp = st.pendFp :+ 10000L,
+        pendHasV = st.pendHasV :+ true)
+      val (st2, out) = GapfillStats.fold(st, d.toLong * DayUs)
+      st = st2
+      emitted += out.size
+      maxPend = math.max(maxPend, st.pendDay.length)
+    }
+    assert(maxPend <= 2, s"pending days grew with lifetime: $maxPend")
+    val (stF, outF) = GapfillStats.fold(st, Long.MaxValue)
+    // grid density: one row per calendar day in [0, 3648], gaps filled
+    assert(emitted + outF.size == 3649L)
+    assert(stF.pendDay.isEmpty && stF.lastDay == 3648L)
+  }
+
   test("FunnelStats: a user who views forever but never signs up") {
     // no step-1 event: the buffer must stay bounded by watermark lag,
     // not accumulate 10k views
