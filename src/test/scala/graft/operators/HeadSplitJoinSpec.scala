@@ -72,6 +72,24 @@ class HeadSplitJoinSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin"), "SMJ crept in")
   }
 
+  test("contract edge: a big key absent from small surfaces as null") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    // documented divergence from the plain INNER join (which drops the
+    // row): the scoring table is supposed to derive from big's own
+    // corpus, so absence is a caller bug — it must surface as a null
+    // score, not a silently shrunk result
+    val big = Seq((1L, "a"), (2L, "b"), (3L, "zzz"))
+      .toDF("doc_id", "token").localCheckpoint()
+    val small = Seq(("a", 10L), ("b", 20L)).toDF("token", "tf")
+      .localCheckpoint()
+    val hot = small.orderBy(col("tf").desc).limit(1)
+    val got = Skew.headSplitJoin(big, small, Seq("token"),
+        col("doc_id"), hot)
+      .select("doc_id", "tf").as[(Long, Option[Long])].collect().toMap
+    assert(got == Map(1L -> Some(10L), 2L -> Some(20L), 3L -> None))
+    assert(small.agg(count(lit(1))).as[Long].head() == 2L)
+  }
+
   test("hot rows spread: no surviving key carries the head's mass") {
     // the invariant the split exists for — group the cold exchange's
     // join key: every head instance carries a per-doc key, so the
