@@ -861,7 +861,7 @@ object Pipeline extends QueryFamily {
       val k = md5(concat(lit("curr42:"), col("doc_id").cast("string")))
       val w = Window.partitionBy(col("shard"))
         .orderBy(col("tier"), col("k"), col("doc_id"))
-      docs.join(broadcast(Quality.sourceCdf(docs)), Seq("source", "n_chars"))
+      Quality.calibJoin(docs)
         .select(col("doc_id"),
           expr("least(below * 4 DIV greatest(n_src, 1), 3)").as("tier"),
           k.as("k"))

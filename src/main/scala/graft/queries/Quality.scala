@@ -288,7 +288,7 @@ object Quality extends QueryFamily {
           // per-doc side rides the SAME quantizer as the CDF side
           // (identity on integer lengths < 2^20) — the join contract
           cdfBin(col("n_chars")).as("n_chars"))
-      docs.join(broadcast(sourceCdf(docs)), Seq("source", "n_chars"))
+      calibJoin(docs)
         .select(col("doc_id"), col("source"), col("n_chars"),
           expr("below * 1000000 DIV greatest(n_src - 1, 1)").as("pr_u"))
         .orderBy("doc_id")
@@ -309,6 +309,11 @@ object Quality extends QueryFamily {
     * exposed so the per-doc side and the CDF side cannot drift. */
   private[graft] def cdfBin(signal: Column): Column =
     least(greatest(signal.cast("long"), lit(0L)), lit(CdfBins - 1L))
+
+  /** Broadcast ceiling for the calibration frame, in VALUE rows
+    * (≈ 40 B each → ~10 MB, the sane broadcast envelope). Above it the
+    * per-doc rank join routes SHUFFLE_HASH instead. */
+  private[graft] val BroadcastCdfRows = 1L << 18
 
   /** Value-level per-source CDF of a quality signal, quantized through
     * [[cdfBin]]: (source, <signal name>, below = docs with a strictly
@@ -331,6 +336,29 @@ object Quality extends QueryFamily {
     byV.select(col("source"), col(signal),
       coalesce(sum(col("c")).over(below), lit(0L)).as("below"),
       sum(col("c")).over(Window.partitionBy(col("source"))).as("n_src"))
+  }
+
+  /** The per-doc calibration join, SIZE-ROUTED (r14): the bin bound
+    * makes the CDF frame finite, but 2^20 bins × many sources can
+    * still outgrow a sane broadcast — e.g. 20 sources of continuous
+    * scores ≈ 20M value rows ≈ hundreds of MB, which a forced
+    * broadcast() would push to every executor (and through the
+    * driver). The value frame is checkpointed, so its exact row count
+    * is one cheap count(): ≤ [[BroadcastCdfRows]] broadcasts (the
+    * fixture path — integer doc lengths are a few hundred rows),
+    * above it the join is SHUFFLE_HASH with the vocab-sized CDF as
+    * the build side (the dsirScores pin). Same rows either way. */
+  private[queries] def calibJoin(docs: DataFrame,
+      signal: String = "n_chars",
+      broadcastRows: Long = BroadcastCdfRows): DataFrame = {
+    val cdf = sourceCdf(docs, signal)
+    // counts the checkpointed byV through two window projections —
+    // row-preserving, so this is the checkpoint's own row count
+    val rows = cdf.count()
+    if (rows <= broadcastRows)
+      docs.join(broadcast(cdf), Seq("source", signal))
+    else
+      docs.join(cdf.hint("shuffle_hash"), Seq("source", signal))
   }
 
   def oracle: Map[String, String] = Map(

@@ -34,6 +34,32 @@ class QualitySpec extends SparkSuite {
     assert(rows.groupBy(_._2).forall(_._2.exists(_._4 == 0L)))
   }
 
+  test("calibJoin: wide CDF frames route to shuffle-hash, narrow broadcast") {
+    import org.apache.spark.sql.functions._
+    // ~60k distinct bins (continuous signal, pre-quantized per the join
+    // contract) with the ceiling forced low → the broadcast would be
+    // the 100 TB hazard (2^20 bins × sources), so the join must route
+    // SHUFFLE_HASH with the value frame as the build side
+    val docs = spark.range(0, 60000, 1, 8)
+      .select(col("id").as("doc_id"),
+        concat(lit("src"), pmod(col("id"), lit(3))).as("source"),
+        Quality.cdfBin(pmod(xxhash64(col("id")), lit(500000L)))
+          .as("score"))
+    val wide = Quality.calibJoin(docs, signal = "score",
+      broadcastRows = 1000L)
+    assert(wide.count() == 60000L) // row-preserving either way
+    val widePlan = wide.queryExecution.executedPlan.toString()
+    assert(widePlan.contains("ShuffledHashJoin"),
+      s"wide calibration frame lost its SHJ route:\n${widePlan.take(2000)}")
+    // a coarse signal (~50 bins) stays on the broadcast path
+    val coarse = docs.withColumn("score",
+      Quality.cdfBin(pmod(col("doc_id"), lit(50))))
+    val narrow = Quality.calibJoin(coarse, signal = "score")
+    assert(narrow.count() == 60000L)
+    assert(narrow.queryExecution.executedPlan.toString()
+      .contains("BroadcastHashJoin"), "narrow frame stopped broadcasting")
+  }
+
   test("sourceCdf: value frame bounded for CONTINUOUS signals (r14)") {
     import org.apache.spark.sql.functions._
     // a continuous double score: ~every row a distinct raw value, range
