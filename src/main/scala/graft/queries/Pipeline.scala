@@ -361,18 +361,27 @@ object Pipeline extends QueryFamily {
       // ((N+1)/(df+1), no log): +,*,/ are IEEE correctly-rounded, so the
       // score is bit-identical across engines — ln() is library-dependent
       // and could flip ranks at the ulp. Two partial-agg shuffles (term
-      // frequency, document frequency); the df side is vocabulary-sized
-      // and broadcast, so the scoring join never shuffles the corpus.
+      // frequency, document frequency). The df scoring join rides the
+      // Zipf head-split (r14): a full vocab broadcast is the same
+      // 100 TB hazard calibJoin routes around (web vocab ≈ 10⁸ tokens),
+      // and a plain token-keyed SHJ would hand "the"'s df(t) ≈ n_docs
+      // rows to one partition — top-4096 head broadcast, tail SHJ.
+      // tf checkpointed: the df aggregation AND the join's big side
+      // both read the doc-term frame.
       val docs = Tables.documents(s, d)
       val tf = docs.select(col("doc_id"), explode(toks).as("token"))
         .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
       val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+        .localCheckpoint()
       val nDocs = docs.agg(count(lit(1)).as("n_docs"))
       val score = (col("tf") * (col("n_docs") + 1)).cast("double") /
         (col("df") + 1)
       val w = Window.partitionBy(col("doc_id"))
         .orderBy(score.desc, col("token").asc)
-      tf.join(broadcast(dfreq), "token")
+      val hot = dfreq.orderBy(col("df").desc, col("token")).limit(4096)
+      graft.operators.Skew
+        .headSplitJoin(tf, dfreq, Seq("token"), col("doc_id"), hot)
         .crossJoin(broadcast(nDocs))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
@@ -538,13 +547,20 @@ object Pipeline extends QueryFamily {
       // quality filtering): mean corpus frequency of a doc's tokens.
       // Integer-exact until ONE final division — float sums would be
       // aggregation-order-dependent, so the numerator stays a BIGINT sum
-      // of per-token corpus counts. Vocabulary aggregates broadcast; the
-      // corpus token instances shuffle once (partial-aggregated).
+      // of per-token corpus counts. The count join rides the Zipf
+      // head-split (r14): the old full-vocab broadcast is the calibJoin
+      // hazard at web scale, and the instance side is maximally skewed
+      // ("the" = ~5% of all rows) — top-4096 head broadcast, tail SHJ,
+      // head instances spread per-doc. cnts checkpointed: the total,
+      // the head, the anti-filter and the cold side all read it.
       val docs = Tables.documents(s, d)
       val inst = docs.select(col("doc_id"), explode(toks).as("token"))
       val cnts = inst.groupBy("token").agg(count(lit(1)).as("cnt"))
+        .localCheckpoint()
       val total = cnts.agg(sum(col("cnt")).as("total"))
-      inst.join(broadcast(cnts), "token")
+      val hot = cnts.orderBy(col("cnt").desc, col("token")).limit(4096)
+      graft.operators.Skew
+        .headSplitJoin(inst, cnts, Seq("token"), col("doc_id"), hot)
         .crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("sum_cnt"),

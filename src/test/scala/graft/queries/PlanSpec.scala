@@ -196,20 +196,23 @@ class PlanSpec extends SparkSuite {
       s"chunking gained a shuffle:\n${plan.take(2000)}")
   }
 
-  test("q_tfidf broadcasts the vocabulary sides, never the corpus") {
+  test("q_tfidf: head broadcast + tail SHJ, n_docs the only nested loop") {
     val plan = executedPlan("q_tfidf")
-    // df join + n_docs cross join both broadcast
-    assert(plan.split("BroadcastHashJoin").length >= 2 ||
-      (plan.contains("BroadcastHashJoin") &&
-        plan.contains("BroadcastNestedLoopJoin")),
-      s"tfidf scoring join stopped broadcasting:\n${plan.take(2000)}")
+    // r14: the full-vocab df broadcast became the Zipf head-split —
+    // hot head broadcast, cold tail SHUFFLE_HASH, 1-row n_docs on the
+    // only nested loop
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("ShuffledHashJoin"),
+      s"tfidf head-split lost a half:\n${plan.take(2000)}")
+    assert(plan.split("BroadcastNestedLoop").length - 1 <= 1)
     assert(!plan.contains("SortMergeJoin"))
   }
 
-  test("q_token_rarity broadcasts vocabulary aggregates") {
+  test("q_token_rarity: head broadcast + tail SHJ") {
     val plan = executedPlan("q_token_rarity")
-    assert(plan.contains("BroadcastHashJoin"),
-      s"rarity join stopped broadcasting:\n${plan.take(2000)}")
+    assert(plan.contains("BroadcastHashJoin") &&
+      plan.contains("ShuffledHashJoin"),
+      s"rarity head-split lost a half:\n${plan.take(2000)}")
     assert(!plan.contains("SortMergeJoin"))
   }
 
@@ -569,7 +572,7 @@ class PlanSpec extends SparkSuite {
     // broadcast AND the tail keeps its SHUFFLE_HASH pin — losing either
     // half resurrects the hot-token straggler at 100 TB
     for (q <- Seq("q_dsir_sample", "q_unigram_logprob",
-        "q_bigram_logprob")) {
+        "q_bigram_logprob", "q_tfidf", "q_token_rarity")) {
       val plan = executedPlan(q)
       assert(plan.contains("BroadcastHashJoin"),
         s"$q: hot-head broadcast lost:\n${plan.take(2000)}")
