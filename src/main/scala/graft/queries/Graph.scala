@@ -275,8 +275,37 @@ object Graph extends QueryFamily {
     * max is map-side combinable). `localCheckpoint` per round keeps
     * the plan constant in the round count. */
   def labelPropagation(s: SparkSession, d: String,
+      iters: Int = LpaIters): DataFrame =
+    labelPropagationOn(tradeEdges(s, d), iters)
+
+  /** [[labelPropagation]] on the co-purchase graph (parts sharing an
+    * order, the q_triangles projection, symmetrized): unlike the dense
+    * trade graph — which LPA collapses to 2 communities, the known
+    * epidemic behavior on dense graphs — the order-clique structure
+    * here yields real product communities, so the two configs together
+    * show both regimes of the same oracled machinery. */
+  def copurchaseCommunities(s: SparkSession, d: String,
       iters: Int = LpaIters): DataFrame = {
-    val edges = tradeEdges(s, d).repartition(col("src")).cache()
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 30.0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").cast("long").as("p1"),
+        col("b.l_partkey").cast("long").as("p2"))
+      .distinct()
+    val edges = pairs.select(explode(array(
+        struct(col("p1").as("src"), col("p2").as("dst")),
+        struct(col("p2").as("src"), col("p1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    labelPropagationOn(edges, iters)
+  }
+
+  /** The iteration loop over an arbitrary symmetrized edge list. */
+  private[queries] def labelPropagationOn(edgeList: DataFrame,
+      iters: Int): DataFrame = {
+    val edges = edgeList.repartition(col("src")).cache()
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
@@ -310,7 +339,9 @@ object Graph extends QueryFamily {
     // any graph the oracle CAN'T adjudicate now trips the fixpoint
     // require loudly instead of hash-mismatching downstream
     "q_kcore" -> ((s, d) => kCore(s, d, k = 10, maxIters = 9)),
-    "q_communities" -> ((s, d) => labelPropagation(s, d))
+    "q_communities" -> ((s, d) => labelPropagation(s, d)),
+    "q_communities_copurchase" ->
+      ((s, d) => copurchaseCommunities(s, d))
   )
 
   /** The oracle unrolls the three iterations as CTEs it1..it3 — same
@@ -416,6 +447,22 @@ object Graph extends QueryFamily {
     "q_communities" ->
       (s"""WITH $OracleEdges,
           |l0 AS MATERIALIZED (SELECT node, node AS label FROM deg),
+          |${(0 until LpaIters).map(i => lpaStep(s"l$i", s"l${i + 1}"))
+            .mkString(",\n")}
+          |SELECT node, label FROM l$LpaIters ORDER BY node""".stripMargin),
+    "q_communities_copurchase" ->
+      (s"""WITH pp AS (
+          |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS p1,
+          |                  CAST(b.l_partkey AS BIGINT) AS p2
+          |  FROM (SELECT * FROM lineitem WHERE l_quantity > 30) a
+          |  JOIN (SELECT * FROM lineitem WHERE l_quantity > 30) b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+          |edges AS MATERIALIZED (
+          |  SELECT p1 AS src, p2 AS dst FROM pp
+          |  UNION ALL
+          |  SELECT p2 AS src, p1 AS dst FROM pp),
+          |l0 AS MATERIALIZED (
+          |  SELECT DISTINCT src AS node, src AS label FROM edges),
           |${(0 until LpaIters).map(i => lpaStep(s"l$i", s"l${i + 1}"))
             .mkString(",\n")}
           |SELECT node, label FROM l$LpaIters ORDER BY node""".stripMargin),
