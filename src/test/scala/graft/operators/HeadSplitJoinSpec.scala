@@ -72,6 +72,35 @@ class HeadSplitJoinSpec extends SparkSuite {
     assert(!plan.contains("SortMergeJoin"), "SMJ crept in")
   }
 
+  test("degenerate hot sets: empty, full, and single-key corpora") {
+    import org.apache.spark.sql.functions.{col, count, lit}
+    def check(big: org.apache.spark.sql.DataFrame,
+        hotK: Int): Unit = {
+      val small = big.groupBy("token").agg(count(lit(1)).as("tf"))
+        .localCheckpoint()
+      val hot = small.orderBy(col("tf").desc, col("token")).limit(hotK)
+      val got = Skew.headSplitJoin(big, small, Seq("token"),
+          col("doc_id"), hot)
+        .select("doc_id", "token", "tf")
+        .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+      val want = big.join(small, Seq("token"))
+        .select("doc_id", "token", "tf")
+        .as[(Long, String, Long)].collect().sortBy(r => (r._1, r._2))
+      assert(got.length == want.length && got.sameElements(want),
+        s"hotK=$hotK diverged")
+    }
+    val z = zipf(3000).localCheckpoint()
+    check(z, 0)      // empty head: pure cold path
+    check(z, 100000) // full head: pure broadcast path, empty cold build
+    // a corpus that is ONE key entirely — the maximal-skew extreme
+    val one = spark.range(2000)
+      .select(col("id").as("doc_id"),
+        org.apache.spark.sql.functions.lit("only").as("token"))
+      .localCheckpoint()
+    check(one, 1)
+    check(one, 0)
+  }
+
   test("contract edge: a big key absent from small surfaces as null") {
     import org.apache.spark.sql.functions.{col, count, lit}
     // documented divergence from the plain INNER join (which drops the
