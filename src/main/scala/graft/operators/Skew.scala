@@ -86,12 +86,17 @@ object Skew {
     * Contract: `hot` ⊆ `small` with identical schema and bounded size;
     * every `big` key appears in `small` (the scoring table derives from
     * big's own corpus — a missing key would surface as a null score
-    * where the plain inner join dropped the row); `small` should be
-    * checkpointed by the caller (it is read twice: hot anti-filter +
-    * cold side). Result ≡ the plain inner equi-join, row for row —
-    * HeadSplitJoinSpec pins the equality on a synthetic Zipf corpus. */
+    * where the plain inner join dropped the row, or as a runtime error
+    * when `requireMatch` is set: scoring-join callers whose coverage is
+    * an invariant should pass requireMatch=true so a contract violation
+    * fails loudly instead of propagating null into aggregates); `small`
+    * should be checkpointed by the caller (it is read twice: hot
+    * anti-filter + cold side). Result ≡ the plain inner equi-join, row
+    * for row — HeadSplitJoinSpec pins the equality on a synthetic Zipf
+    * corpus, including concatenation-ambiguous composite keys. */
   private[graft] def headSplitJoin(big: DataFrame, small: DataFrame,
-      keys: Seq[String], spread: Column, hot: DataFrame): DataFrame = {
+      keys: Seq[String], spread: Column, hot: DataFrame,
+      requireMatch: Boolean = false): DataFrame = {
     val valCols = small.columns.filterNot(keys.contains).toSeq
     require(valCols.nonEmpty, "small must carry at least one value column")
     val hotT = broadcast(hot.select(
@@ -103,21 +108,32 @@ object Skew {
       "left_anti")
     // 0x1F unit separator keeps composite keys unambiguous —
     // ("ab","c") must not collide with ("a","bc")
-    def keyStr(cols: Seq[Column]) = concat_ws("", cols: _*)
+    def keyStr(cols: Seq[Column]) = concat_ws("\u001F", cols: _*)
     val coldT = cold.select(
       struct(lit(false).as("h"), keyStr(keys.map(col)).as("k"),
         lit(0L).as("s")).as("__sk") +:
-        valCols.map(c => col(c).as(s"__cold_$c")): _*)
+        (valCols.map(c => col(c).as(s"__cold_$c")) :+
+          lit(true).as("__cold_m")): _*)
     val tagged = big.join(hotT, keys, "left")
       .withColumn("__sk", struct(
         coalesce(col("__hot_m"), lit(false)).as("h"),
         keyStr(keys.map(col)).as("k"),
         when(col("__hot_m").isNotNull, spread.cast("long"))
           .otherwise(lit(0L)).as("s")))
+    // requireMatch: fail row-side (distributed, no extra pass) when a
+    // big key matched neither side — cheaper and louder than letting a
+    // null score flow into a downstream sum()
+    def valOf(c: String): Column = {
+      val base = coalesce(col(s"__hot_$c"), col(s"__cold_$c"))
+      if (!requireMatch) base.as(c)
+      else when(col("__hot_m").isNull && col("__cold_m").isNull,
+        raise_error(concat(lit("headSplitJoin: key ["),
+          keyStr(keys.map(col)), lit("] missing from scoring table")))
+          .cast(small.schema(c).dataType))
+        .otherwise(base).as(c)
+    }
     tagged.join(coldT.hint("shuffle_hash"), Seq("__sk"), "left")
-      .select(big.columns.map(col).toSeq ++
-        valCols.map(c =>
-          coalesce(col(s"__hot_$c"), col(s"__cold_$c")).as(c)): _*)
+      .select(big.columns.map(col).toSeq ++ valCols.map(valOf): _*)
   }
 
   /** Per-group top-k under skew: partial top-k per (key, salt) bounds the

@@ -381,7 +381,8 @@ object Pipeline extends QueryFamily {
         .orderBy(score.desc, col("token").asc)
       val hot = dfreq.orderBy(col("df").desc, col("token")).limit(4096)
       graft.operators.Skew
-        .headSplitJoin(tf, dfreq, Seq("token"), col("doc_id"), hot)
+        .headSplitJoin(tf, dfreq, Seq("token"), col("doc_id"), hot,
+          requireMatch = true)
         .crossJoin(broadcast(nDocs))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3)
@@ -560,7 +561,8 @@ object Pipeline extends QueryFamily {
       val total = cnts.agg(sum(col("cnt")).as("total"))
       val hot = cnts.orderBy(col("cnt").desc, col("token")).limit(4096)
       graft.operators.Skew
-        .headSplitJoin(inst, cnts, Seq("token"), col("doc_id"), hot)
+        .headSplitJoin(inst, cnts, Seq("token"), col("doc_id"), hot,
+          requireMatch = true)
         .crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum(col("cnt")).as("sum_cnt"),
@@ -699,7 +701,8 @@ object Pipeline extends QueryFamily {
       // instances spread by doc_id instead of landing on one partition
       val hot = tf.orderBy(col("tf").desc, col("token")).limit(4096)
       graft.operators.Skew
-        .headSplitJoin(toks, tf, Seq("token"), col("doc_id"), hot)
+        .headSplitJoin(toks, tf, Seq("token"), col("doc_id"), hot,
+          requireMatch = true)
         .crossJoin(broadcast(tot))
         .withColumn("nll_fp",
           floor(lit(1e6) * -log(col("tf").cast("double") / col("total")))
@@ -755,8 +758,9 @@ object Pipeline extends QueryFamily {
       val hotCp = cp.orderBy(col("cp").desc, col("prev")).limit(4096)
       val scored = graft.operators.Skew.headSplitJoin(
         graft.operators.Skew.headSplitJoin(
-          big, cb, Seq("prev", "cur"), col("doc_id"), hotCb),
-        cp, Seq("prev"), col("doc_id"), hotCp)
+          big, cb, Seq("prev", "cur"), col("doc_id"), hotCb,
+          requireMatch = true),
+        cp, Seq("prev"), col("doc_id"), hotCp, requireMatch = true)
       scored
         .crossJoin(broadcast(v))
         .withColumn("nll_fp",
@@ -1023,7 +1027,7 @@ object Pipeline extends QueryFamily {
     // no token's partition ever holds the Zipf head's instance mass
     val hot = lr.orderBy(col("c_a").desc, col("token")).limit(4096)
     graft.operators.Skew.headSplitJoin(toks, lr.drop("c_a"),
-        Seq("token"), col("doc_id"), hot.drop("c_a"))
+        Seq("token"), col("doc_id"), hot.drop("c_a"), requireMatch = true)
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("lr_u")).as("score_u"))
   }
@@ -1572,7 +1576,11 @@ object Pipeline extends QueryFamily {
     },
     "q_curriculum" -> {
       val h4 = hexPrefixSum("k", 4)
-      s"""WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+      s"""WITH docs AS (
+         |  SELECT doc_id, source,
+         |    least(greatest(CAST(n_chars AS BIGINT), 0), 1048575)
+         |      AS n_chars
+         |  FROM documents),
          |byv AS (
          |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
          |  FROM docs GROUP BY 1, 2),

@@ -327,15 +327,26 @@ object Quality extends QueryFamily {
     * broadcast (and the bounded-window claim) would collapse at
     * 100 TB. */
   private[queries] def sourceCdf(docs: DataFrame,
-      signal: String = "n_chars"): DataFrame = {
+      signal: String = "n_chars"): DataFrame =
+    sourceCdfParts(docs, signal)._2
+
+  /** [[sourceCdf]] plus its pre-window checkpointed value frame, so
+    * size probes (calibJoin) can count the materialized byV directly
+    * instead of re-deriving the row count through the two window
+    * projections (ADVICE r14: the windows are row-preserving, so the
+    * counts are identical — but counting through them costs an extra
+    * window pass per query build). */
+  private[queries] def sourceCdfParts(docs: DataFrame,
+      signal: String = "n_chars"): (DataFrame, DataFrame) = {
     val byV = docs.groupBy(col("source"), cdfBin(col(signal)).as(signal))
       .agg(count(lit(1)).as("c"))
       .localCheckpoint()
     val below = Window.partitionBy(col("source")).orderBy(col(signal))
       .rowsBetween(Window.unboundedPreceding, -1)
-    byV.select(col("source"), col(signal),
+    val cdf = byV.select(col("source"), col(signal),
       coalesce(sum(col("c")).over(below), lit(0L)).as("below"),
       sum(col("c")).over(Window.partitionBy(col("source"))).as("n_src"))
+    (byV, cdf)
   }
 
   /** The per-doc calibration join, SIZE-ROUTED (r14): the bin bound
@@ -351,10 +362,12 @@ object Quality extends QueryFamily {
   private[queries] def calibJoin(docs: DataFrame,
       signal: String = "n_chars",
       broadcastRows: Long = BroadcastCdfRows): DataFrame = {
-    val cdf = sourceCdf(docs, signal)
-    // counts the checkpointed byV through two window projections —
-    // row-preserving, so this is the checkpoint's own row count
-    val rows = cdf.count()
+    val (byV, cdf) = sourceCdfParts(docs, signal)
+    // size probe on the PRE-window checkpointed value frame: the two
+    // window projections are row-preserving, so byV's count is cdf's —
+    // and byV is already materialized (eager localCheckpoint), so the
+    // probe is a cached-partition count, not a re-derivation
+    val rows = byV.count()
     if (rows <= broadcastRows)
       docs.join(broadcast(cdf), Seq("source", signal))
     else
@@ -485,7 +498,14 @@ object Quality extends QueryFamily {
         |  UNION ALL SELECT 'tax_nonnegative', v_tax, total FROM a)
         |ORDER BY rule""".stripMargin,
     "q_quality_normalize" ->
-      """WITH docs AS (SELECT doc_id, source, n_chars FROM documents),
+      // docs mirrors the engine's cdfBin quantizer (clamp to [0, 2^20))
+      // so both sides share it — identity on fixture lengths, but a
+      // book-scale n_chars >= 2^20 must not drift engine vs oracle
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |    least(greatest(CAST(n_chars AS BIGINT), 0), 1048575)
+        |      AS n_chars
+        |  FROM documents),
         |byv AS (
         |  SELECT source, n_chars, CAST(count(*) AS BIGINT) AS c
         |  FROM docs GROUP BY 1, 2),

@@ -56,6 +56,58 @@ class HeadSplitJoinSpec extends SparkSuite {
     assert(got.length == want.length && got.sameElements(want))
   }
 
+  test("composite keys with colliding concatenations stay distinct") {
+    // ("the","rapist") and ("th","erapist") concatenate identically —
+    // without the 0x1F unit separator both cold bigrams would land on
+    // one __sk key and each big row would match BOTH cold rows
+    val big = Seq(
+      (1L, "the", "rapist"), (2L, "th", "erapist"),
+      (3L, "the", "rapist"), (4L, "a", "bc"), (5L, "ab", "c"),
+      (6L, "hot", "key"), (7L, "hot", "key"))
+      .toDF("doc_id", "prev", "cur").localCheckpoint()
+    val small = big.groupBy("prev", "cur").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
+    // force every ambiguous pair onto the COLD path: the hot set is the
+    // one unambiguous key, so collisions must be resolved by __sk alone
+    val hot = small.filter(col("prev") === "hot")
+    val got = Skew.headSplitJoin(big, small, Seq("prev", "cur"),
+        col("doc_id"), hot)
+      .select("doc_id", "prev", "cur", "c")
+      .as[(Long, String, String, Long)].collect()
+      .sortBy(r => (r._1, r._2, r._3))
+    val want = big.join(small, Seq("prev", "cur"))
+      .select("doc_id", "prev", "cur", "c")
+      .as[(Long, String, String, Long)].collect()
+      .sortBy(r => (r._1, r._2, r._3))
+    assert(got.length == want.length, // a collision would DUPLICATE rows
+      s"row count drifted: got ${got.length}, want ${want.length}")
+    assert(got.sameElements(want))
+    // and the counts themselves disambiguate: ("the","rapist") seen 2×
+    val byKey = got.map(r => ((r._2, r._3), r._4)).toMap
+    assert(byKey(("the", "rapist")) == 2L && byKey(("th", "erapist")) == 1L)
+  }
+
+  test("requireMatch: missing key fails loudly instead of nulling") {
+    val big = Seq((1L, "a"), (2L, "b"), (3L, "zzz"))
+      .toDF("doc_id", "token").localCheckpoint()
+    val small = Seq(("a", 10L), ("b", 20L)).toDF("token", "tf")
+      .localCheckpoint()
+    val hot = small.orderBy(col("tf").desc).limit(1)
+    val ex = intercept[Exception] {
+      Skew.headSplitJoin(big, small, Seq("token"), col("doc_id"), hot,
+        requireMatch = true).collect()
+    }
+    assert(ex.getMessage.contains("missing from scoring table") ||
+      Option(ex.getCause).exists(
+        _.getMessage.contains("missing from scoring table")),
+      s"wrong failure: ${ex.getMessage}")
+    // and a fully-covered corpus passes untouched under the guard
+    val ok = Skew.headSplitJoin(big.filter(col("token") =!= "zzz"),
+        small, Seq("token"), col("doc_id"), hot, requireMatch = true)
+      .select("doc_id", "tf").as[(Long, Long)].collect().toMap
+    assert(ok == Map(1L -> 10L, 2L -> 20L))
+  }
+
   test("plan: head rides a broadcast, tail a shuffled hash join") {
     val big = zipf(5000).localCheckpoint()
     val small = big.groupBy("token").agg(count(lit(1)).as("tf"))
