@@ -108,30 +108,7 @@ object Behavior extends QueryFamily {
         .orderBy("step")
     },
     "q_running_distinct" -> { (s, d) =>
-      // Daily new vs cumulative distinct users — the scalable form of
-      // count(DISTINCT) OVER (ORDER BY day): tag each user's FIRST day
-      // (one per-user aggregation), roll new-user counts up per day,
-      // then a running sum over the DAY-level frame. The global window
-      // is safe because its input is |days| rows, not the corpus —
-      // the corpus-sized distinct state never exists.
-      val firstDay = Tables.events(s, d)
-        .groupBy(col("user_id"))
-        .agg(min(date_trunc("day", tsCol)).as("first_day"))
-      val dailyNew = firstDay.groupBy(col("first_day").cast("date").as("day"))
-        .agg(count(lit(1)).as("new_users"))
-      // constant partition key: same one-group semantics, but the
-      // bounded-frame claim (|days| rows, never the corpus) is now
-      // machine-checkable — the plan carries no SinglePartition window
-      // (PlanSpec) and the WindowExec warning stays silent. pmod(x,1)=0
-      // because Catalyst STRIPS foldable keys from a window partition
-      // spec — a bare lit(0) still plans SinglePartition
-      dailyNew.select(col("day"), col("new_users"),
-          sum(col("new_users")).over(
-            Window.partitionBy(pmod(dayofmonth(col("day")), lit(1)))
-            .orderBy(col("day"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .as("cum_users"))
-        .orderBy("day")
+      runningDistinct(Tables.events(s, d))
     },
     "q_sequence_pattern" -> { (s, d) =>
       // Consecutive-pattern detection (the MATCH_RECOGNIZE-lite /
@@ -368,6 +345,37 @@ object Behavior extends QueryFamily {
       ewma(Tables.events(s, d))
     }
   )
+
+  /** q_running_distinct's kernel over any events frame — daily new vs
+    * cumulative distinct users, the scalable form of count(DISTINCT)
+    * OVER (ORDER BY day): tag each user's FIRST day (one per-user
+    * aggregation), roll new-user counts up per day, then a running sum
+    * over the DAY-level frame. The global window is safe because its
+    * input is |days| rows, not the corpus — the corpus-sized distinct
+    * state never exists. Factored so RunningDistinctSpec can pin the
+    * streaming fold ([[graft.streaming.RunningDistinctStats]]) against
+    * the SAME code. */
+  private[graft] def runningDistinct(events: DataFrame): DataFrame = {
+    val firstDay = events
+      .groupBy(col("user_id"))
+      .agg(min(date_trunc("day", col("ts"))).as("first_day"))
+    val dailyNew = firstDay
+      .groupBy(col("first_day").cast("date").as("day"))
+      .agg(count(lit(1)).as("new_users"))
+    // constant partition key: same one-group semantics, but the
+    // bounded-frame claim (|days| rows, never the corpus) is now
+    // machine-checkable — the plan carries no SinglePartition window
+    // (PlanSpec) and the WindowExec warning stays silent. pmod(x,1)=0
+    // because Catalyst STRIPS foldable keys from a window partition
+    // spec — a bare lit(0) still plans SinglePartition
+    dailyNew.select(col("day"), col("new_users"),
+        sum(col("new_users")).over(
+          Window.partitionBy(pmod(dayofmonth(col("day")), lit(1)))
+          .orderBy(col("day"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .as("cum_users"))
+      .orderBy("day")
+  }
 
   /** q_gapfill_locf's kernel over any events frame — factored so
     * GapfillStatsSpec can pin the streaming fold ([[

@@ -139,6 +139,24 @@ class StreamingGcSpec extends AnyFunSuite {
     assert(stF.pendDay.isEmpty && stF.lastDay == 3648L)
   }
 
+  test("RunningDistinctStats: 10-year stream, one bit after first day") {
+    // a user active daily for 10 years: exactly ONE delta ever, and
+    // after it the state is the terminal seen bit — no candidate, no
+    // pending slice, nothing proportional to lifetime
+    var st = RunningDistinctStats.SeenState(seen = false, Long.MaxValue)
+    var emitted = 0L
+    (0 until 3650).foreach { d =>
+      val us = d.toLong * DayUs + 3600000000L
+      val (st2, out) = RunningDistinctStats.fold(st, us, us - DayUs)
+      st = st2
+      emitted += out.size
+    }
+    assert(emitted == 1L, s"one delta per user, ever: $emitted")
+    assert(st.seen && st.pendUs == Long.MaxValue)
+    // terminal folds are identity — the state store is never rewritten
+    assert(RunningDistinctStats.fold(st, 0L, Long.MaxValue) == (st, None))
+  }
+
   test("FunnelStats: a user who views forever but never signs up") {
     // no step-1 event: the buffer must stay bounded by watermark lag,
     // not accumulate 10k views
