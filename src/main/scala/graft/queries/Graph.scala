@@ -44,6 +44,7 @@ object Graph extends QueryFamily {
   private val CustOffset = 1L << 40
   private val PrIters = 3
   private val LpaIters = 4
+  private val HopRounds = 4
 
   /** Distinct supplier↔customer trade pairs, symmetrized into a directed
     * edge list `(src, dst)`. One pass builds both directions (explode of
@@ -328,6 +329,58 @@ object Graph extends QueryFamily {
     out
   }
 
+  /** BFS hop distance from the seed set (the crawl-depth / blast-radius
+    * question: how many hops from the trusted seeds is each node?) —
+    * bounded-hop frontier expansion, the missing reachability member of
+    * the graph family beside centrality (PR/PPR), density
+    * (triangles/k-core), and communities (LPA).
+    *
+    * Scale shape (the [[pageRankOn]] loop discipline): per round ONE
+    * edge-sized join — the (node-sized) frontier re-keyed onto the
+    * cached src-partitioned edge list — then a distinct and an
+    * anti-join against the settled set, both node-sized shuffles.
+    * Frontiers SHRINK as the reachable set saturates (empty rounds are
+    * near-free), and the settled set is at most the node list — never
+    * corpus-scaled. `localCheckpoint` per round keeps the plan constant
+    * in the hop count. A FIXED round count like [[labelPropagation]]:
+    * BFS layers are deterministic, nodes beyond `maxHops` are absent
+    * (the bounded-reachability contract), and the unrolled-CTE oracle
+    * adjudicates the layers exactly — all arithmetic is integer. */
+  def hopDistance(s: SparkSession, d: String,
+      maxHops: Int = HopRounds): DataFrame = {
+    val edges = tradeEdges(s, d).repartition(col("src")).cache()
+    val out = hopDistanceOn(edges, maxHops,
+      col("node") < CustOffset && col("node") % 10 === 0)
+    edges.unpersist()
+    out
+  }
+
+  /** The frontier loop over an arbitrary edge list — factored so
+    * GraphSpec can pin it against a single-threaded BFS on graphs with
+    * known layer structure (chains, unreachable components). */
+  private[queries] def hopDistanceOn(edges: DataFrame, maxHops: Int,
+      seed: Column): DataFrame = {
+    var dist = edges.select(col("src").as("node")).distinct()
+      .filter(seed)
+      .select(col("node"), lit(0L).as("hops"))
+      .localCheckpoint()
+    var frontier = dist.select("node")
+    var h = 1
+    while (h <= maxHops) {
+      val next = edges
+        .join(frontier.hint("shuffle_hash"),
+          edges("src") === frontier("node"))
+        .select(col("dst").as("node")).distinct()
+        .join(dist.hint("shuffle_hash"), Seq("node"), "left_anti")
+        .select(col("node"), lit(h.toLong).as("hops"))
+        .localCheckpoint()
+      dist = dist.unionByName(next).localCheckpoint()
+      frontier = next.select("node")
+      h += 1
+    }
+    dist.orderBy("node")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> ((s, d) => pageRank(s, d)),
     "q_pagerank_personalized" ->
@@ -341,7 +394,8 @@ object Graph extends QueryFamily {
     "q_kcore" -> ((s, d) => kCore(s, d, k = 10, maxIters = 9)),
     "q_communities" -> ((s, d) => labelPropagation(s, d)),
     "q_communities_copurchase" ->
-      ((s, d) => copurchaseCommunities(s, d))
+      ((s, d) => copurchaseCommunities(s, d)),
+    "q_graph_hops" -> ((s, d) => hopDistance(s, d))
   )
 
   /** The oracle unrolls the three iterations as CTEs it1..it3 — same
@@ -378,12 +432,14 @@ object Graph extends QueryFamily {
        |    SELECT node, CAST(0 AS BIGINT) FROM deg) t
        |  GROUP BY t.node)""".stripMargin
 
-  /** seed predicate of the personalized variant, over a column name —
-    * interpolates [[CustOffset]] so the Spark predicate and the oracle
-    * share one constant (a drift would otherwise only surface as an
-    * opaque verify hash mismatch). */
-  private def seedSql(c: String): String =
-    s"CASE WHEN $c < $CustOffset AND $c % 10 = 0"
+  /** seed predicate of the personalized/hop-distance variants, over a
+    * column name — interpolates [[CustOffset]] so the Spark predicate
+    * and the oracle share one constant (a drift would otherwise only
+    * surface as an opaque verify hash mismatch). */
+  private def seedPred(c: String): String =
+    s"($c < $CustOffset AND $c % 10 = 0)"
+
+  private def seedSql(c: String): String = s"CASE WHEN ${seedPred(c)}"
 
   /** One unrolled label-propagation round: every node adopts its
     * neighbors' most frequent label, ties to the smallest — the exact
@@ -413,6 +469,20 @@ object Graph extends QueryFamily {
        |$out AS MATERIALIZED (SELECT e.src, e.dst FROM $prev e
        |      WHERE e.src IN (SELECT node FROM ${out}k)
        |        AND e.dst IN (SELECT node FROM ${out}k))""".stripMargin
+
+  /** One unrolled BFS round: the new frontier is every dst reachable
+    * from the previous frontier that is not already settled; settled
+    * grows by the frontier at this round's hop count. MATERIALIZED for
+    * the k-core reason — each round reads the previous CTEs twice. */
+  private def hopStep(i: Int): String =
+    s"""f$i AS MATERIALIZED (
+       |  SELECT DISTINCT e.dst AS node
+       |  FROM edges e JOIN f${i - 1} p ON e.src = p.node
+       |  WHERE e.dst NOT IN (SELECT node FROM d${i - 1})),
+       |d$i AS MATERIALIZED (
+       |  SELECT node, hops FROM d${i - 1}
+       |  UNION ALL
+       |  SELECT node, CAST($i AS BIGINT) AS hops FROM f$i)""".stripMargin
 
   def oracle: Map[String, String] = Map(
     "q_pagerank" ->
@@ -466,6 +536,14 @@ object Graph extends QueryFamily {
           |${(0 until LpaIters).map(i => lpaStep(s"l$i", s"l${i + 1}"))
             .mkString(",\n")}
           |SELECT node, label FROM l$LpaIters ORDER BY node""".stripMargin),
+    "q_graph_hops" ->
+      (s"""WITH $OracleEdges,
+          |d0 AS MATERIALIZED (
+          |  SELECT node, CAST(0 AS BIGINT) AS hops FROM deg
+          |  WHERE ${seedPred("node")}),
+          |f0 AS MATERIALIZED (SELECT node FROM d0),
+          |${(1 to HopRounds).map(hopStep).mkString(",\n")}
+          |SELECT node, hops FROM d$HopRounds ORDER BY node""".stripMargin),
     "q_triangles" ->
       """WITH e AS (
         |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS p1,

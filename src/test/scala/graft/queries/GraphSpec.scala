@@ -215,6 +215,40 @@ class GraphSpec extends SparkSuite {
     assert(big >= 10, s"co-purchase communities degenerate at sf0.01: $big")
   }
 
+  test("hop distance ≡ single-threaded BFS; bounded-hop contract") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // chain 1-2-3-4-5-6 (symmetrized) plus a component {10,11} the
+    // seed can't reach, and a shortcut 1-4 that must win over the
+    // 3-hop chain path — layers and unreachability both exercised
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L),
+      (1L, 4L), (10L, 11L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst")
+    val got = Graph.hopDistanceOn(edges, maxHops = 4,
+      seed = col("node") === 1L)
+      .as[(Long, Long)].collect().toMap
+    // single-threaded BFS on the same adjacency
+    val adj = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var want = Map(1L -> 0L)
+    var frontier = Set(1L)
+    (1 to 4).foreach { h =>
+      frontier = frontier.flatMap(adj.getOrElse(_, Nil))
+        .filterNot(want.contains)
+      want ++= frontier.map(_ -> h.toLong)
+    }
+    assert(got == want, s"got=$got\nwant=$want")
+    // the shortcut won: 5 is 2 hops (1-4-5), not 4 via the chain
+    assert(got(5L) == 2L && got(4L) == 1L)
+    // unreachable component absent — the bounded-reachability contract
+    assert(!got.contains(10L) && !got.contains(11L))
+    // hop truncation: maxHops=1 keeps only the seed and its neighbors
+    val near = Graph.hopDistanceOn(edges, maxHops = 1,
+      seed = col("node") === 1L).as[(Long, Long)].collect().toMap
+    assert(near == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
+  }
+
   test("PPR teleport reaches an in-degree-0 seed (textbook semantics)") {
     import spark.implicits._
     // 1 → 2 → 3 → 2: seed node 1 has out-edges but NO in-edges — the
