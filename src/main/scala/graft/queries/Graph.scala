@@ -381,6 +381,69 @@ object Graph extends QueryFamily {
     dist.orderBy("node")
   }
 
+  /** Exact integer modularity of the [[labelPropagation]] assignment —
+    * the partition-quality number that turns the "dense trade graph
+    * collapses to 2 communities" honesty note into a measurement. Per
+    * community c over the symmetrized edge list E (|E| = 2·undirected
+    * edges): Q_c = E_c/|E| − (d_c/|E|)², with E_c the intra-community
+    * directed edge count and d_c the degree sum — the standard
+    * Newman-Girvan modularity, whose total Σ Q_c ∈ [−½, 1).
+    *
+    * Determinism: all-integer — the per-community numerator
+    * E_c·|E| − d_c² is exact BIGINT (|E|² < 2^63 up to ~3e9 directed
+    * edges), and the micro-unit quotient shifts by +|E|² before the
+    * truncating DIV so truncation ≡ floor on a non-negative operand
+    * (Spark DIV truncates toward zero, DuckDB // floors — they agree
+    * only on non-negatives, and Q_c is signed). DECIMAL(38,0) ↔
+    * HUGEINT headroom for the ·1e6 (the q_drift_ks discipline).
+    *
+    * Scale shape: the LPA loop's own per-round cost — two node-sized
+    * label joins re-keyed onto the edge list + partial-agg shuffles;
+    * the community frame is |labels| rows, the totals row a 1-row
+    * broadcast. */
+  def communitiesQuality(s: SparkSession, d: String,
+      iters: Int = LpaIters): DataFrame = {
+    // checkpointed: the edge list feeds the LPA loop, the degree sum,
+    // the intra join AND the total — one build, four consumers
+    val edges = tradeEdges(s, d).localCheckpoint()
+    val labels = labelPropagationOn(edges, iters).localCheckpoint()
+    modularityOn(edges, labels)
+  }
+
+  /** The quality pass over an arbitrary symmetrized edge list and
+    * (node, label) assignment — factored so GraphSpec can pin it
+    * against a single-threaded reference and measure the dense-vs-
+    * sparse regimes side by side. */
+  private[queries] def modularityOn(edges: DataFrame,
+      labels: DataFrame): DataFrame = {
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+    val degByLabel = deg
+      .join(labels.hint("shuffle_hash"), deg("src") === labels("node"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_nodes"), sum("deg").as("deg_sum"))
+    val intra = edges
+      .join(labels.select(col("node"), col("label").as("l_src"))
+        .hint("shuffle_hash"), edges("src") === col("node"))
+      .drop("node")
+      .join(labels.select(col("node"), col("label").as("l_dst"))
+        .hint("shuffle_hash"), edges("dst") === col("node"))
+      .filter(col("l_src") === col("l_dst"))
+      .groupBy(col("l_src").as("label"))
+      .agg(count(lit(1)).as("in_edges"))
+    val m2 = edges.agg(count(lit(1)).as("m2"))
+    degByLabel.join(intra, Seq("label"), "left")
+      .na.fill(0L, Seq("in_edges"))
+      .crossJoin(broadcast(m2))
+      .select(col("label"), col("n_nodes"), col("deg_sum"),
+        col("in_edges"),
+        expr("""CAST((CAST(in_edges AS DECIMAL(38,0)) * m2
+                 - CAST(deg_sum AS DECIMAL(38,0)) * deg_sum
+                 + CAST(m2 AS DECIMAL(38,0)) * m2) * 1000000
+                DIV (CAST(m2 AS DECIMAL(38,0)) * m2) AS BIGINT)
+                - 1000000""").as("mod_u"))
+      .orderBy("label")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> ((s, d) => pageRank(s, d)),
     "q_pagerank_personalized" ->
@@ -395,7 +458,8 @@ object Graph extends QueryFamily {
     "q_communities" -> ((s, d) => labelPropagation(s, d)),
     "q_communities_copurchase" ->
       ((s, d) => copurchaseCommunities(s, d)),
-    "q_graph_hops" -> ((s, d) => hopDistance(s, d))
+    "q_graph_hops" -> ((s, d) => hopDistance(s, d)),
+    "q_communities_quality" -> ((s, d) => communitiesQuality(s, d))
   )
 
   /** The oracle unrolls the three iterations as CTEs it1..it3 — same
@@ -536,6 +600,34 @@ object Graph extends QueryFamily {
           |${(0 until LpaIters).map(i => lpaStep(s"l$i", s"l${i + 1}"))
             .mkString(",\n")}
           |SELECT node, label FROM l$LpaIters ORDER BY node""".stripMargin),
+    "q_communities_quality" ->
+      (s"""WITH $OracleEdges,
+          |l0 AS MATERIALIZED (SELECT node, node AS label FROM deg),
+          |${(0 until LpaIters).map(i => lpaStep(s"l$i", s"l${i + 1}"))
+            .mkString(",\n")},
+          |lab AS MATERIALIZED (SELECT node, label FROM l$LpaIters),
+          |m AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM edges),
+          |degl AS (
+          |  SELECT lab.label, count(*) AS n_nodes,
+          |         CAST(sum(d.outdeg) AS BIGINT) AS deg_sum
+          |  FROM deg d JOIN lab ON d.node = lab.node
+          |  GROUP BY lab.label),
+          |intra AS (
+          |  SELECT ls.label, CAST(count(*) AS BIGINT) AS in_edges
+          |  FROM edges e
+          |  JOIN lab ls ON e.src = ls.node
+          |  JOIN lab ld ON e.dst = ld.node
+          |  WHERE ls.label = ld.label
+          |  GROUP BY ls.label)
+          |SELECT d.label, d.n_nodes, d.deg_sum,
+          |  coalesce(i.in_edges, 0) AS in_edges,
+          |  CAST((CAST(coalesce(i.in_edges, 0) AS HUGEINT) * m.m2
+          |        - CAST(d.deg_sum AS HUGEINT) * d.deg_sum
+          |        + CAST(m.m2 AS HUGEINT) * m.m2) * 1000000
+          |       // (CAST(m.m2 AS HUGEINT) * m.m2) AS BIGINT)
+          |    - 1000000 AS mod_u
+          |FROM degl d LEFT JOIN intra i USING (label) CROSS JOIN m
+          |ORDER BY label""".stripMargin),
     "q_graph_hops" ->
       (s"""WITH $OracleEdges,
           |d0 AS MATERIALIZED (
