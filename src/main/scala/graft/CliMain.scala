@@ -228,6 +228,26 @@ object CliMain {
       val est = spark.read.parquet(s"$outDir/quantiles").count()
       println(s"stats: ${landed.count()} buckets, $est quantiles -> $outDir")
       if (!reused) spark.stop()
+    // upsert <tableDir> <changesDir> <outDir> --key k [--version c]
+    // [--tombstone c]: keyed MERGE (SCD1, last-writer-wins) into a
+    // landed parquet table — copy-on-write at file granularity, so
+    // only files containing affected keys are decoded and rewritten
+    // (operators.Upsert). The natural consumer of Scd2Stats' closed
+    // intervals / current rows. Output lands BESIDE the live table
+    // (the optimize deploy contract).
+    case "upsert" :: tableDir :: changesDir :: outDir :: flags =>
+      def flagVal(name: String): Option[String] = flagValIn(flags, name)
+      val key = flagVal("--key").getOrElse(sys.error("--key is required"))
+      val reused =
+        org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+      val spark = Sessions.get("graft-upsert")
+      val st = graft.operators.Upsert.merge(spark, tableDir, changesDir,
+        outDir, key, versionCol = flagVal("--version"),
+        tombstoneCol = flagVal("--tombstone"))
+      println(s"upsert: ${st.upserts} updated, ${st.inserts} inserted, " +
+        s"${st.deletes} deleted; ${st.filesRewritten} files rewritten, " +
+        s"${st.filesCopied} copied -> $outDir")
+      if (!reused) spark.stop()
     case "optimize" :: inDir :: outDir :: flags =>
       def flagVal(name: String): Option[String] = flagValIn(flags, name)
       val dims = flagVal("--zorder").map(_.split(",")).getOrElse(
@@ -640,6 +660,8 @@ object CliMain {
           |  graft.CliMain quality train <posDir> <negDir> <modelDir>
           |    [--buckets B] [--iters N]
           |  graft.CliMain quality score <docsDir> <modelDir> <outDir>
+          |  graft.CliMain upsert <tableDir> <changesDir> <outDir>
+          |    --key k [--version c] [--tombstone c]
           |  graft.CliMain optimize <inDir> <outDir> --zorder colX,colY
           |    [--files N] [--bits B]
           |  graft.CliMain reduce <embeddingsDir> <outDir> [--k N]

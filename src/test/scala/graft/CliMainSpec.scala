@@ -105,6 +105,24 @@ class CliMainSpec extends SparkSuite {
       s"pruning not recovered: x=${touched("x")} y=${touched("y")} of 16")
   }
 
+  test("upsert merges a change feed into a landed table via the CLI") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("cli-upsert").toString
+    spark.range(50).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("v"), lit(1L).as("ver"))
+      .repartitionByRange(4, col("k")).write.parquet(s"$root/table")
+    Seq((10L, "updated", 2L), (99L, "inserted", 2L))
+      .toDF("k", "v", "ver").write.parquet(s"$root/changes")
+    CliMain.main(Array("upsert", s"$root/table", s"$root/changes",
+      s"$root/out", "--key", "k", "--version", "ver"))
+    val out = spark.read.parquet(s"$root/out")
+    assert(out.count() == 51L)
+    assert(out.filter(col("k") === 10L).select("v").as[String].head() ==
+      "updated")
+    assert(out.filter(col("k") === 99L).count() == 1L)
+  }
+
   test("index builds and materializes both ANN index kinds") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("cli-idx").toString

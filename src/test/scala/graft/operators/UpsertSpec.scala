@@ -1,0 +1,112 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Keyed MERGE/upsert: copy-on-write at file granularity — merged
+  * content ≡ the plain reference merge, untouched files copied not
+  * rewritten, replay idempotent, version resolution deterministic
+  * with duplicate winners rejected. */
+class UpsertSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  private def readSorted(dir: String): Seq[(Long, String, Long)] =
+    spark.read.parquet(dir).select("k", "v", "ver")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+
+  test("merge ≡ reference; only key-overlapping files rewritten") {
+    val root = Files.createTempDirectory("upsert").toString
+    // 100 keys range-clustered into 4 files: [0-24][25-49][50-74][75-99]
+    spark.range(100).select(col("id").as("k"),
+        concat(lit("old"), col("id")).as("v"), lit(1L).as("ver"))
+      .repartitionByRange(4, col("k"))
+      .write.parquet(s"$root/table")
+    // updates 5,7 + delete 9 hit ONE file; insert 200 hits none
+    Seq((5L, "new5", 2L, false), (7L, "new7", 2L, false),
+      (9L, "gone", 2L, true), (200L, "new200", 2L, false))
+      .toDF("k", "v", "ver", "del")
+      .write.parquet(s"$root/changes")
+    val st = Upsert.merge(spark, s"$root/table", s"$root/changes",
+      s"$root/out", "k", versionCol = Some("ver"),
+      tombstoneCol = Some("del"))
+    assert(st.filesRewritten == 1 && st.filesCopied == 3,
+      s"pruning failed: $st")
+    assert(st.upserts == 2 && st.inserts == 1 && st.deletes == 1, s"$st")
+    val want = ((0L until 100L).filterNot(Set(5L, 7L, 9L))
+      .map(k => (k, s"old$k", 1L)) ++
+      Seq((5L, "new5", 2L), (7L, "new7", 2L), (200L, "new200", 2L)))
+      .sortBy(_._1)
+    assert(readSorted(s"$root/out") == want)
+  }
+
+  test("replay idempotence: same changes onto the merged result") {
+    val root = Files.createTempDirectory("upsert-replay").toString
+    spark.range(40).select(col("id").as("k"),
+        concat(lit("old"), col("id")).as("v"), lit(1L).as("ver"))
+      .repartitionByRange(2, col("k"))
+      .write.parquet(s"$root/table")
+    Seq((3L, "x", 2L, false), (50L, "y", 2L, false), (4L, "z", 2L, true))
+      .toDF("k", "v", "ver", "del").write.parquet(s"$root/changes")
+    Upsert.merge(spark, s"$root/table", s"$root/changes",
+      s"$root/out1", "k", Some("ver"), Some("del"))
+    val st2 = Upsert.merge(spark, s"$root/out1", s"$root/changes",
+      s"$root/out2", "k", Some("ver"), Some("del"))
+    assert(readSorted(s"$root/out1") == readSorted(s"$root/out2"),
+      "replay changed the table")
+    // second application finds both survivors already present
+    assert(st2.upserts == 2 && st2.inserts == 0, s"$st2")
+  }
+
+  test("version resolution: latest wins, duplicate winners rejected") {
+    val c = Seq((1L, "a", 1L), (1L, "b", 3L), (1L, "c", 2L),
+      (2L, "d", 1L)).toDF("k", "v", "ver")
+    val r = Upsert.resolve(c, "k", Some("ver"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(r == Seq((1L, "b", 3L), (2L, "d", 1L)))
+    val dup = Seq((1L, "a", 1L), (1L, "b", 1L)).toDF("k", "v", "ver")
+    intercept[IllegalArgumentException] {
+      Upsert.resolve(dup, "k", Some("ver")).collect()
+    }
+    intercept[IllegalArgumentException] {
+      Upsert.resolve(dup.drop("ver"), "k", None).collect()
+    }
+  }
+
+  test("SCD2 feed: closed intervals maintain the current-state table") {
+    // the lakehouse loop: the scd2 kernel's versions are the change
+    // feed; upsert --version valid_from lands the CURRENT row per user
+    // (last writer wins == the open version)
+    val root = Files.createTempDirectory("upsert-scd2").toString
+    def ts(h: Int) = new java.sql.Timestamp(3600000L * h)
+    val day1 = Seq((ts(1), 1L, 101L, "view"), (ts(2), 2L, 102L, "view"))
+      .toDF("ts", "user_id", "event_id", "event_type")
+    val day2 = day1.unionByName(Seq(
+      (ts(5), 1L, 105L, "purchase"), (ts(6), 3L, 106L, "signup"))
+      .toDF("ts", "user_id", "event_id", "event_type"))
+    // current-state table after day 1 (one row per user)
+    def current(events: org.apache.spark.sql.DataFrame) =
+      graft.queries.Streaming.scd2(events)
+        .filter(col("is_current"))
+        .select("user_id", "event_type", "event_id", "valid_from")
+    current(day1).repartitionByRange(2, col("user_id"))
+      .write.parquet(s"$root/table")
+    // day-2 versions (closed + open) as the change feed: resolve by
+    // valid_from picks each user's latest — the open version
+    graft.queries.Streaming.scd2(day2)
+      .select("user_id", "event_type", "event_id", "valid_from")
+      .write.parquet(s"$root/changes")
+    val st = Upsert.merge(spark, s"$root/table", s"$root/changes",
+      s"$root/out", "user_id", versionCol = Some("valid_from"))
+    assert(st.upserts == 2 && st.inserts == 1, s"$st")
+    val got = spark.read.parquet(s"$root/out")
+      .select("user_id", "event_type", "event_id")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    // user 1's current row advanced to the purchase; user 3 inserted
+    assert(got == Seq((1L, "purchase", 105L), (2L, "view", 102L),
+      (3L, "signup", 106L)), s"got=$got")
+  }
+}
