@@ -439,19 +439,26 @@ object Pipeline extends QueryFamily {
       // Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
       // 2006, "Weighted random sampling with a reservoir", IPL 97(5)):
       // minimize key_i = −ln(u_i)/w_i — the top-k by key IS an exact
-      // without-replacement sample with inclusion odds ∝ weight. u_i is
-      // a deterministic hash of doc_id (53 high bits of xxhash64 →
-      // (0,1]), so there is no RNG state anywhere: the sample is a
-      // pure function of (corpus, seed), reproducible across runs and
-      // partitionings. Map-only + distributed TakeOrderedAndProject —
-      // per-partition heaps, no corpus shuffle; weight = token count
-      // (the longer-docs-proportionally-likelier subsample shape).
-      // ln() ulp differences across engines could flip near-tied ranks
-      // ⇒ no DuckDB oracle (rows-only); PipelineSpec pins the sample
+      // without-replacement sample with inclusion odds ∝ weight. u_i
+      // is a deterministic hash of doc_id (the first 52 md5 bits →
+      // (0,1], the engine-neutral q_mix_sample hash), so there is no
+      // RNG state anywhere: the sample is a pure function of (corpus,
+      // seed), reproducible across runs and partitionings. ORACLED
+      // (r15): the rank key is quantized to integer micro-nats —
+      // floor((1e6·−ln(u))/w), the q_unigram_logprob ln discipline:
+      // (h+1)·2⁻⁵² is EXACT in double, both engines evaluate ONE ln +
+      // one multiply + one divide in identical operand order, and the
+      // 1e-6 grid plus the doc_id tiebreak makes the top-200 cut
+      // identical — ulp drift would need to straddle a grid boundary
+      // AND decide slot 200. Map-only + distributed
+      // TakeOrderedAndProject — per-partition heaps, no corpus
+      // shuffle; weight = token count (the longer-docs-proportionally-
+      // likelier subsample shape). PipelineSpec still pins the sample
       // bit-for-bit against a local reference and the zero/dominant
       // weight laws.
-      val u = (shiftrightunsigned(xxhash64(col("doc_id"), lit(7L)), 11) + 1)
-        .cast("double") * lit(1.1102230246251565e-16) // 2^-53
+      val h = conv(substring(md5(col("doc_id").cast("string")), 1, 13),
+        16, 10).cast("long")
+      val u = (h + 1).cast("double") * lit(2.220446049250313e-16) // 2^-52
       val w = size(split(col("text"), " ")).cast("double")
       Tables.documents(s, d)
         // zero/NULL weight is EXCLUDED by definition, not sorted: a
@@ -459,8 +466,8 @@ object Pipeline extends QueryFamily {
         // would flip the key sign and win every sample slot
         .filter(col("text").isNotNull && w > 0)
         .select(col("doc_id"), col("source"),
-          (-log(u) / w).as("key"))
-        .orderBy(col("key").asc, col("doc_id").asc)
+          floor((lit(1e6) * -log(u)) / w).cast("long").as("key_u"))
+        .orderBy(col("key_u").asc, col("doc_id").asc)
         .limit(200)
         .select(col("doc_id"), col("source"))
         .orderBy("doc_id")
@@ -1343,6 +1350,21 @@ object Pipeline extends QueryFamily {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
         |    - n_chunk_tokens) / 2048.0) AS BIGINT) AS pack_id
         |FROM ch ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_sample_weighted" -> {
+      val h = hexPrefixSum("md5(CAST(doc_id AS VARCHAR))", 13)
+      s"""SELECT doc_id, source FROM (
+         |  SELECT doc_id, source, key_u FROM (
+         |    SELECT doc_id, source,
+         |      CAST(floor((1000000.0 * -ln((($h) + 1)
+         |        * 2.220446049250313e-16))
+         |        / CAST(len(string_split(text, ' ')) AS DOUBLE))
+         |        AS BIGINT) AS key_u
+         |    FROM documents
+         |    WHERE text IS NOT NULL
+         |      AND len(string_split(text, ' ')) > 0)
+         |  ORDER BY key_u, doc_id LIMIT 200)
+         |ORDER BY doc_id""".stripMargin
+    },
     "q_sample_stratified" ->
       """SELECT source, rnk, doc_id FROM (
         |  SELECT source, doc_id,

@@ -39,13 +39,17 @@ class PipelineSpec extends SparkSuite {
       .select(col("doc_id"),
         size(split(col("text"), " ")).cast("double").as("w"))
       .as[(Long, Double)].collect()
-    val hashes = spark.createDataset(docs.map(_._1).toSeq).toDF("doc_id")
-      .select(col("doc_id"),
-        shiftrightunsigned(xxhash64(col("doc_id"), lit(7L)), 11).as("h"))
-      .as[(Long, Long)].collect().toMap
+    // local md5-52-bit hash, no Spark: the reference must derive u
+    // independently of the engine under test
+    def h52(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(13), 16)
+    }
     val keys = docs.map { case (id, w) =>
-      val uu = (hashes(id) + 1).toDouble * 1.1102230246251565e-16
-      (id, -math.log(uu) / w)
+      val uu = (h52(id) + 1).toDouble * 2.220446049250313e-16
+      (id, math.floor((1e6 * -math.log(uu)) / w).toLong)
     }
     val want = keys.sortBy { case (id, k) => (k, id) }.take(200)
       .map(_._1).sorted.toSeq
@@ -55,16 +59,12 @@ class PipelineSpec extends SparkSuite {
       .select("doc_id").as[Long].collect().toSeq
     assert(again == got)
     // weight laws on a planted frame: near-zero weight never sampled,
-    // dominant weight always sampled (same key math, own hash pass)
-    val plantedHashes = spark.range(0L, 100L).toDF("doc_id")
-      .select(col("doc_id"),
-        shiftrightunsigned(xxhash64(col("doc_id"), lit(7L)), 11).as("h"))
-      .as[(Long, Long)].collect().toMap
+    // dominant weight always sampled (same key math, same hash)
     val planted = (0L until 100L).map(i =>
       (i, if (i == 7L) 1e9 else if (i == 13L) 1e-12 else 1.0))
     val pk = planted.map { case (id, w) =>
-      val uu = (plantedHashes(id) + 1).toDouble * 1.1102230246251565e-16
-      (id, -math.log(uu) / w)
+      val uu = (h52(id) + 1).toDouble * 2.220446049250313e-16
+      (id, (1e6 * -math.log(uu)) / w)
     }.sortBy { case (id, k) => (k, id) }.take(10).map(_._1)
     assert(pk.contains(7L), "dominant weight missed the sample")
     assert(!pk.contains(13L), "near-zero weight entered the sample")
