@@ -30,12 +30,26 @@ object ProfileGraph {
       val comm = queries.Graph.labelPropagation(spark, d)
         .agg(count(lit(1)), countDistinct(col("label"))).collect().head
       val commSec = (System.nanoTime() - t2) / 1e9
+      // r15: BFS hop layers + modularity at 10× the edges — both ride
+      // the LPA/PR per-round plan, so the sweep should stay near-flat
+      val t3 = System.nanoTime()
+      val hops = queries.Graph.hopDistance(spark, d)
+        .agg(count(lit(1)), max(col("hops"))).collect().head
+      val hopsSec = (System.nanoTime() - t3) / 1e9
+      val t4 = System.nanoTime()
+      val qual = queries.Graph.communitiesQuality(spark, d)
+        .agg(count(lit(1)), sum(col("mod_u"))).collect().head
+      val qualSec = (System.nanoTime() - t4) / 1e9
       println(f"GRAPH $d full-graph: triangles=${tri.getLong(0)} " +
         f"edges=${tri.getLong(1)} in $triSec%.2fs; " +
         f"10-core nodes=${core.getLong(0)} " +
         f"coreEdges=${core.getLong(1) / 2} in $coreSec%.2fs; " +
         f"lpa nodes=${comm.getLong(0)} " +
-        f"communities=${comm.getLong(1)} in $commSec%.2fs")
+        f"communities=${comm.getLong(1)} in $commSec%.2fs; " +
+        f"hops reached=${hops.getLong(0)} " +
+        f"maxHop=${hops.getLong(1)} in $hopsSec%.2fs; " +
+        f"modularity communities=${qual.getLong(0)} " +
+        f"totalQ_u=${qual.getLong(1)} in $qualSec%.2fs")
     }
     spark.stop()
   }
