@@ -102,10 +102,17 @@ object Upsert {
     // full file inventory via the table's own filesystem
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val all = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
-      .filter(s => s.isFile && !s.getPath.getName.startsWith("_")
-        && !s.getPath.getName.startsWith("."))
-      .map(_.getPath).toSeq
+    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .filterNot(s => s.getPath.getName.startsWith("_")
+        || s.getPath.getName.startsWith("."))
+    // flat layouts only (RangeSink / optimize / plain writes): a
+    // hive-partitioned tree would need per-directory recursion AND
+    // partition-column reconstruction — fail loudly rather than
+    // silently dropping nested files from the copy path
+    val subdirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+    require(subdirs.isEmpty, "upsert requires a flat parquet directory; " +
+      s"found subdirectories: ${subdirs.mkString(", ")}")
+    val all = entries.filter(_.isFile).map(_.getPath).toSeq
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     fs.mkdirs(outPath)
     val untouched = all.filterNot(p => touched.contains(p.toUri.toString)

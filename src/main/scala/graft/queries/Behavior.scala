@@ -134,32 +134,7 @@ object Behavior extends QueryFamily {
           sum(when(col("seq").contains("ee"), 1L).otherwise(0L))
             .as("error_pair"))
     },
-    "q_sessionize" -> { (s, d) =>
-      // Gap-based sessionization — the batch form of the 30-minute
-      // session semantics streaming/SequenceStats seals continuously:
-      // a session breaks where the gap to the previous event exceeds
-      // 30 minutes; session ids are the running count of breaks (the
-      // classic lag + cumulative-sum idiom, both windows sharing ONE
-      // user_id exchange and ONE (ts, event_id) sort). Durations in
-      // whole seconds (exact BIGINTs — no interval/float drift).
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val gapUs = 1800L * 1000000L
-      val us = expr("unix_micros(cast(ts as timestamp))")
-      Tables.events(s, d)
-        .select(col("user_id"), col("ts"), col("event_id"),
-          us.as("us"), lag(us, 1).over(w).as("prev_us"))
-        .select(col("user_id"), col("ts"), col("event_id"), col("us"),
-          when(col("prev_us").isNull ||
-            col("us") - col("prev_us") > gapUs, 1L).otherwise(0L)
-            .as("brk"))
-        .select(col("user_id"), col("us"),
-          sum(col("brk")).over(w).as("session_idx"))
-        .groupBy(col("user_id"), col("session_idx"))
-        .agg(count(lit(1)).as("n_events"),
-          expr("(max(us) - min(us)) DIV 1000000").as("duration_sec"))
-        .orderBy("user_id", "session_idx")
-    },
+    "q_sessionize" -> ((s, d) => sessionize(Tables.events(s, d))),
     "q_sequence_regex" -> { (s, d) =>
       // Regex-CLASS sequence patterns over the same per-user event
       // strings — MATCH_RECOGNIZE's real power (quantifiers,
@@ -345,6 +320,35 @@ object Behavior extends QueryFamily {
       ewma(Tables.events(s, d))
     }
   )
+
+  /** q_sessionize's kernel over any events frame — gap-based
+    * sessionization, the batch form of the 30-minute session semantics
+    * streaming/SessionStats seals continuously (factored so
+    * SessionStatsSpec can pin the streaming fold against the SAME
+    * code): a session breaks where the gap to the previous event
+    * exceeds 30 minutes; session ids are the running count of breaks
+    * (the classic lag + cumulative-sum idiom, both windows sharing ONE
+    * user_id exchange and ONE (ts, event_id) sort). Durations in
+    * whole seconds (exact BIGINTs — no interval/float drift). */
+  private[graft] def sessionize(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gapUs = 1800L * 1000000L
+    val us = expr("unix_micros(cast(ts as timestamp))")
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        us.as("us"), lag(us, 1).over(w).as("prev_us"))
+      .select(col("user_id"), col("ts"), col("event_id"), col("us"),
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > gapUs, 1L).otherwise(0L)
+          .as("brk"))
+      .select(col("user_id"), col("us"),
+        sum(col("brk")).over(w).as("session_idx"))
+      .groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        expr("(max(us) - min(us)) DIV 1000000").as("duration_sec"))
+      .orderBy("user_id", "session_idx")
+  }
 
   /** q_running_distinct's kernel over any events frame — daily new vs
     * cumulative distinct users, the scalable form of count(DISTINCT)

@@ -444,6 +444,79 @@ object Graph extends QueryFamily {
       .orderBy("label")
   }
 
+  /** Weighted shortest path from the seed set — bounded-hop min-plus
+    * relaxation (Bellman-Ford as dataflow), the WEIGHTED companion of
+    * [[hopDistance]]: edge cost is integer micro-units
+    * 1e6 DIV (1 + trade strength), where strength = the number of
+    * distinct orders behind the supplier↔customer pair — stronger
+    * trade relationships are cheaper to traverse, so the distance
+    * ranks nodes by how strongly they are CONNECTED to the seeds, not
+    * merely how few hops away. All-integer (costs and sums exact in
+    * BIGINT), so the unrolled-CTE oracle adjudicates bit-for-bit.
+    *
+    * Scale shape: per round ONE edge-sized join (the node-sized
+    * distance frame re-keyed onto the cached src-partitioned weighted
+    * edge list) + a partial-aggregated min shuffle that the previous
+    * distances union into (so settled nodes never regress and the
+    * frame stays node-sized); localCheckpoint per round. Fixed
+    * `maxHops` rounds — after k rounds the frame holds the exact
+    * min-cost path using ≤ k edges (the Bellman-Ford invariant), the
+    * bounded-reachability contract the oracle unrolls. */
+  def shortestCost(s: SparkSession, d: String,
+      maxHops: Int = HopRounds): DataFrame = {
+    val edges = weightedTradeEdges(s, d).repartition(col("src")).cache()
+    val out = shortestCostOn(edges, maxHops,
+      col("node") < CustOffset && col("node") % 10 === 0)
+    edges.unpersist()
+    out
+  }
+
+  /** [[tradeEdges]] with the per-pair order count as trade strength,
+    * symmetrized, cost_u = 1e6 DIV (1 + strength). */
+  private def weightedTradeEdges(s: SparkSession, d: String): DataFrame = {
+    val pairs = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_suppkey").cast("long").as("s"),
+        (col("o_custkey") + CustOffset).cast("long").as("c"),
+        col("o_orderkey"))
+      .distinct()
+      .groupBy("s", "c")
+      .agg(count(lit(1)).as("strength"))
+      .select(col("s"), col("c"),
+        expr("CAST(1000000 DIV (1 + strength) AS BIGINT)").as("cost_u"))
+    pairs.select(explode(array(
+        struct(col("s").as("src"), col("c").as("dst"), col("cost_u")),
+        struct(col("c").as("src"), col("s").as("dst"), col("cost_u"))))
+        .as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.cost_u").as("cost_u"))
+  }
+
+  /** The relaxation loop over an arbitrary weighted edge list —
+    * factored so GraphSpec can pin it against single-threaded
+    * Bellman-Ford on graphs where the cheap path is NOT the short one. */
+  private[queries] def shortestCostOn(edges: DataFrame, maxHops: Int,
+      seed: Column): DataFrame = {
+    var dist = edges.select(col("src").as("node")).distinct()
+      .filter(seed)
+      .select(col("node"), lit(0L).as("dist_u"))
+      .localCheckpoint()
+    var h = 0
+    while (h < maxHops) {
+      dist = edges
+        .join(dist.hint("shuffle_hash"), edges("src") === dist("node"))
+        .select(col("dst").as("node"),
+          (col("dist_u") + col("cost_u")).as("dist_u"))
+        .unionByName(dist.select(col("node"), col("dist_u")))
+        .groupBy("node")
+        .agg(min("dist_u").as("dist_u"))
+        .localCheckpoint()
+      h += 1
+    }
+    dist.orderBy("node")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> ((s, d) => pageRank(s, d)),
     "q_pagerank_personalized" ->
@@ -459,7 +532,8 @@ object Graph extends QueryFamily {
     "q_communities_copurchase" ->
       ((s, d) => copurchaseCommunities(s, d)),
     "q_graph_hops" -> ((s, d) => hopDistance(s, d)),
-    "q_communities_quality" -> ((s, d) => communitiesQuality(s, d))
+    "q_communities_quality" -> ((s, d) => communitiesQuality(s, d)),
+    "q_graph_shortest_cost" -> ((s, d) => shortestCost(s, d))
   )
 
   /** The oracle unrolls the three iterations as CTEs it1..it3 — same
@@ -548,6 +622,18 @@ object Graph extends QueryFamily {
        |  UNION ALL
        |  SELECT node, CAST($i AS BIGINT) AS hops FROM f$i)""".stripMargin
 
+  /** One unrolled min-plus relaxation round: candidate distances via
+    * every in-edge, min-merged with the previous round (settled nodes
+    * never regress). */
+  private def costStep(i: Int): String =
+    s"""d$i AS MATERIALIZED (
+       |  SELECT node, CAST(min(dist_u) AS BIGINT) AS dist_u FROM (
+       |    SELECT e.dst AS node, p.dist_u + e.cost_u AS dist_u
+       |    FROM wedges e JOIN d${i - 1} p ON e.src = p.node
+       |    UNION ALL
+       |    SELECT node, dist_u FROM d${i - 1})
+       |  GROUP BY node)""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q_pagerank" ->
       (s"""WITH $OracleEdges,
@@ -628,6 +714,25 @@ object Graph extends QueryFamily {
           |    - 1000000 AS mod_u
           |FROM degl d LEFT JOIN intra i USING (label) CROSS JOIN m
           |ORDER BY label""".stripMargin),
+    "q_graph_shortest_cost" ->
+      (s"""WITH wpairs AS (
+          |  SELECT s, c, CAST(1000000 // (1 + count(*)) AS BIGINT)
+          |    AS cost_u
+          |  FROM (
+          |    SELECT DISTINCT CAST(l.l_suppkey AS BIGINT) AS s,
+          |           CAST(o.o_custkey + $CustOffset AS BIGINT) AS c,
+          |           l.l_orderkey AS ok
+          |    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey)
+          |  GROUP BY s, c),
+          |wedges AS MATERIALIZED (
+          |  SELECT s AS src, c AS dst, cost_u FROM wpairs
+          |  UNION ALL
+          |  SELECT c AS src, s AS dst, cost_u FROM wpairs),
+          |d0 AS MATERIALIZED (
+          |  SELECT DISTINCT src AS node, CAST(0 AS BIGINT) AS dist_u
+          |  FROM wedges WHERE ${seedPred("src")}),
+          |${(1 to HopRounds).map(costStep).mkString(",\n")}
+          |SELECT node, dist_u FROM d$HopRounds ORDER BY node""".stripMargin),
     "q_graph_hops" ->
       (s"""WITH $OracleEdges,
           |d0 AS MATERIALIZED (

@@ -30,7 +30,9 @@ class SparkEntrySpec extends SparkSuite {
     "q_quantile_sketch", // DDSketch quantiles (alpha rel-error) → SketchSpec
     "q_cardinality_hll", // HLL registers (se band + merge) → SketchSpec
     "q_corpus_overlap",  // KMV/theta snapshot set ops → SketchSpec
-    "q_sample_weighted", // A-ES weighted sample (≡ local ref) → PipelineSpec
+    // q_sample_weighted left this set in r15: the A-ES key is now
+    // micro-nat quantized and md5-derived, so DuckDB adjudicates it
+    // (PipelineSpec keeps the local-reference + weight-law pins)
     "q_image_neardup",   // perceptual-hash banded near-dup → PerceptualHashSpec
     "q_audio_neardup",   // acoustic-fingerprint banded near-dup → AudioFingerprintSpec
     "q_video_neardup",   // slot-aligned frame-hash near-dup → VideoFingerprintSpec

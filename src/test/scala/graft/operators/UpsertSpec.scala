@@ -76,6 +76,20 @@ class UpsertSpec extends SparkSuite {
     }
   }
 
+  test("partitioned (nested) table layouts are rejected loudly") {
+    val root = Files.createTempDirectory("upsert-nested").toString
+    spark.range(10).select(col("id").as("k"), lit("v").as("v"),
+        (col("id") % 2).as("p"))
+      .write.partitionBy("p").parquet(s"$root/table")
+    Seq((1L, "x", 0L)).toDF("k", "v", "p")
+      .write.parquet(s"$root/changes")
+    val ex = intercept[IllegalArgumentException] {
+      Upsert.merge(spark, s"$root/table", s"$root/changes",
+        s"$root/out", "k")
+    }
+    assert(ex.getMessage.contains("flat parquet directory"), ex.getMessage)
+  }
+
   test("SCD2 feed: closed intervals maintain the current-state table") {
     // the lakehouse loop: the scd2 kernel's versions are the change
     // feed; upsert --version valid_from lands the CURRENT row per user

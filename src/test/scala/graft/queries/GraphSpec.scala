@@ -321,6 +321,37 @@ class GraphSpec extends SparkSuite {
     assert(near == Map(1L -> 0L, 2L -> 1L, 4L -> 1L))
   }
 
+  test("shortest cost ≡ single-threaded Bellman-Ford; cheap beats short") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // direct 1→4 costs 10; the 3-edge detour 1-2-3-4 costs 3 — the
+    // min-plus relaxation must prefer the CHEAP path over the SHORT
+    // one; {10,11} unreachable; symmetrized
+    val und = Seq((1L, 4L, 10L), (1L, 2L, 1L), (2L, 3L, 1L),
+      (3L, 4L, 1L), (10L, 11L, 5L))
+    val edges = und.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+      .toDF("src", "dst", "cost_u")
+    val got = Graph.shortestCostOn(edges, maxHops = 4,
+      seed = col("node") === 1L)
+      .as[(Long, Long)].collect().toMap
+    // single-threaded Bellman-Ford, 4 relaxation rounds
+    val dir = und.flatMap { case (a, b, c) => Seq((a, b, c), (b, a, c)) }
+    var want = Map(1L -> 0L)
+    (1 to 4).foreach { _ =>
+      val relaxed = dir.flatMap { case (u, v, c) =>
+        want.get(u).map(du => v -> (du + c)) }
+      want = (want.toSeq ++ relaxed).groupBy(_._1).view
+        .mapValues(_.map(_._2).min).toMap
+    }
+    assert(got == want, s"got=$got\nwant=$want")
+    assert(got(4L) == 3L, "the cheap 3-edge path lost to the direct edge")
+    assert(!got.contains(10L) && !got.contains(11L))
+    // the Bellman-Ford invariant: after ONE round, only ≤1-edge paths
+    val one = Graph.shortestCostOn(edges, maxHops = 1,
+      seed = col("node") === 1L).as[(Long, Long)].collect().toMap
+    assert(one == Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
+  }
+
   test("PPR teleport reaches an in-degree-0 seed (textbook semantics)") {
     import spark.implicits._
     // 1 → 2 → 3 → 2: seed node 1 has out-edges but NO in-edges — the

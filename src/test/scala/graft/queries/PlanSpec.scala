@@ -618,6 +618,25 @@ class PlanSpec extends SparkSuite {
     assertNoSinglePartitionWindow("q_stream_topk")
   }
 
+  test("q_graph_hops / q_communities_quality: no cartesian, joins pinned") {
+    // the iterative frontier/label loops run on localCheckpointed
+    // frames, so the EXECUTED plans of the final frames must carry
+    // only the intended joins — never a nested loop over the edge list
+    val hops = executedPlan("q_graph_hops")
+    assert(!hops.contains("Cartesian") &&
+      !hops.contains("BroadcastNestedLoop"),
+      s"hop frontier join degenerated:\n${hops.take(3000)}")
+    val qual = executedPlan("q_communities_quality")
+    assert(!qual.contains("Cartesian"),
+      s"modularity joins degenerated:\n${qual.take(3000)}")
+    // the only nested loop is the deliberate 1-row |E| totals broadcast
+    assert(qual.split("BroadcastNestedLoop").length - 1 <= 1,
+      s"an equi-join degenerated to a nested loop:\n${qual.take(3000)}")
+    // label joins stay SHUFFLE_HASH-pinned (node-sized build sides)
+    assert(qual.contains("ShuffledHashJoin"),
+      s"modularity label joins lost their SHJ pin:\n${qual.take(3000)}")
+  }
+
   test("q_triangles: no cartesian anywhere in the three-join chain") {
     val plan = executedPlan("q_triangles")
     assert(!plan.contains("Cartesian"),

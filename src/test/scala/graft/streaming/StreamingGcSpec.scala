@@ -157,6 +157,30 @@ class StreamingGcSpec extends AnyFunSuite {
     assert(RunningDistinctStats.fold(st, 0L, Long.MaxValue) == (st, None))
   }
 
+  test("SessionStats: endless sessions, state is one open session + lag") {
+    val min = 60000000L
+    var st = SessionStats.SessState(0L, 0L, Long.MinValue, 0L,
+      Array.emptyLongArray, Array.emptyLongArray)
+    var closed = 0L
+    var maxPend = 0
+    // 10k events a minute apart with a >30-min gap every 100 events:
+    // ~100 sessions close along the way, state never grows with any
+    // of it — one open session (four longs) + the 3-event wm lag
+    (0 until 10000).foreach { i =>
+      val us = i.toLong * min + (i / 100).toLong * 40L * min
+      st = st.copy(pendUs = st.pendUs :+ us, pendId = st.pendId :+ i.toLong)
+      val (st2, out) = SessionStats.fold(st, us - 3L * min)
+      st = st2
+      closed += out.size
+      maxPend = math.max(maxPend, st.pendUs.length)
+    }
+    assert(maxPend <= 4, s"pending slice grew with lifetime: $maxPend")
+    val (stF, outF) = SessionStats.fold(st, Long.MaxValue)
+    assert(closed + outF.size == 100L,
+      s"one session per gap block: ${closed + outF.size}")
+    assert(stF.idx == 100L && stF.n == 0L && stF.pendUs.isEmpty)
+  }
+
   test("FunnelStats: a user who views forever but never signs up") {
     // no step-1 event: the buffer must stay bounded by watermark lag,
     // not accumulate 10k views
