@@ -635,6 +635,10 @@ class PlanSpec extends SparkSuite {
     // label joins stay SHUFFLE_HASH-pinned (node-sized build sides)
     assert(qual.contains("ShuffledHashJoin"),
       s"modularity label joins lost their SHJ pin:\n${qual.take(3000)}")
+    val cost = executedPlan("q_graph_shortest_cost")
+    assert(!cost.contains("Cartesian") &&
+      !cost.contains("BroadcastNestedLoop"),
+      s"min-plus relaxation join degenerated:\n${cost.take(3000)}")
   }
 
   test("q_triangles: no cartesian anywhere in the three-join chain") {
