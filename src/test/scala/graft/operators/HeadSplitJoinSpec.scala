@@ -87,6 +87,40 @@ class HeadSplitJoinSpec extends SparkSuite {
     assert(byKey(("the", "rapist")) == 2L && byKey(("th", "erapist")) == 1L)
   }
 
+  test("property: random collision-prone corpora ≡ plain join (seeded)") {
+    // seeded-RNG property (the PartitionerSpec discipline — no
+    // scalatest↔scalacheck bridge offline): composite keys drawn from
+    // {a, aa, ab, b, ba, bb} maximize concatenation ambiguity
+    // ((a,ab)=(aa,b), (a,ba)=(ab,a), …); random hot-set size sweeps
+    // the broadcast/cold split point through every regime
+    val rnd = new scala.util.Random(42)
+    val alpha = Vector("a", "aa", "ab", "b", "ba", "bb")
+    (1 to 4).foreach { trial =>
+      val n = 300 + rnd.nextInt(700)
+      val big = (0 until n).map { i =>
+        (i.toLong, alpha(rnd.nextInt(alpha.size)),
+          alpha(rnd.nextInt(alpha.size)))
+      }.toDF("doc_id", "prev", "cur").localCheckpoint()
+      val small = big.groupBy("prev", "cur").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
+      val hotK = rnd.nextInt(10) // 0 = pure cold … 9 ≈ full broadcast
+      val hot = small.orderBy(col("c").desc, col("prev"), col("cur"))
+        .limit(hotK)
+      val got = Skew.headSplitJoin(big, small, Seq("prev", "cur"),
+          col("doc_id"), hot)
+        .select("doc_id", "prev", "cur", "c")
+        .as[(Long, String, String, Long)].collect()
+        .sortBy(r => (r._1, r._2, r._3))
+      val want = big.join(small, Seq("prev", "cur"))
+        .select("doc_id", "prev", "cur", "c")
+        .as[(Long, String, String, Long)].collect()
+        .sortBy(r => (r._1, r._2, r._3))
+      assert(got.length == want.length && got.sameElements(want),
+        s"trial $trial (n=$n hotK=$hotK) diverged: " +
+          s"${got.length} vs ${want.length} rows")
+    }
+  }
+
   test("requireMatch: missing key fails loudly instead of nulling") {
     val big = Seq((1L, "a"), (2L, "b"), (3L, "zzz"))
       .toDF("doc_id", "token").localCheckpoint()
