@@ -93,8 +93,20 @@ object Dedup {
 
   /** @param edges undirected edge list, columns `(src, dst)`.
     * @return (id, comp) for every id appearing in `edges`, comp = min id
-    *         of its component. */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    *         of its component.
+    *
+    * Convergence: the pointer jump doubles knowledge distance when a
+    * node's best-known min lies TOWARD the component min (a monotone
+    * 200-chain converges in ~9 rounds — DedupSpec), but degrades
+    * toward O(diameter) when local minima are knowledge dead-ends
+    * (structured id layouts: the sparse co-purchase graph needed >25
+    * and ≤60 rounds). The loop therefore REQUIRES convergence instead
+    * of returning at maxIter (r15: it previously returned silently
+    * wrong labels there — 991 mislabels, caught by the
+    * q_graph_components oracle at sf0.1); raise maxIter for
+    * diameter-heavy graphs, or use [[components]], whose size gate
+    * routes small edge lists to exact driver union-find. */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
     // symmetrize in ONE pass over the edge list: explode each edge into
     // its two directions. The union-of-two-projections form computed the
     // whole upstream edge pipeline TWICE (only exchanges are reused
@@ -146,6 +158,11 @@ object Dedup {
       it += 1
     }
     sym.unpersist()
+    require(changed == 0,
+      s"connected components did not converge in $maxIter rounds - " +
+        "label propagation is O(diameter); raise maxIter (a chain " +
+        "graph needs ~diameter rounds) or use components() for " +
+        "driver union-find below the size gate")
     labels
   }
 }

@@ -517,6 +517,35 @@ object Graph extends QueryFamily {
     dist.orderBy("node")
   }
 
+  /** Connected components of the SPARSE co-purchase graph (parts
+    * sharing an order at l_quantity > 45 — the qty>30 graph is one
+    * giant component, which makes CC both boring and oracle-hostile:
+    * the recursive reach CTE is Σ|component|² rows) — the declared
+    * face of [[graft.operators.Dedup.connectedComponents]], the same
+    * size-gated union-find ↔ pointer-jumping machinery every dedup
+    * cascade rides, here adjudicated by a DuckDB recursive-CTE
+    * fixpoint (the q_knn_clusters_full pattern). Output: (node, comp)
+    * with comp = the component's minimum node id. */
+  def components(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 45.0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").cast("long").as("src"),
+        col("b.l_partkey").cast("long").as("dst"))
+      .distinct()
+    // components(), not the raw loop: the size gate routes this
+    // edge list to exact driver union-find (the sparse graph's long
+    // chains make the distributed loop's round count the diameter —
+    // it CAUGHT that by failing, r15; union-find is exact at any
+    // diameter and this graph is far below the 2M-edge gate)
+    graft.operators.Dedup.components(pairs)
+      .select(col("id").as("node"), col("comp"))
+      .orderBy("node")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> ((s, d) => pageRank(s, d)),
     "q_pagerank_personalized" ->
@@ -533,7 +562,8 @@ object Graph extends QueryFamily {
       ((s, d) => copurchaseCommunities(s, d)),
     "q_graph_hops" -> ((s, d) => hopDistance(s, d)),
     "q_communities_quality" -> ((s, d) => communitiesQuality(s, d)),
-    "q_graph_shortest_cost" -> ((s, d) => shortestCost(s, d))
+    "q_graph_shortest_cost" -> ((s, d) => shortestCost(s, d)),
+    "q_graph_components" -> ((s, d) => components(s, d))
   )
 
   /** The oracle unrolls the three iterations as CTEs it1..it3 — same
@@ -714,6 +744,24 @@ object Graph extends QueryFamily {
           |    - 1000000 AS mod_u
           |FROM degl d LEFT JOIN intra i USING (label) CROSS JOIN m
           |ORDER BY label""".stripMargin),
+    "q_graph_components" ->
+      """WITH RECURSIVE pp AS (
+        |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS p1,
+        |                  CAST(b.l_partkey AS BIGINT) AS p2
+        |  FROM (SELECT * FROM lineitem WHERE l_quantity > 45) a
+        |  JOIN (SELECT * FROM lineitem WHERE l_quantity > 45) b
+        |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+        |cedges AS MATERIALIZED (
+        |  SELECT p1 AS src, p2 AS dst FROM pp
+        |  UNION ALL
+        |  SELECT p2 AS src, p1 AS dst FROM pp),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM cedges
+        |  UNION
+        |  SELECT e.src, reach.r FROM cedges e JOIN reach ON e.dst = reach.id),
+        |lab AS (SELECT id, min(r) AS comp FROM reach GROUP BY id)
+        |SELECT id AS node, CAST(comp AS BIGINT) AS comp
+        |FROM lab ORDER BY node""".stripMargin,
     "q_graph_shortest_cost" ->
       (s"""WITH wpairs AS (
           |  SELECT s, c, CAST(1000000 // (1 + count(*)) AS BIGINT)

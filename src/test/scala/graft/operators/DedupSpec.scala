@@ -70,4 +70,18 @@ class DedupSpec extends SparkSuite {
       .as[(Long, Long, Long)].head()
     assert(got == ((1L, 0L, 201L))) // one component, labeled by the head
   }
+
+  test("non-convergence fails loudly, never returns wrong labels") {
+    import spark.implicits._
+    // r15: the loop previously RETURNED at maxIter with whatever
+    // labels it had (991 silent mislabels on the sparse co-purchase
+    // graph at sf0.1, caught by the q_graph_components oracle) — a
+    // bound too tight for the graph must throw instead
+    val chain = (0L until 200L).map(i => (i, i + 1))
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.connectedComponents(chain.toDF("src", "dst"), maxIter = 2)
+        .count()
+    }
+    assert(ex.getMessage.contains("did not converge"), ex.getMessage)
+  }
 }
