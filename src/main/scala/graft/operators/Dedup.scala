@@ -7,23 +7,32 @@ import org.apache.spark.sql.functions._
   * near-dup cascade: verified pairs → components → one canonical doc per
   * component).
   *
-  * Min-label propagation with POINTER JUMPING: each round first takes the
-  * neighborhood minimum (one join + partial-aggregated min), then
-  * replaces every label by its label's label (`comp(u) ← comp(comp(u))`)
-  * — doubling the effective propagation distance, so convergence is
-  * O(log diameter) rounds instead of O(diameter). A 1M-hop chain
-  * converges in ~20 rounds; plain propagation would need 1M.
+  * Distributed path (r15): ALTERNATING STAR CONTRACTION — Kiveris,
+  * Lattanzi, Mirrokni, Rastogi, Vassilvitskii 2014, "Connected
+  * Components in MapReduce and Beyond". Each round applies large-star
+  * (every node's LARGER neighbors re-point to the min of its closed
+  * neighborhood) then small-star (every node and its smaller parents
+  * re-point to their min), contracting the graph toward a star forest
+  * whose roots are the component minima — provably O(log²) rounds on
+  * ANY graph, and the edge list SHRINKS toward n−1 star edges as it
+  * converges. This replaced min-label propagation + pointer jumping,
+  * whose "doubling" only holds when a node's best-known min lies
+  * toward the component min: on structured id layouts it degraded
+  * toward O(diameter) and at maxIter=25 returned silently wrong
+  * labels (991 mislabels on the sparse co-purchase graph — caught by
+  * the q_graph_components oracle at sf0.1, the r15 latent-bug find).
   *
   * The loop is driver-side control flow only: per-round work is two
-  * distributed joins + one aggregation, and the convergence check is a
-  * single count. Nothing is ever collected.
+  * star contractions (each one groupBy-min + one SHUFFLE_HASH join)
+  * and a one-row checksum action for the fixpoint test. Nothing is
+  * ever collected.
   *
-  * Every join side here is corpus-scaled (labels and edges), and long
-  * id/label columns delta-compress so well that AQE's compressed-bytes
-  * broadcast promotion would happily pick a multi-GiB side at exactly
-  * the graph sizes this operator exists for (see SetSimJoin's scaladoc
-  * and PLANS.md round 6 for the measured detonation). All joins are
-  * pinned SHUFFLE_HASH with the skinny label table as build side.
+  * Every join side here is corpus-scaled (edges and the per-node min
+  * table), and long id columns delta-compress so well that AQE's
+  * compressed-bytes broadcast promotion would happily pick a
+  * multi-GiB side at exactly the graph sizes this operator exists for
+  * (see SetSimJoin's scaladoc and PLANS.md round 6 for the measured
+  * detonation). All joins are pinned SHUFFLE_HASH.
   */
 object Dedup {
 
@@ -91,78 +100,86 @@ object Dedup {
     }.toDF("id", "comp")
   }
 
+  /** One large-star round over canonical undirected pairs (lo < hi):
+    * every node's LARGER neighbors re-point to the minimum of its
+    * closed neighborhood. Keeps connectivity (Kiveris et al., lemma
+    * 4.1) while strictly shrinking large-id chains. */
+  private def largeStar(e: DataFrame): DataFrame = {
+    val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+      .unionByName(e.select(col("hi").as("u"), col("lo").as("v")))
+    val m = sym.groupBy("u").agg(min("v").as("mn"))
+      .select(col("u"), least(col("u"), col("mn")).as("m"))
+    sym.join(m.hint("shuffle_hash"), "u")
+      .filter(col("v") > col("u")) // larger neighbors only
+      .select(col("m").as("lo"), col("v").as("hi")) // m ≤ u < v
+      .distinct()
+  }
+
+  /** One small-star round over child→parent star edges (lo < hi):
+    * each node u and all its (smaller) parents re-point to the
+    * minimum parent. */
+  private def smallStar(e: DataFrame): DataFrame = {
+    val m = e.groupBy(col("hi").as("u")).agg(min("lo").as("m"))
+    e.join(m.hint("shuffle_hash"), e("hi") === m("u"))
+      .select(col("lo").as("v"), col("m"))
+      .unionByName(m.select(col("u").as("v"), col("m")))
+      .filter(col("v") =!= col("m")) // the min itself is the root
+      .select(col("m").as("lo"), col("v").as("hi")) // m < v by min
+      .distinct()
+  }
+
   /** @param edges undirected edge list, columns `(src, dst)`.
     * @return (id, comp) for every id appearing in `edges`, comp = min id
     *         of its component.
     *
-    * Convergence: the pointer jump doubles knowledge distance when a
-    * node's best-known min lies TOWARD the component min (a monotone
-    * 200-chain converges in ~9 rounds — DedupSpec), but degrades
-    * toward O(diameter) when local minima are knowledge dead-ends
-    * (structured id layouts: the sparse co-purchase graph needed >25
-    * and ≤60 rounds). The loop therefore REQUIRES convergence instead
-    * of returning at maxIter (r15: it previously returned silently
-    * wrong labels there — 991 mislabels, caught by the
-    * q_graph_components oracle at sf0.1); raise maxIter for
-    * diameter-heavy graphs, or use [[components]], whose size gate
-    * routes small edge lists to exact driver union-find. */
+    * Alternating star contraction to the star-forest fixpoint —
+    * O(log²) rounds on any graph, any id layout (the r15 replacement
+    * for pointer jumping; see the object doc). The fixpoint test is a
+    * one-row (count, hash-sum) checksum over the canonical edge set;
+    * non-convergence within maxIter REQUIREs out loudly rather than
+    * returning partial labels. */
   def connectedComponents(edges: DataFrame, maxIter: Int = 50): DataFrame = {
-    // symmetrize in ONE pass over the edge list: explode each edge into
-    // its two directions. The union-of-two-projections form computed the
-    // whole upstream edge pipeline TWICE (only exchanges are reused
-    // across union branches; post-exchange work — e.g. the cascade's
-    // verify joins — re-ran per branch, measured +1.9 s on
-    // q_dedup_cascade_ppjoin at sf0.1 before the cache materialized)
-    val sym = edges
-      .select(explode(array(
-        struct(col("src"), col("dst")),
-        struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
-      .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .cache()
-    var labels = sym.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("comp"))
-    var changed = 1L
+    var e = edges
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("lo"),
+        greatest(col("src"), col("dst")).as("hi"))
+      .distinct()
+      .localCheckpoint()
+    // DECIMAL(38,0) accumulator: a long sum of 2^63-scale hashes
+    // overflows ANSI arithmetic after a handful of rows
+    def checksum(df: DataFrame): (Long, String) = {
+      val r = df.agg(count(lit(1)),
+        coalesce(sum(xxhash64(col("lo"), col("hi"))
+          .cast("decimal(38,0)")), lit(0L).cast("decimal(38,0)"))).head()
+      (r.getLong(0), r.getDecimal(1).toPlainString)
+    }
+    var sig = checksum(e)
+    var stable = false
     var it = 0
-    while (changed > 0 && it < maxIter) {
-      // neighborhood minimum (partial agg: per-partition min combines
-      // map-side before the shuffle)
-      val viaEdges = sym.join(labels.hint("shuffle_hash"),
-          sym("dst") === labels("id"))
-        .select(sym("src").as("id"), col("comp"))
-      // re-alias the direct operand: both union children would otherwise
-      // carry the SAME attribute ids (viaEdges embeds `labels`), which
-      // trips Union constraint propagation
-      val m = labels.select(col("id").as("id"), col("comp").as("comp"))
-        .union(viaEdges)
-        .groupBy("id").agg(min("comp").as("comp"))
-      // pointer jump: comp(u) ← comp(comp(u))
-      // localCheckpoint TRUNCATES LINEAGE each round — an iterative plan
-      // otherwise doubles per iteration (the self-join references the
-      // previous round twice) and analysis/explain cost grows
-      // exponentially long before the data does. The PREVIOUS label
-      // rides along inside the same checkpointed pass, so the
-      // convergence check below is a filter-count over cached blocks —
-      // one distributed job per round instead of two.
-      val jumped = m.as("a")
-        .join(m.select(col("id").as("cid"), col("comp").as("ccomp")).as("b")
-          .hint("shuffle_hash"),
-          col("a.comp") === col("b.cid"), "left")
-        .join(labels.select(col("id").as("oid"), col("comp").as("old"))
-          .hint("shuffle_hash"),
-          col("a.id") === col("oid"))
-        .select(col("a.id").as("id"),
-          coalesce(col("b.ccomp"), col("a.comp")).as("comp"), col("old"))
-        .localCheckpoint()
-      changed = jumped.filter(col("comp") =!= col("old")).count()
-      labels = jumped.select("id", "comp")
+    while (!stable && it < maxIter) {
+      // localCheckpoint TRUNCATES LINEAGE each round — an iterative
+      // plan otherwise grows per round and analysis cost explodes
+      // long before the data does
+      e = smallStar(largeStar(e)).localCheckpoint()
+      val s2 = checksum(e)
+      if (s2 == sig) stable = true else sig = s2
       it += 1
     }
-    sym.unpersist()
-    require(changed == 0,
+    require(stable,
       s"connected components did not converge in $maxIter rounds - " +
-        "label propagation is O(diameter); raise maxIter (a chain " +
-        "graph needs ~diameter rounds) or use components() for " +
-        "driver union-find below the size gate")
-    labels
+        "alternating star contraction is O(log^2 n); a non-convergent " +
+        "run at this bound indicates a malformed edge list")
+    // the fixpoint is a star forest (lo = component min, hi = member):
+    // members from the hi side, roots label themselves; ids that only
+    // ever appeared in self-loops have no star edge and keep their own
+    // id (the pre-r15 contract — every id in `edges` gets a label)
+    val star = e.select(col("hi").as("id"), col("lo").as("comp"))
+      .unionByName(e.select(col("lo").as("id"), col("lo").as("comp")))
+      .groupBy("id").agg(min("comp").as("comp"))
+    edges.select(col("src").as("id"))
+      .unionByName(edges.select(col("dst").as("id")))
+      .distinct()
+      .join(star.hint("shuffle_hash"), Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 }

@@ -71,6 +71,29 @@ class DedupSpec extends SparkSuite {
     assert(got == ((1L, 0L, 201L))) // one component, labeled by the head
   }
 
+  test("star contraction ≡ union-find on the structured-id graph") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // the id layout that exposed the old pointer-jumping loop (r15:
+    // >25 rounds needed, silent mislabels at the bound) — the sparse
+    // co-purchase graph's part keys; alternating star contraction
+    // must match driver union-find exactly within the default bound
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.01")
+      .filter(col("l_quantity") > 45.0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").cast("long").as("src"),
+        col("b.l_partkey").cast("long").as("dst"))
+      .distinct().localCheckpoint()
+    val dist = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    val uf = Dedup.components(pairs).as[(Long, Long)].collect().toMap
+    assert(dist == uf,
+      s"${dist.count(k => dist(k._1) != uf(k._1))} labels diverged")
+  }
+
   test("non-convergence fails loudly, never returns wrong labels") {
     import spark.implicits._
     // r15: the loop previously RETURNED at maxIter with whatever
@@ -79,7 +102,7 @@ class DedupSpec extends SparkSuite {
     // bound too tight for the graph must throw instead
     val chain = (0L until 200L).map(i => (i, i + 1))
     val ex = intercept[IllegalArgumentException] {
-      Dedup.connectedComponents(chain.toDF("src", "dst"), maxIter = 2)
+      Dedup.connectedComponents(chain.toDF("src", "dst"), maxIter = 1)
         .count()
     }
     assert(ex.getMessage.contains("did not converge"), ex.getMessage)
