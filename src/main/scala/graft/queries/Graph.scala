@@ -537,10 +537,11 @@ object Graph extends QueryFamily {
         col("b.l_partkey").cast("long").as("dst"))
       .distinct()
     // components(), not the raw loop: the size gate routes this
-    // edge list to exact driver union-find (the sparse graph's long
-    // chains make the distributed loop's round count the diameter —
-    // it CAUGHT that by failing, r15; union-find is exact at any
-    // diameter and this graph is far below the 2M-edge gate)
+    // edge list to exact driver union-find — it is far below the
+    // 2M-edge gate, and the gate IS the operator's contract. (This
+    // query's sf0.1 oracle caught the old pointer-jumping loop
+    // returning unconverged labels, which drove the r15 replacement
+    // with alternating star contraction — see Dedup's scaladoc.)
     graft.operators.Dedup.components(pairs)
       .select(col("id").as("node"), col("comp"))
       .orderBy("node")
