@@ -45,6 +45,10 @@ object Graph extends QueryFamily {
   private val PrIters = 3
   private val LpaIters = 4
   private val HopRounds = 4
+  // link-prediction intermediary hub cap: wedge work ≤ cap·m. 48 keeps
+  // the cap branch LIVE at sf0.1 (max co-purchase degree 59 there) so
+  // the oracle sweep exercises the exclusion path, not just GraphSpec.
+  private val HubCap = 48L
 
   /** Distinct supplier↔customer trade pairs, symmetrized into a directed
     * edge list `(src, dst)`. One pass builds both directions (explode of
@@ -547,6 +551,87 @@ object Graph extends QueryFamily {
       .orderBy("node")
   }
 
+  /** Link prediction on the co-purchase graph (the "customers who
+    * bought X also bought Y — what's the next Y?" / dedup-candidate-
+    * expansion question): score every NON-adjacent part pair by the
+    * Resource-Allocation index (Zhou, Lü & Zhang 2009) — Σ over common
+    * neighbors z of 1/deg(z) — plus the common-neighbor count and the
+    * neighborhood Jaccard, all in exact integer micro-units
+    * (Σ floor(1e6/deg(z)); cn·1e6 div (deg_u + deg_v − cn)), so the
+    * DuckDB oracle adjudicates the ranking bit-for-bit — no float
+    * summation order, no ln() (RA beats Adamic-Adar here precisely
+    * because its weight is a RATIONAL in the degree, not 1/ln·deg).
+    *
+    * Scale shape: the wedge enumeration through common neighbor z is
+    * inherently Σ deg(z)² — the curse-of-the-last-reducer join — so
+    * intermediaries are HUB-CAPPED at deg(z) ≤ `cap`: the wedge join
+    * is then bounded by cap·m TOTAL (linear in edges at fixed cap) and
+    * no reducer ever owns more than cap² wedges per z. The cap is part
+    * of the metric's definition on BOTH sides (engine and oracle filter
+    * identically — RA-over-non-hub-intermediaries), standard practice
+    * since a hub's per-wedge weight 1/deg(z) ≤ 1/cap is negligible
+    * while its wedge count is the whole quadratic problem. Jaccard
+    * denominators keep the FULL degrees (the cap bounds enumeration,
+    * not the degree statistics). Top-k is TakeOrdered (no global sort);
+    * the non-adjacency anti-join is edge-sized; the two degree joins
+    * are node-sized. GraphSpec pins a single-threaded BigInt reference
+    * on a synthetic graph whose hub EXCEEDS the cap. */
+  def linkPrediction(s: SparkSession, d: String, cap: Long = HubCap,
+      topK: Int = 100): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .filter(col("l_quantity") > 30.0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    val pairs = li.as("a")
+      .join(li.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.l_partkey") < col("b.l_partkey"))
+      .select(col("a.l_partkey").cast("long").as("p1"),
+        col("b.l_partkey").cast("long").as("p2"))
+      .distinct()
+      // checkpointed: feeds the symmetrized adjacency AND the
+      // non-adjacency anti-join — one build, two consumers
+      .localCheckpoint()
+    linkPredictionOn(pairs, cap, topK)
+  }
+
+  /** The scoring pass over an arbitrary canonical (p1 < p2) undirected
+    * edge list — factored for the GraphSpec reference pin. */
+  private[queries] def linkPredictionOn(pairs: DataFrame, cap: Long,
+      topK: Int): DataFrame = {
+    val edges = pairs.select(explode(array(
+        struct(col("p1").as("src"), col("p2").as("dst")),
+        struct(col("p2").as("src"), col("p1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .localCheckpoint() // three consumers: adj filter + both jac joins
+    val adj = edges
+      .join(deg.hint("shuffle_hash"), edges("src") === deg("node"))
+      .filter(col("deg") <= cap)
+      .select(col("src").as("z"), col("dst").as("x"),
+        col("deg").as("degz"))
+      // checkpointed AND pre-partitioned on z: the wedge self-join
+      // consumes adj on both sides — one exchange, reused twice
+      .repartition(col("z")).localCheckpoint()
+    val wedges = adj.as("a")
+      .join(adj.as("b"), col("a.z") === col("b.z") &&
+        col("a.x") < col("b.x"))
+      .groupBy(col("a.x").as("u"), col("b.x").as("v"))
+      .agg(count(lit(1)).as("cn"),
+        sum(expr("1000000 DIV a.degz")).as("ra_u"))
+    val cand = wedges.join(pairs,
+      col("u") === col("p1") && col("v") === col("p2"), "left_anti")
+    cand
+      .join(deg.select(col("node"), col("deg").as("deg_u"))
+        .hint("shuffle_hash"), col("u") === col("node")).drop("node")
+      .join(deg.select(col("node"), col("deg").as("deg_v"))
+        .hint("shuffle_hash"), col("v") === col("node")).drop("node")
+      .select(col("u"), col("v"), col("cn"), col("ra_u"),
+        expr("CAST(cn * 1000000 DIV (deg_u + deg_v - cn) AS BIGINT)")
+          .as("jac_u"))
+      .orderBy(col("ra_u").desc, col("cn").desc, col("u"), col("v"))
+      .limit(topK)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_pagerank" -> ((s, d) => pageRank(s, d)),
     "q_pagerank_personalized" ->
@@ -564,7 +649,8 @@ object Graph extends QueryFamily {
     "q_graph_hops" -> ((s, d) => hopDistance(s, d)),
     "q_communities_quality" -> ((s, d) => communitiesQuality(s, d)),
     "q_graph_shortest_cost" -> ((s, d) => shortestCost(s, d)),
-    "q_graph_components" -> ((s, d) => components(s, d))
+    "q_graph_components" -> ((s, d) => components(s, d)),
+    "q_link_prediction" -> ((s, d) => linkPrediction(s, d))
   )
 
   /** The oracle unrolls the three iterations as CTEs it1..it3 — same
@@ -790,6 +876,37 @@ object Graph extends QueryFamily {
           |f0 AS MATERIALIZED (SELECT node FROM d0),
           |${(1 to HopRounds).map(hopStep).mkString(",\n")}
           |SELECT node, hops FROM d$HopRounds ORDER BY node""".stripMargin),
+    "q_link_prediction" ->
+      (s"""WITH pp AS MATERIALIZED (
+          |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS p1,
+          |                  CAST(b.l_partkey AS BIGINT) AS p2
+          |  FROM (SELECT * FROM lineitem WHERE l_quantity > 30) a
+          |  JOIN (SELECT * FROM lineitem WHERE l_quantity > 30) b
+          |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+          |edges AS (SELECT p1 AS src, p2 AS dst FROM pp
+          |          UNION ALL SELECT p2, p1 FROM pp),
+          |deg AS MATERIALIZED (
+          |  SELECT src AS node, CAST(count(*) AS BIGINT) AS deg
+          |  FROM edges GROUP BY src),
+          |adj AS MATERIALIZED (
+          |  SELECT e.src AS z, e.dst AS x, d.deg AS degz
+          |  FROM edges e JOIN deg d ON e.src = d.node
+          |  WHERE d.deg <= $HubCap),
+          |wedge AS (
+          |  SELECT a.x AS u, b.x AS v, CAST(count(*) AS BIGINT) AS cn,
+          |         CAST(sum(1000000 // a.degz) AS BIGINT) AS ra_u
+          |  FROM adj a JOIN adj b ON a.z = b.z AND a.x < b.x
+          |  GROUP BY a.x, b.x),
+          |cand AS (
+          |  SELECT w.* FROM wedge w
+          |  ANTI JOIN pp ON w.u = pp.p1 AND w.v = pp.p2)
+          |SELECT c.u, c.v, c.cn, c.ra_u,
+          |  CAST(c.cn * 1000000 // (du.deg + dv.deg - c.cn) AS BIGINT)
+          |    AS jac_u
+          |FROM cand c JOIN deg du ON c.u = du.node
+          |            JOIN deg dv ON c.v = dv.node
+          |ORDER BY c.ra_u DESC, c.cn DESC, c.u, c.v
+          |LIMIT 100""".stripMargin),
     "q_triangles" ->
       """WITH e AS (
         |  SELECT DISTINCT CAST(a.l_partkey AS BIGINT) AS p1,

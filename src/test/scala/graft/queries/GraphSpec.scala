@@ -352,6 +352,42 @@ class GraphSpec extends SparkSuite {
     assert(one == Map(1L -> 0L, 2L -> 1L, 4L -> 10L))
   }
 
+  test("link prediction ≡ single-threaded reference; hub cap live") {
+    import spark.implicits._
+    // z=1 (deg 3) creates wedges among {2,3,4}; hub 100 (deg 5 > cap 3)
+    // is EXCLUDED as an intermediary, so (5,6) — common neighbor = hub
+    // only — must be absent, and cn/ra for {2,3,4} pairs count z=1 only.
+    // (2,3) is an existing edge → excluded by non-adjacency.
+    val und = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L),
+      (2L, 100L), (3L, 100L), (4L, 100L), (5L, 100L), (6L, 100L))
+    val cap = 3L
+    val pairs = und.toDF("p1", "p2")
+    val got = Graph.linkPredictionOn(pairs, cap, topK = 100)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // single-threaded reference over the same definition
+    val adjAll = und.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val deg = adjAll.view.mapValues(_.size.toLong).toMap
+    val existing = und.toSet
+    val want = (for {
+      (z, nbrs) <- adjAll.toSeq if deg(z) <= cap
+      u <- nbrs; v <- nbrs if u < v
+    } yield ((u, v), 1000000L / deg(z)))
+      .groupBy(_._1).view
+      .mapValues(ws => (ws.size.toLong, ws.map(_._2).sum)).toSeq
+      .collect { case ((u, v), (cn, ra)) if !existing((u, v)) =>
+        (u, v, cn, ra, cn * 1000000L / (deg(u) + deg(v) - cn)) }
+      .sortBy { case (u, v, cn, ra, _) => (-ra, -cn, u, v) }
+    assert(got == want, s"got=$got\nwant=$want")
+    // the hub-only pair is absent; the adjacent pair is absent
+    assert(!got.exists(r => r._1 == 5L && r._2 == 6L))
+    assert(!got.exists(r => r._1 == 2L && r._2 == 3L))
+    // spot-check the exact micro-unit arithmetic for (2,4):
+    // cn=1 via z=1 (deg 3): ra = 333333; jac = 1e6 div (3+2-1) = 250000
+    assert(got.find(r => r._1 == 2L && r._2 == 4L)
+      .contains((2L, 4L, 1L, 333333L, 250000L)))
+  }
+
   test("PPR teleport reaches an in-degree-0 seed (textbook semantics)") {
     import spark.implicits._
     // 1 → 2 → 3 → 2: seed node 1 has out-edges but NO in-edges — the

@@ -157,6 +157,32 @@ class StreamingGcSpec extends AnyFunSuite {
     assert(RunningDistinctStats.fold(st, 0L, Long.MaxValue) == (st, None))
   }
 
+  test("QuantileStats: 1M-row window state bounded by occupied buckets") {
+    // per-window state is the occupied-bucket histogram — bounded by
+    // the value column's DYNAMIC RANGE (⌈log_γ(max/min)⌉ ≈ 2.3k at
+    // α = 1% over 10²⁰), never by row count: a million rows across 20
+    // decades keep ≤ that many entries, and sealing tombstones them
+    var st = QuantileStats.QState(Array.emptyLongArray,
+      Array.emptyLongArray)
+    val gamma = (1 + QuantileStats.Alpha) / (1 - QuantileStats.Alpha)
+    (0 until 1000000).foreach { i =>
+      // values sweep 1e-10..1e10 — the full 20-decade range
+      val v = math.pow(10.0, (i % 2001) / 100.0 - 10.0)
+      val b = math.ceil(math.log(v) / math.log(gamma)).toLong
+      val (st2, out) = QuantileStats.fold(st, Array(b), 0L, -1L)
+      st = st2.get
+      assert(out.isEmpty)
+    }
+    val bound = math.ceil(math.log(1e20) / math.log(gamma)).toLong + 1
+    assert(st.buckets.length <= bound,
+      s"bucket state ${st.buckets.length} exceeds the log_γ bound $bound")
+    assert(st.counts.sum == 1000000L)
+    // sealing emits every bucket once and removes the state entirely
+    val (stF, outF) = QuantileStats.fold(st, Array.emptyLongArray,
+      0L, QuantileStats.WinUs)
+    assert(stF.isEmpty && outF.size == st.buckets.length)
+  }
+
   test("SessionStats: endless sessions, state is one open session + lag") {
     val min = 60000000L
     var st = SessionStats.SessState(0L, 0L, Long.MinValue, 0L,
