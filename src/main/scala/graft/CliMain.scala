@@ -248,6 +248,27 @@ object CliMain {
         s"${st.deletes} deleted; ${st.filesRewritten} files rewritten, " +
         s"${st.filesCopied} copied -> $outDir")
       if (!reused) spark.stop()
+    // vacuum <tableRoot> [--retention-hours N] [--dry-run]: remove a
+    // crashed run's protocol byproducts from a RangeSink root —
+    // published-range staging, dead merge temps, the empty template,
+    // committer _temporary — under the retention guard (never race a
+    // live writer; unpublished staging is replayable state, kept at
+    // any age). Published data files are never touched.
+    case "vacuum" :: root :: flags =>
+      def flagVal(name: String): Option[String] = flagValIn(flags, name)
+      val hours = flagVal("--retention-hours").map(_.toLong).getOrElse(24L)
+      val reused =
+        org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+      val spark = Sessions.get("graft-vacuum")
+      val st = graft.ingest.Vacuum.run(spark, root,
+        retentionMs = hours * 3600000L,
+        dryRun = flags.contains("--dry-run"))
+      println(s"vacuum: ${st.stagedDropped} published-range staging dirs, " +
+        s"${st.inprogressDropped} merge temps, ${st.tmpDropped} _temporary, " +
+        s"${st.templatesDropped} templates removed; " +
+        s"${st.stagedKept} replayable staging + ${st.inprogressKept} " +
+        s"live temps kept")
+      if (!reused) spark.stop()
     case "optimize" :: inDir :: outDir :: flags =>
       def flagVal(name: String): Option[String] = flagValIn(flags, name)
       val dims = flagVal("--zorder").map(_.split(",")).getOrElse(

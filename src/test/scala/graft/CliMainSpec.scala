@@ -123,6 +123,22 @@ class CliMainSpec extends SparkSuite {
     assert(out.filter(col("k") === 99L).count() == 1L)
   }
 
+  test("vacuum removes a crashed run's staging via the CLI") {
+    val root = Files.createTempDirectory("cli-vacuum")
+    def mk(rel: String): Unit = {
+      val p = root.resolve(rel)
+      Files.createDirectories(p.getParent)
+      Files.write(p, Array[Byte](1))
+    }
+    mk("0000000000-0000005000.parquet")
+    mk("_open/epoch=1/__range=0/part-0.parquet")     // published: dead
+    mk("_open/epoch=2/__range=5000/part-0.parquet")  // replayable: kept
+    CliMain.main(Array("vacuum", root.toString, "--retention-hours", "0"))
+    assert(!Files.exists(root.resolve("_open/epoch=1/__range=0")))
+    assert(Files.exists(root.resolve("_open/epoch=2/__range=5000")))
+    assert(Files.exists(root.resolve("0000000000-0000005000.parquet")))
+  }
+
   test("index builds and materializes both ANN index kinds") {
     import org.apache.spark.sql.functions._
     val root = Files.createTempDirectory("cli-idx").toString
