@@ -240,4 +240,31 @@ class StreamingGcSpec extends AnyFunSuite {
       s"pending slice grew with lifetime: ${st.pendTs.length}")
     assert(st.n > 9000, "the endless session kept counting")
   }
+
+  test("HitterStats: 1M ALL-DISTINCT tokens, state bounded at d·w cells") {
+    // the CMS projection's whole point: per-window frequency state is
+    // the d×w counter grid (4096 cells), never the vocabulary — a
+    // million distinct tokens leave ≤ d·w occupied cells, and sealing
+    // tombstones them. Cell ids here are any deterministic spread into
+    // [0, d·w) — the bound is structural, not hash-specific (the hash
+    // bit-equality is HitterStatsSpec's pin).
+    val dw = HitterStats.D * HitterStats.W
+    var st = WindowHistogram.empty
+    (0 until 1000000).foreach { i =>
+      val cells = Array.tabulate(HitterStats.D)(r =>
+        r.toLong * HitterStats.W +
+          math.floorMod(i * 2654435761L + r * 40503L, HitterStats.W))
+      val (st2, out) = WindowHistogram.fold(st, cells, 0L,
+        HitterStats.WinUs, -1L)
+      st = st2.get
+      assert(out.isEmpty)
+    }
+    assert(st.buckets.length <= dw,
+      s"cell state ${st.buckets.length} exceeds d·w = $dw")
+    assert(st.counts.sum == 1000000L * HitterStats.D)
+    // sealing emits every occupied cell once and removes the state
+    val (stF, outF) = WindowHistogram.fold(st, Array.emptyLongArray,
+      0L, HitterStats.WinUs, HitterStats.WinUs)
+    assert(stF.isEmpty && outF.size == st.buckets.length)
+  }
 }
