@@ -94,6 +94,35 @@ object Quality extends QueryFamily {
           floor(lit(1e6) * (p - q) * log(p / q)).cast("long").as("psi_u"))
         .orderBy("token")
     },
+    "q_drift_psi_binned" -> { (s, d) =>
+      // The FIXED-BIN PSI — the numeric-column drift monitor whose
+      // streaming form is streaming/DriftStats: events.value binned by
+      // the reference boundaries (DriftStats.Bounds — a training
+      // artifact, literals in the plan) via the SAME Catalyst fragment
+      // the stream folds over (DriftStats.binExpr, a codegen'd sum of
+      // indicators), snapshots = event_id parity. Same add-one
+      // smoothing and per-bin floor(1e6·(p−q)·ln(p/q)) discipline as
+      // q_drift_psi; state/shuffle is bins-sized, never value-sized.
+      import graft.streaming.DriftStats
+      val binned = Tables.events(s, d)
+        .filter(col("value").isNotNull)
+        .select((col("event_id") % 2).as("snap"),
+          DriftStats.binExpr(col("value").cast("double"),
+            DriftStats.Bounds).as("bin"))
+      val counts = binned.groupBy("bin").agg(
+        sum(when(col("snap") === 0, 1L).otherwise(0L)).as("ca"),
+        sum(when(col("snap") === 1, 1L).otherwise(0L)).as("cb"))
+      val tot = counts.agg(
+        sum("ca").cast("double").as("na"),
+        sum("cb").cast("double").as("nb"),
+        count(lit(1)).cast("double").as("v"))
+      val p = (col("ca") + 1).cast("double") / (col("na") + col("v"))
+      val q = (col("cb") + 1).cast("double") / (col("nb") + col("v"))
+      counts.crossJoin(broadcast(tot))
+        .select(col("bin"), col("ca"), col("cb"),
+          floor(lit(1e6) * (p - q) * log(p / q)).cast("long").as("psi_u"))
+        .orderBy("bin")
+    },
     "q_profile_outliers" -> { (s, d) =>
       // Robust outlier profiling: per-group median/MAD (the robust
       // z-score — resistant to the very outliers it hunts, unlike
@@ -472,6 +501,33 @@ object Quality extends QueryFamily {
         |         / (CAST(cb + 1 AS DOUBLE) / (nb + v)))) AS BIGINT)
         |    AS psi_u
         |FROM c, s ORDER BY token""".stripMargin,
+    "q_drift_psi_binned" -> {
+      // the bin expression is generated from the SAME Bounds constant
+      // the Spark plan uses — one source of truth for the boundaries
+      val binSql = graft.streaming.DriftStats.Bounds
+        .map(b => s"(CASE WHEN value >= $b THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH t AS (
+        |  SELECT event_id % 2 AS snap, CAST($binSql AS BIGINT) AS bin
+        |  FROM events WHERE value IS NOT NULL),
+        |c AS (
+        |  SELECT bin,
+        |    CAST(sum(CASE WHEN snap = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+        |    CAST(sum(CASE WHEN snap = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+        |  FROM t GROUP BY bin),
+        |s AS (
+        |  SELECT CAST(sum(ca) AS DOUBLE) AS na,
+        |         CAST(sum(cb) AS DOUBLE) AS nb,
+        |         CAST(count(*) AS DOUBLE) AS v
+        |  FROM c)
+        |SELECT bin, ca, cb,
+        |  CAST(floor(1e6 * (CAST(ca + 1 AS DOUBLE) / (na + v)
+        |                    - CAST(cb + 1 AS DOUBLE) / (nb + v))
+        |    * ln((CAST(ca + 1 AS DOUBLE) / (na + v))
+        |         / (CAST(cb + 1 AS DOUBLE) / (nb + v)))) AS BIGINT)
+        |    AS psi_u
+        |FROM c, s ORDER BY bin""".stripMargin
+    },
     "q_expectations" ->
       """WITH a AS (SELECT count(*) AS total,
         |  CAST(sum(CASE WHEN NOT (l_quantity BETWEEN 1 AND 50) THEN 1
