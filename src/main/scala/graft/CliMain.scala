@@ -235,18 +235,37 @@ object CliMain {
     // (operators.Upsert). The natural consumer of Scd2Stats' closed
     // intervals / current rows. Output lands BESIDE the live table
     // (the optimize deploy contract).
+    // --scd2 switches to Type-2 merge: <changesDir> is RAW NEW EVENTS
+    // (--keys k1,k2 + payload + --ts), the open version per key closes
+    // at the key's first new timestamp and the batch's chained
+    // versions append (operators.Upsert.mergeScd2) — append-only in
+    // event time, loud on history rewrites.
     case "upsert" :: tableDir :: changesDir :: outDir :: flags =>
       def flagVal(name: String): Option[String] = flagValIn(flags, name)
-      val key = flagVal("--key").getOrElse(sys.error("--key is required"))
       val reused =
         org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
       val spark = Sessions.get("graft-upsert")
-      val st = graft.operators.Upsert.merge(spark, tableDir, changesDir,
-        outDir, key, versionCol = flagVal("--version"),
-        tombstoneCol = flagVal("--tombstone"))
-      println(s"upsert: ${st.upserts} updated, ${st.inserts} inserted, " +
-        s"${st.deletes} deleted; ${st.filesRewritten} files rewritten, " +
-        s"${st.filesCopied} copied -> $outDir")
+      if (flags.contains("--scd2")) {
+        val ks = flagVal("--keys").getOrElse(
+          sys.error("--keys k1,k2 is required with --scd2"))
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        val st = graft.operators.Upsert.mergeScd2(spark, tableDir,
+          changesDir, outDir, ks,
+          tsCol = flagVal("--ts").getOrElse("ts"),
+          seqCol = flagVal("--seq").getOrElse("event_id"))
+        println(s"upsert --scd2: ${st.versionsClosed} versions closed, " +
+          s"${st.versionsAppended} appended (${st.newKeys} new keys); " +
+          s"${st.filesRewritten} files rewritten, " +
+          s"${st.filesCopied} copied -> $outDir")
+      } else {
+        val key = flagVal("--key").getOrElse(sys.error("--key is required"))
+        val st = graft.operators.Upsert.merge(spark, tableDir, changesDir,
+          outDir, key, versionCol = flagVal("--version"),
+          tombstoneCol = flagVal("--tombstone"))
+        println(s"upsert: ${st.upserts} updated, ${st.inserts} inserted, " +
+          s"${st.deletes} deleted; ${st.filesRewritten} files rewritten, " +
+          s"${st.filesCopied} copied -> $outDir")
+      }
       if (!reused) spark.stop()
     // vacuum <tableRoot> [--retention-hours N] [--dry-run]: remove a
     // crashed run's protocol byproducts from a RangeSink root —
@@ -683,6 +702,7 @@ object CliMain {
           |  graft.CliMain quality score <docsDir> <modelDir> <outDir>
           |  graft.CliMain upsert <tableDir> <changesDir> <outDir>
           |    --key k [--version c] [--tombstone c]
+          |    | --scd2 --keys k1,k2 [--ts c] [--seq c]
           |  graft.CliMain optimize <inDir> <outDir> --zorder colX,colY
           |    [--files N] [--bits B]
           |  graft.CliMain reduce <embeddingsDir> <outDir> [--k N]

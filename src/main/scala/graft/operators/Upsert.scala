@@ -66,6 +66,34 @@ object Upsert {
         .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** Flat-layout file inventory of `tableDir` + byte-for-byte copy of
+    * every file NOT in `touched` to `outDir`; returns the copied count.
+    * Fails loudly on hive-partitioned trees (per-directory recursion
+    * and partition-column reconstruction are a different code path —
+    * silently dropping nested files from the copy would corrupt). */
+  private def copyUntouched(spark: SparkSession, tableDir: String,
+      outDir: String, touched: Set[String]): Int = {
+    val fs = new org.apache.hadoop.fs.Path(tableDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
+      .filterNot(s => s.getPath.getName.startsWith("_")
+        || s.getPath.getName.startsWith("."))
+    val subdirs = entries.filter(_.isDirectory).map(_.getPath.getName)
+    require(subdirs.isEmpty, "upsert requires a flat parquet directory; " +
+      s"found subdirectories: ${subdirs.mkString(", ")}")
+    val all = entries.filter(_.isFile).map(_.getPath).toSeq
+    val outPath = new org.apache.hadoop.fs.Path(outDir)
+    fs.mkdirs(outPath)
+    val untouched = all.filterNot(p => touched.contains(p.toUri.toString)
+      || touched.contains(p.toString))
+    untouched.foreach { p =>
+      org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
+        new org.apache.hadoop.fs.Path(outPath, p.getName),
+        false, spark.sparkContext.hadoopConfiguration)
+    }
+    untouched.size
+  }
+
   /** Merge `changesDir` into the parquet table at `tableDir`, writing
     * the result BESIDE the live table at `outDir` (the ZOrder.compact
     * deploy contract: swapping it in is the caller's step). */
@@ -99,29 +127,9 @@ object Upsert {
       .select("__file").distinct()
       .collect().map(_.getString(0)).toSet
 
-    // full file inventory via the table's own filesystem
-    val fs = new org.apache.hadoop.fs.Path(tableDir)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val entries = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
-      .filterNot(s => s.getPath.getName.startsWith("_")
-        || s.getPath.getName.startsWith("."))
-    // flat layouts only (RangeSink / optimize / plain writes): a
-    // hive-partitioned tree would need per-directory recursion AND
-    // partition-column reconstruction — fail loudly rather than
-    // silently dropping nested files from the copy path
-    val subdirs = entries.filter(_.isDirectory).map(_.getPath.getName)
-    require(subdirs.isEmpty, "upsert requires a flat parquet directory; " +
-      s"found subdirectories: ${subdirs.mkString(", ")}")
-    val all = entries.filter(_.isFile).map(_.getPath).toSeq
-    val outPath = new org.apache.hadoop.fs.Path(outDir)
-    fs.mkdirs(outPath)
-    val untouched = all.filterNot(p => touched.contains(p.toUri.toString)
-      || touched.contains(p.toString))
-    untouched.foreach { p =>
-      org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
-        new org.apache.hadoop.fs.Path(outPath, p.getName),
-        false, spark.sparkContext.hadoopConfiguration)
-    }
+    // full file inventory via the table's own filesystem; untouched
+    // files copy byte-for-byte (flat layouts only — see copyUntouched)
+    val copied = copyUntouched(spark, tableDir, outDir, touched)
 
     // rewrite ONLY the touched files: survivors (keys not in changes,
     // not tombstoned) + the resolved upsert rows — inserts included by
@@ -156,6 +164,134 @@ object Upsert {
       deletes = nDeletes,
       inserts = nUpsertRows - present,
       filesRewritten = touched.size,
-      filesCopied = untouched.size)
+      filesCopied = copied)
+  }
+
+  final case class Scd2Stats(versionsClosed: Long, versionsAppended: Long,
+    newKeys: Long, filesRewritten: Int, filesCopied: Int)
+
+  /** Type-2 MERGE — incremental maintenance of a landed SCD2 dimension
+    * table (the shape `q_scd2`'s kernel emits: key columns + payload +
+    * `valid_from`/`valid_to` epoch-micro BIGINTs, NULL valid_to + the
+    * `is_current` flag marking the one open version per key). The
+    * change feed is RAW NEW EVENTS (key + payload + `tsCol`), not
+    * pre-built intervals: the merge closes each affected key's open
+    * version at the key's first new timestamp and appends the batch's
+    * chained versions, the last one open.
+    *
+    * CONTRACT — order-final, like [[graft.streaming.Scd2Stats]] but
+    * LOUD: every change row's timestamp must be strictly after the
+    * landed open version's `valid_from` for its key (equal timestamps
+    * included — the kernel tie-breaks equal ts by `seqCol`, so an
+    * equal-ts arrival could reorder landed history). A violating row
+    * fails the merge rather than silently rewriting closed intervals;
+    * replaying the same change batch therefore also fails loudly
+    * (SCD2 is append-only in event time — idempotent replay is SCD1's
+    * contract, not this one's). Under the contract the merged table
+    * EQUALS the kernel's from-scratch rebuild over the union history —
+    * UpsertSpec pins `mergeScd2(scd2(H1), H2) ≡ scd2(H1 ∪ H2)`
+    * row-for-row.
+    *
+    * Copy-on-write at file granularity, sharper than SCD1's: only
+    * files holding an affected key's OPEN version rewrite (closed
+    * history never changes, so a closed-versions file copies
+    * byte-for-byte even when its keys are in the change batch); the
+    * probe scans key + is_current columns only. */
+  def mergeScd2(spark: SparkSession, tableDir: String, changesDir: String,
+      outDir: String, keys: Seq[String], tsCol: String = "ts",
+      seqCol: String = "event_id"): Scd2Stats = {
+    require(keys.nonEmpty, "mergeScd2 needs at least one key column")
+    val table = spark.read.parquet(tableDir)
+    val meta = Seq("valid_from", "valid_to", "is_current")
+    require(meta.forall(table.columns.contains),
+      s"$tableDir is not an SCD2 table (needs ${meta.mkString(", ")})")
+    val payload = table.columns.filterNot(c =>
+      keys.contains(c) || meta.contains(c)).toSeq
+    require(payload.contains(seqCol),
+      s"seq column $seqCol missing from table payload ${payload.mkString(",")}")
+
+    val raw = spark.read.parquet(changesDir)
+    require((keys ++ payload :+ tsCol).forall(raw.columns.contains),
+      s"changes need ${(keys ++ payload :+ tsCol).mkString(", ")}; " +
+        s"got ${raw.columns.mkString(", ")}")
+    // chain the batch per key in (ts, seq) order — the kernel's order;
+    // an exact duplicate (key, ts, seq) has no defined chain position
+    val dupCols = (keys :+ tsCol :+ seqCol).map(col)
+    val dups = raw.groupBy(dupCols: _*).agg(count(lit(1)).as("c"))
+      .filter(col("c") > 1).limit(1).collect()
+    require(dups.isEmpty, "changes carry an exact duplicate " +
+      s"(${(keys :+ tsCol :+ seqCol).mkString(", ")}) row: " +
+      s"${dups.headOption.map(_.toSeq.init)}")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("valid_from"), col(seqCol))
+    val chain = raw
+      .select((keys ++ payload).map(col) :+
+        expr(s"unix_micros(cast($tsCol as timestamp))")
+          .as("valid_from"): _*)
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
+      .withColumn("is_current", col("valid_to").isNull)
+      .localCheckpoint()
+
+    // change-key frame: read three ways (probe, survivors, guard)
+    val changeKeys = chain.select(keys.map(col): _*).distinct()
+      .localCheckpoint()
+    val nKeys = changeKeys.count()
+    def keySide(df: DataFrame): DataFrame =
+      if (nKeys <= BroadcastKeyRows) broadcast(df) else df
+    val firstNew = chain.groupBy(keys.map(col): _*)
+      .agg(min(col("valid_from")).as("__first_from"))
+
+    // touched files: those holding an affected key's OPEN version —
+    // the probe scan prunes to key + is_current columns
+    val touched = table.select((keys.map(col) :+ col("is_current")): _*)
+      .withColumn("__file", input_file_name())
+      .filter(col("is_current"))
+      .join(keySide(changeKeys), keys, "left_semi")
+      .select("__file").distinct()
+      .collect().map(_.getString(0)).toSet
+
+    val copied = copyUntouched(spark, tableDir, outDir, touched)
+
+    val colOrder = table.columns.toSeq
+    val (survivors, closed, nClosed) =
+      if (touched.isEmpty) (None, None, 0L)
+      else {
+        val rows = spark.read.schema(table.schema)
+          .parquet(touched.toSeq: _*)
+        val openTouched = rows.filter(col("is_current"))
+          .join(keySide(changeKeys), keys, "left_semi")
+          .localCheckpoint()
+        // ORDER-FINAL guard: a change at or before the open version's
+        // valid_from would rewrite landed history — fail, don't mangle
+        val late = openTouched
+          .join(keySide(firstNew), keys)
+          .filter(col("__first_from") <= col("valid_from"))
+          .limit(1).collect()
+        require(late.isEmpty, "change batch reaches into landed " +
+          s"history (ts ≤ open version's valid_from): ${late.headOption
+            .map(_.toSeq)}; SCD2 merge is append-only in event time")
+        val surv = rows
+          .join(keySide(changeKeys.withColumn("__chg", lit(true))),
+            keys, "left")
+          .filter(!(col("is_current") &&
+            coalesce(col("__chg"), lit(false))))
+          .drop("__chg")
+        val cls = openTouched
+          .join(keySide(firstNew), keys)
+          .withColumn("valid_to", col("__first_from"))
+          .withColumn("is_current", lit(false))
+          .drop("__first_from")
+        (Some(surv), Some(cls), openTouched.count())
+      }
+    val pieces = Seq(survivors, closed,
+      Some(chain)).flatten.map(_.select(colOrder.map(col): _*))
+    pieces.reduce(_ unionByName _).write.mode("append").parquet(outDir)
+
+    Scd2Stats(
+      versionsClosed = nClosed,
+      versionsAppended = chain.count(),
+      newKeys = nKeys - nClosed,
+      filesRewritten = touched.size,
+      filesCopied = copied)
   }
 }

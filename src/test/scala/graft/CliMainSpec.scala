@@ -123,6 +123,28 @@ class CliMainSpec extends SparkSuite {
     assert(out.filter(col("k") === 99L).count() == 1L)
   }
 
+  test("upsert --scd2 maintains a Type-2 dimension via the CLI") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("cli-scd2").toString
+    def ts(h: Int) = new java.sql.Timestamp(3600000L * h)
+    val h1 = Seq((ts(1), 1L, 101L, "view"), (ts(2), 2L, 102L, "cart"))
+      .toDF("ts", "user_id", "event_id", "event_type")
+    graft.queries.Streaming.scd2(h1).write.parquet(s"$root/table")
+    Seq((ts(5), 1L, 105L, "view"))
+      .toDF("ts", "user_id", "event_id", "event_type")
+      .write.parquet(s"$root/changes")
+    CliMain.main(Array("upsert", s"$root/table", s"$root/changes",
+      s"$root/out", "--scd2", "--keys", "user_id,event_type"))
+    val out = spark.read.parquet(s"$root/out")
+    assert(out.count() == 3L)
+    val v1 = out.filter(col("user_id") === 1L)
+      .orderBy("valid_from")
+      .select("event_id", "is_current")
+      .as[(Long, Boolean)].collect().toSeq
+    assert(v1 == Seq((101L, false), (105L, true)), s"$v1")
+  }
+
   test("vacuum removes a crashed run's staging via the CLI") {
     val root = Files.createTempDirectory("cli-vacuum")
     def mk(rel: String): Unit = {

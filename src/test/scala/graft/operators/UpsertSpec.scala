@@ -123,4 +123,103 @@ class UpsertSpec extends SparkSuite {
     assert(got == Seq((1L, "purchase", 105L), (2L, "view", 102L),
       (3L, "signup", 106L)), s"got=$got")
   }
+
+  private def ts2(h: Int) = new java.sql.Timestamp(3600000L * h)
+
+  private type Scd2Row = (Long, String, Long, Long, Option[Long], Boolean)
+  private def scd2Sorted(df: org.apache.spark.sql.DataFrame): Seq[Scd2Row] =
+    df.select("user_id", "event_type", "event_id", "valid_from",
+        "valid_to", "is_current")
+      .as[Scd2Row].collect()
+      .sortBy(r => (r._1, r._2, r._4, r._3)).toSeq
+
+  test("mergeScd2 ≡ from-scratch rebuild over the union history") {
+    val root = Files.createTempDirectory("scd2merge").toString
+    // H1: three keys, multi-version; H2: later events — a 2-version
+    // chain for (1,view) incl. an equal-ts seq tie-break, one event
+    // for (3,view), and a NEW key (4,signup) with its own chain
+    val h1 = Seq((ts2(1), 1L, 101L, "view"), (ts2(2), 1L, 102L, "view"),
+      (ts2(1), 2L, 103L, "cart"), (ts2(3), 3L, 104L, "view"))
+      .toDF("ts", "user_id", "event_id", "event_type")
+    val h2 = Seq((ts2(5), 1L, 105L, "view"), (ts2(5), 1L, 106L, "view"),
+      (ts2(6), 3L, 107L, "view"), (ts2(7), 4L, 108L, "signup"),
+      (ts2(8), 4L, 109L, "signup"))
+      .toDF("ts", "user_id", "event_id", "event_type")
+    graft.queries.Streaming.scd2(h1)
+      .repartitionByRange(2, col("user_id"))
+      .write.parquet(s"$root/table")
+    h2.write.parquet(s"$root/changes")
+    val st = Upsert.mergeScd2(spark, s"$root/table", s"$root/changes",
+      s"$root/out", Seq("user_id", "event_type"))
+    assert(st.versionsClosed == 2 && st.versionsAppended == 5 &&
+      st.newKeys == 1, s"$st")
+    val got = scd2Sorted(spark.read.parquet(s"$root/out"))
+    val want = scd2Sorted(graft.queries.Streaming.scd2(h1.unionByName(h2)))
+    assert(got == want, s"got=$got\nwant=$want")
+  }
+
+  test("mergeScd2: closed-history files copy even for affected keys") {
+    val root = Files.createTempDirectory("scd2cow").toString
+    // land the table as two separate writes: one file holding ONLY
+    // closed versions of key (1,view), one holding the open versions —
+    // the probe must rewrite just the open-version file, because
+    // closed history never changes
+    val full = graft.queries.Streaming.scd2(
+      Seq((ts2(1), 1L, 101L, "view"), (ts2(2), 1L, 102L, "view"),
+        (ts2(3), 1L, 103L, "view"), (ts2(2), 2L, 104L, "cart"))
+        .toDF("ts", "user_id", "event_id", "event_type"))
+      .localCheckpoint()
+    full.filter(!col("is_current")).coalesce(1)
+      .write.parquet(s"$root/table")
+    full.filter(col("is_current")).coalesce(1)
+      .write.mode("append").parquet(s"$root/table")
+    Seq((ts2(9), 1L, 110L, "view"))
+      .toDF("ts", "user_id", "event_id", "event_type")
+      .write.parquet(s"$root/changes")
+    val st = Upsert.mergeScd2(spark, s"$root/table", s"$root/changes",
+      s"$root/out", Seq("user_id", "event_type"))
+    assert(st.filesRewritten == 1 && st.filesCopied == 1,
+      s"closed-history file should copy byte-for-byte: $st")
+    val events = Seq((ts2(1), 1L, 101L, "view"), (ts2(2), 1L, 102L, "view"),
+      (ts2(3), 1L, 103L, "view"), (ts2(2), 2L, 104L, "cart"),
+      (ts2(9), 1L, 110L, "view"))
+      .toDF("ts", "user_id", "event_id", "event_type")
+    assert(scd2Sorted(spark.read.parquet(s"$root/out")) ==
+      scd2Sorted(graft.queries.Streaming.scd2(events)))
+  }
+
+  test("mergeScd2: history rewrites and replays fail loudly") {
+    val root = Files.createTempDirectory("scd2guard").toString
+    val h1 = Seq((ts2(4), 1L, 101L, "view"))
+      .toDF("ts", "user_id", "event_id", "event_type")
+    graft.queries.Streaming.scd2(h1).write.parquet(s"$root/table")
+    // equal timestamp: the kernel would tie-break by event_id and
+    // could reorder landed history — rejected, not guessed at
+    Seq((ts2(4), 1L, 99L, "view"))
+      .toDF("ts", "user_id", "event_id", "event_type")
+      .write.parquet(s"$root/late")
+    val ex = intercept[IllegalArgumentException] {
+      Upsert.mergeScd2(spark, s"$root/table", s"$root/late",
+        s"$root/out0", Seq("user_id", "event_type"))
+    }
+    assert(ex.getMessage.contains("append-only"), ex.getMessage)
+    // a good batch applies once; replaying it reaches into history
+    Seq((ts2(6), 1L, 102L, "view"))
+      .toDF("ts", "user_id", "event_id", "event_type")
+      .write.parquet(s"$root/changes")
+    Upsert.mergeScd2(spark, s"$root/table", s"$root/changes",
+      s"$root/out1", Seq("user_id", "event_type"))
+    intercept[IllegalArgumentException] {
+      Upsert.mergeScd2(spark, s"$root/out1", s"$root/changes",
+        s"$root/out2", Seq("user_id", "event_type"))
+    }
+    // an exact duplicate row inside one batch has no chain position
+    Seq((ts2(8), 1L, 103L, "view"), (ts2(8), 1L, 103L, "view"))
+      .toDF("ts", "user_id", "event_id", "event_type")
+      .write.parquet(s"$root/dup")
+    intercept[IllegalArgumentException] {
+      Upsert.mergeScd2(spark, s"$root/out1", s"$root/dup",
+        s"$root/out3", Seq("user_id", "event_type"))
+    }
+  }
 }
