@@ -267,6 +267,41 @@ object CliMain {
           s"${st.filesCopied} copied -> $outDir")
       }
       if (!reused) spark.stop()
+    // table <dir> init | commit <fromDir> [--action a] [--expect N] |
+    // history | read [--version N] | expire --retain N: the versioned
+    // snapshot log (ingest.TableLog) that turns optimize/upsert's
+    // "output lands beside the table" into an atomic swap with time
+    // travel and optimistic conflict detection.
+    case "table" :: dir :: rest =>
+      def flagVal(name: String): Option[String] = flagValIn(rest, name)
+      val reused =
+        org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+      val spark = Sessions.get("graft-table")
+      rest match {
+        case "init" :: _ =>
+          graft.ingest.TableLog.init(spark, dir)
+          println(s"table: initialized $dir at v0")
+        case "commit" :: fromDir :: _ =>
+          val v = graft.ingest.TableLog.commit(spark, dir, fromDir,
+            action = flagVal("--action").getOrElse("commit"),
+            expectedHead = flagVal("--expect").map(_.toInt))
+          println(s"table: committed $fromDir as v$v")
+        case "history" :: _ =>
+          graft.ingest.TableLog.history(spark, dir).foreach(m =>
+            println(s"v${m.version} ${m.action} ${m.files.size} files"))
+        case "read" :: _ =>
+          val df = graft.ingest.TableLog.read(spark, dir,
+            flagVal("--version").map(_.toInt))
+          println(s"table: ${df.count()} rows at " +
+            flagVal("--version").map("v" + _).getOrElse("head"))
+        case "expire" :: _ =>
+          val st = graft.ingest.TableLog.expire(spark, dir,
+            flagVal("--retain").map(_.toInt).getOrElse(2))
+          println(s"table: expired ${st.manifestsDropped} manifests, " +
+            s"${st.filesDropped} files")
+        case other => sys.error(s"unknown table subcommand: $other")
+      }
+      if (!reused) spark.stop()
     // vacuum <tableRoot> [--retention-hours N] [--dry-run]: remove a
     // crashed run's protocol byproducts from a RangeSink root —
     // published-range staging, dead merge temps, the empty template,
@@ -703,6 +738,9 @@ object CliMain {
           |  graft.CliMain upsert <tableDir> <changesDir> <outDir>
           |    --key k [--version c] [--tombstone c]
           |    | --scd2 --keys k1,k2 [--ts c] [--seq c]
+          |  graft.CliMain table <dir> init | commit <fromDir>
+          |    [--action a] [--expect N] | history
+          |    | read [--version N] | expire --retain N
           |  graft.CliMain optimize <inDir> <outDir> --zorder colX,colY
           |    [--files N] [--bits B]
           |  graft.CliMain reduce <embeddingsDir> <outDir> [--k N]

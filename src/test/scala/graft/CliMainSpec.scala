@@ -145,6 +145,26 @@ class CliMainSpec extends SparkSuite {
     assert(v1 == Seq((101L, false), (105L, true)), s"$v1")
   }
 
+  test("table init/commit/history/expire drive the snapshot log") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("cli-table").toString
+    spark.range(5).select(col("id").as("k"), lit("a").as("v"))
+      .coalesce(1).write.parquet(s"$root/t")
+    CliMain.main(Array("table", s"$root/t", "init"))
+    Seq((7L, "b")).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$root/staged")
+    CliMain.main(Array("table", s"$root/t", "commit", s"$root/staged",
+      "--action", "optimize", "--expect", "0"))
+    assert(graft.ingest.TableLog.history(spark, s"$root/t")
+      .map(_.action) == Seq("init", "optimize"))
+    CliMain.main(Array("table", s"$root/t", "read", "--version", "0"))
+    CliMain.main(Array("table", s"$root/t", "expire", "--retain", "1"))
+    assert(graft.ingest.TableLog.head(spark, s"$root/t").contains(1))
+    assert(graft.ingest.TableLog.read(spark, s"$root/t")
+      .select("k").as[Long].collect().toSeq == Seq(7L))
+  }
+
   test("vacuum removes a crashed run's staging via the CLI") {
     val root = Files.createTempDirectory("cli-vacuum")
     def mk(rel: String): Unit = {
