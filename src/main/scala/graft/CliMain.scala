@@ -267,6 +267,49 @@ object CliMain {
           s"${st.filesCopied} copied -> $outDir")
       }
       if (!reused) spark.stop()
+    // rollup <tableDir> <deltaDir> <outDir> --keys k1,k2
+    // --agg name:count --agg name:sum:col [--init]: incremental
+    // aggregate maintenance (operators.IncrementalAgg) — absorb a raw
+    // delta into a landed mergeable rollup; --init builds the table
+    // from scratch instead. Stage the output, then `table commit`.
+    case "rollup" :: tableDir :: deltaDir :: outDir :: flags =>
+      def flagVal(name: String): Option[String] = flagValIn(flags, name)
+      val ks = flagVal("--keys").getOrElse(
+        sys.error("--keys k1,k2 is required"))
+        .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+      val aggSpecs = flags.zip(flags.drop(1))
+        .collect { case ("--agg", v) => v }
+      require(aggSpecs.nonEmpty, "at least one --agg name:kind[:col]")
+      val aggs: Seq[(String, graft.operators.Skew.ReAgg)] =
+        aggSpecs.map(_.split(":").toSeq match {
+          case Seq(n, "count") => n -> graft.operators.Skew.CountRows()
+          case Seq(n, "sum", c) =>
+            n -> graft.operators.Skew.SumOf(
+              org.apache.spark.sql.functions.col(c))
+          case Seq(n, "min", c) =>
+            n -> graft.operators.Skew.MinOf(
+              org.apache.spark.sql.functions.col(c))
+          case Seq(n, "max", c) =>
+            n -> graft.operators.Skew.MaxOf(
+              org.apache.spark.sql.functions.col(c))
+          case other => sys.error(s"bad --agg spec: ${other.mkString(":")}")
+        })
+      val reused =
+        org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+      val spark = Sessions.get("graft-rollup")
+      if (flags.contains("--init")) {
+        graft.operators.IncrementalAgg
+          .rollup(spark.read.parquet(deltaDir), ks, aggs)
+          .write.parquet(outDir)
+        println(s"rollup: initialized $outDir from $deltaDir")
+      } else {
+        val st = graft.operators.IncrementalAgg.increment(spark,
+          tableDir, deltaDir, outDir, ks, aggs)
+        println(s"rollup: ${st.keysMerged} keys merged, " +
+          s"${st.keysInserted} inserted; ${st.filesRewritten} files " +
+          s"rewritten, ${st.filesCopied} copied -> $outDir")
+      }
+      if (!reused) spark.stop()
     // table <dir> init | commit <fromDir> [--action a] [--expect N] |
     // history | read [--version N] | expire --retain N: the versioned
     // snapshot log (ingest.TableLog) that turns optimize/upsert's
@@ -738,6 +781,8 @@ object CliMain {
           |  graft.CliMain upsert <tableDir> <changesDir> <outDir>
           |    --key k [--version c] [--tombstone c]
           |    | --scd2 --keys k1,k2 [--ts c] [--seq c]
+          |  graft.CliMain rollup <tableDir> <deltaDir> <outDir>
+          |    --keys k1,k2 --agg n:count [--agg s:sum:col] [--init]
           |  graft.CliMain table <dir> init | commit <fromDir>
           |    [--action a] [--expect N] | history
           |    | read [--version N] | expire --retain N

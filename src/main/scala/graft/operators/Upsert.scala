@@ -71,8 +71,8 @@ object Upsert {
     * Fails loudly on hive-partitioned trees (per-directory recursion
     * and partition-column reconstruction are a different code path —
     * silently dropping nested files from the copy would corrupt). */
-  private def copyUntouched(spark: SparkSession, tableDir: String,
-      outDir: String, touched: Set[String]): Int = {
+  private[operators] def copyUntouched(spark: SparkSession,
+      tableDir: String, outDir: String, touched: Set[String]): Int = {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))

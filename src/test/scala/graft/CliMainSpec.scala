@@ -145,6 +145,26 @@ class CliMainSpec extends SparkSuite {
     assert(v1 == Seq((101L, false), (105L, true)), s"$v1")
   }
 
+  test("rollup --init then increment maintain an aggregate table") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("cli-rollup").toString
+    Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "amount")
+      .write.parquet(s"$root/day1")
+    CliMain.main(Array("rollup", "-", s"$root/day1", s"$root/table",
+      "--keys", "k", "--agg", "n:count", "--agg", "total:sum:amount",
+      "--init"))
+    Seq((1L, 70L), (3L, 1L)).toDF("k", "amount")
+      .write.parquet(s"$root/day2")
+    CliMain.main(Array("rollup", s"$root/table", s"$root/day2",
+      s"$root/out", "--keys", "k", "--agg", "n:count",
+      "--agg", "total:sum:amount"))
+    val got = spark.read.parquet(s"$root/out")
+      .select("k", "n", "total").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 3L, 100L), (2L, 1L, 5L), (3L, 1L, 1L)), s"$got")
+  }
+
   test("table init/commit/history/expire drive the snapshot log") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
