@@ -42,6 +42,72 @@ object ProfileUpsert {
         f"rewritten / ${st.filesCopied} copied, ${st.upserts} upd + " +
         f"${st.inserts} ins in $sec%.2fs; out=$outRows")
     }
+
+    // SCD2 merge: an n-version dimension over n/10 keys, the change
+    // batch a LATER day for 1k clustered keys + 100 new keys — the
+    // claim is the same (cost tracks open-version files), but the
+    // probe here prunes to key + is_current columns
+    sizes.foreach { n =>
+      val root = Files.createTempDirectory("profile-scd2").toString
+      val files = 64
+      val keys = n / 10
+      val h1 = spark.range(n).select(
+        expr(s"timestamp_micros((id DIV $keys) * 3600000000 + 86400000000)")
+          .as("ts"),
+        (col("id") % keys).as("user_id"), col("id").as("event_id"),
+        lit("e").as("event_type"))
+      queries.Streaming.scd2(h1)
+        .repartitionByRange(files, col("user_id"))
+        .write.parquet(s"$root/table")
+      spark.range(1000).select(
+          expr("timestamp_micros(864000000000000)").as("ts"),
+          (col("id") + keys / 2).as("user_id"),
+          (col("id") + n + 10).as("event_id"), lit("e").as("event_type"))
+        .unionByName(spark.range(100).select(
+          expr("timestamp_micros(864000000000000)").as("ts"),
+          (col("id") + keys + 10).as("user_id"),
+          (col("id") + n + 5000).as("event_id"), lit("e").as("event_type")))
+        .write.parquet(s"$root/changes")
+      val t0 = System.nanoTime()
+      val st = operators.Upsert.mergeScd2(spark, s"$root/table",
+        s"$root/changes", s"$root/out", Seq("user_id", "event_type"))
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"SCD2 versions=$n keys=$keys files=$files: " +
+        f"${st.filesRewritten} rewritten / ${st.filesCopied} copied, " +
+        f"${st.versionsClosed} closed + ${st.versionsAppended} appended " +
+        f"in $sec%.2fs")
+    }
+
+    // incremental rollup: the landed aggregate table absorbs a 10k-row
+    // raw delta — merge work is (touched landed rows + delta partials),
+    // never history
+    sizes.foreach { n =>
+      val root = Files.createTempDirectory("profile-rollup").toString
+      val files = 64
+      val keys = n / 100
+      val aggs = Seq[(String, operators.Skew.ReAgg)](
+        "cnt" -> operators.Skew.CountRows(),
+        "total" -> operators.Skew.SumOf(col("amount")),
+        "hi" -> operators.Skew.MaxOf(col("amount")))
+      val h1 = spark.range(n).select((col("id") % keys).as("k"),
+        (col("id") * 17 % 100000).as("amount"))
+      operators.IncrementalAgg.rollup(h1, Seq("k"), aggs)
+        .repartitionByRange(files, col("k"))
+        .write.parquet(s"$root/table")
+      spark.range(10000).select((col("id") % 1000 + keys / 2).as("k"),
+          lit(7L).as("amount"))
+        .unionByName(spark.range(100).select((col("id") + keys + 10).as("k"),
+          lit(3L).as("amount")))
+        .write.parquet(s"$root/delta")
+      val t0 = System.nanoTime()
+      val st = operators.IncrementalAgg.increment(spark, s"$root/table",
+        s"$root/delta", s"$root/out", Seq("k"), aggs)
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"ROLLUP rows=$n keys=$keys files=$files: " +
+        f"${st.filesRewritten} rewritten / ${st.filesCopied} copied, " +
+        f"${st.keysMerged} merged + ${st.keysInserted} inserted " +
+        f"in $sec%.2fs")
+    }
     spark.stop()
   }
 }
