@@ -310,6 +310,33 @@ object CliMain {
           s"rewritten, ${st.filesCopied} copied -> $outDir")
       }
       if (!reused) spark.stop()
+    // skipindex <tableDir> <column> [--bits B] [--k K] | skipindex
+    // lookup <tableDir> <column> <key,key,...>: per-file Bloom
+    // sidecars for point-lookup file skipping on non-clustered
+    // columns (ingest.FileSkipIndex); lossless — skipped files
+    // provably lack the key.
+    case "skipindex" :: "lookup" :: tableDir :: column :: keyCsv :: _ =>
+      val reusedL =
+        org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+      val sparkL = Sessions.get("graft-skipindex")
+      val keys = keyCsv.split(",").toSeq
+      val cands = graft.ingest.FileSkipIndex.candidateFiles(sparkL,
+        tableDir, column, keys)
+      val n = graft.ingest.FileSkipIndex.lookup(sparkL, tableDir,
+        column, keys).count()
+      println(s"skipindex: ${keys.size} keys -> ${cands.size} candidate " +
+        s"files, $n rows")
+      if (!reusedL) sparkL.stop()
+    case "skipindex" :: tableDir :: column :: flags =>
+      def flagVal(name: String): Option[String] = flagValIn(flags, name)
+      val reused =
+        org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+      val spark = Sessions.get("graft-skipindex")
+      graft.ingest.FileSkipIndex.build(spark, tableDir, column,
+        mBits = flagVal("--bits").map(_.toLong).getOrElse(1L << 20),
+        k = flagVal("--k").map(_.toInt).getOrElse(4))
+      println(s"skipindex: built $column index under $tableDir")
+      if (!reused) spark.stop()
     // table <dir> init | commit <fromDir> [--action a] [--expect N] |
     // history | read [--version N] | expire --retain N: the versioned
     // snapshot log (ingest.TableLog) that turns optimize/upsert's
@@ -783,6 +810,9 @@ object CliMain {
           |    | --scd2 --keys k1,k2 [--ts c] [--seq c]
           |  graft.CliMain rollup <tableDir> <deltaDir> <outDir>
           |    --keys k1,k2 --agg n:count [--agg s:sum:col] [--init]
+          |  graft.CliMain skipindex <tableDir> <column>
+          |    [--bits B] [--k K]
+          |  graft.CliMain skipindex lookup <tableDir> <column> <keys>
           |  graft.CliMain table <dir> init | commit <fromDir>
           |    [--action a] [--expect N] | history
           |    | read [--version N] | expire --retain N

@@ -165,6 +165,18 @@ class CliMainSpec extends SparkSuite {
     assert(got == Seq((1L, 3L, 100L), (2L, 1L, 5L), (3L, 1L, 1L)), s"$got")
   }
 
+  test("skipindex build + lookup drive the bloom sidecar via the CLI") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("cli-skipidx").toString
+    spark.range(100).select(col("id").as("k"),
+        (lit(500) - col("id")).as("v"))
+      .coalesce(1).write.parquet(s"$root/t")
+    CliMain.main(Array("skipindex", s"$root/t", "v", "--bits", "65536"))
+    CliMain.main(Array("skipindex", "lookup", s"$root/t", "v", "500,401"))
+    assert(graft.ingest.FileSkipIndex.lookup(spark, s"$root/t", "v",
+      Seq("500", "401")).count() == 2L)
+  }
+
   test("table init/commit/history/expire drive the snapshot log") {
     import org.apache.spark.sql.functions._
     import spark.implicits._
