@@ -123,8 +123,21 @@ object TableLog {
         "re-run the maintenance pass against the new head"))
     val v = versions.last + 1
     val from = fs(spark, fromDir)
+    // version-prefix the moved name, stripping prefixes accumulated by
+    // earlier commits (a never-rewritten file copied through N
+    // maintenance passes must not grow N prefixes); stripped names can
+    // collide within one commit — disambiguate with an ordinal
+    val used = scala.collection.mutable.Set.empty[String]
     val moved = dataFiles(from, fromDir).map { n =>
-      val dst = s"v$v-$n"
+      val base = n.replaceAll("^(v\\d+(-\\d+)?-)+", "")
+      val dst0 = s"v$v-$base"
+      val dst =
+        if (used.add(dst0)) dst0
+        else {
+          var i = 1
+          while (!used.add(s"v$v-$i-$base")) i += 1
+          s"v$v-$i-$base"
+        }
       require(from.rename(new Path(fromDir, n), new Path(dir, dst)),
         s"move of $n from $fromDir failed")
       dst
@@ -132,6 +145,20 @@ object TableLog {
     require(moved.nonEmpty, s"$fromDir holds no data files")
     writeManifest(f, dir, v, action, moved)
     v
+  }
+
+  /** Absolute paths of a snapshot's data files — the table-file list
+    * maintenance passes should read (the directory also holds other
+    * versions' files). */
+  def snapshotFiles(spark: SparkSession, dir: String,
+      version: Option[Int] = None): Seq[String] = {
+    val f = fs(spark, dir)
+    val versions = listVersions(f, dir)
+    require(versions.nonEmpty, s"$dir has no log — run init first")
+    val v = version.getOrElse(versions.last)
+    require(versions.contains(v),
+      s"v$v not in retained history ${versions.mkString("[", ",", "]")}")
+    readManifest(f, dir, v).files.map(n => new Path(dir, n).toString)
   }
 
   /** Read a snapshot: the head, or any retained `version` — EXACTLY
@@ -170,10 +197,16 @@ object TableLog {
     val deadFiles = dataFiles(f, dir).filterNot(referenced.contains)
     deadFiles.foreach(n => f.delete(new Path(dir, n), false))
     drop.foreach(v => f.delete(manifestPath(dir, v), false))
-    // crashed commits: stranded _tmp manifests are never readable
+    // crashed commits: stranded _tmp manifests are never readable, and
+    // a crashed maintenance batch's _staging-* shell holds only files
+    // no manifest ever referenced
     val tmps = f.listStatus(new Path(dir, LogDir)).toSeq
       .map(_.getPath).filter(_.getName.startsWith("_tmp."))
     tmps.foreach(f.delete(_, false))
-    ExpireStats(drop.size + tmps.size, deadFiles.size)
+    val staging = f.listStatus(new Path(dir)).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("_staging"))
+      .map(_.getPath)
+    staging.foreach(f.delete(_, true))
+    ExpireStats(drop.size + tmps.size, deadFiles.size + staging.size)
   }
 }

@@ -54,8 +54,20 @@ object IncrementalAgg {
     * then [[graft.ingest.TableLog.commit]] swaps it in atomically). */
   def increment(spark: SparkSession, tableDir: String, deltaDir: String,
       outDir: String, keys: Seq[String],
+      aggs: Seq[(String, Skew.ReAgg)]): Stats =
+    incrementFiles(spark,
+      Upsert.listFlat(spark, tableDir).map(_.toString),
+      deltaDir, outDir, keys, aggs)
+
+  /** Same, over an EXPLICIT table file list — the
+    * [[graft.ingest.TableLog]] form, where the current snapshot is a
+    * manifest's files and the directory also holds other versions'. */
+  def incrementFiles(spark: SparkSession, tableFiles: Seq[String],
+      deltaDir: String, outDir: String, keys: Seq[String],
       aggs: Seq[(String, Skew.ReAgg)]): Stats = {
-    val table = spark.read.parquet(tableDir)
+    require(tableFiles.nonEmpty, "empty table file list — bootstrap " +
+      "the rollup with rollup(raw) + TableLog.init first")
+    val table = spark.read.parquet(tableFiles: _*)
     val want = (keys ++ aggs.map(_._1)).sorted
     require(table.columns.sorted.sameElements(want),
       s"landed table columns ${table.columns.sorted.mkString(",")} != " +
@@ -72,7 +84,8 @@ object IncrementalAgg {
       .join(keySide(changeKeys), keys, "left_semi")
       .select("__file").distinct()
       .collect().map(_.getString(0)).toSet
-    val copied = Upsert.copyUntouched(spark, tableDir, outDir, touched)
+    val copied = Upsert.copyFiles(spark,
+      tableFiles.map(new org.apache.hadoop.fs.Path(_)), outDir, touched)
 
     val colOrder = table.columns.toSeq
     val (survivors, affected, nMerged) =

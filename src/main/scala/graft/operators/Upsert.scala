@@ -72,7 +72,15 @@ object Upsert {
     * and partition-column reconstruction are a different code path —
     * silently dropping nested files from the copy would corrupt). */
   private[operators] def copyUntouched(spark: SparkSession,
-      tableDir: String, outDir: String, touched: Set[String]): Int = {
+      tableDir: String, outDir: String, touched: Set[String]): Int =
+    copyFiles(spark, listFlat(spark, tableDir), outDir, touched)
+
+  /** Flat-layout data-file listing; fails loudly on hive-partitioned
+    * trees (per-directory recursion and partition-column
+    * reconstruction are a different code path — silently dropping
+    * nested files from the copy would corrupt). */
+  private[graft] def listFlat(spark: SparkSession, tableDir: String)
+      : Seq[org.apache.hadoop.fs.Path] = {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val entries = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
@@ -81,11 +89,27 @@ object Upsert {
     val subdirs = entries.filter(_.isDirectory).map(_.getPath.getName)
     require(subdirs.isEmpty, "upsert requires a flat parquet directory; " +
       s"found subdirectories: ${subdirs.mkString(", ")}")
-    val all = entries.filter(_.isFile).map(_.getPath).toSeq
+    entries.filter(_.isFile).map(_.getPath).toSeq
+  }
+
+  /** Byte-for-byte copy of every listed file NOT in `touched` into
+    * `outDir`; returns the copied count. Matching is on the URI PATH
+    * component: `touched` comes from `input_file_name()`
+    * ("file:///x"), `all` from listings or manifests ("/x" or
+    * "file:/x") — comparing raw strings silently copies touched files
+    * too, duplicating their rows beside the rewrite. */
+  private[graft] def copyFiles(spark: SparkSession,
+      all: Seq[org.apache.hadoop.fs.Path], outDir: String,
+      touched: Set[String]): Int = {
+    if (all.isEmpty) return 0
+    val fs = all.head
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val outPath = new org.apache.hadoop.fs.Path(outDir)
     fs.mkdirs(outPath)
-    val untouched = all.filterNot(p => touched.contains(p.toUri.toString)
-      || touched.contains(p.toString))
+    val touchedPaths = touched.map(s =>
+      new org.apache.hadoop.fs.Path(s).toUri.getPath)
+    val untouched = all.filterNot(p =>
+      touchedPaths.contains(p.toUri.getPath))
     untouched.foreach { p =>
       org.apache.hadoop.fs.FileUtil.copy(fs, p, fs,
         new org.apache.hadoop.fs.Path(outPath, p.getName),
