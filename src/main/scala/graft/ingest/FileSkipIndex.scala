@@ -29,7 +29,10 @@ import org.apache.spark.sql.functions._
   * k bits are set for SOME key. [[lookup]] then reads candidates only
   * and applies the EXACT predicate — false positives die there.
   * Rebuild after maintenance passes (the sidecar is keyed by file
-  * name; [[build]] overwrites). FileSkipIndexSpec pins losslessness
+  * name; [[build]] overwrites). For a [[TableLog]]-versioned table,
+  * index the CURRENT snapshot by passing its manifest's files to a
+  * plain read first — building over the raw directory would index
+  * every retained version's files. FileSkipIndexSpec pins losslessness
   * (lookup ≡ full scan, incl. keys absent everywhere) and the
   * single-file pruning on a planted layout. */
 object FileSkipIndex {
