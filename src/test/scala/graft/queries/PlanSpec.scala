@@ -416,6 +416,19 @@ class PlanSpec extends SparkSuite {
       "token counts lost partial aggregation")
   }
 
+  test("q_drift_psi_binned: codegen'd bin sums, bins-sized shuffle only") {
+    val plan = executedPlan("q_drift_psi_binned")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"totals broadcast lost:\n${plan.take(2000)}")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"),
+      s"binned drift grew a shuffled join:\n${plan.take(2000)}")
+    assert(plan.split("HashAggregate").length >= 3, // partial + final
+      "bin counts lost partial aggregation — the shuffle must carry " +
+        "bins-sized partials, never value rows")
+  }
+
   test("q_unigram_encode is map-only through the Viterbi kernel") {
     val plan = executedPlan("q_unigram_encode")
     // one kernel call per row; the merge table is model state inside
