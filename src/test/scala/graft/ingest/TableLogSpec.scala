@@ -94,4 +94,38 @@ class TableLogSpec extends SparkSuite {
       java.nio.file.Paths.get(s"$root/t/_graft_log/_tmp.crash")))
     assert(vals(TableLog.read(spark, s"$root/t")) == Seq((9L, "b")))
   }
+
+  test("a quiesced RangeSink root inits; optimize commits over it") {
+    // the handoff: backfill lands range-named parquet, init snapshots
+    // it as v0, then the maintenance loop (optimize -> commit) takes
+    // over — the committed layout replaces the ranges atomically and
+    // v0 still time-travels to the raw landing
+    val root = Files.createTempDirectory("tablelog-ranges").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$root/stage1")
+    Seq((3L, "c")).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$root/stage2")
+    Files.createDirectories(java.nio.file.Paths.get(s"$root/t"))
+    def adopt(stage: String, range: String): Unit = {
+      val part = new java.io.File(s"$root/$stage").listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$root/t/$range"))
+    }
+    adopt("stage1", "0000000000-0000001000.parquet")
+    adopt("stage2", "0000001000-0000002000.parquet")
+    assert(TableLog.init(spark, s"$root/t") == 0)
+    assert(vals(TableLog.read(spark, s"$root/t")).size == 3)
+
+    // a maintenance pass rewrites the layout and swaps in as v1
+    TableLog.read(spark, s"$root/t").repartitionByRange(1, col("k"))
+      .write.parquet(s"$root/staged")
+    TableLog.commit(spark, s"$root/t", s"$root/staged", "optimize",
+      expectedHead = Some(0))
+    assert(vals(TableLog.read(spark, s"$root/t")) ==
+      vals(TableLog.read(spark, s"$root/t", Some(0))))
+    // v0's manifest still names the raw ranges
+    assert(TableLog.history(spark, s"$root/t").head.files.toSet ==
+      Set("0000000000-0000001000.parquet", "0000001000-0000002000.parquet"))
+  }
 }
