@@ -369,6 +369,15 @@ object CliMain {
             flagVal("--retain").map(_.toInt).getOrElse(2))
           println(s"table: expired ${st.manifestsDropped} manifests, " +
             s"${st.filesDropped} files")
+        case "diff" :: _ =>
+          val from = flagVal("--from").map(_.toInt).getOrElse(
+            sys.error("--from version is required"))
+          val to = flagVal("--to").map(_.toInt).getOrElse(
+            graft.ingest.TableLog.head(spark, dir).get)
+          val d = graft.ingest.TableLog.diff(spark, dir, from, to)
+            .groupBy("_change_type").count().collect()
+            .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+          println(s"table: v$from..v$to ${d.mkString(", ")}")
         case other => sys.error(s"unknown table subcommand: $other")
       }
       if (!reused) spark.stop()
@@ -816,6 +825,7 @@ object CliMain {
           |  graft.CliMain table <dir> init | commit <fromDir>
           |    [--action a] [--expect N] | history
           |    | read [--version N] | expire --retain N
+          |    | diff --from V [--to V]
           |  graft.CliMain optimize <inDir> <outDir> --zorder colX,colY
           |    [--files N] [--bits B]
           |  graft.CliMain reduce <embeddingsDir> <outDir> [--k N]

@@ -177,6 +177,25 @@ object TableLog {
       m.files.map(n => new Path(dir, n).toString): _*)
   }
 
+  /** Change-data feed between two retained snapshots: rows only in
+    * `to` tagged `insert`, rows only in `from` tagged `delete` (an
+    * update is its delete+insert pair — the minimal complete contract;
+    * readers needing pre/post images pair them on the key). Multiset
+    * semantics via exceptAll, so duplicate rows diff by count. This is
+    * the full two-snapshot comparison — one shuffle over both sides;
+    * a content-addressed manifest (files shared across versions
+    * instead of copied) would make it file-granular, noted as the
+    * at-scale follow-up in the commit protocol's Scaladoc. */
+  def diff(spark: SparkSession, dir: String, fromV: Int, toV: Int)
+      : DataFrame = {
+    val before = read(spark, dir, Some(fromV))
+    val after = read(spark, dir, Some(toV))
+    import org.apache.spark.sql.functions.lit
+    after.exceptAll(before).withColumn("_change_type", lit("insert"))
+      .unionByName(
+        before.exceptAll(after).withColumn("_change_type", lit("delete")))
+  }
+
   def history(spark: SparkSession, dir: String): Seq[SnapshotMeta] = {
     val f = fs(spark, dir)
     listVersions(f, dir).map(readManifest(f, dir, _))

@@ -191,6 +191,7 @@ class CliMainSpec extends SparkSuite {
     assert(graft.ingest.TableLog.history(spark, s"$root/t")
       .map(_.action) == Seq("init", "optimize"))
     CliMain.main(Array("table", s"$root/t", "read", "--version", "0"))
+    CliMain.main(Array("table", s"$root/t", "diff", "--from", "0"))
     CliMain.main(Array("table", s"$root/t", "expire", "--retain", "1"))
     assert(graft.ingest.TableLog.head(spark, s"$root/t").contains(1))
     assert(graft.ingest.TableLog.read(spark, s"$root/t")

@@ -95,6 +95,32 @@ class TableLogSpec extends SparkSuite {
     assert(vals(TableLog.read(spark, s"$root/t")) == Seq((9L, "b")))
   }
 
+  test("diff: the change feed between snapshots is the upsert's deltas") {
+    val root = Files.createTempDirectory("tablelog-diff").toString
+    spark.range(6).select(col("id").as("k"),
+        concat(lit("old"), col("id")).as("v"), lit(1L).as("ver"))
+      .coalesce(1).write.parquet(s"$root/t")
+    TableLog.init(spark, s"$root/t")
+    // update k=2, delete k=4, insert k=9
+    Seq((2L, "new2", 2L, false), (4L, "x", 2L, true),
+      (9L, "new9", 2L, false))
+      .toDF("k", "v", "ver", "del").write.parquet(s"$root/changes")
+    graft.operators.Upsert.merge(spark, s"$root/t", s"$root/changes",
+      s"$root/staged", "k", Some("ver"), Some("del"))
+    TableLog.commit(spark, s"$root/t", s"$root/staged", "upsert",
+      expectedHead = Some(0))
+    val d = TableLog.diff(spark, s"$root/t", 0, 1)
+      .select("k", "v", "_change_type")
+      .as[(Long, String, String)].collect().sortBy(r => (r._1, r._3))
+      .toSeq
+    assert(d == Seq(
+      (2L, "old2", "delete"), (2L, "new2", "insert"), // the update pair
+      (4L, "old4", "delete"),
+      (9L, "new9", "insert")), s"$d")
+    // a no-change diff is empty
+    assert(TableLog.diff(spark, s"$root/t", 1, 1).count() == 0L)
+  }
+
   test("a quiesced RangeSink root inits; optimize commits over it") {
     // the handoff: backfill lands range-named parquet, init snapshots
     // it as v0, then the maintenance loop (optimize -> commit) takes
