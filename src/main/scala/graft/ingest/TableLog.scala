@@ -112,15 +112,32 @@ object TableLog {
     * snapshot: files MOVE into `dir` under a `v<N>-` prefix, then the
     * manifest rename publishes them as the new head atomically.
     * `expectedHead` rejects the commit if another writer advanced the
-    * log since the maintenance pass read its input. */
+    * log since the maintenance pass read its input.
+    *
+    * `carry` is the ZERO-COPY path: names of files the new snapshot
+    * SHARES with the current head (a maintenance pass's untouched
+    * files — `IncrementalAgg.incrementShared` returns them). They are
+    * referenced in the new manifest, never moved or copied — a file
+    * lives once in the directory and in as many manifests as retain
+    * it; [[expire]]'s referenced-set union already keeps a shared
+    * file alive until the LAST retaining snapshot expires. Every
+    * carried name must be in the head manifest — carrying a foreign
+    * or expired name would publish a snapshot that cannot be read. */
   def commit(spark: SparkSession, dir: String, fromDir: String,
-      action: String, expectedHead: Option[Int] = None): Int = {
+      action: String, expectedHead: Option[Int] = None,
+      carry: Seq[String] = Nil): Int = {
     val f = fs(spark, dir)
     val versions = listVersions(f, dir)
     require(versions.nonEmpty, s"$dir has no log — run init first")
     expectedHead.foreach(e => require(versions.last == e,
       s"conflict: head is v${versions.last}, expected v$e — " +
         "re-run the maintenance pass against the new head"))
+    val headFiles = readManifest(f, dir, versions.last).files.toSet
+    val carryNames = carry.map(c => new Path(c).getName)
+    val bad = carryNames.filterNot(headFiles.contains)
+    require(bad.isEmpty,
+      s"carry names not in head manifest v${versions.last}: " +
+        s"${bad.take(3).mkString(", ")}")
     val v = versions.last + 1
     val from = fs(spark, fromDir)
     // version-prefix the moved name, stripping prefixes accumulated by
@@ -142,8 +159,9 @@ object TableLog {
         s"move of $n from $fromDir failed")
       dst
     }
-    require(moved.nonEmpty, s"$fromDir holds no data files")
-    writeManifest(f, dir, v, action, moved)
+    require(moved.nonEmpty || carryNames.nonEmpty,
+      s"$fromDir holds no data files and nothing carried")
+    writeManifest(f, dir, v, action, carryNames ++ moved)
     v
   }
 

@@ -65,6 +65,23 @@ object IncrementalAgg {
   def incrementFiles(spark: SparkSession, tableFiles: Seq[String],
       deltaDir: String, outDir: String, keys: Seq[String],
       aggs: Seq[(String, Skew.ReAgg)]): Stats = {
+    val (st, untouched) = incrementShared(spark, tableFiles, deltaDir,
+      outDir, keys, aggs)
+    val copied = Upsert.copyFiles(spark,
+      untouched.map(new org.apache.hadoop.fs.Path(_)), outDir,
+      Set.empty)
+    st.copy(filesCopied = copied)
+  }
+
+  /** ZERO-COPY form for versioned tables: writes ONLY the rewritten
+    * data to `outDir` and returns the untouched files for the caller
+    * to CARRY into the next manifest by reference
+    * ([[graft.ingest.TableLog.commit]]'s `carry`) — at 100 TB this is
+    * the difference between a maintenance pass costing O(touched)
+    * bytes and a full-table copy per pass. */
+  def incrementShared(spark: SparkSession, tableFiles: Seq[String],
+      deltaDir: String, outDir: String, keys: Seq[String],
+      aggs: Seq[(String, Skew.ReAgg)]): (Stats, Seq[String]) = {
     require(tableFiles.nonEmpty, "empty table file list — bootstrap " +
       "the rollup with rollup(raw) + TableLog.init first")
     val table = spark.read.parquet(tableFiles: _*)
@@ -84,8 +101,10 @@ object IncrementalAgg {
       .join(keySide(changeKeys), keys, "left_semi")
       .select("__file").distinct()
       .collect().map(_.getString(0)).toSet
-    val copied = Upsert.copyFiles(spark,
-      tableFiles.map(new org.apache.hadoop.fs.Path(_)), outDir, touched)
+    val touchedPaths = touched.map(s =>
+      new org.apache.hadoop.fs.Path(s).toUri.getPath)
+    val untouched = tableFiles.filterNot(f =>
+      touchedPaths.contains(new org.apache.hadoop.fs.Path(f).toUri.getPath))
 
     val colOrder = table.columns.toSeq
     val (survivors, affected, nMerged) =
@@ -109,10 +128,10 @@ object IncrementalAgg {
       .map(_.select(colOrder.map(col): _*))
     pieces.reduce(_ unionByName _).write.mode("append").parquet(outDir)
 
-    Stats(
+    (Stats(
       keysMerged = nMerged,
       keysInserted = nKeys - nMerged,
       filesRewritten = touched.size,
-      filesCopied = copied)
+      filesCopied = 0), untouched)
   }
 }

@@ -55,13 +55,17 @@ object RollupPipeline {
     val deltaDir = s"$staging/delta"
     batch.write.parquet(deltaDir)
     // increment reads the CURRENT snapshot's files via the manifest —
-    // not the directory, which also holds older versions' files
-    IncrementalAgg.incrementFiles(spark,
+    // not the directory, which also holds older versions' files — and
+    // the untouched files CARRY into the next manifest by reference
+    // (zero-copy: a quiet key's file is written once and shared by
+    // every subsequent snapshot until a batch touches it)
+    val (_, untouched) = IncrementalAgg.incrementShared(spark,
       TableLog.snapshotFiles(spark, tableDir), deltaDir,
       s"$staging/out", keys, aggs)
     if (crashBeforeCommit) sys.error("injected crash before commit")
     TableLog.commit(spark, tableDir, s"$staging/out",
-      action = batchAction(batchId), expectedHead = Some(head))
+      action = batchAction(batchId), expectedHead = Some(head),
+      carry = untouched)
     // commit moved the data files out; drop the staging shell (a
     // CRASHED batch's staging is left behind deliberately — replayable
     // evidence, swept by TableLog.expire like other unreferenced debris)

@@ -77,6 +77,35 @@ class RollupPipelineSpec extends SparkSuite {
     assert(stagingLeft.isEmpty, stagingLeft.mkString(","))
   }
 
+  test("zero-copy: quiet files are shared by reference across snapshots") {
+    val root = Files.createTempDirectory("rollup-share").toString
+    // two-file bootstrap: key 1 and key 2 live in separate files
+    IncrementalAgg.rollup(Seq((1L, 10L)).toDF("k", "amount"),
+        Seq("k"), aggs).coalesce(1).write.parquet(s"$root/t")
+    IncrementalAgg.rollup(Seq((2L, 20L)).toDF("k", "amount"),
+        Seq("k"), aggs).coalesce(1).write.mode("append")
+      .parquet(s"$root/t")
+    TableLog.init(spark, s"$root/t")
+
+    // the batch touches key 1 only — key 2's file must CARRY by
+    // reference, not copy: same manifest name in v0 and v1
+    val b0 = Seq((1L, 5L)).toDF("k", "amount")
+    assert(RollupPipeline.applyBatch(spark, b0, s"$root/t",
+      Seq("k"), aggs, batchId = 0))
+    val h = TableLog.history(spark, s"$root/t")
+    val shared = h(0).files.toSet.intersect(h(1).files.toSet)
+    assert(shared.size == 1,
+      s"quiet file not shared: v0=${h(0).files} v1=${h(1).files}")
+    val all = Seq((1L, 10L), (2L, 20L), (1L, 5L)).toDF("k", "amount")
+    assert(state(s"$root/t") == want(all))
+
+    // expiring v0 keeps the shared file (v1 still references it) and
+    // drops only v0's rewritten-away file
+    val st = TableLog.expire(spark, s"$root/t", retainLast = 1)
+    assert(st.filesDropped == 1, s"$st")
+    assert(state(s"$root/t") == want(all), "shared file lost to expire")
+  }
+
   test("end-to-end stream ≡ from-scratch rollup; ids in history") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val root = Files.createTempDirectory("rollup-e2e").toString
