@@ -124,7 +124,23 @@ object Upsert {
   def merge(spark: SparkSession, tableDir: String, changesDir: String,
       outDir: String, key: String, versionCol: Option[String] = None,
       tombstoneCol: Option[String] = None): Stats = {
-    val table = spark.read.parquet(tableDir)
+    val (st, untouched) = mergeShared(spark,
+      listFlat(spark, tableDir).map(_.toString), changesDir, outDir,
+      key, versionCol, tombstoneCol)
+    val copied = copyFiles(spark,
+      untouched.map(new org.apache.hadoop.fs.Path(_)), outDir, Set.empty)
+    st.copy(filesCopied = copied)
+  }
+
+  /** ZERO-COPY SCD1 merge for [[graft.ingest.TableLog]]-versioned
+    * tables: rewrites only touched files into `outDir` and returns
+    * the untouched list for the commit's `carry`. */
+  def mergeShared(spark: SparkSession, tableFiles: Seq[String],
+      changesDir: String, outDir: String, key: String,
+      versionCol: Option[String] = None,
+      tombstoneCol: Option[String] = None): (Stats, Seq[String]) = {
+    require(tableFiles.nonEmpty, "empty table file list")
+    val table = spark.read.parquet(tableFiles: _*)
     val resolved = resolve(spark.read.parquet(changesDir), key,
       versionCol).localCheckpoint()
     val upsertRows = tombstoneCol
@@ -151,9 +167,10 @@ object Upsert {
       .select("__file").distinct()
       .collect().map(_.getString(0)).toSet
 
-    // full file inventory via the table's own filesystem; untouched
-    // files copy byte-for-byte (flat layouts only — see copyUntouched)
-    val copied = copyUntouched(spark, tableDir, outDir, touched)
+    val touchedPaths = touched.map(s =>
+      new org.apache.hadoop.fs.Path(s).toUri.getPath)
+    val untouched = tableFiles.filterNot(f =>
+      touchedPaths.contains(new org.apache.hadoop.fs.Path(f).toUri.getPath))
 
     // rewrite ONLY the touched files: survivors (keys not in changes,
     // not tombstoned) + the resolved upsert rows — inserts included by
@@ -183,12 +200,12 @@ object Upsert {
       }
     val nUpsertRows = upsertRows.count()
     val nDeletes = deleteKeys.map(_.count()).getOrElse(0L)
-    Stats(
+    (Stats(
       upserts = present,
       deletes = nDeletes,
       inserts = nUpsertRows - present,
       filesRewritten = touched.size,
-      filesCopied = copied)
+      filesCopied = 0), untouched)
   }
 
   final case class Scd2Stats(versionsClosed: Long, versionsAppended: Long,
@@ -224,11 +241,28 @@ object Upsert {
   def mergeScd2(spark: SparkSession, tableDir: String, changesDir: String,
       outDir: String, keys: Seq[String], tsCol: String = "ts",
       seqCol: String = "event_id"): Scd2Stats = {
+    val (st, untouched) = mergeScd2Shared(spark,
+      listFlat(spark, tableDir).map(_.toString), changesDir, outDir,
+      keys, tsCol, seqCol)
+    val copied = copyFiles(spark,
+      untouched.map(new org.apache.hadoop.fs.Path(_)), outDir, Set.empty)
+    st.copy(filesCopied = copied)
+  }
+
+  /** ZERO-COPY Type-2 merge for [[graft.ingest.TableLog]]-versioned
+    * tables: rewrites only open-version files into `outDir` and
+    * returns the untouched list for the commit's `carry` — at 100 TB a
+    * dimension's closed history never costs another byte. */
+  def mergeScd2Shared(spark: SparkSession, tableFiles: Seq[String],
+      changesDir: String, outDir: String, keys: Seq[String],
+      tsCol: String = "ts", seqCol: String = "event_id")
+      : (Scd2Stats, Seq[String]) = {
     require(keys.nonEmpty, "mergeScd2 needs at least one key column")
-    val table = spark.read.parquet(tableDir)
+    require(tableFiles.nonEmpty, "empty table file list")
+    val table = spark.read.parquet(tableFiles: _*)
     val meta = Seq("valid_from", "valid_to", "is_current")
     require(meta.forall(table.columns.contains),
-      s"$tableDir is not an SCD2 table (needs ${meta.mkString(", ")})")
+      s"not an SCD2 table (needs ${meta.mkString(", ")})")
     val payload = table.columns.filterNot(c =>
       keys.contains(c) || meta.contains(c)).toSeq
     require(payload.contains(seqCol),
@@ -274,7 +308,10 @@ object Upsert {
       .select("__file").distinct()
       .collect().map(_.getString(0)).toSet
 
-    val copied = copyUntouched(spark, tableDir, outDir, touched)
+    val touchedPaths = touched.map(s =>
+      new org.apache.hadoop.fs.Path(s).toUri.getPath)
+    val untouched = tableFiles.filterNot(f =>
+      touchedPaths.contains(new org.apache.hadoop.fs.Path(f).toUri.getPath))
 
     val colOrder = table.columns.toSeq
     val (survivors, closed, nClosed) =
@@ -311,11 +348,11 @@ object Upsert {
       Some(chain)).flatten.map(_.select(colOrder.map(col): _*))
     pieces.reduce(_ unionByName _).write.mode("append").parquet(outDir)
 
-    Scd2Stats(
+    (Scd2Stats(
       versionsClosed = nClosed,
       versionsAppended = chain.count(),
       newKeys = nKeys - nClosed,
       filesRewritten = touched.size,
-      filesCopied = copied)
+      filesCopied = 0), untouched)
   }
 }

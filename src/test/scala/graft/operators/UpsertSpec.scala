@@ -222,4 +222,57 @@ class UpsertSpec extends SparkSuite {
         s"$root/out3", Seq("user_id", "event_type"))
     }
   }
+
+  test("mergeShared carries untouched files by reference through TableLog") {
+    import graft.ingest.TableLog
+    val root = Files.createTempDirectory("upsert-shared").toString
+    // two-file table: keys [0,5) and [5,10) — the change touches the
+    // first only, the second must carry without a byte moving
+    val full = spark.range(10).select(col("id").as("k"),
+      concat(lit("old"), col("id")).as("v"), lit(1L).as("ver"))
+    full.filter(col("k") < 5).coalesce(1).write.parquet(s"$root/t")
+    full.filter(col("k") >= 5).coalesce(1).write.mode("append")
+      .parquet(s"$root/t")
+    TableLog.init(spark, s"$root/t")
+    Seq((1L, "new1", 2L)).toDF("k", "v", "ver")
+      .write.parquet(s"$root/changes")
+    val (st, untouched) = Upsert.mergeShared(spark,
+      TableLog.snapshotFiles(spark, s"$root/t"), s"$root/changes",
+      s"$root/staged", "k", versionCol = Some("ver"))
+    assert(st.filesRewritten == 1 && untouched.size == 1, s"$st")
+    TableLog.commit(spark, s"$root/t", s"$root/staged", "upsert",
+      expectedHead = Some(0), carry = untouched)
+    val h = TableLog.history(spark, s"$root/t")
+    assert(h(0).files.toSet.intersect(h(1).files.toSet).size == 1,
+      "untouched file not shared by reference")
+    // head snapshot ≡ the copying merge's result
+    val viaLog = TableLog.read(spark, s"$root/t")
+      .select("k", "v", "ver")
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    val want = ((0L until 10L).filterNot(_ == 1L)
+      .map(k => (k, s"old$k", 1L)) :+ (1L, "new1", 2L)).sortBy(_._1)
+    assert(viaLog == want, s"$viaLog")
+
+    // SCD2 shared: the closed-history file carries, open-file rewrites
+    val root2 = Files.createTempDirectory("scd2-shared").toString
+    val scd = graft.queries.Streaming.scd2(
+      Seq((ts2(1), 1L, 101L, "view"), (ts2(2), 1L, 102L, "view"))
+        .toDF("ts", "user_id", "event_id", "event_type"))
+      .localCheckpoint()
+    scd.filter(!col("is_current")).coalesce(1)
+      .write.parquet(s"$root2/t")
+    scd.filter(col("is_current")).coalesce(1)
+      .write.mode("append").parquet(s"$root2/t")
+    TableLog.init(spark, s"$root2/t")
+    Seq((ts2(9), 1L, 110L, "view"))
+      .toDF("ts", "user_id", "event_id", "event_type")
+      .write.parquet(s"$root2/changes")
+    val (st2, un2) = Upsert.mergeScd2Shared(spark,
+      TableLog.snapshotFiles(spark, s"$root2/t"), s"$root2/changes",
+      s"$root2/staged", Seq("user_id", "event_type"))
+    assert(st2.filesRewritten == 1 && un2.size == 1, s"$st2")
+    TableLog.commit(spark, s"$root2/t", s"$root2/staged", "scd2",
+      expectedHead = Some(0), carry = un2)
+    assert(TableLog.read(spark, s"$root2/t").count() == 3L)
+  }
 }
