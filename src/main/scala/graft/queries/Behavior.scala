@@ -273,6 +273,71 @@ object Behavior extends QueryFamily {
         .orderBy("cohort_week", "week_no")
     },
     "q_gapfill_locf" -> ((s, d) => gapfillLocf(Tables.events(s, d))),
+    "q_rfm" -> { (s, d) =>
+      // RFM customer segmentation — recency/frequency/monetary quartile
+      // tiers, the classic CRM cut. All-integer metrics (days, counts,
+      // CENTS via the floor(x*100+0.5) integerization), quartile
+      // thresholds by EXACT interpolated percentile over integers —
+      // value + {0,.25,.5,.75}·(next−value) lands on dyadic rationals
+      // both engines represent exactly (the q_profile_outliers
+      // discipline). Two partial-aggregated shuffles (per-customer RFM,
+      // 1-row max-date) + two 1-row broadcasts; tiers are map-side CASE
+      // sums. Boundary semantics pinned in the SQL: recency uses <=
+      // (lower is better → higher tier), frequency/monetary use >.
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        col("o_orderdate"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val maxD = o.agg(max("o_orderdate").as("maxd"))
+      val rfm = o.crossJoin(broadcast(maxD))
+        .groupBy("o_custkey")
+        .agg(min(datediff(col("maxd"), col("o_orderdate")))
+            .cast("long").as("r_days"),
+          count(lit(1)).as("f"),
+          sum("cents").as("m_cents"))
+      val th = rfm.agg(
+        expr("percentile(r_days, array(0.25, 0.5, 0.75))").as("rq"),
+        expr("percentile(f, array(0.25, 0.5, 0.75))").as("fq"),
+        expr("percentile(m_cents, array(0.25, 0.5, 0.75))").as("mq"))
+      def upTier(c: Column, q: Column): Column =
+        (lit(1) + (c > q.getItem(0)).cast("long") +
+          (c > q.getItem(1)).cast("long") +
+          (c > q.getItem(2)).cast("long"))
+      def downTier(c: Column, q: Column): Column =
+        (lit(1) + (c <= q.getItem(0)).cast("long") +
+          (c <= q.getItem(1)).cast("long") +
+          (c <= q.getItem(2)).cast("long"))
+      rfm.crossJoin(broadcast(th))
+        .select(col("o_custkey"), col("r_days"), col("f"),
+          col("m_cents"),
+          downTier(col("r_days"), col("rq")).as("r_tier"),
+          upTier(col("f"), col("fq")).as("f_tier"),
+          upTier(col("m_cents"), col("mq")).as("m_tier"))
+        .withColumn("rfm_score",
+          col("r_tier") * 100 + col("f_tier") * 10 + col("m_tier"))
+        .orderBy("o_custkey")
+    },
+    "q_cohort_ltv" -> { (s, d) =>
+      // Cohort lifetime-value curves: customers cohorted by first-order
+      // month, revenue accumulated over cohort age — the companion of
+      // q_retention_cohort that answers "how much", not "how many".
+      // Months as year*12+month integers (no interval dialect drift),
+      // revenue in cents; the running sum windows PER COHORT (many
+      // cohorts — never a single global partition) over the unique age
+      // axis, so frame semantics are tie-free and engine-identical.
+      val o = Tables.orders(s, d).select(col("o_custkey"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("ym"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val cohort = o.groupBy("o_custkey").agg(min("ym").as("cym"))
+      val rev = o.join(cohort, Seq("o_custkey"))
+        .groupBy(col("cym").as("cohort_ym"),
+          (col("ym") - col("cym")).as("age_months"))
+        .agg(sum("cents").as("revenue_cents"))
+      val w = Window.partitionBy("cohort_ym").orderBy("age_months")
+      rev.withColumn("cum_revenue_cents",
+          sum("revenue_cents").over(w))
+        .orderBy("cohort_ym", "age_months")
+    },
     "q_attribution" -> { (s, d) =>
       // Last-touch conversion attribution: each purchase credits the
       // user's most recent PRIOR non-purchase event within a 7-day
@@ -614,6 +679,59 @@ object Behavior extends QueryFamily {
         |       count(*) AS users
         |FROM act a JOIN cohort c ON a.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_rfm" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderdate,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |mx AS (SELECT max(o_orderdate) AS maxd FROM o),
+        |rfm AS (
+        |  SELECT o_custkey,
+        |    CAST(min(date_diff('day', o_orderdate, maxd)) AS BIGINT)
+        |      AS r_days,
+        |    count(*) AS f,
+        |    CAST(sum(cents) AS BIGINT) AS m_cents
+        |  FROM o, mx GROUP BY o_custkey),
+        |th AS (
+        |  SELECT quantile_cont(r_days, [0.25, 0.5, 0.75]) AS rq,
+        |         quantile_cont(f, [0.25, 0.5, 0.75]) AS fq,
+        |         quantile_cont(m_cents, [0.25, 0.5, 0.75]) AS mq
+        |  FROM rfm),
+        |tiers AS (
+        |  SELECT o_custkey, r_days, f, m_cents,
+        |    CAST(1 + (CASE WHEN r_days <= rq[1] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN r_days <= rq[2] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN r_days <= rq[3] THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS r_tier,
+        |    CAST(1 + (CASE WHEN f > fq[1] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN f > fq[2] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN f > fq[3] THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS f_tier,
+        |    CAST(1 + (CASE WHEN m_cents > mq[1] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN m_cents > mq[2] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN m_cents > mq[3] THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS m_tier
+        |  FROM rfm, th)
+        |SELECT o_custkey, r_days, f, m_cents, r_tier, f_tier, m_tier,
+        |  r_tier * 100 + f_tier * 10 + m_tier AS rfm_score
+        |FROM tiers ORDER BY o_custkey""".stripMargin,
+    "q_cohort_ltv" ->
+      """WITH o AS (
+        |  SELECT o_custkey,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+        |      AS ym,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |cohort AS (SELECT o_custkey, min(ym) AS cym FROM o GROUP BY 1),
+        |rev AS (
+        |  SELECT cym AS cohort_ym, ym - cym AS age_months,
+        |    CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |  FROM o JOIN cohort USING (o_custkey)
+        |  GROUP BY 1, 2)
+        |SELECT cohort_ym, age_months, revenue_cents,
+        |  CAST(sum(revenue_cents) OVER (PARTITION BY cohort_ym
+        |    ORDER BY age_months) AS BIGINT) AS cum_revenue_cents
+        |FROM rev ORDER BY cohort_ym, age_months""".stripMargin,
     "q_gapfill_locf" ->
       """WITH daily AS (
         |  SELECT user_id, date_trunc('day', ts) AS day, count(*) AS n,

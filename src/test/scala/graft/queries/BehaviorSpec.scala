@@ -364,4 +364,65 @@ class BehaviorSpec extends SparkSuite {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(got2.toSeq == Seq((1L, 2, 2500000L)), got2.mkString(", "))
   }
+
+  /** Tiny orders table (driver schema) for the RFM/LTV queries. */
+  private def ordersDir(rows: Seq[(Long, String, Double)]): String = {
+    import spark.implicits._
+    val d = java.nio.file.Files.createTempDirectory("orders").toString
+    rows.zipWithIndex
+      .map { case ((c, dt, p), i) => (i.toLong, c, "O", p, dt, "1-URGENT") }
+      .toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+        "s", "o_orderpriority")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"), to_timestamp_ntz(col("s")).as("o_orderdate"),
+        col("o_orderpriority"))
+      .write.mode("overwrite").parquet(s"$d/orders.parquet")
+    d
+  }
+
+  test("rfm: quartile tiers, <= recency vs > f/m boundary semantics") {
+    // r_days per customer: c1=0, c2=2, c3=5, c4=9 → quartiles
+    // (exact interpolation over [0,2,5,9]) = [1.5, 3.5, 6.0];
+    // f = [3,2,2,1] → [1.75, 2, 2.25]: c2/c3 sit EXACTLY on the median
+    // and must NOT clear the > threshold; m follows f's shape
+    val d = ordersDir(Seq(
+      (1L, "2024-01-10 00:00:00", 100.0),
+      (1L, "2024-01-09 00:00:00", 100.0),
+      (1L, "2024-01-08 00:00:00", 100.0),
+      (2L, "2024-01-08 00:00:00", 100.0),
+      (2L, "2024-01-07 00:00:00", 100.0),
+      (3L, "2024-01-05 00:00:00", 50.0),
+      (3L, "2024-01-04 00:00:00", 50.0),
+      (4L, "2024-01-01 00:00:00", 50.0)))
+    val got = Behavior.queries("q_rfm")(spark, d)
+      .select("o_custkey", "r_days", "f", "m_cents", "r_tier", "f_tier",
+        "m_tier", "rfm_score")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+        r.getLong(7))).toSeq
+    assert(got == Seq(
+      (1L, 0L, 3L, 30000L, 4L, 4L, 4L, 444L),
+      (2L, 2L, 2L, 20000L, 3L, 2L, 3L, 323L),
+      (3L, 5L, 2L, 10000L, 2L, 2L, 2L, 222L),
+      (4L, 9L, 1L, 5000L, 1L, 1L, 1L, 111L)), got.mkString(", "))
+  }
+
+  test("cohort ltv: first-order-month cohorts accumulate revenue by age") {
+    val d = ordersDir(Seq(
+      // cohort 2024-01 (ym 24289): months 0, 0, 1, 3
+      (1L, "2024-01-05 00:00:00", 10.0),
+      (2L, "2024-01-20 00:00:00", 20.0),
+      (1L, "2024-02-01 00:00:00", 5.0),
+      (2L, "2024-04-15 00:00:00", 2.5),
+      // cohort 2024-03 (ym 24291): month 0 only
+      (3L, "2024-03-03 00:00:00", 7.0)))
+    val got = Behavior.queries("q_cohort_ltv")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      (24289L, 0L, 3000L, 3000L),
+      (24289L, 1L, 500L, 3500L),
+      (24289L, 3L, 250L, 3750L),
+      (24291L, 0L, 700L, 700L)), got.mkString(", "))
+  }
 }
