@@ -273,6 +273,45 @@ object Behavior extends QueryFamily {
         .orderBy("cohort_week", "week_no")
     },
     "q_gapfill_locf" -> ((s, d) => gapfillLocf(Tables.events(s, d))),
+    "q_trend" -> { (s, d) =>
+      // Exact integer OLS — per order-priority, the monthly-revenue
+      // trend in micro-cents/month: slope = (nΣxy − ΣxΣy) /
+      // (nΣx² − (Σx)²), every sum a BIGINT over integers, the cross
+      // products in DECIMAL(38,0) (DuckDB HUGEINT — the lift_u
+      // discipline). Division is SIGN-SPLIT: slope_u = sign(num) ·
+      // (1e6·|num| DIV den) — Spark DIV truncates toward zero while
+      // DuckDB // floors, and they agree only on non-negatives
+      // (the q_communities_quality lesson), so the quotient is taken
+      // on |num| and the sign re-applied. den = n·Σx²−(Σx)² ≥ 0 by
+      // Cauchy-Schwarz. Two partial-aggregated shuffles (monthly
+      // series, then per-group sums) + a 1-row min-month broadcast.
+      val o = Tables.orders(s, d).select(
+        col("o_orderpriority").as("prio"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+          .cast("long").as("ym"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val minYm = o.agg(min("ym").as("ym0"))
+      val monthly = o.crossJoin(broadcast(minYm))
+        .groupBy(col("prio"), (col("ym") - col("ym0")).as("x"))
+        .agg(sum("cents").as("y"))
+      monthly.groupBy("prio").agg(
+          count(lit(1)).as("n_months"),
+          sum("x").as("sx"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum("y").as("sy"),
+          sum(expr("CAST(x AS DECIMAL(38,0)) * y")).as("sxy"))
+        .select(col("prio"), col("n_months"),
+          expr("""CAST(
+            CASE WHEN CAST(n_months AS DECIMAL(38,0)) * sxy
+                      - CAST(sx AS DECIMAL(38,0)) * sy < 0
+                 THEN -1 ELSE 1 END
+            * ((1000000 * abs(CAST(n_months AS DECIMAL(38,0)) * sxy
+                              - CAST(sx AS DECIMAL(38,0)) * sy))
+               DIV (CAST(n_months AS DECIMAL(38,0)) * sxx
+                    - CAST(sx AS DECIMAL(38,0)) * sx))
+            AS BIGINT)""").as("slope_u"))
+        .orderBy("prio")
+    },
     "q_rfm" -> { (s, d) =>
       // RFM customer segmentation — recency/frequency/monetary quartile
       // tiers, the classic CRM cut. All-integer metrics (days, counts,
@@ -679,6 +718,35 @@ object Behavior extends QueryFamily {
         |       count(*) AS users
         |FROM act a JOIN cohort c ON a.user_id = c.user_id
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_trend" ->
+      """WITH o AS (
+        |  SELECT o_orderpriority AS prio,
+        |    CAST(year(o_orderdate) * 12 + month(o_orderdate) AS BIGINT)
+        |      AS ym,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |m0 AS (SELECT min(ym) AS ym0 FROM o),
+        |monthly AS (
+        |  SELECT prio, ym - ym0 AS x, CAST(sum(cents) AS BIGINT) AS y
+        |  FROM o, m0 GROUP BY 1, 2),
+        |sums AS (
+        |  SELECT prio, count(*) AS n_months,
+        |    CAST(sum(x) AS BIGINT) AS sx,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y) AS BIGINT) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy
+        |  FROM monthly GROUP BY prio)
+        |SELECT prio, n_months,
+        |  CAST(
+        |    (CASE WHEN CAST(n_months AS HUGEINT) * sxy
+        |               - CAST(sx AS HUGEINT) * sy < 0
+        |          THEN -1 ELSE 1 END)
+        |    * ((1000000 * abs(CAST(n_months AS HUGEINT) * sxy
+        |                      - CAST(sx AS HUGEINT) * sy))
+        |       // (CAST(n_months AS HUGEINT) * sxx
+        |           - CAST(sx AS HUGEINT) * sx))
+        |  AS BIGINT) AS slope_u
+        |FROM sums ORDER BY prio""".stripMargin,
     "q_rfm" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate,

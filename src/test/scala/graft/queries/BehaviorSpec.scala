@@ -407,6 +407,26 @@ class BehaviorSpec extends SparkSuite {
       (4L, 9L, 1L, 5000L, 1L, 1L, 1L, 111L)), got.mkString(", "))
   }
 
+  test("trend: exact OLS slope with sign-split division") {
+    // 7 months, one revenue bump at month 0: num = −2247, den = 196 →
+    // |slope| = 2247e6/196 = 11464285.71…, truncated to 11464285 with
+    // the sign re-applied. A floor of the SIGNED value would give
+    // −11464286 — the divergence the sign-split exists to prevent.
+    val down = ordersDir((0 to 6).map(m =>
+      (1L, f"2024-${m + 1}%02d-15 00:00:00", if (m == 0) 2.07 else 1.0)))
+    val gotD = Behavior.queries("q_trend")(spark, down)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(gotD.toSeq == Seq(("1-URGENT", 7L, -11464285L)),
+      gotD.mkString(", "))
+    // mirrored bump at the last month: same magnitude, positive
+    val up = ordersDir((0 to 6).map(m =>
+      (1L, f"2024-${m + 1}%02d-15 00:00:00", if (m == 6) 2.07 else 1.0)))
+    val gotU = Behavior.queries("q_trend")(spark, up)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(gotU.toSeq == Seq(("1-URGENT", 7L, 11464285L)),
+      gotU.mkString(", "))
+  }
+
   test("cohort ltv: first-order-month cohorts accumulate revenue by age") {
     val d = ordersDir(Seq(
       // cohort 2024-01 (ym 24289): months 0, 0, 1, 3
