@@ -312,6 +312,27 @@ object Behavior extends QueryFamily {
             AS BIGINT)""").as("slope_u"))
         .orderBy("prio")
     },
+    "q_seasonality" -> { (s, d) =>
+      // Month-of-year seasonality index: each calendar month's share
+      // of revenue against a flat year — index_u = 1e6·12·rev_m /
+      // rev_total in micro-units (1e6 = a perfectly flat month). The
+      // 1e6·12·rev numerator outgrows BIGINT at corpus scale, so it
+      // multiplies in DECIMAL(38,0)/HUGEINT (the lift_u discipline);
+      // everything is non-negative, so DIV and // agree. One
+      // partial-aggregated shuffle (12 groups) + a 1-row broadcast.
+      val o = Tables.orders(s, d).select(
+        month(col("o_orderdate")).cast("long").as("m"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
+      val byM = o.groupBy("m").agg(
+        count(lit(1)).as("n_orders"),
+        sum("cents").as("revenue_cents"))
+      val tot = byM.agg(sum("revenue_cents").as("total_cents"))
+      byM.crossJoin(broadcast(tot))
+        .select(col("m"), col("n_orders"), col("revenue_cents"),
+          expr("CAST((CAST(revenue_cents AS DECIMAL(38,0)) * 12000000)" +
+            " DIV total_cents AS BIGINT)").as("index_u"))
+        .orderBy("m")
+    },
     "q_rfm" -> { (s, d) =>
       // RFM customer segmentation — recency/frequency/monetary quartile
       // tiers, the classic CRM cut. All-integer metrics (days, counts,
@@ -747,6 +768,21 @@ object Behavior extends QueryFamily {
         |           - CAST(sx AS HUGEINT) * sx))
         |  AS BIGINT) AS slope_u
         |FROM sums ORDER BY prio""".stripMargin,
+    "q_seasonality" ->
+      """WITH o AS (
+        |  SELECT CAST(month(o_orderdate) AS BIGINT) AS m,
+        |    CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |  FROM orders),
+        |bym AS (
+        |  SELECT m, count(*) AS n_orders,
+        |    CAST(sum(cents) AS BIGINT) AS revenue_cents
+        |  FROM o GROUP BY m),
+        |tot AS (SELECT CAST(sum(revenue_cents) AS BIGINT) AS total_cents
+        |        FROM bym)
+        |SELECT m, n_orders, revenue_cents,
+        |  CAST((CAST(revenue_cents AS HUGEINT) * 12000000) // total_cents
+        |    AS BIGINT) AS index_u
+        |FROM bym, tot ORDER BY m""".stripMargin,
     "q_rfm" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderdate,

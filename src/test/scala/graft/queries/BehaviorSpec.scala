@@ -427,6 +427,23 @@ class BehaviorSpec extends SparkSuite {
       gotU.mkString(", "))
   }
 
+  test("seasonality: month index in micro-units, 1e6 = a flat month") {
+    // Jan 300, Feb 100, Mar 200 cents → total 600; index = 12e6·m/600:
+    // Jan 6e6, Feb 2e6, Mar 4e6 — and a non-divisible check via 7/600
+    val d = ordersDir(Seq(
+      (1L, "2024-01-10 00:00:00", 3.0),
+      (2L, "2024-02-10 00:00:00", 1.0),
+      (3L, "2024-03-10 00:00:00", 1.93),
+      (4L, "2024-03-20 00:00:00", 0.07)))
+    val got = Behavior.queries("q_seasonality")(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq(
+      (1L, 1L, 300L, 6000000L),
+      (2L, 1L, 100L, 2000000L),
+      (3L, 2L, 200L, 4000000L)), got.mkString(", "))
+  }
+
   test("cohort ltv: first-order-month cohorts accumulate revenue by age") {
     val d = ordersDir(Seq(
       // cohort 2024-01 (ym 24289): months 0, 0, 1, 3
