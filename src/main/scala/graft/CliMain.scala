@@ -258,9 +258,12 @@ object CliMain {
           s"${st.filesRewritten} files rewritten, " +
           s"${st.filesCopied} copied -> $outDir")
       } else {
-        val key = flagVal("--key").getOrElse(sys.error("--key is required"))
+        val ks = flagVal("--key")
+          .getOrElse(sys.error("--key k (or --key a,b for a " +
+            "composite key) is required"))
+          .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
         val st = graft.operators.Upsert.merge(spark, tableDir, changesDir,
-          outDir, key, versionCol = flagVal("--version"),
+          outDir, ks, versionCol = flagVal("--version"),
           tombstoneCol = flagVal("--tombstone"))
         println(s"upsert: ${st.upserts} updated, ${st.inserts} inserted, " +
           s"${st.deletes} deleted; ${st.filesRewritten} files rewritten, " +

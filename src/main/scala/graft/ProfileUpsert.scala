@@ -35,7 +35,7 @@ object ProfileUpsert {
         .write.parquet(s"$root/changes")
       val t0 = System.nanoTime()
       val st = operators.Upsert.merge(spark, s"$root/table",
-        s"$root/changes", s"$root/out", "k", versionCol = Some("ver"))
+        s"$root/changes", s"$root/out", Seq("k"), versionCol = Some("ver"))
       val sec = (System.nanoTime() - t0) / 1e9
       val outRows = spark.read.parquet(s"$root/out").count()
       println(f"UPSERT rows=$n files=$files: ${st.filesRewritten} " +

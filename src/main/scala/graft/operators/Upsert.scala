@@ -44,26 +44,33 @@ object Upsert {
   final case class Stats(upserts: Long, deletes: Long, inserts: Long,
     filesRewritten: Int, filesCopied: Int)
 
-  /** Resolve the change set to one winner per key: latest `version`,
-    * duplicate (key, version) rejected. Change-sized frame. */
-  private[operators] def resolve(changes: DataFrame, key: String,
-      versionCol: Option[String]): DataFrame = versionCol match {
-    case None =>
-      val dups = changes.groupBy(col(key)).agg(count(lit(1)).as("c"))
-        .filter(col("c") > 1).limit(1).collect()
-      require(dups.isEmpty, s"changes carry duplicate rows for key " +
-        s"${dups.headOption.map(_.get(0))} and no --version column " +
-        "names a winner")
-      changes
-    case Some(v) =>
-      val dups = changes.groupBy(col(key), col(v))
-        .agg(count(lit(1)).as("c")).filter(col("c") > 1).limit(1).collect()
-      require(dups.isEmpty, s"duplicate (key, $v) pair " +
-        s"${dups.headOption.map(r => (r.get(0), r.get(1)))} has no " +
-        "defined winner")
-      val w = Window.partitionBy(col(key)).orderBy(col(v).desc)
-      changes.withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
+  /** Resolve the change set to one winner per key (composite keys
+    * first-class — real dimension tables key on (tenant, id) shapes):
+    * latest `version`, duplicate (key, version) rejected.
+    * Change-sized frame. */
+  private[operators] def resolve(changes: DataFrame, keys: Seq[String],
+      versionCol: Option[String]): DataFrame = {
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    versionCol match {
+      case None =>
+        val dups = changes.groupBy(keys.map(col): _*)
+          .agg(count(lit(1)).as("c"))
+          .filter(col("c") > 1).limit(1).collect()
+        require(dups.isEmpty, s"changes carry duplicate rows for key " +
+          s"${dups.headOption.map(_.toSeq.init)} and no --version " +
+          "column names a winner")
+        changes
+      case Some(v) =>
+        val dups = changes.groupBy((keys :+ v).map(col): _*)
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1).limit(1)
+          .collect()
+        require(dups.isEmpty,
+          s"duplicate (${keys.mkString(", ")}, $v) tuple " +
+            s"${dups.headOption.map(_.toSeq.init)} has no defined winner")
+        val w = Window.partitionBy(keys.map(col): _*).orderBy(col(v).desc)
+        changes.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") === 1).drop("__rn")
+    }
   }
 
   /** Flat-layout file inventory of `tableDir` + byte-for-byte copy of
@@ -122,11 +129,12 @@ object Upsert {
     * the result BESIDE the live table at `outDir` (the ZOrder.compact
     * deploy contract: swapping it in is the caller's step). */
   def merge(spark: SparkSession, tableDir: String, changesDir: String,
-      outDir: String, key: String, versionCol: Option[String] = None,
+      outDir: String, keys: Seq[String],
+      versionCol: Option[String] = None,
       tombstoneCol: Option[String] = None): Stats = {
     val (st, untouched) = mergeShared(spark,
       listFlat(spark, tableDir).map(_.toString), changesDir, outDir,
-      key, versionCol, tombstoneCol)
+      keys, versionCol, tombstoneCol)
     val copied = copyFiles(spark,
       untouched.map(new org.apache.hadoop.fs.Path(_)), outDir, Set.empty)
     st.copy(filesCopied = copied)
@@ -134,36 +142,57 @@ object Upsert {
 
   /** ZERO-COPY SCD1 merge for [[graft.ingest.TableLog]]-versioned
     * tables: rewrites only touched files into `outDir` and returns
-    * the untouched list for the commit's `carry`. */
+    * the untouched list for the commit's `carry`.
+    *
+    * SCHEMA EVOLUTION (add-column slice, r16): the change feed may
+    * carry a SUPERSET of the table's columns — the table side widens
+    * with nulls, survivors in touched files null-fill on read, and
+    * untouched files carry unchanged (TableLog records the union
+    * schema at commit, so its readers reconcile; a PLAIN directory
+    * merge mixes schemas across files and needs mergeSchema to read —
+    * prefer the versioned path for evolved tables). A change feed
+    * MISSING table columns is still an error. */
   def mergeShared(spark: SparkSession, tableFiles: Seq[String],
-      changesDir: String, outDir: String, key: String,
+      changesDir: String, outDir: String, keys: Seq[String],
       versionCol: Option[String] = None,
       tombstoneCol: Option[String] = None): (Stats, Seq[String]) = {
     require(tableFiles.nonEmpty, "empty table file list")
-    val table = spark.read.parquet(tableFiles: _*)
-    val resolved = resolve(spark.read.parquet(changesDir), key,
+    require(keys.nonEmpty, "upsert needs at least one key column")
+    val table0 = spark.read.parquet(tableFiles: _*)
+    val resolved = resolve(spark.read.parquet(changesDir), keys,
       versionCol).localCheckpoint()
     val upsertRows = tombstoneCol
       .map(t => resolved.filter(!coalesce(col(t), lit(false))).drop(t))
       .getOrElse(resolved)
     val deleteKeys = tombstoneCol.map(t =>
-      resolved.filter(coalesce(col(t), lit(false))).select(col(key)))
-    require(upsertRows.columns.sorted.sameElements(table.columns.sorted),
-      s"changes schema ${upsertRows.columns.sorted.mkString(",")} != " +
-        s"table schema ${table.columns.sorted.mkString(",")}")
+      resolved.filter(coalesce(col(t), lit(false)))
+        .select(keys.map(col): _*))
+    val missing = table0.columns.filterNot(upsertRows.columns.contains)
+    require(missing.isEmpty,
+      s"changes schema ${upsertRows.columns.sorted.mkString(",")} is " +
+        s"missing table columns ${missing.sorted.mkString(",")}")
+    // widen the table side for an evolved (superset) change feed: new
+    // columns append in the feed's order; reading old files under the
+    // widened schema null-fills them
+    val newCols = upsertRows.columns.filterNot(table0.columns.contains)
+    val tableSchema = org.apache.spark.sql.types.StructType(
+      table0.schema.fields ++ newCols.map(upsertRows.schema(_)))
+    val table = if (newCols.isEmpty) table0
+      else spark.read.schema(tableSchema).parquet(tableFiles: _*)
 
-    // the affected-key frame: one column, change-sized, read three ways
-    // (touched-file probe, rewrite anti-join, insert anti-join)
-    val keys = resolved.select(col(key)).localCheckpoint()
-    val nKeys = keys.count()
+    // the affected-key frame: key columns only, change-sized, read
+    // three ways (touched-file probe, rewrite anti-join, insert
+    // anti-join)
+    val keyRows = resolved.select(keys.map(col): _*).localCheckpoint()
+    val nKeys = keyRows.count()
     def keySide(df: DataFrame): DataFrame =
       if (nKeys <= BroadcastKeyRows) broadcast(df) else df
 
-    // touched files: a key-column-only scan of the table (ReadSchema
-    // prunes to [key]), semi-joined against the change keys
-    val touched = table.select(col(key))
+    // touched files: a key-columns-only scan of the table (ReadSchema
+    // prunes to the keys), semi-joined against the change keys
+    val touched = table.select(keys.map(col): _*)
       .withColumn("__file", input_file_name())
-      .join(keySide(keys), Seq(key), "left_semi")
+      .join(keySide(keyRows), keys, "left_semi")
       .select("__file").distinct()
       .collect().map(_.getString(0)).toSet
 
@@ -180,7 +209,7 @@ object Upsert {
       if (touched.isEmpty) None
       else Some(spark.read.schema(table.schema)
         .parquet(touched.toSeq: _*)
-        .join(keySide(keys), Seq(key), "left_anti"))
+        .join(keySide(keyRows), keys, "left_anti"))
     val rewritten = survivors0 match {
       case Some(s) => s.select(colOrder.map(col): _*)
         .unionByName(upsertRows.select(colOrder.map(col): _*))
@@ -194,9 +223,10 @@ object Upsert {
       if (touched.isEmpty) 0L
       else {
         val tableKeys = spark.read.schema(table.schema)
-          .parquet(touched.toSeq: _*).select(col(key)).distinct()
-        upsertRows.select(col(key))
-          .join(keySide(tableKeys), Seq(key), "left_semi").count()
+          .parquet(touched.toSeq: _*).select(keys.map(col): _*)
+          .distinct()
+        upsertRows.select(keys.map(col): _*)
+          .join(keySide(tableKeys), keys, "left_semi").count()
       }
     val nUpsertRows = upsertRows.count()
     val nDeletes = deleteKeys.map(_.count()).getOrElse(0L)

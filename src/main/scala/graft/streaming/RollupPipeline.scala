@@ -30,8 +30,9 @@ import graft.operators.{IncrementalAgg, Skew}
   * a concurrent maintenance writer (optimize, manual upsert) turns
   * into a detected conflict instead of a lost update; the batch then
   * fails and replays against the new head, which the batch-id guard
-  * makes safe. History must retain at least the replayable window
-  * (expire retainLast ≥ 2 keeps the previous batch's id visible). */
+  * makes safe. History must retain the replayable window — enforced
+  * by TableLog.expire itself since r16: it refuses to drop the most
+  * recent `*-batch-*` record unless told the pipeline is quiesced. */
 object RollupPipeline {
 
   private[streaming] def batchAction(batchId: Long): String =
@@ -45,8 +46,11 @@ object RollupPipeline {
       tableDir: String, keys: Seq[String],
       aggs: Seq[(String, Skew.ReAgg)], batchId: Long,
       crashBeforeCommit: Boolean = false): Boolean = {
-    val done = TableLog.history(spark, tableDir)
-      .exists(_.action == batchAction(batchId))
+    // actions-only probe: one line per retained record, never a file
+    // list — at millions of table files the old history() probe read
+    // O(window × table) manifest metadata per micro-batch
+    val done = TableLog.actions(spark, tableDir)
+      .exists(_._2 == batchAction(batchId))
     if (done || batch.isEmpty) return false
     val head = TableLog.head(spark, tableDir).getOrElse(
       sys.error(s"$tableDir has no log — init the rollup table first"))

@@ -32,7 +32,7 @@ class TableLogSpec extends SparkSuite {
     Seq((3L, "new3", 2L)).toDF("k", "v", "ver")
       .write.parquet(s"$root/changes")
     graft.operators.Upsert.merge(spark, s"$root/t", s"$root/changes",
-      s"$root/staged", "k", versionCol = Some("ver"))
+      s"$root/staged", Seq("k"), versionCol = Some("ver"))
     val v1 = TableLog.commit(spark, s"$root/t", s"$root/staged",
       action = "upsert", expectedHead = Some(0))
     assert(v1 == 1)
@@ -88,7 +88,15 @@ class TableLogSpec extends SparkSuite {
     Files.write(java.nio.file.Paths.get(s"$root/t/_graft_log/_tmp.crash"),
       "action=crashed\n".getBytes)
     assert(vals(TableLog.read(spark, s"$root/t")) == Seq((9L, "b")))
-    val st = TableLog.expire(spark, s"$root/t", retainLast = 10)
+    // a NEVER-referenced file is indistinguishable from an in-flight
+    // commit's freshly-moved one: the default age gate keeps it
+    val kept = TableLog.expire(spark, s"$root/t", retainLast = 10)
+    assert(kept.filesDropped == 0, s"swept possibly-live debris: $kept")
+    assert(Files.exists(
+      java.nio.file.Paths.get(s"$root/t/v9-orphan.parquet")))
+    // a quiesced table sweeps immediately with minAgeMs = 0
+    val st = TableLog.expire(spark, s"$root/t", retainLast = 10,
+      minAgeMs = 0L)
     assert(st.filesDropped == 1, s"orphan not swept: $st")
     assert(!Files.exists(
       java.nio.file.Paths.get(s"$root/t/_graft_log/_tmp.crash")))
@@ -106,7 +114,7 @@ class TableLogSpec extends SparkSuite {
       (9L, "new9", 2L, false))
       .toDF("k", "v", "ver", "del").write.parquet(s"$root/changes")
     graft.operators.Upsert.merge(spark, s"$root/t", s"$root/changes",
-      s"$root/staged", "k", Some("ver"), Some("del"))
+      s"$root/staged", Seq("k"), Some("ver"), Some("del"))
     TableLog.commit(spark, s"$root/t", s"$root/staged", "upsert",
       expectedHead = Some(0))
     val d = TableLog.diff(spark, s"$root/t", 0, 1)
@@ -153,5 +161,120 @@ class TableLogSpec extends SparkSuite {
     // v0's manifest still names the raw ranges
     assert(TableLog.history(spark, s"$root/t").head.files.toSet ==
       Set("0000000000-0000001000.parquet", "0000001000-0000002000.parquet"))
+  }
+
+  test("commit records are O(changed files), with periodic checkpoints") {
+    val root = Files.createTempDirectory("tablelog-incr").toString
+    // a 16-file table; each commit rewrites exactly one narrow file
+    spark.range(1600).select(col("id").as("k"), lit("x").as("v"),
+        lit(1L).as("ver"))
+      .repartitionByRange(16, col("k"))
+      .write.parquet(s"$root/t")
+    TableLog.init(spark, s"$root/t")
+    def changeLines(v: Int): Int =
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(f"$root/t/_graft_log/v$v%010d.delta")),
+        "UTF-8").linesIterator
+        .count(l => l.startsWith("add=") || l.startsWith("remove="))
+    (1 to 12).foreach { i =>
+      val stage = s"$root/stage$i"
+      Seq((7L, s"new$i", 1L + i)).toDF("k", "v", "ver")
+        .write.parquet(s"$root/chg$i")
+      val snap = TableLog.snapshotFiles(spark, s"$root/t")
+      val (st, untouched) = graft.operators.Upsert.mergeShared(spark,
+        snap, s"$root/chg$i", stage, Seq("k"),
+        versionCol = Some("ver"))
+      assert(st.filesRewritten == 1 && untouched.size == snap.size - 1,
+        s"locality lost: $st / ${untouched.size} of ${snap.size}")
+      TableLog.commit(spark, s"$root/t", stage, s"u$i",
+        expectedHead = Some(i - 1), carry = untouched)
+    }
+    // the incremental claim: a 1-file change's record stays a handful
+    // of change lines (1 remove + the rewrite's ≤2 adds) no matter
+    // the table's file count — never one line per table file (v0's
+    // init is the full 16)
+    assert(changeLines(0) == 16, s"init adds: ${changeLines(0)}")
+    assert(changeLines(12) <= 4,
+      s"delta v12 carries ${changeLines(12)} change lines — " +
+        "commit metadata is not O(changed)")
+    // the checkpoint cadence landed v10 as a full-list record
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"$root/t/_graft_log/v0000000010.checkpoint")))
+    assert(vals(TableLog.read(spark, s"$root/t")).count(_._2 == "new12") == 1)
+    assert(vals(TableLog.read(spark, s"$root/t", Some(6)))
+      .count(_._2 == "new6") == 1)
+    // expire below the checkpoint: the floor checkpoint keeps every
+    // retained version resolvable after the old deltas drop
+    val st = TableLog.expire(spark, s"$root/t", retainLast = 3,
+      minAgeMs = 0L)
+    assert(st.manifestsDropped == 10, s"$st")
+    assert(vals(TableLog.read(spark, s"$root/t", Some(10))).size == 1600)
+    assert(vals(TableLog.read(spark, s"$root/t")).count(_._2 == "new12") == 1)
+    intercept[IllegalArgumentException] {
+      TableLog.read(spark, s"$root/t", Some(9))
+    }
+  }
+
+  test("expire refuses to drop the most recent streaming batch record") {
+    val root = Files.createTempDirectory("tablelog-batch").toString
+    spark.range(4).select(col("id").as("k"), lit("a").as("v"))
+      .coalesce(1).write.parquet(s"$root/t")
+    TableLog.init(spark, s"$root/t")
+    Seq((9L, "b")).toDF("k", "v").coalesce(1).write.parquet(s"$root/s1")
+    TableLog.commit(spark, s"$root/t", s"$root/s1", "rollup-batch-7",
+      carry = TableLog.snapshotFiles(spark, s"$root/t"))
+    // an optimize lands AFTER the batch: retain=1 would drop the
+    // batch record and a replaying pipeline could double-apply id 7
+    TableLog.read(spark, s"$root/t").coalesce(1)
+      .write.parquet(s"$root/s2")
+    TableLog.commit(spark, s"$root/t", s"$root/s2", "optimize")
+    val ex = intercept[RuntimeException] {
+      TableLog.expire(spark, s"$root/t", retainLast = 1, minAgeMs = 0L)
+    }
+    assert(ex.getMessage.contains("batch"), ex.getMessage)
+    // quiesced pipeline: the caller takes responsibility
+    val st = TableLog.expire(spark, s"$root/t", retainLast = 1,
+      minAgeMs = 0L, allowBatchActionDrop = true)
+    assert(st.manifestsDropped == 2, s"$st")
+    assert(vals(TableLog.read(spark, s"$root/t")).size == 5)
+  }
+
+  test("schema evolution: add-column commits, null-fill, time travel") {
+    val root = Files.createTempDirectory("tablelog-schema").toString
+    spark.range(3).select(col("id").as("k"), lit("a").as("v"))
+      .coalesce(1).write.parquet(s"$root/t")
+    TableLog.init(spark, s"$root/t")
+    // the evolved feed carries a new column; the untouched old file
+    // CARRIES by reference and must null-fill on read
+    val carried = TableLog.snapshotFiles(spark, s"$root/t")
+    Seq((9L, "b", 42L)).toDF("k", "v", "score").coalesce(1)
+      .write.parquet(s"$root/stage")
+    TableLog.commit(spark, s"$root/t", s"$root/stage", "evolve",
+      expectedHead = Some(0), carry = carried)
+    val head = TableLog.read(spark, s"$root/t")
+    assert(head.columns.toSeq == Seq("k", "v", "score"))
+    val byK = head.select("k", "score")
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(byK == Seq((0L, None), (1L, None), (2L, None),
+      (9L, Some(42L))), s"$byK")
+    // time travel to the pre-evolution snapshot returns the OLD shape
+    assert(TableLog.read(spark, s"$root/t", Some(0)).columns.toSeq ==
+      Seq("k", "v"))
+    assert(TableLog.schemaOf(spark, s"$root/t", Some(0))
+      .get.fieldNames.toSeq == Seq("k", "v"))
+    // diff across the evolution: old side null-fills under the newer
+    // schema, so the insert is the only change
+    val d = TableLog.diff(spark, s"$root/t", 0, 1)
+      .select("k", "_change_type").as[(Long, String)].collect().toSeq
+    assert(d == Seq((9L, "insert")), s"$d")
+    // a same-name column with a DIFFERENT type is a migration, not a
+    // merge — loud
+    Seq((5L, "c", "not-a-long")).toDF("k", "v", "score").coalesce(1)
+      .write.parquet(s"$root/stage2")
+    val ex = intercept[IllegalArgumentException] {
+      TableLog.commit(spark, s"$root/t", s"$root/stage2", "bad",
+        carry = TableLog.snapshotFiles(spark, s"$root/t"))
+    }
+    assert(ex.getMessage.contains("schema conflict"), ex.getMessage)
   }
 }

@@ -31,7 +31,7 @@ class UpsertSpec extends SparkSuite {
       .toDF("k", "v", "ver", "del")
       .write.parquet(s"$root/changes")
     val st = Upsert.merge(spark, s"$root/table", s"$root/changes",
-      s"$root/out", "k", versionCol = Some("ver"),
+      s"$root/out", Seq("k"), versionCol = Some("ver"),
       tombstoneCol = Some("del"))
     assert(st.filesRewritten == 1 && st.filesCopied == 3,
       s"pruning failed: $st")
@@ -52,9 +52,9 @@ class UpsertSpec extends SparkSuite {
     Seq((3L, "x", 2L, false), (50L, "y", 2L, false), (4L, "z", 2L, true))
       .toDF("k", "v", "ver", "del").write.parquet(s"$root/changes")
     Upsert.merge(spark, s"$root/table", s"$root/changes",
-      s"$root/out1", "k", Some("ver"), Some("del"))
+      s"$root/out1", Seq("k"), Some("ver"), Some("del"))
     val st2 = Upsert.merge(spark, s"$root/out1", s"$root/changes",
-      s"$root/out2", "k", Some("ver"), Some("del"))
+      s"$root/out2", Seq("k"), Some("ver"), Some("del"))
     assert(readSorted(s"$root/out1") == readSorted(s"$root/out2"),
       "replay changed the table")
     // second application finds both survivors already present
@@ -64,15 +64,15 @@ class UpsertSpec extends SparkSuite {
   test("version resolution: latest wins, duplicate winners rejected") {
     val c = Seq((1L, "a", 1L), (1L, "b", 3L), (1L, "c", 2L),
       (2L, "d", 1L)).toDF("k", "v", "ver")
-    val r = Upsert.resolve(c, "k", Some("ver"))
+    val r = Upsert.resolve(c, Seq("k"), Some("ver"))
       .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
     assert(r == Seq((1L, "b", 3L), (2L, "d", 1L)))
     val dup = Seq((1L, "a", 1L), (1L, "b", 1L)).toDF("k", "v", "ver")
     intercept[IllegalArgumentException] {
-      Upsert.resolve(dup, "k", Some("ver")).collect()
+      Upsert.resolve(dup, Seq("k"), Some("ver")).collect()
     }
     intercept[IllegalArgumentException] {
-      Upsert.resolve(dup.drop("ver"), "k", None).collect()
+      Upsert.resolve(dup.drop("ver"), Seq("k"), None).collect()
     }
   }
 
@@ -85,7 +85,7 @@ class UpsertSpec extends SparkSuite {
       .write.parquet(s"$root/changes")
     val ex = intercept[IllegalArgumentException] {
       Upsert.merge(spark, s"$root/table", s"$root/changes",
-        s"$root/out", "k")
+        s"$root/out", Seq("k"))
     }
     assert(ex.getMessage.contains("flat parquet directory"), ex.getMessage)
   }
@@ -114,7 +114,7 @@ class UpsertSpec extends SparkSuite {
       .select("user_id", "event_type", "event_id", "valid_from")
       .write.parquet(s"$root/changes")
     val st = Upsert.merge(spark, s"$root/table", s"$root/changes",
-      s"$root/out", "user_id", versionCol = Some("valid_from"))
+      s"$root/out", Seq("user_id"), versionCol = Some("valid_from"))
     assert(st.upserts == 2 && st.inserts == 1, s"$st")
     val got = spark.read.parquet(s"$root/out")
       .select("user_id", "event_type", "event_id")
@@ -238,7 +238,7 @@ class UpsertSpec extends SparkSuite {
       .write.parquet(s"$root/changes")
     val (st, untouched) = Upsert.mergeShared(spark,
       TableLog.snapshotFiles(spark, s"$root/t"), s"$root/changes",
-      s"$root/staged", "k", versionCol = Some("ver"))
+      s"$root/staged", Seq("k"), versionCol = Some("ver"))
     assert(st.filesRewritten == 1 && untouched.size == 1, s"$st")
     TableLog.commit(spark, s"$root/t", s"$root/staged", "upsert",
       expectedHead = Some(0), carry = untouched)
@@ -274,5 +274,78 @@ class UpsertSpec extends SparkSuite {
     TableLog.commit(spark, s"$root2/t", s"$root2/staged", "scd2",
       expectedHead = Some(0), carry = un2)
     assert(TableLog.read(spark, s"$root2/t").count() == 3L)
+  }
+
+  test("composite keys: (tenant, id) tuples, concat-ambiguous pairs held apart") {
+    val root = Files.createTempDirectory("upsert-composite").toString
+    // the HeadSplitJoin discipline: ("a","bc") and ("ab","c") concat
+    // to the same string — a key-concatenation shortcut would merge
+    // them; the composite tuple must not
+    Seq(("a", "bc", "old-abc", 1L), ("ab", "c", "old-ab_c", 1L),
+      ("t1", "x", "old-x", 1L))
+      .toDF("tenant", "id", "v", "ver")
+      .coalesce(1).write.parquet(s"$root/table")
+    Seq(("a", "bc", "NEW", 2L), ("t2", "y", "ins", 2L))
+      .toDF("tenant", "id", "v", "ver")
+      .write.parquet(s"$root/changes")
+    val st = Upsert.merge(spark, s"$root/table", s"$root/changes",
+      s"$root/out", Seq("tenant", "id"), versionCol = Some("ver"))
+    assert(st.upserts == 1 && st.inserts == 1, s"$st")
+    val got = spark.read.parquet(s"$root/out")
+      .select("tenant", "id", "v")
+      .as[(String, String, String)].collect().sortBy(r => (r._1, r._2))
+      .toSeq
+    assert(got == Seq(("a", "bc", "NEW"), ("ab", "c", "old-ab_c"),
+      ("t1", "x", "old-x"), ("t2", "y", "ins")), s"$got")
+    // duplicate composite (keys, version) tuple still rejected loudly
+    Seq(("a", "bc", "p", 3L), ("a", "bc", "q", 3L))
+      .toDF("tenant", "id", "v", "ver").write.parquet(s"$root/dup")
+    intercept[IllegalArgumentException] {
+      Upsert.merge(spark, s"$root/out", s"$root/dup",
+        s"$root/out2", Seq("tenant", "id"), versionCol = Some("ver"))
+    }
+  }
+
+  test("schema evolution: a superset change feed widens the table") {
+    import graft.ingest.TableLog
+    val root = Files.createTempDirectory("upsert-evolve").toString
+    // two-file table without `score`; the evolved feed adds it and
+    // touches ONE file — the untouched file carries and null-fills
+    val full = spark.range(10).select(col("id").as("k"),
+      concat(lit("old"), col("id")).as("v"), lit(1L).as("ver"))
+    full.filter(col("k") < 5).coalesce(1).write.parquet(s"$root/t")
+    full.filter(col("k") >= 5).coalesce(1).write.mode("append")
+      .parquet(s"$root/t")
+    TableLog.init(spark, s"$root/t")
+    Seq((1L, "new1", 2L, 42L)).toDF("k", "v", "ver", "score")
+      .write.parquet(s"$root/changes")
+    val (st, untouched) = Upsert.mergeShared(spark,
+      TableLog.snapshotFiles(spark, s"$root/t"), s"$root/changes",
+      s"$root/staged", Seq("k"), versionCol = Some("ver"))
+    assert(st.filesRewritten == 1 && untouched.size == 1, s"$st")
+    TableLog.commit(spark, s"$root/t", s"$root/staged", "evolve",
+      expectedHead = Some(0), carry = untouched)
+    val head = TableLog.read(spark, s"$root/t")
+    assert(head.columns.contains("score"))
+    val scores = head.select("k", "score")
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(scores == (0L until 10L).map(k =>
+      (k, if (k == 1L) Some(42L) else None)), s"$scores")
+    // survivors of the REWRITTEN file null-filled too (k=0,2,3,4 came
+    // through the widened read of the touched file)
+    assert(head.filter(col("k") === 0L && col("score").isNull)
+      .count() == 1L)
+    // time travel: the pre-evolution snapshot keeps the old shape
+    assert(!TableLog.read(spark, s"$root/t", Some(0))
+      .columns.contains("score"))
+    // a feed MISSING a table column is still loud
+    Seq((2L, 3L)).toDF("k", "ver").write.parquet(s"$root/narrow")
+    val ex = intercept[IllegalArgumentException] {
+      Upsert.mergeShared(spark,
+        TableLog.snapshotFiles(spark, s"$root/t"), s"$root/narrow",
+        s"$root/staged2", Seq("k"), versionCol = Some("ver"))
+    }
+    assert(ex.getMessage.contains("missing table columns"),
+      ex.getMessage)
   }
 }

@@ -68,8 +68,11 @@ class RollupPipelineSpec extends SparkSuite {
       Seq("init", "rollup-batch-0", "rollup-batch-1"))
 
     // the crashed batch's staging shell is debris — expire sweeps it
-    // (plus v0/v1's now-unreferenced files) and the head still reads
-    val st = TableLog.expire(spark, s"$root/t", retainLast = 1)
+    // (plus v0/v1's now-unreferenced files) and the head still reads;
+    // minAgeMs = 0 because the staging dir is minutes old and the
+    // default in-flight window would (correctly) keep it
+    val st = TableLog.expire(spark, s"$root/t", retainLast = 1,
+      minAgeMs = 0L)
     assert(st.filesDropped >= 1, s"$st")
     assert(state(s"$root/t") == want(all))
     val stagingLeft = new java.io.File(s"$root/t").listFiles()
