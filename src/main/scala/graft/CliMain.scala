@@ -30,6 +30,32 @@ object CliMain {
   private def flagValIn(flags: List[String], name: String): Option[String] =
     flags.dropWhile(_ != name).drop(1).headOption
 
+  /** Shared --keys/--agg parsing of the two rollup arities. */
+  private def rollupSpec(flags: List[String])
+      : (Seq[String], Seq[(String, graft.operators.Skew.ReAgg)]) = {
+    val ks = flagValIn(flags, "--keys").getOrElse(
+      sys.error("--keys k1,k2 is required"))
+      .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+    val aggSpecs = flags.zip(flags.drop(1))
+      .collect { case ("--agg", v) => v }
+    require(aggSpecs.nonEmpty, "at least one --agg name:kind[:col]")
+    val aggs: Seq[(String, graft.operators.Skew.ReAgg)] =
+      aggSpecs.map(_.split(":").toSeq match {
+        case Seq(n, "count") => n -> graft.operators.Skew.CountRows()
+        case Seq(n, "sum", c) =>
+          n -> graft.operators.Skew.SumOf(
+            org.apache.spark.sql.functions.col(c))
+        case Seq(n, "min", c) =>
+          n -> graft.operators.Skew.MinOf(
+            org.apache.spark.sql.functions.col(c))
+        case Seq(n, "max", c) =>
+          n -> graft.operators.Skew.MaxOf(
+            org.apache.spark.sql.functions.col(c))
+        case other => sys.error(s"bad --agg spec: ${other.mkString(":")}")
+      })
+    (ks, aggs)
+  }
+
   /** Tokenizer model-kind detection by persisted layout (unigram =
     * `pieces/`, BPE = `merges/` + `charset/`) — probed through the
     * Hadoop filesystem of the PATH, not java.io.File, so remote model
@@ -270,48 +296,38 @@ object CliMain {
           s"${st.filesCopied} copied -> $outDir")
       }
       if (!reused) spark.stop()
-    // rollup <tableDir> <deltaDir> <outDir> --keys k1,k2
-    // --agg name:count --agg name:sum:col [--init]: incremental
-    // aggregate maintenance (operators.IncrementalAgg) — absorb a raw
-    // delta into a landed mergeable rollup; --init builds the table
-    // from scratch instead. Stage the output, then `table commit`.
-    case "rollup" :: tableDir :: deltaDir :: outDir :: flags =>
-      def flagVal(name: String): Option[String] = flagValIn(flags, name)
-      val ks = flagVal("--keys").getOrElse(
-        sys.error("--keys k1,k2 is required"))
-        .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-      val aggSpecs = flags.zip(flags.drop(1))
-        .collect { case ("--agg", v) => v }
-      require(aggSpecs.nonEmpty, "at least one --agg name:kind[:col]")
-      val aggs: Seq[(String, graft.operators.Skew.ReAgg)] =
-        aggSpecs.map(_.split(":").toSeq match {
-          case Seq(n, "count") => n -> graft.operators.Skew.CountRows()
-          case Seq(n, "sum", c) =>
-            n -> graft.operators.Skew.SumOf(
-              org.apache.spark.sql.functions.col(c))
-          case Seq(n, "min", c) =>
-            n -> graft.operators.Skew.MinOf(
-              org.apache.spark.sql.functions.col(c))
-          case Seq(n, "max", c) =>
-            n -> graft.operators.Skew.MaxOf(
-              org.apache.spark.sql.functions.col(c))
-          case other => sys.error(s"bad --agg spec: ${other.mkString(":")}")
-        })
+    // rollup --init <deltaDir> <outDir> --keys ... --agg ...: build
+    // the landed rollup from scratch (a distinct arity — the init
+    // form reads no table, so it takes no tableDir; r15's shared
+    // arity silently ignored a real tableDir passed with --init).
+    case "rollup" :: "--init" :: deltaDir :: outDir :: flags =>
+      val (ks, aggs) = rollupSpec(flags)
       val reused =
         org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
       val spark = Sessions.get("graft-rollup")
-      if (flags.contains("--init")) {
-        graft.operators.IncrementalAgg
-          .rollup(spark.read.parquet(deltaDir), ks, aggs)
-          .write.parquet(outDir)
-        println(s"rollup: initialized $outDir from $deltaDir")
-      } else {
-        val st = graft.operators.IncrementalAgg.increment(spark,
-          tableDir, deltaDir, outDir, ks, aggs)
-        println(s"rollup: ${st.keysMerged} keys merged, " +
-          s"${st.keysInserted} inserted; ${st.filesRewritten} files " +
-          s"rewritten, ${st.filesCopied} copied -> $outDir")
-      }
+      graft.operators.IncrementalAgg
+        .rollup(spark.read.parquet(deltaDir), ks, aggs)
+        .write.parquet(outDir)
+      println(s"rollup: initialized $outDir from $deltaDir")
+      if (!reused) spark.stop()
+    // rollup <tableDir> <deltaDir> <outDir> --keys k1,k2
+    // --agg name:count --agg name:sum:col: incremental aggregate
+    // maintenance (operators.IncrementalAgg) — absorb a raw delta
+    // into a landed mergeable rollup. Stage the output, then
+    // `table commit`.
+    case "rollup" :: tableDir :: deltaDir :: outDir :: flags =>
+      require(!flags.contains("--init"),
+        "the init form takes no tableDir: rollup --init <deltaDir> " +
+          "<outDir> --keys ... --agg ...")
+      val (ks, aggs) = rollupSpec(flags)
+      val reused =
+        org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+      val spark = Sessions.get("graft-rollup")
+      val st = graft.operators.IncrementalAgg.increment(spark,
+        tableDir, deltaDir, outDir, ks, aggs)
+      println(s"rollup: ${st.keysMerged} keys merged, " +
+        s"${st.keysInserted} inserted; ${st.filesRewritten} files " +
+        s"rewritten, ${st.filesCopied} copied -> $outDir")
       if (!reused) spark.stop()
     // skipindex <tableDir> <column> [--bits B] [--k K] | skipindex
     // lookup <tableDir> <column> <key,key,...>: per-file Bloom
@@ -330,14 +346,34 @@ object CliMain {
       println(s"skipindex: ${keys.size} keys -> ${cands.size} candidate " +
         s"files, $n rows")
       if (!reusedL) sparkL.stop()
+    // skipindex refresh <tableDir> <column>: incremental sidecar
+    // maintenance after a TableLog commit — re-aggregates only the
+    // snapshot's new files, carries quiet files' rows.
+    case "skipindex" :: "refresh" :: tableDir :: column :: _ =>
+      val reusedR =
+        org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
+      val sparkR = Sessions.get("graft-skipindex")
+      val rs = graft.ingest.FileSkipIndex.refresh(sparkR, tableDir,
+        column)
+      println(s"skipindex: refreshed $column — ${rs.filesIndexed} " +
+        s"files indexed, ${rs.filesKept} kept, ${rs.filesDropped} " +
+        "dropped")
+      if (!reusedR) sparkR.stop()
     case "skipindex" :: tableDir :: column :: flags =>
       def flagVal(name: String): Option[String] = flagValIn(flags, name)
       val reused =
         org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
       val spark = Sessions.get("graft-skipindex")
-      graft.ingest.FileSkipIndex.build(spark, tableDir, column,
-        mBits = flagVal("--bits").map(_.toLong).getOrElse(1L << 20),
-        k = flagVal("--k").map(_.toInt).getOrElse(4))
+      val mBits = flagVal("--bits").map(_.toLong).getOrElse(1L << 20)
+      val k = flagVal("--k").map(_.toInt).getOrElse(4)
+      // versioned tables index the CURRENT snapshot's files
+      if (graft.ingest.TableLog.head(spark, tableDir).isDefined)
+        graft.ingest.FileSkipIndex.buildFiles(spark, tableDir, column,
+          graft.ingest.TableLog.snapshotFiles(spark, tableDir),
+          mBits, k)
+      else
+        graft.ingest.FileSkipIndex.build(spark, tableDir, column,
+          mBits, k)
       println(s"skipindex: built $column index under $tableDir")
       if (!reused) spark.stop()
     // table <dir> init | commit <fromDir> [--action a] [--expect N] |
@@ -369,7 +405,11 @@ object CliMain {
             flagVal("--version").map("v" + _).getOrElse("head"))
         case "expire" :: _ =>
           val st = graft.ingest.TableLog.expire(spark, dir,
-            flagVal("--retain").map(_.toInt).getOrElse(2))
+            flagVal("--retain").map(_.toInt).getOrElse(2),
+            minAgeMs = flagVal("--min-age-hours").map(_.toDouble)
+              .map(h => (h * 3600000L).toLong)
+              .getOrElse(graft.ingest.TableLog.DefaultExpireAgeMs),
+            allowBatchActionDrop = rest.contains("--allow-batch-drop"))
           println(s"table: expired ${st.manifestsDropped} manifests, " +
             s"${st.filesDropped} files")
         case "diff" :: _ =>
@@ -818,16 +858,21 @@ object CliMain {
           |    [--buckets B] [--iters N]
           |  graft.CliMain quality score <docsDir> <modelDir> <outDir>
           |  graft.CliMain upsert <tableDir> <changesDir> <outDir>
-          |    --key k [--version c] [--tombstone c]
+          |    --key k[,k2] [--version c] [--tombstone c]
           |    | --scd2 --keys k1,k2 [--ts c] [--seq c]
+          |  graft.CliMain rollup --init <deltaDir> <outDir>
+          |    --keys k1,k2 --agg n:count [--agg s:sum:col]
           |  graft.CliMain rollup <tableDir> <deltaDir> <outDir>
-          |    --keys k1,k2 --agg n:count [--agg s:sum:col] [--init]
+          |    --keys k1,k2 --agg n:count [--agg s:sum:col]
           |  graft.CliMain skipindex <tableDir> <column>
           |    [--bits B] [--k K]
           |  graft.CliMain skipindex lookup <tableDir> <column> <keys>
+          |  graft.CliMain skipindex refresh <tableDir> <column>
           |  graft.CliMain table <dir> init | commit <fromDir>
           |    [--action a] [--expect N] | history
-          |    | read [--version N] | expire --retain N
+          |    | read [--version N]
+          |    | expire --retain N [--min-age-hours H]
+          |      [--allow-batch-drop]
           |    | diff --from V [--to V]
           |  graft.CliMain optimize <inDir> <outDir> --zorder colX,colY
           |    [--files N] [--bits B]

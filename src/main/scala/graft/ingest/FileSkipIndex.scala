@@ -28,26 +28,43 @@ import org.apache.spark.sql.functions._
   * metadata-sized sidecar per file, and a file is a candidate iff ALL
   * k bits are set for SOME key. [[lookup]] then reads candidates only
   * and applies the EXACT predicate — false positives die there.
-  * Rebuild after maintenance passes (the sidecar is keyed by file
-  * name; [[build]] overwrites). For a [[TableLog]]-versioned table,
-  * index the CURRENT snapshot by passing its manifest's files to a
-  * plain read first — building over the raw directory would index
-  * every retained version's files. FileSkipIndexSpec pins losslessness
-  * (lookup ≡ full scan, incl. keys absent everywhere) and the
-  * single-file pruning on a planted layout. */
+  *
+  * VERSIONED TABLES (r16): [[build]]/[[lookup]] take a PLAIN flat
+  * directory and fail loudly on a [[TableLog]]-versioned one —
+  * indexing the raw directory would fold every retained version's
+  * files in and lookup would silently return superseded rows. Use
+  * [[buildFiles]] over `TableLog.snapshotFiles`, [[refresh]] after a
+  * maintenance commit (re-aggregates ONLY files the snapshot added —
+  * the touched set is computed as sidecar∖snapshot, so it is the
+  * provable delta, the zero-copy discipline applied to the index),
+  * and [[lookupSnapshot]] to probe a snapshot under its recorded
+  * schema. FileSkipIndexSpec pins losslessness (lookup ≡ full scan,
+  * incl. keys absent everywhere), the single-file pruning on a
+  * planted layout, and refresh ≡ rebuild after an upsert. */
 object FileSkipIndex {
 
   final case class Meta(column: String, mBits: Long, k: Int)
+  final case class RefreshStats(filesDropped: Int, filesIndexed: Int,
+    filesKept: Int)
 
   private def indexDir(tableDir: String, column: String): String =
     s"$tableDir/_graft_index/$column"
 
-  /** One aggregation pass: per-file Bloom words over the column. */
-  def build(spark: SparkSession, tableDir: String, column: String,
-      mBits: Long = 1L << 20, k: Int = 4): Unit = {
-    require(mBits % 64 == 0 && mBits > 0 && k >= 1)
-    import spark.implicits._
-    spark.read.parquet(tableDir)
+  private def requireUnversioned(spark: SparkSession, tableDir: String,
+      op: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(tableDir, "_graft_log")
+    val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!f.exists(p),
+      s"$tableDir is TableLog-versioned: $op over the raw directory " +
+        "would mix every retained version's files (silent stale/" +
+        "duplicate rows); use buildFiles/refresh/lookupSnapshot with " +
+        "the snapshot's file list instead")
+  }
+
+  /** The per-file Bloom aggregation over an explicit file list. */
+  private def bloomRows(spark: SparkSession, files: Seq[String],
+      column: String, mBits: Long, k: Int): DataFrame =
+    spark.read.parquet(files: _*)
       .select(col(column).cast("string").as("g"))
       .withColumn("file", input_file_name())
       .select(col("file"), col("g"),
@@ -56,6 +73,26 @@ object FileSkipIndex {
         pmod(xxhash64(col("r"), col("g")), lit(mBits)).as("bit"))
       .groupBy(col("file"), (col("bit") / 64).cast("long").as("word_idx"))
       .agg(expr("bit_or(shiftleft(1L, int(bit % 64)))").as("bits"))
+
+  /** One aggregation pass: per-file Bloom words over the column of a
+    * PLAIN flat table directory ([[buildFiles]] for versioned). */
+  def build(spark: SparkSession, tableDir: String, column: String,
+      mBits: Long = 1L << 20, k: Int = 4): Unit = {
+    requireUnversioned(spark, tableDir, "build")
+    buildFiles(spark, tableDir, column,
+      graft.operators.Upsert.listFlat(spark, tableDir).map(_.toString),
+      mBits, k)
+  }
+
+  /** Build the sidecar over an EXPLICIT file list — the
+    * [[TableLog]] form: pass `TableLog.snapshotFiles(...)` so only
+    * the CURRENT snapshot's files are indexed. */
+  def buildFiles(spark: SparkSession, tableDir: String, column: String,
+      files: Seq[String], mBits: Long = 1L << 20, k: Int = 4): Unit = {
+    require(mBits % 64 == 0 && mBits > 0 && k >= 1)
+    require(files.nonEmpty, "empty file list")
+    import spark.implicits._
+    bloomRows(spark, files, column, mBits, k)
       .write.mode("overwrite").parquet(indexDir(tableDir, column))
     Seq((column, mBits, k)).toDF("column", "mBits", "k")
       .write.mode("overwrite")
@@ -68,6 +105,44 @@ object FileSkipIndex {
       .parquet(s"${indexDir(tableDir, column)}_meta")
       .as[(String, Long, Int)].collect().toSeq
     Meta(c, m, k)
+  }
+
+  private def nameOf(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = substring_index(c, "/", -1)
+
+  /** INCREMENTAL maintenance after a [[TableLog]] commit: keep
+    * sidecar rows for files still in the head snapshot, drop rows for
+    * files the snapshot no longer references, and aggregate ONLY the
+    * snapshot's new files. The delta is computed from the sidecar
+    * itself vs the snapshot list — provably the touched set, no
+    * caller bookkeeping — so a maintenance pass that rewrote 2 of a
+    * million files costs a 2-file aggregation, not a table rebuild
+    * ([[buildFiles]] stays for full re-clustering). */
+  def refresh(spark: SparkSession, tableDir: String, column: String,
+      version: Option[Int] = None): RefreshStats = {
+    import spark.implicits._
+    val m = meta(spark, tableDir, column)
+    val snapshot = TableLog.snapshotFiles(spark, tableDir, version)
+    val snapNames = snapshot.map(f =>
+      new org.apache.hadoop.fs.Path(f).getName)
+    val idx = spark.read.parquet(indexDir(tableDir, column))
+    val indexedNames = idx.select(nameOf(col("file")).as("n"))
+      .distinct().as[String].collect().toSet
+    val keep = idx.filter(nameOf(col("file")).isin(snapNames: _*))
+    val added = snapshot.filterNot(f =>
+      indexedNames.contains(new org.apache.hadoop.fs.Path(f).getName))
+    val fresh =
+      if (added.isEmpty) keep
+      else keep.unionByName(
+        bloomRows(spark, added, column, m.mBits, m.k))
+    // the sidecar is metadata-sized: materialize before overwriting
+    // the directory the plan reads from
+    fresh.localCheckpoint()
+      .write.mode("overwrite").parquet(indexDir(tableDir, column))
+    RefreshStats(
+      filesDropped = (indexedNames -- snapNames).size,
+      filesIndexed = added.size,
+      filesKept = (indexedNames & snapNames.toSet).size)
   }
 
   /** Files that MIGHT hold any of `keys` — every file truly holding
@@ -99,17 +174,43 @@ object FileSkipIndex {
       .as[String].collect().toSeq
   }
 
-  /** Pruned point lookup: read candidate files only, then the exact
-    * predicate (false positives die here; skipped files provably held
-    * nothing). */
+  /** Pruned point lookup on a PLAIN flat table: read candidate files
+    * only, then the exact predicate (false positives die here;
+    * skipped files provably held nothing). */
   def lookup(spark: SparkSession, tableDir: String, column: String,
       keys: Seq[String]): DataFrame = {
+    requireUnversioned(spark, tableDir, "lookup")
     val schema = spark.read.parquet(tableDir).schema
     val files = candidateFiles(spark, tableDir, column, keys)
     if (files.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else spark.read.schema(schema).parquet(files: _*)
+      .filter(col(column).cast("string").isin(keys: _*))
+  }
+
+  /** Snapshot-scoped pruned lookup on a [[TableLog]]-versioned table:
+    * candidates intersect THAT snapshot's file list (the sidecar may
+    * trail the head by a maintenance pass, or a reader may time
+    * travel — either way a candidate outside the snapshot must not be
+    * read), and the scan runs under the snapshot's RECORDED schema so
+    * pre-evolution files null-fill. Lossless for any file the sidecar
+    * indexes; run [[refresh]] after commits so it indexes the head. */
+  def lookupSnapshot(spark: SparkSession, tableDir: String,
+      column: String, keys: Seq[String], version: Option[Int] = None)
+      : DataFrame = {
+    val snapshot = TableLog.snapshotFiles(spark, tableDir, version)
+    val snapNames = snapshot.map(f =>
+      new org.apache.hadoop.fs.Path(f).getName).toSet
+    val schema = TableLog.schemaOf(spark, tableDir, version).getOrElse(
+      sys.error(s"$tableDir snapshot records no schema (empty init?)"))
+    val cands = candidateFiles(spark, tableDir, column, keys)
+      .filter(f => snapNames.contains(
+        new org.apache.hadoop.fs.Path(f).getName))
+    if (cands.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema).parquet(cands: _*)
       .filter(col(column).cast("string").isin(keys: _*))
   }
 }

@@ -340,10 +340,18 @@ object Behavior extends QueryFamily {
       // thresholds by EXACT interpolated percentile over integers —
       // value + {0,.25,.5,.75}·(next−value) lands on dyadic rationals
       // both engines represent exactly (the q_profile_outliers
-      // discipline). Two partial-aggregated shuffles (per-customer RFM,
-      // 1-row max-date) + two 1-row broadcasts; tiers are map-side CASE
-      // sums. Boundary semantics pinned in the SQL: recency uses <=
-      // (lower is better → higher tier), frequency/monetary use >.
+      // discipline). BOUNDED THRESHOLD STATE (r16): the exact
+      // `percentile` buffers a value→count map on the final reducer,
+      // and distinct per-customer m_cents grows O(customers) — so the
+      // monetary signal quantizes to $100 units through the SAME
+      // cdfBin clamp the calibration family uses (≤ 2^20 distinct
+      // values BY CONSTRUCTION; r_days and f are naturally bounded).
+      // The clamp is mirrored in the oracle SQL — the
+      // q_quality_normalize discipline. Two partial-aggregated
+      // shuffles (per-customer RFM, 1-row max-date) + two 1-row
+      // broadcasts; tiers are map-side CASE sums. Boundary semantics
+      // pinned in the SQL: recency uses <= (lower is better → higher
+      // tier), frequency/monetary use >.
       val o = Tables.orders(s, d).select(col("o_custkey"),
         col("o_orderdate"),
         floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"))
@@ -354,10 +362,11 @@ object Behavior extends QueryFamily {
             .cast("long").as("r_days"),
           count(lit(1)).as("f"),
           sum("cents").as("m_cents"))
+        .withColumn("m_q", Quality.cdfBin(expr("m_cents div 10000")))
       val th = rfm.agg(
         expr("percentile(r_days, array(0.25, 0.5, 0.75))").as("rq"),
         expr("percentile(f, array(0.25, 0.5, 0.75))").as("fq"),
-        expr("percentile(m_cents, array(0.25, 0.5, 0.75))").as("mq"))
+        expr("percentile(m_q, array(0.25, 0.5, 0.75))").as("mq"))
       def upTier(c: Column, q: Column): Column =
         (lit(1) + (c > q.getItem(0)).cast("long") +
           (c > q.getItem(1)).cast("long") +
@@ -371,7 +380,7 @@ object Behavior extends QueryFamily {
           col("m_cents"),
           downTier(col("r_days"), col("rq")).as("r_tier"),
           upTier(col("f"), col("fq")).as("f_tier"),
-          upTier(col("m_cents"), col("mq")).as("m_tier"))
+          upTier(col("m_q"), col("mq")).as("m_tier"))
         .withColumn("rfm_score",
           col("r_tier") * 100 + col("f_tier") * 10 + col("m_tier"))
         .orderBy("o_custkey")
@@ -794,12 +803,14 @@ object Behavior extends QueryFamily {
         |    CAST(min(date_diff('day', o_orderdate, maxd)) AS BIGINT)
         |      AS r_days,
         |    count(*) AS f,
-        |    CAST(sum(cents) AS BIGINT) AS m_cents
+        |    CAST(sum(cents) AS BIGINT) AS m_cents,
+        |    LEAST(GREATEST(CAST(sum(cents) AS BIGINT) // 10000, 0),
+        |      1048575) AS m_q
         |  FROM o, mx GROUP BY o_custkey),
         |th AS (
         |  SELECT quantile_cont(r_days, [0.25, 0.5, 0.75]) AS rq,
         |         quantile_cont(f, [0.25, 0.5, 0.75]) AS fq,
-        |         quantile_cont(m_cents, [0.25, 0.5, 0.75]) AS mq
+        |         quantile_cont(m_q, [0.25, 0.5, 0.75]) AS mq
         |  FROM rfm),
         |tiers AS (
         |  SELECT o_custkey, r_days, f, m_cents,
@@ -811,9 +822,9 @@ object Behavior extends QueryFamily {
         |           + (CASE WHEN f > fq[2] THEN 1 ELSE 0 END)
         |           + (CASE WHEN f > fq[3] THEN 1 ELSE 0 END)
         |      AS BIGINT) AS f_tier,
-        |    CAST(1 + (CASE WHEN m_cents > mq[1] THEN 1 ELSE 0 END)
-        |           + (CASE WHEN m_cents > mq[2] THEN 1 ELSE 0 END)
-        |           + (CASE WHEN m_cents > mq[3] THEN 1 ELSE 0 END)
+        |    CAST(1 + (CASE WHEN m_q > mq[1] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN m_q > mq[2] THEN 1 ELSE 0 END)
+        |           + (CASE WHEN m_q > mq[3] THEN 1 ELSE 0 END)
         |      AS BIGINT) AS m_tier
         |  FROM rfm, th)
         |SELECT o_custkey, r_days, f, m_cents, r_tier, f_tier, m_tier,

