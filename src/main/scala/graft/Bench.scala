@@ -85,6 +85,54 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** The ingest-throughput probe, shared by the suite bench and
+    * [[BenchIngest]] (the quiet-host re-stamp runs the SAME
+    * measurement in a fresh JVM — one definition, no drift). */
+  def ingestThroughput(spark: org.apache.spark.sql.SparkSession,
+      runs: Int): Double = {
+    val nBlocks = 100000L
+    val blocks = SampleBlocks.blocksDF(spark, nBlocks).persist()
+    blocks.count() // materialize inputs off the clock
+    def onePass(): Double = {
+      val root = Files.createTempDirectory("bench-ingest").toString
+      val pt = RangePartitioner(start = 0, size = 5000)
+      val t0 = System.nanoTime()
+      val dec = Decode.decoded(blocks, SampleBlocks.output).persist()
+      dec.count() // build the cache once, then fan out concurrently
+      // tables overlap (BlockPipeline does the same per epoch)
+      import scala.concurrent.{Await, ExecutionContext, Future}
+      import scala.concurrent.duration.Duration
+      val fields = graft.ingest.ProtoSchema.explodableFields(SampleBlocks.output)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(1 + fields.size)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val jobs = Future {
+          RangeSink(s"$root/main", pt).writeAll(Decode.mainFromDecoded(dec))
+        } +: fields.map { f => Future {
+          RangeSink(s"$root/${f.name}", pt)
+            .writeAll(Decode.childFromDecoded(dec, f))
+        }}
+        Await.result(Future.sequence(jobs), Duration.Inf)
+      } finally pool.shutdown()
+      dec.unpersist()
+      nBlocks / ((System.nanoTime() - t0) / 1e9)
+    }
+    // The ingest path reaches JIT/page-cache steady state only after
+    // ~6-8 passes in a JVM (measured r7: run1 ≈ 9-13k blocks/s cold,
+    // runs 8-10 ≈ 63-81k, same code) — the query warm-up above never
+    // touches RangeSink, so an un-warmed best-of-3 samples the warmup
+    // RAMP and lands anywhere in a 2× band. That ramp, not any code
+    // change, was the r5→r6 "regression" (86.0k vs 62.8k driver
+    // artifacts; r5/r6 HEADs measure within variance of each other
+    // back-to-back at steady state — PLANS.md round 7). Warm passes
+    // run off the clock so the timed best-of-N samples steady state.
+    val warmPasses = sys.env.getOrElse("SPARK_GRAFT_INGEST_WARMUP", "4").toInt
+    (1 to warmPasses).foreach(_ => onePass())
+    val bps = (1 to runs).map(_ => onePass()).max
+    blocks.unpersist()
+    bps
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.get("graft-bench")
@@ -163,49 +211,8 @@ object Bench {
     }
     // ingest throughput: 100k blocks ≈ 100k main + ~100k transfer +
     // 200k touched rows through decode/explode/range-sink
-    val ingestBps = try {
-      val nBlocks = 100000L
-      val blocks = SampleBlocks.blocksDF(spark, nBlocks).persist()
-      blocks.count() // materialize inputs off the clock
-      def onePass(): Double = {
-        val root = Files.createTempDirectory("bench-ingest").toString
-        val pt = RangePartitioner(start = 0, size = 5000)
-        val t0 = System.nanoTime()
-        val dec = Decode.decoded(blocks, SampleBlocks.output).persist()
-        dec.count() // build the cache once, then fan out concurrently
-        // tables overlap (BlockPipeline does the same per epoch)
-        import scala.concurrent.{Await, ExecutionContext, Future}
-        import scala.concurrent.duration.Duration
-        val fields = graft.ingest.ProtoSchema.explodableFields(SampleBlocks.output)
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(1 + fields.size)
-        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
-        try {
-          val jobs = Future {
-            RangeSink(s"$root/main", pt).writeAll(Decode.mainFromDecoded(dec))
-          } +: fields.map { f => Future {
-            RangeSink(s"$root/${f.name}", pt)
-              .writeAll(Decode.childFromDecoded(dec, f))
-          }}
-          Await.result(Future.sequence(jobs), Duration.Inf)
-        } finally pool.shutdown()
-        dec.unpersist()
-        nBlocks / ((System.nanoTime() - t0) / 1e9)
-      }
-      // The ingest path reaches JIT/page-cache steady state only after
-      // ~6-8 passes in a JVM (measured r7: run1 ≈ 9-13k blocks/s cold,
-      // runs 8-10 ≈ 63-81k, same code) — the query warm-up above never
-      // touches RangeSink, so an un-warmed best-of-3 samples the warmup
-      // RAMP and lands anywhere in a 2× band. That ramp, not any code
-      // change, was the r5→r6 "regression" (86.0k vs 62.8k driver
-      // artifacts; r5/r6 HEADs measure within variance of each other
-      // back-to-back at steady state — PLANS.md round 7). Warm passes
-      // run off the clock so the timed best-of-N samples steady state.
-      val warmPasses = sys.env.getOrElse("SPARK_GRAFT_INGEST_WARMUP", "4").toInt
-      (1 to warmPasses).foreach(_ => onePass())
-      val bps = (1 to runs).map(_ => onePass()).max
-      blocks.unpersist()
-      bps
-    } catch { case _: Throwable => -1.0 }
+    val ingestBps = try ingestThroughput(spark, runs)
+      catch { case _: Throwable => -1.0 }
     // streaming near-dup throughput (docs/s) at TWO corpus sizes, each
     // best-of-N over ProfileCorpus's measured pass (signature + banding +
     // registry join + claim write ∥ sink count) — same isolated protocol
