@@ -22,7 +22,8 @@ object SparkEntry {
     q.Llm,
     q.Pipeline,
     q.Graph,
-    q.Quality
+    q.Quality,
+    q.Lakehouse
   )
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

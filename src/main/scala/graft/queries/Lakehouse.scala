@@ -1,0 +1,224 @@
+package graft.queries
+
+import java.nio.file.Files
+
+import graft.{QueryFamily, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Lakehouse maintenance kernels driven END-TO-END under DuckDB
+  * oracles (r16) — the upgrade from "spec-pinned operator" to
+  * "hash-matched query" for the loop the repo built in r15/r16:
+  *
+  *  - q_upsert_merge: the SCD1 keyed MERGE ([[graft.operators.Upsert]])
+  *    applied to a customer dimension with a change feed DERIVED FROM
+  *    ORDERS (updates for every ordering customer, tombstone deletes
+  *    for custkey % 13, inserts past the key space) — the oracle
+  *    states MERGE relationally (survivors ∪ resolved upserts);
+  *  - q_scd2_merge: the Type-2 merge ([[graft.operators.Upsert.mergeScd2]])
+  *    over an event-time SPLIT of the events table — landed
+  *    scd2(H1) absorbing raw H2; the oracle is the FULL-history scd2
+  *    SQL, so the UpsertSpec theorem mergeScd2(scd2(H1), H2) ≡
+  *    scd2(H1 ∪ H2) is now DuckDB-adjudicated, not just self-pinned;
+  *  - q_rollup_increment: [[graft.operators.IncrementalAgg]] absorbing
+  *    the post-cutoff orders into a landed pre-cutoff rollup; oracle =
+  *    one GROUP BY over all orders (increment ≡ rebuild);
+  *  - q_snapshot_diff: [[graft.ingest.TableLog]] init → zero-copy
+  *    mergeShared commit → diff(v0, v1) on the INCREMENTAL delta log;
+  *    oracle = EXCEPT ALL both ways between the stated before/after
+  *    relations (multiset change-data-feed semantics).
+  *
+  * Each query materializes its deterministic inputs under a fresh temp
+  * dir per invocation (the kernels are directory-contract operators),
+  * so reruns are bit-identical and the hash gate applies unchanged.
+  * Scale shape is the kernels' own: key-pruned copy-on-write probes,
+  * broadcast change keys, zero-copy carries — nothing here adds a
+  * driver-side loop beyond the metadata-sized file lists the kernels
+  * already collect. */
+object Lakehouse extends QueryFamily {
+
+  /** Integer-cents customer dimension (the upsert target). */
+  private def dim(s: SparkSession, d: String): DataFrame =
+    Tables.customer(s, d).select(
+      col("c_custkey"),
+      col("c_name"),
+      col("c_nationkey").cast("long").as("c_nationkey"),
+      floor(col("c_acctbal") * 100 + 0.5).cast("long").as("bal_cents"),
+      lit(0L).as("ver"))
+
+  /** The orders-derived change feed: one resolved row per ordering
+    * customer (update), tombstones for custkey % 13, inserts at
+    * custkey + 10^7 for custkey % 7 — all integer/string-exact. */
+  private def changes(s: SparkSession, d: String): DataFrame = {
+    val agg = Tables.orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("o_totalprice") * 100 + 0.5).cast("long"))
+          .as("spend"))
+    val updates = agg.select(
+      col("o_custkey").as("c_custkey"),
+      concat(lit("u"), col("n").cast("string")).as("c_name"),
+      (col("o_custkey") % 25).as("c_nationkey"),
+      col("spend").as("bal_cents"),
+      lit(1L).as("ver"),
+      (col("o_custkey") % 13 === 0).as("del"))
+    val inserts = agg.filter(col("o_custkey") % 7 === 0).select(
+      (col("o_custkey") + 10000000L).as("c_custkey"),
+      concat(lit("i"), col("n").cast("string")).as("c_name"),
+      (col("o_custkey") % 25).as("c_nationkey"),
+      col("spend").as("bal_cents"),
+      lit(1L).as("ver"),
+      lit(false).as("del"))
+    updates.unionByName(inserts)
+  }
+
+  private val outCols = Seq("c_custkey", "c_name", "c_nationkey",
+    "bal_cents", "ver")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_upsert_merge" -> { (s, d) =>
+      // keyed MERGE end-to-end: range-clustered 4-file dimension, the
+      // probe prunes on the key column, untouched files copy, the
+      // oracle states the merge relationally
+      val root = Files.createTempDirectory("q-upsert").toString
+      dim(s, d).repartitionByRange(4, col("c_custkey"))
+        .write.parquet(s"$root/t")
+      changes(s, d).write.parquet(s"$root/chg")
+      graft.operators.Upsert.merge(s, s"$root/t", s"$root/chg",
+        s"$root/out", Seq("c_custkey"), versionCol = Some("ver"),
+        tombstoneCol = Some("del"))
+      s.read.parquet(s"$root/out")
+        .select(outCols.map(col): _*)
+        .orderBy("c_custkey")
+    },
+    "q_scd2_merge" -> { (s, d) =>
+      // Type-2 merge ≡ from-scratch rebuild, DuckDB-adjudicated: land
+      // scd2(events < cutoff), merge the raw post-cutoff events, and
+      // hash against the full-history scd2 SQL
+      val cutoff = "2024-01-16 00:00:00"
+      val root = Files.createTempDirectory("q-scd2m").toString
+      val ev = Tables.events(s, d)
+      Streaming.scd2(ev.filter(col("ts") < lit(cutoff)))
+        .repartitionByRange(4, col("user_id"))
+        .write.parquet(s"$root/t")
+      ev.filter(col("ts") >= lit(cutoff)).write.parquet(s"$root/chg")
+      graft.operators.Upsert.mergeScd2(s, s"$root/t", s"$root/chg",
+        s"$root/out", Seq("user_id", "event_type"))
+      s.read.parquet(s"$root/out")
+        .select("user_id", "event_type", "event_id", "valid_from",
+          "valid_to", "is_current")
+        .orderBy("user_id", "event_type", "valid_from", "event_id")
+    },
+    "q_rollup_increment" -> { (s, d) =>
+      // incremental rollup ≡ rebuild: the landed pre-1998 per-customer
+      // rollup (mergeable partials) absorbs the post-1998 delta; the
+      // oracle is one GROUP BY over all orders
+      val root = Files.createTempDirectory("q-rollup").toString
+      val keys = Seq("o_custkey")
+      val aggs = Seq[(String, graft.operators.Skew.ReAgg)](
+        "n" -> graft.operators.Skew.CountRows(),
+        "spend" -> graft.operators.Skew.SumOf(col("cents")),
+        "first_us" -> graft.operators.Skew.MinOf(col("us")),
+        "last_us" -> graft.operators.Skew.MaxOf(col("us")))
+      def shaped(df: DataFrame): DataFrame = df.select(
+        col("o_custkey"),
+        floor(col("o_totalprice") * 100 + 0.5).cast("long").as("cents"),
+        expr("unix_micros(cast(o_orderdate as timestamp))").as("us"))
+      val o = Tables.orders(s, d)
+      graft.operators.IncrementalAgg.rollup(
+          shaped(o.filter(col("o_orderdate") < lit("1998-01-01"))),
+          keys, aggs)
+        .repartitionByRange(4, col("o_custkey"))
+        .write.parquet(s"$root/t")
+      shaped(o.filter(col("o_orderdate") >= lit("1998-01-01")))
+        .write.parquet(s"$root/delta")
+      graft.operators.IncrementalAgg.increment(s, s"$root/t",
+        s"$root/delta", s"$root/out", keys, aggs)
+      s.read.parquet(s"$root/out")
+        .select("o_custkey", "n", "spend", "first_us", "last_us")
+        .orderBy("o_custkey")
+    },
+    "q_snapshot_diff" -> { (s, d) =>
+      // the versioned log end-to-end on the r16 INCREMENTAL records:
+      // init v0, zero-copy mergeShared commit v1 (untouched files
+      // carried by reference), diff(v0, v1) = the change-data feed,
+      // hash-matched against EXCEPT ALL both ways
+      val root = Files.createTempDirectory("q-diff").toString
+      dim(s, d).repartitionByRange(4, col("c_custkey"))
+        .write.parquet(s"$root/t")
+      changes(s, d).write.parquet(s"$root/chg")
+      graft.ingest.TableLog.init(s, s"$root/t")
+      val (_, untouched) = graft.operators.Upsert.mergeShared(s,
+        graft.ingest.TableLog.snapshotFiles(s, s"$root/t"),
+        s"$root/chg", s"$root/staged", Seq("c_custkey"),
+        versionCol = Some("ver"), tombstoneCol = Some("del"))
+      graft.ingest.TableLog.commit(s, s"$root/t", s"$root/staged",
+        "upsert", expectedHead = Some(0), carry = untouched)
+      graft.ingest.TableLog.diff(s, s"$root/t", 0, 1)
+        .select((outCols :+ "_change_type").map(col): _*)
+        .orderBy("c_custkey", "_change_type")
+    })
+
+  /** Shared oracle CTEs: the integerized dimension, the resolved
+    * change feed, and the relational MERGE result. */
+  private val mergeCtes =
+    """WITH t AS (
+      |  SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+      |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+      |    CAST(0 AS BIGINT) AS ver
+      |  FROM customer),
+      |agg AS (
+      |  SELECT o_custkey, count(*) AS n,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS spend
+      |  FROM orders GROUP BY 1),
+      |chg AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    'u' || CAST(n AS VARCHAR) AS c_name,
+      |    o_custkey % 25 AS c_nationkey, spend AS bal_cents,
+      |    CAST(1 AS BIGINT) AS ver, o_custkey % 13 = 0 AS del
+      |  FROM agg
+      |  UNION ALL
+      |  SELECT o_custkey + 10000000,
+      |    'i' || CAST(n AS VARCHAR),
+      |    o_custkey % 25, spend, CAST(1 AS BIGINT), false
+      |  FROM agg WHERE o_custkey % 7 = 0),
+      |up AS (
+      |  SELECT c_custkey, c_name, c_nationkey, bal_cents, ver
+      |  FROM chg WHERE NOT del),
+      |merged AS (
+      |  SELECT * FROM t
+      |  WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+      |  UNION ALL SELECT * FROM up)
+      |""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q_upsert_merge" -> (mergeCtes +
+      """SELECT c_custkey, c_name, c_nationkey, bal_cents, ver
+        |FROM merged ORDER BY c_custkey""".stripMargin),
+    "q_scd2_merge" ->
+      """SELECT user_id, event_type, event_id,
+        |  epoch_us(ts) AS valid_from,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) AS valid_to,
+        |  lead(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+        |    ORDER BY ts, event_id) IS NULL AS is_current
+        |FROM events
+        |ORDER BY user_id, event_type, valid_from, event_id""".stripMargin,
+    "q_rollup_increment" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+        |    AS BIGINT) AS spend,
+        |  min(epoch_us(o_orderdate)) AS first_us,
+        |  max(epoch_us(o_orderdate)) AS last_us
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_snapshot_diff" -> (mergeCtes +
+      """, ins AS (SELECT * FROM merged EXCEPT ALL SELECT * FROM t),
+        |del_ AS (SELECT * FROM t EXCEPT ALL SELECT * FROM merged)
+        |SELECT c_custkey, c_name, c_nationkey, bal_cents, ver,
+        |  'insert' AS _change_type FROM ins
+        |UNION ALL
+        |SELECT c_custkey, c_name, c_nationkey, bal_cents, ver,
+        |  'delete' FROM del_
+        |ORDER BY c_custkey, _change_type""".stripMargin))
+}
