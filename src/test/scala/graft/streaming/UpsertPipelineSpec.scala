@@ -91,6 +91,27 @@ class UpsertPipelineSpec extends SparkSuite {
       s"quiet file not carried: v0=${h(0).files} v1=${h(1).files}")
   }
 
+  test("an evolved (superset) batch widens the table through the stream") {
+    // schema evolution composes with the streaming tier: a restart
+    // with an add-column feed widens via mergeShared, TableLog records
+    // the union schema, old files null-fill, v0 keeps the old shape
+    val root = Files.createTempDirectory("upsert-pipe-evolve").toString
+    spark.range(4).select(col("id").as("k"),
+        concat(lit("old"), col("id")).as("v"), lit(0L).as("ver"))
+      .coalesce(1).write.parquet(s"$root/t")
+    TableLog.init(spark, s"$root/t")
+    val b0 = Seq((2L, "b0", 1L, 42L)).toDF("k", "v", "ver", "score")
+    assert(UpsertPipeline.applyBatch(spark, b0, s"$root/t", Seq("k"),
+      Some("ver"), None, batchId = 0))
+    val head = TableLog.read(spark, s"$root/t")
+    val scores = head.select("k", "score")
+      .as[(Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(scores == Seq((0L, None), (1L, None), (2L, Some(42L)),
+      (3L, None)), s"$scores")
+    assert(!TableLog.read(spark, s"$root/t", Some(0))
+      .columns.contains("score"))
+  }
+
   test("end-to-end stream ≡ batch merge of the union change set") {
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val root = Files.createTempDirectory("upsert-pipe-e2e").toString
