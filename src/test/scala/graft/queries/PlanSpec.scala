@@ -671,4 +671,16 @@ class PlanSpec extends SparkSuite {
       s"basket filter no longer pushed into the lineitem scan:\n$edgePlan")
   }
 
+  test("q_rfm aggregates the monetary percentile over the clamped column") {
+    // the r16 bounded-state fix: exact percentile's value→count buffer
+    // must see m_cents div 10000 clamped to [0, 2^20) — never raw
+    // m_cents, whose distinct values grow O(customers)
+    val plan = executedPlan("q_rfm")
+    assert(plan.contains("1048575"),
+      s"cdfBin clamp missing from the rfm plan:\n${plan.take(2000)}")
+    assert(plan.contains("percentile(m_q") &&
+      !plan.contains("percentile(m_cents"),
+      "monetary percentile regressed to the unbounded raw column")
+  }
+
 }
