@@ -38,9 +38,14 @@ import org.apache.spark.sql.functions._
   * the touched set is computed as sidecar∖snapshot, so it is the
   * provable delta, the zero-copy discipline applied to the index),
   * and [[lookupSnapshot]] to probe a snapshot under its recorded
-  * schema. FileSkipIndexSpec pins losslessness (lookup ≡ full scan,
-  * incl. keys absent everywhere), the single-file pruning on a
-  * planted layout, and refresh ≡ rebuild after an upsert. */
+  * schema. [[lookupSnapshot]] is lossless UNCONDITIONALLY (r17):
+  * snapshot files the sidecar does not index cannot be proven
+  * key-free, so they scan alongside the Bloom candidates — a missed
+  * refresh or a time travel past the sidecar's coverage costs
+  * pruning, never rows. FileSkipIndexSpec pins losslessness (lookup
+  * ≡ full scan, incl. keys absent everywhere), the single-file
+  * pruning on a planted layout, and refresh ≡ rebuild after an
+  * upsert. */
 object FileSkipIndex {
 
   final case class Meta(column: String, mBits: Long, k: Int)
@@ -128,7 +133,10 @@ object FileSkipIndex {
     val idx = spark.read.parquet(indexDir(tableDir, column))
     val indexedNames = idx.select(nameOf(col("file")).as("n"))
       .distinct().as[String].collect().toSet
-    val keep = idx.filter(nameOf(col("file")).isin(snapNames: _*))
+    // kept rows via a JOIN against a names frame, never an
+    // isin(snapNames: _*) literal list — at millions of files that
+    // In-expression is O(table) plan size on the driver
+    val keep = keptRows(spark, idx, snapNames)
     val added = snapshot.filterNot(f =>
       indexedNames.contains(new org.apache.hadoop.fs.Path(f).getName))
     val fresh =
@@ -143,6 +151,18 @@ object FileSkipIndex {
       filesDropped = (indexedNames -- snapNames).size,
       filesIndexed = added.size,
       filesKept = (indexedNames & snapNames.toSet).size)
+  }
+
+  /** Sidecar rows whose file NAME is in `snapNames`, as a semi-join
+    * against a names frame: a literal In-list would put one literal
+    * per table file into the plan (driver-side O(table) at the
+    * millions-of-files target). Package-private so the spec can pin
+    * the plan shape. */
+  private[ingest] def keptRows(spark: SparkSession, idx: DataFrame,
+      snapNames: Seq[String]): DataFrame = {
+    import spark.implicits._
+    idx.join(snapNames.toDF("__snap_name"),
+      nameOf(col("file")) === col("__snap_name"), "left_semi")
   }
 
   /** Files that MIGHT hold any of `keys` — every file truly holding
@@ -194,23 +214,41 @@ object FileSkipIndex {
     * trail the head by a maintenance pass, or a reader may time
     * travel — either way a candidate outside the snapshot must not be
     * read), and the scan runs under the snapshot's RECORDED schema so
-    * pre-evolution files null-fill. Lossless for any file the sidecar
-    * indexes; run [[refresh]] after commits so it indexes the head. */
+    * pre-evolution files null-fill.
+    *
+    * LOSSLESS UNCONDITIONALLY (r17): a snapshot file the sidecar does
+    * NOT index cannot be proven key-free — the Bloom's
+    * no-false-negative guarantee only covers files it aggregated — so
+    * every sidecar-unindexed snapshot file scans alongside the
+    * candidates. A commit the caller forgot to [[refresh]] after, or
+    * a time travel to a version whose files refresh dropped, degrades
+    * to partial pruning — never to silently missing rows. */
   def lookupSnapshot(spark: SparkSession, tableDir: String,
       column: String, keys: Seq[String], version: Option[Int] = None)
       : DataFrame = {
+    import spark.implicits._
     val snapshot = TableLog.snapshotFiles(spark, tableDir, version)
-    val snapNames = snapshot.map(f =>
-      new org.apache.hadoop.fs.Path(f).getName).toSet
+    val byName = snapshot.map(f =>
+      new org.apache.hadoop.fs.Path(f).getName -> f).toMap
     val schema = TableLog.schemaOf(spark, tableDir, version).getOrElse(
       sys.error(s"$tableDir snapshot records no schema (empty init?)"))
+    val indexedNames = spark.read
+      .parquet(indexDir(tableDir, column))
+      .select(nameOf(col("file")).as("n"))
+      .distinct().as[String].collect().toSet
     val cands = candidateFiles(spark, tableDir, column, keys)
-      .filter(f => snapNames.contains(
-        new org.apache.hadoop.fs.Path(f).getName))
-    if (cands.isEmpty)
+      .flatMap(f => byName.get(new org.apache.hadoop.fs.Path(f).getName))
+    // unprovable-absence files: in the snapshot, not in the sidecar —
+    // scanned unconditionally (no candidate evidence exists for them)
+    val unindexed = byName.collect {
+      case (n, f) if !indexedNames.contains(n) => f
+    }
+    val reads =
+      if (keys.isEmpty) Seq.empty else (cands ++ unindexed).toSeq.distinct
+    if (reads.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(cands: _*)
+    else spark.read.schema(schema).parquet(reads: _*)
       .filter(col(column).cast("string").isin(keys: _*))
   }
 }

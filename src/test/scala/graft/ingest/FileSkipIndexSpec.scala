@@ -130,22 +130,79 @@ class FileSkipIndexSpec extends SparkSuite {
       Seq("9700")).size == 1)
 
     // time travel: the same probe scoped to v0 sees the PRE-upsert
-    // rows — but only after the sidecar indexes v0's files, so
-    // rebuild over v0 and scope the lookup
-    FileSkipIndex.buildFiles(spark, s"$root/t", "v",
-      TableLog.snapshotFiles(spark, s"$root/t", Some(0)),
-      mBits = 1L << 16, k = 4)
+    // rows WITHOUT a rebuild — refresh dropped v0's replaced file
+    // from the sidecar, so that file is sidecar-unindexed and scans
+    // unconditionally (lossless by construction, r17)
     val old = FileSkipIndex.lookupSnapshot(spark, s"$root/t", "v",
       Seq("9899", "77"), version = Some(0))
       .select("k", "v").as[(Long, Long)].collect().toSeq
     assert(old == Seq((100L, 9899L)), s"$old")
 
-    // full-history losslessness at the head: refresh back to head
-    // first (buildFiles above re-pointed the sidecar at v0)
-    val rs2 = FileSkipIndex.refresh(spark, s"$root/t", "v")
-    assert(rs2.filesDropped == 1 && rs2.filesIndexed >= 1, s"$rs2")
+    // full-history losslessness at the head
     val all = (9000 to 9999).map(_.toString) :+ "77"
     assert(idx(all).size == head
       .filter(col("v").cast("string").isin(all: _*)).count().toInt)
+  }
+
+  test("lookupSnapshot lossless when the sidecar trails the head") {
+    val root = Files.createTempDirectory("skipidx-trail").toString
+    (0 until 4).foreach { f =>
+      spark.range(f * 250, (f + 1) * 250)
+        .select(col("id").as("k"), (lit(9999) - col("id")).as("v"),
+          lit(1L).as("ver"))
+        .coalesce(1).write.mode("append").parquet(s"$root/t")
+    }
+    TableLog.init(spark, s"$root/t")
+    FileSkipIndex.buildFiles(spark, s"$root/t", "v",
+      TableLog.snapshotFiles(spark, s"$root/t"),
+      mBits = 1L << 16, k = 4)
+
+    // a commit lands and the caller FORGETS refresh: the moved value
+    // lives in a file the sidecar does not index — it must still be
+    // found (scanned unconditionally), the vacated value must be gone
+    // (its file left the snapshot), and untouched values stay pruned
+    Seq((100L, 77L, 2L)).toDF("k", "v", "ver")
+      .write.parquet(s"$root/changes")
+    val (st, untouched) = graft.operators.Upsert.mergeShared(spark,
+      TableLog.snapshotFiles(spark, s"$root/t"), s"$root/changes",
+      s"$root/staged", Seq("k"), versionCol = Some("ver"))
+    assert(st.filesRewritten == 1, s"$st")
+    TableLog.commit(spark, s"$root/t", s"$root/staged", "upsert",
+      expectedHead = Some(0), carry = untouched)
+
+    def idx(keys: Seq[String]) =
+      FileSkipIndex.lookupSnapshot(spark, s"$root/t", "v", keys)
+        .select("k", "v").as[(Long, Long)].collect().sortBy(_._1).toSeq
+    val got = idx(Seq("77", "9899", "9700", "123456"))
+    assert(got == Seq((100L, 77L), (299L, 9700L)), s"$got")
+
+    // pruning still works for indexed files even while the sidecar
+    // trails: an absent key reads ONLY the unindexed files (the v1
+    // commit's rewrite output), never the 3 quiet indexed ones
+    val absent = FileSkipIndex.lookupSnapshot(spark, s"$root/t", "v",
+      Seq("123456"))
+    assert(absent.count() == 0 &&
+      absent.inputFiles.nonEmpty &&
+      absent.inputFiles.forall(f =>
+        new org.apache.hadoop.fs.Path(f).getName.startsWith("v1-")),
+      s"read ${absent.inputFiles.toSeq}")
+
+    // refresh restores full pruning; result unchanged
+    FileSkipIndex.refresh(spark, s"$root/t", "v")
+    assert(idx(Seq("77", "9899", "9700", "123456")) == got)
+  }
+
+  test("refresh joins the sidecar against a names frame (no giant In)") {
+    val root = Files.createTempDirectory("skipidx-plan").toString
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$root/t")
+    FileSkipIndex.build(spark, s"$root/t", "v", mBits = 64, k = 2)
+    val idx = spark.read.parquet(s"$root/t/_graft_index/v")
+    val kept = FileSkipIndex.keptRows(spark, idx,
+      (0 until 1000).map(i => s"part-$i.parquet"))
+    val plan = kept.queryExecution.optimizedPlan.toString
+    assert(plan.contains("Join"), plan.take(500))
+    assert(!plan.contains(" IN ") && !plan.contains("isin"),
+      plan.take(500))
   }
 }
