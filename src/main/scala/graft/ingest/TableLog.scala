@@ -98,7 +98,13 @@ object TableLog {
   private def checkpointPath(dir: String, v: Int): Path =
     new Path(dir, f"$LogDir/v$v%010d.checkpoint")
 
-  /** (delta versions, checkpoint versions), each sorted. */
+  private def checkpointParquetPath(dir: String, v: Int): Path =
+    new Path(dir, f"$LogDir/v$v%010d.checkpoint.parquet")
+
+  /** (delta versions, checkpoint versions), each sorted. A
+    * checkpoint version counts whether the record is the r17 parquet
+    * form (`v<N>.checkpoint.parquet`) or the legacy text form
+    * (`v<N>.checkpoint`) — old logs keep resolving unchanged. */
   private def listLog(f: FileSystem, dir: String): (Seq[Int], Seq[Int]) = {
     val log = new Path(dir, LogDir)
     if (!f.exists(log)) (Seq.empty, Seq.empty)
@@ -106,8 +112,10 @@ object TableLog {
       val names = f.listStatus(log).toSeq.map(_.getPath.getName)
       def vs(suffix: String): Seq[Int] = names
         .filter(n => n.startsWith("v") && n.endsWith(suffix))
-        .map(_.stripPrefix("v").stripSuffix(suffix).toInt).sorted
-      (vs(".delta"), vs(".checkpoint"))
+        .map(_.stripPrefix("v").stripSuffix(suffix).toInt)
+      (vs(".delta").sorted,
+        (vs(".checkpoint") ++ vs(".checkpoint.parquet"))
+          .distinct.sorted)
     }
   }
 
@@ -179,12 +187,51 @@ object TableLog {
     }
   }
 
+  /** Checkpoint records are IMMUTABLE once published (publish never
+    * overwrites a destination), so resolved checkpoints cache
+    * process-wide — a commit stream over the same table re-reads the
+    * checkpoint zero times until the next one lands. Bounded: cleared
+    * wholesale past 64 entries (tables in a process are few; this is
+    * a correctness-safe cache, not an LRU). */
+  private val cpCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), Record]()
+
+  /** Test/profile hook: drop the immutable-checkpoint cache so a
+    * resolve measures the cold read path. */
+  private[graft] def dropCheckpointCache(): Unit = cpCache.clear()
+
+  /** Read checkpoint `cv` — the r17 parquet form when present (one
+    * (kind, value) row per action/schema/file entry, written and read
+    * as a DataFrame: columnar, compressed, no whole-file driver text
+    * parse), else the legacy text record. */
+  private def readCheckpoint(spark: SparkSession, f: FileSystem,
+      dir: String, cv: Int): Record = {
+    val key = (new Path(dir).toUri.getPath, cv)
+    val hit = cpCache.get(key)
+    if (hit != null) return hit
+    val pq = checkpointParquetPath(dir, cv)
+    val rec =
+      if (f.exists(pq)) {
+        val rows = spark.read.parquet(pq.toString)
+          .collect().map(r => r.getString(0) -> r.getString(1))
+        Record(
+          action = rows.collectFirst { case ("action", a) => a }
+            .getOrElse("?"),
+          schemaJson = rows.collectFirst { case ("schema", s) => s },
+          adds = Nil, removes = Nil,
+          files = rows.toSeq.collect { case ("file", n) => n })
+      } else parse(readText(f, checkpointPath(dir, cv)))
+    if (cpCache.size > 64) cpCache.clear()
+    cpCache.put(key, rec)
+    rec
+  }
+
   /** Resolve (sorted file list, schema) for each requested version in
     * ONE walk: start from the newest checkpoint at or below the
     * lowest target, apply deltas forward. O(checkpoint + tail), and
     * the multi-target form (history, expire) shares the walk. */
-  private def resolveWalk(f: FileSystem, dir: String,
-      deltas: Seq[Int], cps: Seq[Int], targets: Seq[Int])
+  private def resolveWalk(spark: SparkSession, f: FileSystem,
+      dir: String, deltas: Seq[Int], cps: Seq[Int], targets: Seq[Int])
       : Map[Int, (Seq[String], Option[String], String)] = {
     if (targets.isEmpty) return Map.empty
     val lo = targets.min
@@ -194,7 +241,7 @@ object TableLog {
     var files = Set.empty[String]
     val start = cps.filter(_ <= lo).maxOption match {
       case Some(cv) =>
-        val rec = parse(readText(f, checkpointPath(dir, cv)))
+        val rec = readCheckpoint(spark, f, dir, cv)
         files = rec.files.toSet
         if (want(cv)) out += cv -> (rec.files.sorted, rec.schemaJson,
           rec.action)
@@ -217,21 +264,39 @@ object TableLog {
     out.result()
   }
 
-  private def resolveOne(f: FileSystem, dir: String, v: Int)
-      : (Seq[String], Option[String], String) = {
+  private def resolveOne(spark: SparkSession, f: FileSystem,
+      dir: String, v: Int): (Seq[String], Option[String], String) = {
     val (deltas, cps) = listLog(f, dir)
     require(deltas.nonEmpty, s"$dir has no log — run init first")
     require(deltas.contains(v),
       s"v$v not in retained history ${deltas.mkString("[", ",", "]")}")
-    resolveWalk(f, dir, deltas, cps, Seq(v))(v)
+    resolveWalk(spark, f, dir, deltas, cps, Seq(v))(v)
   }
 
-  private def writeCheckpoint(f: FileSystem, dir: String, v: Int,
-      action: String, schemaJson: Option[String], files: Seq[String])
-      : Unit =
-    publish(f, dir, checkpointPath(dir, v),
-      render(action, java.util.UUID.randomUUID().toString, schemaJson,
-        files.sorted.map("file" -> _)))
+  /** Land the full-file-list checkpoint as PARQUET (r17): one
+    * (kind, value) row per action/schema/file entry, written as a
+    * single-file DataFrame and renamed into place. A checkpoint is a
+    * DERIVED artifact — if another writer already published this
+    * version's, ours is logically identical and simply discarded. */
+  private def writeCheckpoint(spark: SparkSession, f: FileSystem,
+      dir: String, v: Int, action: String, schemaJson: Option[String],
+      files: Seq[String]): Unit = {
+    import spark.implicits._
+    val rows = (Seq("action" -> action) ++
+      schemaJson.map("schema" -> _) ++
+      files.sorted.map("file" -> _)).toDF("kind", "value")
+    val tmp = new Path(dir,
+      s"$LogDir/_tmp.${java.util.UUID.randomUUID()}.cp")
+    rows.coalesce(1).write.parquet(tmp.toString)
+    val part = f.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") &&
+        p.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"checkpoint write produced no part file " +
+        s"under $tmp"))
+    val dst = checkpointParquetPath(dir, v)
+    if (!f.exists(dst)) f.rename(part, dst)
+    f.delete(tmp, true)
+  }
 
   private def dataFiles(f: FileSystem, dir: String): Seq[String] =
     f.listStatus(new Path(dir)).toSeq
@@ -269,7 +334,7 @@ object TableLog {
     publish(f, dir, deltaPath(dir, 0),
       render("init", java.util.UUID.randomUUID().toString, schemaJson,
         files.sorted.map("add" -> _)))
-    writeCheckpoint(f, dir, 0, "init", schemaJson, files)
+    writeCheckpoint(spark, f, dir, 0, "init", schemaJson, files)
     0
   }
 
@@ -293,23 +358,67 @@ object TableLog {
     *
     * The snapshot schema is the union of the head's (when anything is
     * carried) and the moved files' — an add-column change feed
-    * evolves the table; old files null-fill on read. */
+    * evolves the table; old files null-fill on read.
+    *
+    * REBASE (r17): with `rebase = true`, an expectedHead conflict
+    * auto-resolves when the interleaved commits' removed-file sets
+    * are DISJOINT from this pass's touched set (the expected-head
+    * files it did not carry): the commit replays against the new
+    * head, carrying everything the new head holds except the files
+    * this pass rewrote/dropped — so two maintenance passes over
+    * different files both land without a retry, Delta-style logical
+    * conflict resolution at FILE granularity. Overlapping touched
+    * sets still fail loudly (the loser's rewrite read stale rows).
+    * File granularity is the contract's limit: two INSERTS of the
+    * same key touch no common file and both land (a duplicate-key
+    * append) — rebase is for callers whose concurrent passes own
+    * disjoint key domains; otherwise serialize on expectedHead. */
   def commit(spark: SparkSession, dir: String, fromDir: String,
       action: String, expectedHead: Option[Int] = None,
-      carry: Seq[String] = Nil): Int = {
+      carry: Seq[String] = Nil, rebase: Boolean = false): Int = {
     val f = fs(spark, dir)
     val (deltas, cps) = listLog(f, dir)
     require(deltas.nonEmpty, s"$dir has no log — run init first")
-    expectedHead.foreach(e => require(deltas.last == e,
-      s"conflict: head is v${deltas.last}, expected v$e — " +
+    val headV = deltas.last
+    val carryNames0 = carry.map(c => new Path(c).getName)
+    val rebasing = rebase && expectedHead.exists(_ != headV)
+    expectedHead.foreach(e => require(rebasing || headV == e,
+      s"conflict: head is v$headV, expected v$e — " +
         "re-run the maintenance pass against the new head"))
     val (headFilesSeq, headSchema, _) =
-      resolveWalk(f, dir, deltas, cps, Seq(deltas.last))(deltas.last)
+      resolveWalk(spark, f, dir, deltas, cps, Seq(headV))(headV)
     val headFiles = headFilesSeq.toSet
-    val carryNames = carry.map(c => new Path(c).getName)
+    val carryNames: Seq[String] =
+      if (!rebasing) carryNames0
+      else {
+        val e = expectedHead.get
+        require(deltas.contains(e),
+          s"cannot rebase: expected head v$e expired from retained " +
+            s"history ${deltas.mkString("[", ",", "]")}")
+        val eFiles = resolveWalk(spark, f, dir, deltas, cps, Seq(e))(e)
+          ._1.toSet
+        val badE = carryNames0.filterNot(eFiles.contains)
+        require(badE.isEmpty,
+          s"carry names not in expected-head snapshot v$e: " +
+            s"${badE.take(3).mkString(", ")}")
+        val touched = eFiles -- carryNames0
+        val interleavedRemoved = ((e + 1) to headV)
+          .flatMap(v => parse(readText(f, deltaPath(dir, v))).removes)
+          .toSet
+        val clash = touched & interleavedRemoved
+        require(clash.isEmpty,
+          s"rebase conflict: commits v${e + 1}..v$headV touched the " +
+            s"same files this pass rewrote (${clash.take(3)
+              .mkString(", ")}) — its rewrite read stale rows; re-run " +
+            "the maintenance pass against the new head")
+        // replay: keep everything the new head holds except the files
+        // this pass explicitly rewrote/dropped (all still present —
+        // disjointness just proved no interleaved commit removed them)
+        (headFiles -- touched).toSeq
+      }
     val bad = carryNames.filterNot(headFiles.contains)
     require(bad.isEmpty,
-      s"carry names not in head snapshot v${deltas.last}: " +
+      s"carry names not in head snapshot v$headV: " +
         s"${bad.take(3).mkString(", ")}")
     val v = deltas.last + 1
     val from = fs(spark, fromDir)
@@ -330,6 +439,12 @@ object TableLog {
         }
       require(from.rename(new Path(fromDir, n), new Path(dir, dst)),
         s"move of $n from $fromDir failed")
+      // re-stamp mtime to MOVE-IN time: rename preserves the staging
+      // write's mtime, so a slow maintenance pass's output would look
+      // "old" the instant it lands and a concurrent expire's in-flight
+      // age gate (which can only judge never-referenced files by age)
+      // could sweep it in the window before the delta publishes
+      f.setTimes(new Path(dir, dst), System.currentTimeMillis(), -1)
       dst
     }
     require(moved.nonEmpty || carryNames.nonEmpty,
@@ -351,10 +466,20 @@ object TableLog {
       render(action, java.util.UUID.randomUUID().toString, schemaJson,
         removes.sorted.map("remove" -> _) ++
           moved.sorted.map("add" -> _)))
+    // defense in depth behind the mtime re-stamp above: if a
+    // concurrent expire still swept a moved file before the publish,
+    // the snapshot just published references a deleted file — fail
+    // LOUDLY now rather than let readers hit FileNotFound later
+    val gone = moved.filterNot(n => f.exists(new Path(dir, n)))
+    if (gone.nonEmpty) sys.error(
+      s"commit v$v published a snapshot referencing files a " +
+        s"concurrent expire deleted: ${gone.take(3).mkString(", ")} — " +
+        s"the head is corrupt; restore from v${v - 1} and re-run " +
+        "the maintenance pass (raise expire's minAgeMs)")
     // derived, non-atomic-with-the-commit: a crash here only costs
     // later readers a longer delta tail until the next multiple lands
     if (v % CheckpointInterval == 0)
-      writeCheckpoint(f, dir, v, action, schemaJson,
+      writeCheckpoint(spark, f, dir, v, action, schemaJson,
         (headFiles -- removes ++ moved).toSeq)
     v
   }
@@ -367,7 +492,7 @@ object TableLog {
     val f = fs(spark, dir)
     val v = version.getOrElse(listLog(f, dir)._1.lastOption.getOrElse(
       sys.error(s"$dir has no log — run init first")))
-    resolveOne(f, dir, v)._1.map(n => new Path(dir, n).toString)
+    resolveOne(spark, f, dir, v)._1.map(n => new Path(dir, n).toString)
   }
 
   /** A snapshot's recorded schema (None only for an empty init). */
@@ -376,7 +501,7 @@ object TableLog {
     val f = fs(spark, dir)
     val v = version.getOrElse(listLog(f, dir)._1.lastOption.getOrElse(
       sys.error(s"$dir has no log — run init first")))
-    resolveOne(f, dir, v)._2
+    resolveOne(spark, f, dir, v)._2
       .map(DataType.fromJson(_).asInstanceOf[StructType])
   }
 
@@ -391,7 +516,7 @@ object TableLog {
     val f = fs(spark, dir)
     val v = version.getOrElse(listLog(f, dir)._1.lastOption.getOrElse(
       sys.error(s"$dir has no log — run init first")))
-    val (files, schemaJson, _) = resolveOne(f, dir, v)
+    val (files, schemaJson, _) = resolveOne(spark, f, dir, v)
     val schema = schemaJson.map(DataType.fromJson(_)
       .asInstanceOf[StructType])
     (files.isEmpty, schema) match {
@@ -427,6 +552,36 @@ object TableLog {
         before.exceptAll(after).withColumn("_change_type", lit("delete")))
   }
 
+  /** The resumable change feed's stateless core: every change landed
+    * AFTER `sinceV` up to `untilV` (default head), as the union of
+    * PAIRWISE diffs `diff(v-1, v)` with each row stamped
+    * `_commit_version`. Per-commit granularity matters: an insert at
+    * v2 deleted again at v5 shows BOTH events (a single spanning diff
+    * would cancel them), so the feed equals the concatenation a
+    * per-commit live consumer would have seen. Every version in
+    * `(sinceV, untilV]` must still be retained — a consumer lagging
+    * past [[expire]]'s window fails loudly in the underlying [[read]]
+    * rather than silently skipping changes. Across an add-column
+    * evolution, earlier pairs' rows null-fill the later columns
+    * (union-by-name), mirroring [[read]]'s own reconciliation.
+    * [[ChangeFeed]] adds the consumer-cursor layer. */
+  def changes(spark: SparkSession, dir: String, sinceV: Int,
+      untilV: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val hi = untilV.getOrElse(head(spark, dir).getOrElse(
+      sys.error(s"$dir has no log — run init first")))
+    require(sinceV <= hi,
+      s"sinceV v$sinceV is past v$hi — nothing to consume")
+    val parts = ((sinceV + 1) to hi).map(v =>
+      diff(spark, dir, v - 1, v)
+        .withColumn("_commit_version", lit(v)))
+    if (parts.isEmpty)
+      diff(spark, dir, hi, hi)
+        .withColumn("_commit_version", lit(hi))
+        .limit(0)
+    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+  }
+
   /** Full retained history, oldest first — ONE checkpoint + delta
     * walk resolves every version's file list (O(window × changed),
     * not O(window × table)). Use [[actions]] when only the commit
@@ -434,7 +589,7 @@ object TableLog {
   def history(spark: SparkSession, dir: String): Seq[SnapshotMeta] = {
     val f = fs(spark, dir)
     val (deltas, cps) = listLog(f, dir)
-    val resolved = resolveWalk(f, dir, deltas, cps, deltas)
+    val resolved = resolveWalk(spark, f, dir, deltas, cps, deltas)
     deltas.map { v =>
       val (files, schemaJson, action) = resolved(v)
       SnapshotMeta(v, action, files, schemaJson)
@@ -480,14 +635,14 @@ object TableLog {
     // resolve every version's file set in one walk BEFORE deleting
     // anything: retained → referenced (kept), dropped → historical
     // (published once, safe to sweep at any age)
-    val resolved = resolveWalk(f, dir, deltas, cps, deltas)
+    val resolved = resolveWalk(spark, f, dir, deltas, cps, deltas)
     val referenced = keep.flatMap(resolved(_)._1).toSet
     val historical = drop.flatMap(resolved(_)._1).toSet
     // land a checkpoint at the new floor so the tail stays resolvable
     val floor = keep.head
     if (drop.nonEmpty && !cps.contains(floor)) {
       val (files, schemaJson, action) = resolved(floor)
-      writeCheckpoint(f, dir, floor, action, schemaJson, files)
+      writeCheckpoint(spark, f, dir, floor, action, schemaJson, files)
     }
     val now = System.currentTimeMillis()
     def oldEnough(p: Path): Boolean =
@@ -499,7 +654,10 @@ object TableLog {
       f.delete(new Path(dir, n), false))
     drop.foreach { v =>
       f.delete(deltaPath(dir, v), false)
-      if (cps.contains(v)) f.delete(checkpointPath(dir, v), false)
+      if (cps.contains(v)) {
+        f.delete(checkpointPath(dir, v), false)
+        f.delete(checkpointParquetPath(dir, v), false)
+      }
     }
     // crashed commits: stranded _tmp records are never readable, and
     // a crashed maintenance batch's _staging-* shell holds only files
@@ -508,7 +666,8 @@ object TableLog {
     val tmps = f.listStatus(new Path(dir, LogDir)).toSeq
       .map(_.getPath)
       .filter(p => p.getName.startsWith("_tmp.") && oldEnough(p))
-    tmps.foreach(f.delete(_, false))
+    // recursive: a crashed checkpoint write leaves a _tmp.*.cp DIR
+    tmps.foreach(f.delete(_, true))
     val staging = f.listStatus(new Path(dir)).toSeq
       .filter(s => s.isDirectory &&
         s.getPath.getName.startsWith("_staging") &&

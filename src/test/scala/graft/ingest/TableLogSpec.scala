@@ -31,8 +31,14 @@ class TableLogSpec extends SparkSuite {
     // swaps it in atomically as v1
     Seq((3L, "new3", 2L)).toDF("k", "v", "ver")
       .write.parquet(s"$root/changes")
-    graft.operators.Upsert.merge(spark, s"$root/t", s"$root/changes",
+    // full-copy staging over the SNAPSHOT's files (the raw-directory
+    // merge refuses versioned dirs since r17)
+    val (_, unt) = graft.operators.Upsert.mergeShared(spark,
+      TableLog.snapshotFiles(spark, s"$root/t"), s"$root/changes",
       s"$root/staged", Seq("k"), versionCol = Some("ver"))
+    graft.operators.Upsert.copyFiles(spark,
+      unt.map(new org.apache.hadoop.fs.Path(_)), s"$root/staged",
+      Set.empty)
     val v1 = TableLog.commit(spark, s"$root/t", s"$root/staged",
       action = "upsert", expectedHead = Some(0))
     assert(v1 == 1)
@@ -113,8 +119,12 @@ class TableLogSpec extends SparkSuite {
     Seq((2L, "new2", 2L, false), (4L, "x", 2L, true),
       (9L, "new9", 2L, false))
       .toDF("k", "v", "ver", "del").write.parquet(s"$root/changes")
-    graft.operators.Upsert.merge(spark, s"$root/t", s"$root/changes",
+    val (_, unt) = graft.operators.Upsert.mergeShared(spark,
+      TableLog.snapshotFiles(spark, s"$root/t"), s"$root/changes",
       s"$root/staged", Seq("k"), Some("ver"), Some("del"))
+    graft.operators.Upsert.copyFiles(spark,
+      unt.map(new org.apache.hadoop.fs.Path(_)), s"$root/staged",
+      Set.empty)
     TableLog.commit(spark, s"$root/t", s"$root/staged", "upsert",
       expectedHead = Some(0))
     val d = TableLog.diff(spark, s"$root/t", 0, 1)
@@ -198,8 +208,9 @@ class TableLogSpec extends SparkSuite {
       s"delta v12 carries ${changeLines(12)} change lines — " +
         "commit metadata is not O(changed)")
     // the checkpoint cadence landed v10 as a full-list record
+    // (parquet since r17)
     assert(Files.exists(java.nio.file.Paths.get(
-      s"$root/t/_graft_log/v0000000010.checkpoint")))
+      s"$root/t/_graft_log/v0000000010.checkpoint.parquet")))
     assert(vals(TableLog.read(spark, s"$root/t")).count(_._2 == "new12") == 1)
     assert(vals(TableLog.read(spark, s"$root/t", Some(6)))
       .count(_._2 == "new6") == 1)
@@ -237,6 +248,93 @@ class TableLogSpec extends SparkSuite {
       minAgeMs = 0L, allowBatchActionDrop = true)
     assert(st.manifestsDropped == 2, s"$st")
     assert(vals(TableLog.read(spark, s"$root/t")).size == 5)
+  }
+
+  test("legacy text checkpoints still resolve (r17 parquet migration)") {
+    val root = Files.createTempDirectory("tablelog-migrate").toString
+    spark.range(8).select(col("id").as("k"),
+        concat(lit("x"), col("id")).as("v"))
+      .coalesce(2).write.parquet(s"$root/t")
+    TableLog.init(spark, s"$root/t")
+    val want = vals(TableLog.read(spark, s"$root/t"))
+    val schemaJson = TableLog.schemaOf(spark, s"$root/t").get.json
+    val names = TableLog.snapshotFiles(spark, s"$root/t")
+      .map(f => new org.apache.hadoop.fs.Path(f).getName).sorted
+
+    // swap the v0 parquet checkpoint for a pre-r17 TEXT record
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val log = s"$root/t/_graft_log"
+    assert(fs.delete(new org.apache.hadoop.fs.Path(log,
+      "v0000000000.checkpoint.parquet"), false))
+    val text = (Seq("action=init",
+      s"commit=${java.util.UUID.randomUUID()}",
+      s"schema=$schemaJson") ++ names.map(n => s"file=$n"))
+      .mkString("", "\n", "\n")
+    val out = fs.create(new org.apache.hadoop.fs.Path(log,
+      "v0000000000.checkpoint"), false)
+    out.write(text.getBytes("UTF-8")); out.close()
+    TableLog.dropCheckpointCache()
+
+    // resolution, schema, and commits over the legacy record all work
+    assert(vals(TableLog.read(spark, s"$root/t")) == want)
+    assert(TableLog.schemaOf(spark, s"$root/t").get.json == schemaJson)
+    Seq((99L, "new")).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$root/staged")
+    TableLog.commit(spark, s"$root/t", s"$root/staged", "append",
+      expectedHead = Some(0),
+      carry = names)
+    assert(vals(TableLog.read(spark, s"$root/t")).size == 9)
+    // expire past v0 lands the new floor checkpoint (parquet) and
+    // drops the legacy text record with the version
+    TableLog.expire(spark, s"$root/t", retainLast = 1, minAgeMs = 0L)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(log,
+      "v0000000000.checkpoint")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(log,
+      "v0000000001.checkpoint.parquet")))
+    TableLog.dropCheckpointCache()
+    assert(vals(TableLog.read(spark, s"$root/t")).size == 9)
+  }
+
+  test("commit re-stamps moved files' mtime to move-in time") {
+    // rename preserves mtime, so a slow maintenance pass's staged
+    // output would look "old" the instant commit moves it in — and a
+    // concurrent expire's never-referenced age gate could sweep it in
+    // the window before the delta publishes. The commit re-stamps
+    // each moved file at move-in, so the orphan clock starts at the
+    // move, not the staging write.
+    val root = Files.createTempDirectory("tablelog-mtime").toString
+    spark.range(5).select(col("id").as("k"), lit("a").as("v"))
+      .coalesce(1).write.parquet(s"$root/t")
+    TableLog.init(spark, s"$root/t")
+    Seq((9L, "b")).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$root/staged")
+    // simulate the slow pass: staged files written 2h ago
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val old = System.currentTimeMillis() - 2 * 3600 * 1000L
+    fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/staged"))
+      .filter(_.isFile)
+      .foreach(s => fs.setTimes(s.getPath, old, -1))
+    val before = System.currentTimeMillis()
+    val carry0 = TableLog.snapshotFiles(spark, s"$root/t")
+      .map(p => new org.apache.hadoop.fs.Path(p).getName)
+    TableLog.commit(spark, s"$root/t", s"$root/staged", "append",
+      expectedHead = Some(0), carry = carry0)
+    val v1files = TableLog.snapshotFiles(spark, s"$root/t")
+      .filter(_.contains("v1-"))
+    assert(v1files.nonEmpty)
+    v1files.foreach { f =>
+      val m = fs.getFileStatus(new org.apache.hadoop.fs.Path(f))
+        .getModificationTime
+      assert(m >= before - 1000,
+        s"$f mtime $m predates the move ($before) — expire could " +
+          "sweep an in-flight commit's file")
+    }
+    // and expire with a 1h in-flight window leaves the snapshot whole
+    TableLog.expire(spark, s"$root/t", retainLast = 2,
+      minAgeMs = 3600 * 1000L)
+    assert(TableLog.read(spark, s"$root/t").count() == 6L)
   }
 
   test("schema evolution: add-column commits, null-fill, time travel") {

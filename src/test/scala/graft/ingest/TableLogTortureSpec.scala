@@ -70,6 +70,76 @@ class TableLogTortureSpec extends SparkSuite {
       .select("v").as[String].collect().toSeq == Seq(winner))
   }
 
+  test("disjoint writers both land via rebase; overlap still conflicts") {
+    val root = Files.createTempDirectory("tablelog-rebase").toString
+    spark.range(10).select(col("id").as("k"),
+        concat(lit("old"), col("id")).as("v"), lit(1L).as("ver"))
+      .repartitionByRange(2, col("k")).write.parquet(s"$root/t")
+    TableLog.init(spark, s"$root/t")
+    val v0files = TableLog.snapshotFiles(spark, s"$root/t")
+
+    // both writers read v0; A touches the low file (k=1), B the high
+    // file (k=7) — disjoint touched sets
+    def stage(n: String, k: Long, ver: Long): Seq[String] = {
+      Seq((k, n, ver)).toDF("k", "v", "ver").write
+        .parquet(s"$root/chg$n")
+      val (st, unt) = graft.operators.Upsert.mergeShared(spark,
+        v0files, s"$root/chg$n", s"$root/stage$n", Seq("k"),
+        versionCol = Some("ver"))
+      assert(st.filesRewritten == 1, s"$st")
+      unt
+    }
+    val untA = stage("A", 1L, 2L)
+    val untB = stage("B", 7L, 2L)
+    assert(TableLog.commit(spark, s"$root/t", s"$root/stageA", "a",
+      expectedHead = Some(0), carry = untA) == 1)
+    // without rebase, B's stale expectedHead is a loud conflict
+    val ex0 = intercept[IllegalArgumentException] {
+      TableLog.commit(spark, s"$root/t", s"$root/stageB", "b",
+        expectedHead = Some(0), carry = untB)
+    }
+    assert(ex0.getMessage.contains("conflict"), ex0.getMessage)
+    // with rebase, B lands on the NEW head carrying A's rewrite
+    assert(TableLog.commit(spark, s"$root/t", s"$root/stageB", "b",
+      expectedHead = Some(0), carry = untB, rebase = true) == 2)
+    val head = TableLog.read(spark, s"$root/t")
+      .select("k", "v").as[(Long, String)].collect().sortBy(_._1).toSeq
+    val want = (0L until 10L).map {
+      case 1L => (1L, "A"); case 7L => (7L, "B")
+      case k => (k, s"old$k")
+    }
+    assert(head == want, s"$head")
+
+    // overlapping writers: C and D both rewrite the low file at v2 —
+    // D's rebase must refuse (its rewrite read rows C replaced)
+    val v2files = TableLog.snapshotFiles(spark, s"$root/t")
+    def stage2(n: String, k: Long): Seq[String] = {
+      Seq((k, n, 3L)).toDF("k", "v", "ver").write
+        .parquet(s"$root/chg$n")
+      graft.operators.Upsert.mergeShared(spark, v2files, s"$root/chg$n",
+        s"$root/stage$n", Seq("k"), versionCol = Some("ver"))._2
+    }
+    // SAME key: both rewrites read (and replace) the file holding
+    // k=2 — the canonical stale-read overlap
+    val untC = stage2("C", 2L)
+    val untD = stage2("D", 2L)
+    assert(TableLog.commit(spark, s"$root/t", s"$root/stageC", "c",
+      expectedHead = Some(2), carry = untC) == 3)
+    val ex = intercept[IllegalArgumentException] {
+      TableLog.commit(spark, s"$root/t", s"$root/stageD", "d",
+        expectedHead = Some(2), carry = untD, rebase = true)
+    }
+    assert(ex.getMessage.contains("rebase conflict"), ex.getMessage)
+    // and an expired expected head cannot rebase (its touched set is
+    // unknowable) — loud, not silent
+    TableLog.expire(spark, s"$root/t", retainLast = 2, minAgeMs = 0L)
+    val ex2 = intercept[IllegalArgumentException] {
+      TableLog.commit(spark, s"$root/t", s"$root/stageD", "d",
+        expectedHead = Some(0), carry = untD, rebase = true)
+    }
+    assert(ex2.getMessage.contains("expired"), ex2.getMessage)
+  }
+
   test("randomized commit/carry/expire fuzz vs an in-memory model") {
     val root = Files.createTempDirectory("tablelog-fuzz").toString
     val rnd = new scala.util.Random(42)
