@@ -266,19 +266,35 @@ object CliMain {
     // at the key's first new timestamp and the batch's chained
     // versions append (operators.Upsert.mergeScd2) — append-only in
     // event time, loud on history rewrites.
+    // On a TableLog-versioned tableDir the merge reads the HEAD
+    // SNAPSHOT's file list, never the raw directory (which holds every
+    // retained version's files side by side — a plain listing would
+    // silently fold stale/duplicate rows in; Upsert.listFlat fails
+    // loudly on it). The output contract is unchanged: a full merged
+    // table at outDir (untouched snapshot files copy byte-for-byte);
+    // commit it back with `table commit` for the zero-copy path.
     case "upsert" :: tableDir :: changesDir :: outDir :: flags =>
       def flagVal(name: String): Option[String] = flagValIn(flags, name)
       val reused =
         org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
       val spark = Sessions.get("graft-upsert")
+      val versioned = graft.ingest.TableLog.head(spark, tableDir)
+        .isDefined
+      def tableFiles: Seq[String] =
+        if (versioned) graft.ingest.TableLog.snapshotFiles(spark, tableDir)
+        else graft.operators.Upsert.listFlat(spark, tableDir)
+          .map(_.toString)
       if (flags.contains("--scd2")) {
         val ks = flagVal("--keys").getOrElse(
           sys.error("--keys k1,k2 is required with --scd2"))
           .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-        val st = graft.operators.Upsert.mergeScd2(spark, tableDir,
-          changesDir, outDir, ks,
+        val (st0, untouched) = graft.operators.Upsert.mergeScd2Shared(
+          spark, tableFiles, changesDir, outDir, ks,
           tsCol = flagVal("--ts").getOrElse("ts"),
           seqCol = flagVal("--seq").getOrElse("event_id"))
+        val st = st0.copy(filesCopied = graft.operators.Upsert.copyFiles(
+          spark, untouched.map(new org.apache.hadoop.fs.Path(_)),
+          outDir, Set.empty))
         println(s"upsert --scd2: ${st.versionsClosed} versions closed, " +
           s"${st.versionsAppended} appended (${st.newKeys} new keys); " +
           s"${st.filesRewritten} files rewritten, " +
@@ -288,9 +304,13 @@ object CliMain {
           .getOrElse(sys.error("--key k (or --key a,b for a " +
             "composite key) is required"))
           .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
-        val st = graft.operators.Upsert.merge(spark, tableDir, changesDir,
-          outDir, ks, versionCol = flagVal("--version"),
+        val (st0, untouched) = graft.operators.Upsert.mergeShared(spark,
+          tableFiles, changesDir, outDir, ks,
+          versionCol = flagVal("--version"),
           tombstoneCol = flagVal("--tombstone"))
+        val st = st0.copy(filesCopied = graft.operators.Upsert.copyFiles(
+          spark, untouched.map(new org.apache.hadoop.fs.Path(_)),
+          outDir, Set.empty))
         println(s"upsert: ${st.upserts} updated, ${st.inserts} inserted, " +
           s"${st.deletes} deleted; ${st.filesRewritten} files rewritten, " +
           s"${st.filesCopied} copied -> $outDir")
@@ -323,8 +343,14 @@ object CliMain {
       val reused =
         org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
       val spark = Sessions.get("graft-rollup")
-      val st = graft.operators.IncrementalAgg.increment(spark,
-        tableDir, deltaDir, outDir, ks, aggs)
+      // versioned rollups read the head snapshot's files (see upsert)
+      val files =
+        if (graft.ingest.TableLog.head(spark, tableDir).isDefined)
+          graft.ingest.TableLog.snapshotFiles(spark, tableDir)
+        else graft.operators.Upsert.listFlat(spark, tableDir)
+          .map(_.toString)
+      val st = graft.operators.IncrementalAgg.incrementFiles(spark,
+        files, deltaDir, outDir, ks, aggs)
       println(s"rollup: ${st.keysMerged} keys merged, " +
         s"${st.keysInserted} inserted; ${st.filesRewritten} files " +
         s"rewritten, ${st.filesCopied} copied -> $outDir")
@@ -339,12 +365,22 @@ object CliMain {
         org.apache.spark.sql.SparkSession.getDefaultSession.isDefined
       val sparkL = Sessions.get("graft-skipindex")
       val keys = keyCsv.split(",").toSeq
+      // versioned tables probe the HEAD snapshot (candidates
+      // intersected with its file list; sidecar-unindexed snapshot
+      // files scan unconditionally — lossless either way); a raw
+      // lookup over the directory would mix retained versions' files
+      val versionedL =
+        graft.ingest.TableLog.head(sparkL, tableDir).isDefined
+      val n =
+        if (versionedL)
+          graft.ingest.FileSkipIndex.lookupSnapshot(sparkL, tableDir,
+            column, keys).count()
+        else graft.ingest.FileSkipIndex.lookup(sparkL, tableDir,
+          column, keys).count()
       val cands = graft.ingest.FileSkipIndex.candidateFiles(sparkL,
         tableDir, column, keys)
-      val n = graft.ingest.FileSkipIndex.lookup(sparkL, tableDir,
-        column, keys).count()
       println(s"skipindex: ${keys.size} keys -> ${cands.size} candidate " +
-        s"files, $n rows")
+        s"files, $n rows" + (if (versionedL) " (head snapshot)" else ""))
       if (!reusedL) sparkL.stop()
     // skipindex refresh <tableDir> <column>: incremental sidecar
     // maintenance after a TableLog commit — re-aggregates only the
@@ -421,6 +457,51 @@ object CliMain {
             .groupBy("_change_type").count().collect()
             .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
           println(s"table: v$from..v$to ${d.mkString(", ")}")
+        // changes --cursor <path> [--seed N] [--max-versions K]
+        // [--out <dir>]: resumable per-commit change feed — consume
+        // the unconsumed batch, optionally land it as parquet, ack
+        // the cursor. Crash before the ack re-delivers the batch.
+        case "changes" :: _ =>
+          val cursor = flagVal("--cursor").getOrElse(
+            sys.error("--cursor <path> is required (per-consumer " +
+              "position file)"))
+          flagVal("--seed").map(_.toInt).foreach { v =>
+            graft.ingest.ChangeFeed.seed(spark, cursor, v)
+            println(s"table: seeded $cursor after v$v")
+          }
+          graft.ingest.ChangeFeed.next(spark, dir, cursor,
+            flagVal("--max-versions").map(_.toInt)
+              .getOrElse(Int.MaxValue)) match {
+            case None => println("table: caught up, nothing to consume")
+            case Some(b) =>
+              flagVal("--out").foreach(o => b.changes.write
+                .mode("overwrite")
+                .parquet(s"$o/v${b.fromV + 1}-v${b.toV}"))
+              val counts = b.changes.groupBy("_change_type").count()
+                .collect()
+                .map(r => s"${r.getString(0)}=${r.getLong(1)}").sorted
+              graft.ingest.ChangeFeed.ack(spark, cursor, b)
+              println(s"table: consumed (v${b.fromV}, v${b.toV}] " +
+                s"${counts.mkString(", ")}; cursor -> v${b.toV}")
+          }
+        // import <srcDir> --cluster k1,k2 [--files N]: re-land an
+        // existing hive-partitioned k=v/ tree (or flat dir) as a
+        // TableLog-versioned flat+clustered table at <dir> —
+        // partition columns become ordinary columns reconstructed
+        // from the paths, data range-clustered, v0 committed.
+        case "import" :: srcDir :: _ =>
+          val ks = flagVal("--cluster").getOrElse(
+            sys.error("--cluster k1[,k2] is required (the downstream " +
+              "merge/lookup key to range-cluster on)"))
+            .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+          val st = graft.ingest.TableImport.importHive(spark, srcDir,
+            dir, ks, flagVal("--files").map(_.toInt).getOrElse(16))
+          println(s"table: imported ${st.rows} rows from $srcDir " +
+            s"into ${st.files} files at v${st.version}" +
+            (if (st.partitionCols.nonEmpty)
+              s" (partition columns reconstructed: " +
+                s"${st.partitionCols.mkString(", ")})"
+            else ""))
         case other => sys.error(s"unknown table subcommand: $other")
       }
       if (!reused) spark.stop()

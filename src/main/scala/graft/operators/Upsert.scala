@@ -85,11 +85,23 @@ object Upsert {
   /** Flat-layout data-file listing; fails loudly on hive-partitioned
     * trees (per-directory recursion and partition-column
     * reconstruction are a different code path — silently dropping
-    * nested files from the copy would corrupt). */
+    * nested files from the copy would corrupt; see
+    * [[graft.ingest.TableImport]] for re-landing such trees) and on
+    * [[graft.ingest.TableLog]]-versioned directories (r17): once a
+    * versioned table retains ≥2 snapshots the raw directory holds
+    * superseded `v<N>-` files side by side, and a plain listing would
+    * silently fold stale/duplicate rows into a merge — route through
+    * `TableLog.snapshotFiles` + the `*Shared` forms instead. */
   private[graft] def listFlat(spark: SparkSession, tableDir: String)
       : Seq[org.apache.hadoop.fs.Path] = {
     val fs = new org.apache.hadoop.fs.Path(tableDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(!fs.exists(new org.apache.hadoop.fs.Path(tableDir,
+      "_graft_log")),
+      s"$tableDir is TableLog-versioned: a raw-directory listing " +
+        "mixes every retained version's files (silent stale/duplicate " +
+        "rows); use TableLog.snapshotFiles with mergeShared/" +
+        "mergeScd2Shared/incrementShared instead")
     val entries = fs.listStatus(new org.apache.hadoop.fs.Path(tableDir))
       .filterNot(s => s.getPath.getName.startsWith("_")
         || s.getPath.getName.startsWith("."))

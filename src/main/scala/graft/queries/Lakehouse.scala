@@ -138,6 +138,55 @@ object Lakehouse extends QueryFamily {
         .select("o_custkey", "n", "spend", "first_us", "last_us")
         .orderBy("o_custkey")
     },
+    "q_hive_import" -> { (s, d) =>
+      // hive-tree on-ramp end-to-end: orders lands as a dt-style
+      // o_year=YYYY/ tree (partitionBy drops the column from the
+      // files), TableImport re-lands it flat + range-clustered +
+      // versioned, and the read-back must reconstruct the partition
+      // column exactly — the oracle is the relational restatement
+      val root = Files.createTempDirectory("q-himport").toString
+      Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")
+            .as("cents"),
+          year(col("o_orderdate")).cast("int").as("o_year"))
+        .write.partitionBy("o_year").parquet(s"$root/hive")
+      graft.ingest.TableImport.importHive(s, s"$root/hive", s"$root/t",
+        clusterBy = Seq("o_orderkey"), numFiles = 4)
+      graft.ingest.TableLog.read(s, s"$root/t")
+        .select(col("o_orderkey"), col("o_custkey"), col("cents"),
+          col("o_year").cast("int").as("o_year"))
+        .orderBy("o_orderkey")
+    },
+    "q_change_feed" -> { (s, d) =>
+      // the resumable change feed over a two-commit history: updates
+      // land as v1, tombstones+inserts as v2; changes(0) must equal
+      // the concatenation of the two per-commit diffs — the oracle
+      // states both pairwise diffs relationally (EXCEPT ALL each way,
+      // stamped with the commit version)
+      val root = Files.createTempDirectory("q-cdf").toString
+      dim(s, d).repartitionByRange(4, col("c_custkey"))
+        .write.parquet(s"$root/t")
+      val all = changes(s, d).localCheckpoint()
+      all.filter(!col("del")).withColumn("del", lit(false))
+        .filter(col("c_custkey") < 10000000L)
+        .write.parquet(s"$root/chg1")
+      all.filter(col("del") || col("c_custkey") >= 10000000L)
+        .write.parquet(s"$root/chg2")
+      graft.ingest.TableLog.init(s, s"$root/t")
+      Seq(1, 2).foreach { i =>
+        val (_, unt) = graft.operators.Upsert.mergeShared(s,
+          graft.ingest.TableLog.snapshotFiles(s, s"$root/t"),
+          s"$root/chg$i", s"$root/staged$i", Seq("c_custkey"),
+          versionCol = Some("ver"), tombstoneCol = Some("del"))
+        graft.ingest.TableLog.commit(s, s"$root/t", s"$root/staged$i",
+          s"upsert$i", expectedHead = Some(i - 1), carry = unt)
+      }
+      graft.ingest.TableLog.changes(s, s"$root/t", 0)
+        .select((outCols :+ "_change_type" :+ "_commit_version")
+          .map(col): _*)
+        .orderBy("c_custkey", "_commit_version", "_change_type")
+    },
     "q_snapshot_diff" -> { (s, d) =>
       // the versioned log end-to-end on the r16 INCREMENTAL records:
       // init v0, zero-copy mergeShared commit v1 (untouched files
@@ -192,10 +241,68 @@ object Lakehouse extends QueryFamily {
       |  UNION ALL SELECT * FROM up)
       |""".stripMargin
 
+  /** The two-commit split of the change feed, stated relationally:
+    * v1 = updates only (non-tombstone, non-insert), v2 = tombstone
+    * deletes + new-key inserts. */
+  private val feedCtes =
+    """WITH t AS (
+      |  SELECT c_custkey, c_name, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+      |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+      |    CAST(0 AS BIGINT) AS ver
+      |  FROM customer),
+      |agg AS (
+      |  SELECT o_custkey, count(*) AS n,
+      |    CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS spend
+      |  FROM orders GROUP BY 1),
+      |chg1 AS (
+      |  SELECT o_custkey AS c_custkey,
+      |    'u' || CAST(n AS VARCHAR) AS c_name,
+      |    o_custkey % 25 AS c_nationkey, spend AS bal_cents,
+      |    CAST(1 AS BIGINT) AS ver
+      |  FROM agg WHERE o_custkey % 13 <> 0),
+      |m1 AS (
+      |  SELECT * FROM t
+      |  WHERE c_custkey NOT IN (SELECT c_custkey FROM chg1)
+      |  UNION ALL SELECT * FROM chg1),
+      |ins2 AS (
+      |  SELECT o_custkey + 10000000 AS c_custkey,
+      |    'i' || CAST(n AS VARCHAR) AS c_name,
+      |    o_custkey % 25 AS c_nationkey, spend AS bal_cents,
+      |    CAST(1 AS BIGINT) AS ver
+      |  FROM agg WHERE o_custkey % 7 = 0),
+      |m2 AS (
+      |  SELECT * FROM m1
+      |  WHERE c_custkey NOT IN
+      |      (SELECT o_custkey FROM agg WHERE o_custkey % 13 = 0)
+      |    AND c_custkey NOT IN (SELECT c_custkey FROM ins2)
+      |  UNION ALL SELECT * FROM ins2)
+      |""".stripMargin
+
   def oracle: Map[String, String] = Map(
     "q_upsert_merge" -> (mergeCtes +
       """SELECT c_custkey, c_name, c_nationkey, bal_cents, ver
         |FROM merged ORDER BY c_custkey""".stripMargin),
+    "q_hive_import" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "q_change_feed" -> (feedCtes +
+      """SELECT * FROM (
+        |  SELECT *, 'insert' AS _change_type,
+        |    CAST(1 AS INTEGER) AS _commit_version
+        |  FROM (SELECT * FROM m1 EXCEPT ALL SELECT * FROM t)
+        |  UNION ALL
+        |  SELECT *, 'delete', CAST(1 AS INTEGER)
+        |  FROM (SELECT * FROM t EXCEPT ALL SELECT * FROM m1)
+        |  UNION ALL
+        |  SELECT *, 'insert', CAST(2 AS INTEGER)
+        |  FROM (SELECT * FROM m2 EXCEPT ALL SELECT * FROM m1)
+        |  UNION ALL
+        |  SELECT *, 'delete', CAST(2 AS INTEGER)
+        |  FROM (SELECT * FROM m1 EXCEPT ALL SELECT * FROM m2))
+        |ORDER BY c_custkey, _commit_version, _change_type""".stripMargin),
     "q_scd2_merge" ->
       """SELECT user_id, event_type, event_id,
         |  epoch_us(ts) AS valid_from,

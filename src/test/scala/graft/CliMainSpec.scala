@@ -207,6 +207,61 @@ class CliMainSpec extends SparkSuite {
     assert(got == Seq((10L, 9000L)), s"$got")
   }
 
+  test("upsert/rollup on a versioned table at v>=1 read the snapshot") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val root = Files.createTempDirectory("cli-upsert-vers").toString
+    spark.range(50).select(col("id").as("k"),
+        concat(lit("v"), col("id")).as("v"), lit(1L).as("ver"))
+      .repartitionByRange(4, col("k")).write.parquet(s"$root/t")
+    CliMain.main(Array("table", s"$root/t", "init"))
+    // advance to v1 so the raw directory holds SUPERSEDED v0 files
+    // beside v1's — the exact layout a raw listing silently corrupts
+    Seq((10L, "first", 2L)).toDF("k", "v", "ver")
+      .write.parquet(s"$root/chg1")
+    CliMain.main(Array("upsert", s"$root/t", s"$root/chg1",
+      s"$root/staged1", "--key", "k", "--version", "ver"))
+    CliMain.main(Array("table", s"$root/t", "commit", s"$root/staged1",
+      "--action", "upsert", "--expect", "0"))
+    // the library-level raw-directory merge fails loudly now
+    val ex = intercept[IllegalArgumentException] {
+      graft.operators.Upsert.merge(spark, s"$root/t", s"$root/chg1",
+        s"$root/never", Seq("k"), versionCol = Some("ver"))
+    }
+    assert(ex.getMessage.contains("TableLog-versioned"), ex.getMessage)
+    // CLI upsert at v1 routes through the snapshot: no stale v0 row
+    // for k=10, no duplicates from superseded files
+    Seq((10L, "second", 3L), (99L, "inserted", 3L))
+      .toDF("k", "v", "ver").write.parquet(s"$root/chg2")
+    CliMain.main(Array("upsert", s"$root/t", s"$root/chg2",
+      s"$root/out", "--key", "k", "--version", "ver"))
+    val out = spark.read.parquet(s"$root/out")
+    assert(out.count() == 51L, s"${out.count()}")
+    assert(out.filter(col("k") === 10L).select("v").as[String]
+      .collect().toSeq == Seq("second"))
+    // rollup on a versioned table reads the snapshot too
+    val rroot = Files.createTempDirectory("cli-rollup-vers").toString
+    Seq((1L, 10L), (2L, 5L)).toDF("k", "amount")
+      .write.parquet(s"$rroot/day1")
+    CliMain.main(Array("rollup", "--init", s"$rroot/day1", s"$rroot/t",
+      "--keys", "k", "--agg", "n:count", "--agg", "total:sum:amount"))
+    CliMain.main(Array("table", s"$rroot/t", "init"))
+    Seq((1L, 20L)).toDF("k", "amount").write.parquet(s"$rroot/day2")
+    CliMain.main(Array("rollup", s"$rroot/t", s"$rroot/day2",
+      s"$rroot/staged", "--keys", "k", "--agg", "n:count",
+      "--agg", "total:sum:amount"))
+    CliMain.main(Array("table", s"$rroot/t", "commit", s"$rroot/staged",
+      "--action", "rollup", "--expect", "0"))
+    Seq((3L, 1L)).toDF("k", "amount").write.parquet(s"$rroot/day3")
+    CliMain.main(Array("rollup", s"$rroot/t", s"$rroot/day3",
+      s"$rroot/out", "--keys", "k", "--agg", "n:count",
+      "--agg", "total:sum:amount"))
+    val got = spark.read.parquet(s"$rroot/out")
+      .select("k", "n", "total").as[(Long, Long, Long)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 2L, 30L), (2L, 1L, 5L), (3L, 1L, 1L)), s"$got")
+  }
+
   test("table init/commit/history/expire drive the snapshot log") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

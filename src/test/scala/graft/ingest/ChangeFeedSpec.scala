@@ -1,0 +1,126 @@
+package graft.ingest
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSuite
+
+/** Resumable change-data feed: TableLog.changes is the union of
+  * pairwise per-commit diffs (insert-then-delete across commits shows
+  * BOTH events), and the ChangeFeed cursor delivers each batch
+  * at-least-once across a crash, composing to exactly-once with an
+  * idempotent (write-by-version-range) apply. */
+class ChangeFeedSpec extends SparkSuite {
+
+  import spark.implicits._
+
+  /** A 3-commit history over a tiny keyed table:
+    * v0 init {1,2}; v1 inserts 9; v2 deletes 9 and updates 2. */
+  private def build(root: String): Unit = {
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$root/t")
+    TableLog.init(spark, s"$root/t")
+    def commitChanges(n: Int, rows: Seq[(Long, String, Long, Boolean)])
+        : Unit = {
+      rows.toDF("k", "v", "ver", "del").write.parquet(s"$root/chg$n")
+      val (_, unt) = graft.operators.Upsert.mergeShared(spark,
+        TableLog.snapshotFiles(spark, s"$root/t"), s"$root/chg$n",
+        s"$root/stage$n", Seq("k"), versionCol = Some("ver"),
+        tombstoneCol = Some("del"))
+      TableLog.commit(spark, s"$root/t", s"$root/stage$n", s"c$n",
+        expectedHead = Some(n - 1), carry = unt)
+    }
+    commitChanges(1, Seq((9L, "nine", 1L, false)))
+    commitChanges(2, Seq((9L, "x", 2L, true), (2L, "b2", 2L, false)))
+  }
+
+  private def rows(df: org.apache.spark.sql.DataFrame)
+      : Seq[(Long, String, String, Int)] =
+    df.select(col("k"), col("v"), col("_change_type"),
+        col("_commit_version").cast("int"))
+      .as[(Long, String, String, Int)].collect()
+      .sortBy(r => (r._4, r._1, r._3)).toSeq
+
+  test("changes = union of pairwise diffs; cross-commit events survive") {
+    val root = Files.createTempDirectory("cdf").toString
+    build(root)
+    val got = rows(TableLog.changes(spark, s"$root/t", 0))
+    val want = rows(
+      TableLog.diff(spark, s"$root/t", 0, 1)
+        .withColumn("_commit_version", lit(1))
+        .unionByName(TableLog.diff(spark, s"$root/t", 1, 2)
+          .withColumn("_commit_version", lit(2))))
+    assert(got == want, s"got=$got")
+    // the per-commit feed keeps the insert@v1 + delete@v2 pair that a
+    // single spanning diff(0, 2) cancels
+    assert(got.count(r => r._1 == 9L) == 2, s"$got")
+    assert(rows(TableLog.diff(spark, s"$root/t", 0, 2)
+      .withColumn("_commit_version", lit(2)))
+      .count(_._1 == 9L) == 0)
+    // bounds: an untilV slice, and a caught-up empty feed
+    assert(rows(TableLog.changes(spark, s"$root/t", 0, Some(1)))
+      .forall(_._4 == 1))
+    assert(TableLog.changes(spark, s"$root/t", 2).count() == 0L)
+  }
+
+  test("cursor: crash re-delivers; idempotent apply lands exactly once") {
+    val root = Files.createTempDirectory("cdf-cursor").toString
+    build(root)
+    val cursor = s"$root/consumer.pos"
+    ChangeFeed.seed(spark, cursor, 0)
+    assert(ChangeFeed.position(spark, cursor).contains(0))
+    // double-seed is a bug, not a race
+    intercept[IllegalArgumentException] {
+      ChangeFeed.seed(spark, cursor, 0)
+    }
+
+    // take batch 1 (one version), process (land by version range),
+    // CRASH before ack — the next take re-delivers the same batch
+    val b1 = ChangeFeed.next(spark, s"$root/t", cursor,
+      maxVersions = 1).get
+    assert(b1.fromV == 0 && b1.toV == 1)
+    def apply(b: ChangeFeed.Batch): Unit = b.changes.write
+      .mode("overwrite").parquet(s"$root/out/v${b.fromV + 1}-v${b.toV}")
+    apply(b1) // ... crash here: no ack
+    val b1again = ChangeFeed.next(spark, s"$root/t", cursor,
+      maxVersions = 1).get
+    assert(b1again.fromV == b1.fromV && b1again.toV == b1.toV,
+      "crash/resume must re-deliver the unacked batch")
+    apply(b1again) // idempotent: same range, same content, overwrite
+    ChangeFeed.ack(spark, cursor, b1again)
+    assert(ChangeFeed.position(spark, cursor).contains(1))
+
+    // a second ack of the same batch is loud (shared-cursor bug)
+    intercept[IllegalArgumentException] {
+      ChangeFeed.ack(spark, cursor, b1again)
+    }
+
+    // drain the rest, then the consumer is caught up
+    val b2 = ChangeFeed.next(spark, s"$root/t", cursor).get
+    assert(b2.fromV == 1 && b2.toV == 2)
+    apply(b2)
+    ChangeFeed.ack(spark, cursor, b2)
+    assert(ChangeFeed.next(spark, s"$root/t", cursor).isEmpty)
+
+    // exactly-once: the landed ranges union to the full feed
+    val landed = rows(spark.read.parquet(s"$root/out/v1-v1",
+      s"$root/out/v2-v2"))
+    assert(landed == rows(TableLog.changes(spark, s"$root/t", 0)),
+      s"$landed")
+  }
+
+  test("a consumer lagging past expire fails loudly, never skips") {
+    val root = Files.createTempDirectory("cdf-expire").toString
+    build(root)
+    val cursor = s"$root/consumer.pos"
+    ChangeFeed.seed(spark, cursor, 0)
+    TableLog.expire(spark, s"$root/t", retainLast = 1, minAgeMs = 0L,
+      allowBatchActionDrop = true)
+    val ex = intercept[Exception] {
+      ChangeFeed.next(spark, s"$root/t", cursor).get.changes.count()
+    }
+    assert(ex.getMessage.contains("not in retained history"),
+      ex.getMessage)
+  }
+}
