@@ -41,6 +41,22 @@ object ProfileUpsert {
       println(f"UPSERT rows=$n files=$files: ${st.filesRewritten} " +
         f"rewritten / ${st.filesCopied} copied, ${st.upserts} upd + " +
         f"${st.inserts} ins in $sec%.2fs; out=$outRows")
+
+      // merge-on-read (r17): the same table, a 1-row delete — a DV
+      // sidecar lands, ZERO data files rewrite, and the read applies
+      // the tombstone; the copy-on-write path above rewrites O(file)
+      // bytes for the identical logical change
+      ingest.TableLog.init(spark, s"$root/table")
+      val d0 = System.nanoTime()
+      val ds = ingest.TableLog.deleteWhere(spark, s"$root/table",
+        col("k") === n / 3)
+      val dSec = (System.nanoTime() - d0) / 1e9
+      val dRows = ingest.TableLog.read(spark, s"$root/table").count()
+      require(ds.filesRewritten == 0 && ds.rowsDeleted == 1 &&
+        dRows == n - 1, s"$ds rows=$dRows")
+      println(f"DELETE-DV rows=$n: 1-row delete rewrote " +
+        f"${ds.filesRewritten} files in $dSec%.2fs (dv sidecar only); " +
+        f"read=$dRows")
     }
 
     // SCD2 merge: an n-version dimension over n/10 keys, the change

@@ -68,6 +68,7 @@ import org.apache.spark.sql.types.{DataType, StructType}
 object TableLog {
 
   private val LogDir = "_graft_log"
+  private val DvDir = "_graft_dv"
 
   /** A full-file-list checkpoint record lands every this-many
     * commits; resolution tails at most this many deltas. */
@@ -87,7 +88,14 @@ object TableLog {
     * `files` is complete as written. */
   private final case class Record(action: String,
     schemaJson: Option[String], adds: Seq[String], removes: Seq[String],
-    files: Seq[String])
+    files: Seq[String], dvAdds: Seq[String] = Nil,
+    dvRemoves: Seq[String] = Nil, dvs: Seq[String] = Nil)
+
+  /** One resolved snapshot: data file names, recorded schema, the
+    * commit's action, and the ACTIVE deletion-vector sidecar names
+    * (r17 merge-on-read deletes). */
+  private final case class Resolved(files: Seq[String],
+    schemaJson: Option[String], action: String, dvs: Seq[String])
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -145,7 +153,9 @@ object TableLog {
     Record(
       action = all("action").headOption.getOrElse("?"),
       schemaJson = all("schema").headOption,
-      adds = all("add"), removes = all("remove"), files = all("file"))
+      adds = all("add"), removes = all("remove"), files = all("file"),
+      dvAdds = all("dvadd"), dvRemoves = all("dvremove"),
+      dvs = all("dv"))
   }
 
   /** Publish `content` at `dst` via temp write + rename, then read it
@@ -219,7 +229,8 @@ object TableLog {
             .getOrElse("?"),
           schemaJson = rows.collectFirst { case ("schema", s) => s },
           adds = Nil, removes = Nil,
-          files = rows.toSeq.collect { case ("file", n) => n })
+          files = rows.toSeq.collect { case ("file", n) => n },
+          dvs = rows.toSeq.collect { case ("dv", n) => n })
       } else parse(readText(f, checkpointPath(dir, cv)))
     if (cpCache.size > 64) cpCache.clear()
     cpCache.put(key, rec)
@@ -232,19 +243,21 @@ object TableLog {
     * the multi-target form (history, expire) shares the walk. */
   private def resolveWalk(spark: SparkSession, f: FileSystem,
       dir: String, deltas: Seq[Int], cps: Seq[Int], targets: Seq[Int])
-      : Map[Int, (Seq[String], Option[String], String)] = {
+      : Map[Int, Resolved] = {
     if (targets.isEmpty) return Map.empty
     val lo = targets.min
     val hi = targets.max
     val want = targets.toSet
-    val out = Map.newBuilder[Int, (Seq[String], Option[String], String)]
+    val out = Map.newBuilder[Int, Resolved]
     var files = Set.empty[String]
+    var dvs = Set.empty[String]
     val start = cps.filter(_ <= lo).maxOption match {
       case Some(cv) =>
         val rec = readCheckpoint(spark, f, dir, cv)
         files = rec.files.toSet
-        if (want(cv)) out += cv -> (rec.files.sorted, rec.schemaJson,
-          rec.action)
+        dvs = rec.dvs.toSet
+        if (want(cv)) out += cv -> Resolved(rec.files.sorted,
+          rec.schemaJson, rec.action, rec.dvs.sorted)
         cv + 1
       case None =>
         require(deltas.headOption.contains(0) && deltas.head <= lo,
@@ -258,14 +271,15 @@ object TableLog {
         s"log gap: v$v missing from $dir while resolving v$hi")
       val rec = parse(readText(f, deltaPath(dir, v)))
       files = files -- rec.removes ++ rec.adds
-      if (want(v)) out += v -> (files.toSeq.sorted, rec.schemaJson,
-        rec.action)
+      dvs = dvs -- rec.dvRemoves ++ rec.dvAdds
+      if (want(v)) out += v -> Resolved(files.toSeq.sorted,
+        rec.schemaJson, rec.action, dvs.toSeq.sorted)
     }
     out.result()
   }
 
   private def resolveOne(spark: SparkSession, f: FileSystem,
-      dir: String, v: Int): (Seq[String], Option[String], String) = {
+      dir: String, v: Int): Resolved = {
     val (deltas, cps) = listLog(f, dir)
     require(deltas.nonEmpty, s"$dir has no log — run init first")
     require(deltas.contains(v),
@@ -280,11 +294,12 @@ object TableLog {
     * version's, ours is logically identical and simply discarded. */
   private def writeCheckpoint(spark: SparkSession, f: FileSystem,
       dir: String, v: Int, action: String, schemaJson: Option[String],
-      files: Seq[String]): Unit = {
+      files: Seq[String], dvs: Seq[String] = Nil): Unit = {
     import spark.implicits._
     val rows = (Seq("action" -> action) ++
       schemaJson.map("schema" -> _) ++
-      files.sorted.map("file" -> _)).toDF("kind", "value")
+      files.sorted.map("file" -> _) ++
+      dvs.sorted.map("dv" -> _)).toDF("kind", "value")
     val tmp = new Path(dir,
       s"$LogDir/_tmp.${java.util.UUID.randomUUID()}.cp")
     rows.coalesce(1).write.parquet(tmp.toString)
@@ -375,7 +390,8 @@ object TableLog {
     * disjoint key domains; otherwise serialize on expectedHead. */
   def commit(spark: SparkSession, dir: String, fromDir: String,
       action: String, expectedHead: Option[Int] = None,
-      carry: Seq[String] = Nil, rebase: Boolean = false): Int = {
+      carry: Seq[String] = Nil, rebase: Boolean = false,
+      dropDvs: Boolean = false): Int = {
     val f = fs(spark, dir)
     val (deltas, cps) = listLog(f, dir)
     require(deltas.nonEmpty, s"$dir has no log — run init first")
@@ -385,8 +401,9 @@ object TableLog {
     expectedHead.foreach(e => require(rebasing || headV == e,
       s"conflict: head is v$headV, expected v$e — " +
         "re-run the maintenance pass against the new head"))
-    val (headFilesSeq, headSchema, _) =
-      resolveWalk(spark, f, dir, deltas, cps, Seq(headV))(headV)
+    val headRes = resolveWalk(spark, f, dir, deltas, cps,
+      Seq(headV))(headV)
+    val (headFilesSeq, headSchema) = (headRes.files, headRes.schemaJson)
     val headFiles = headFilesSeq.toSet
     val carryNames: Seq[String] =
       if (!rebasing) carryNames0
@@ -396,7 +413,7 @@ object TableLog {
           s"cannot rebase: expected head v$e expired from retained " +
             s"history ${deltas.mkString("[", ",", "]")}")
         val eFiles = resolveWalk(spark, f, dir, deltas, cps, Seq(e))(e)
-          ._1.toSet
+          .files.toSet
         val badE = carryNames0.filterNot(eFiles.contains)
         require(badE.isEmpty,
           s"carry names not in expected-head snapshot v$e: " +
@@ -420,6 +437,15 @@ object TableLog {
     require(bad.isEmpty,
       s"carry names not in head snapshot v$headV: " +
         s"${bad.take(3).mkString(", ")}")
+    val removes = headFilesSeq.filterNot(carryNames.toSet)
+    // active DVs either carry untouched (default: a commit that never
+    // read raw files cannot invalidate them) or drop wholesale when
+    // the committer materialized them (compactDeletes). Checked
+    // BEFORE any file moves so a refused commit leaves no orphans.
+    require(dropDvs || headRes.dvs.isEmpty || removes.isEmpty,
+      s"commit would rewrite files of a snapshot carrying " +
+        s"${headRes.dvs.size} active deletion vector(s) without " +
+        "materializing them — run compactDeletes first")
     val v = deltas.last + 1
     val from = fs(spark, fromDir)
     // version-prefix the moved name, stripping prefixes accumulated by
@@ -461,11 +487,12 @@ object TableLog {
       case None => if (moved.isEmpty) headSchema
         else Some(movedSchema.json)
     }
-    val removes = headFilesSeq.filterNot(carryNames.toSet)
+    val dvRemoves = if (dropDvs) headRes.dvs else Nil
     publish(f, dir, deltaPath(dir, v),
       render(action, java.util.UUID.randomUUID().toString, schemaJson,
         removes.sorted.map("remove" -> _) ++
-          moved.sorted.map("add" -> _)))
+          moved.sorted.map("add" -> _) ++
+          dvRemoves.sorted.map("dvremove" -> _)))
     // defense in depth behind the mtime re-stamp above: if a
     // concurrent expire still swept a moved file before the publish,
     // the snapshot just published references a deleted file — fail
@@ -480,19 +507,44 @@ object TableLog {
     // later readers a longer delta tail until the next multiple lands
     if (v % CheckpointInterval == 0)
       writeCheckpoint(spark, f, dir, v, action, schemaJson,
-        (headFiles -- removes ++ moved).toSeq)
+        (headFiles -- removes ++ moved).toSeq,
+        if (dropDvs) Nil else headRes.dvs)
     v
   }
 
   /** Absolute paths of a snapshot's data files — the table-file list
     * maintenance passes should read (the directory also holds other
-    * versions' files). */
+    * versions' files).
+    *
+    * DELETION VECTORS (r17): when the snapshot carries active DVs,
+    * the raw files hold rows [[deleteWhere]] already deleted — a
+    * maintenance pass reading them would resurrect those rows, so
+    * this fails LOUDLY until [[compactDeletes]] materializes the
+    * deletes (or pass `allowDvs = true` for a caller that applies
+    * [[snapshotDvs]] itself, as [[read]] does). */
   def snapshotFiles(spark: SparkSession, dir: String,
+      version: Option[Int] = None, allowDvs: Boolean = false)
+      : Seq[String] = {
+    val f = fs(spark, dir)
+    val v = version.getOrElse(listLog(f, dir)._1.lastOption.getOrElse(
+      sys.error(s"$dir has no log — run init first")))
+    val res = resolveOne(spark, f, dir, v)
+    require(allowDvs || res.dvs.isEmpty,
+      s"snapshot v$v of $dir carries ${res.dvs.size} active deletion " +
+        "vector(s): raw file reads would resurrect deleted rows — run " +
+        "compactDeletes first, or read through TableLog.read")
+    res.files.map(n => new Path(dir, n).toString)
+  }
+
+  /** Absolute paths of a snapshot's active deletion-vector sidecars
+    * (empty when all deletes are materialized). */
+  def snapshotDvs(spark: SparkSession, dir: String,
       version: Option[Int] = None): Seq[String] = {
     val f = fs(spark, dir)
     val v = version.getOrElse(listLog(f, dir)._1.lastOption.getOrElse(
       sys.error(s"$dir has no log — run init first")))
-    resolveOne(spark, f, dir, v)._1.map(n => new Path(dir, n).toString)
+    resolveOne(spark, f, dir, v).dvs
+      .map(n => new Path(dir, s"$DvDir/$n").toString)
   }
 
   /** A snapshot's recorded schema (None only for an empty init). */
@@ -501,7 +553,7 @@ object TableLog {
     val f = fs(spark, dir)
     val v = version.getOrElse(listLog(f, dir)._1.lastOption.getOrElse(
       sys.error(s"$dir has no log — run init first")))
-    resolveOne(spark, f, dir, v)._2
+    resolveOne(spark, f, dir, v).schemaJson
       .map(DataType.fromJson(_).asInstanceOf[StructType])
   }
 
@@ -516,10 +568,11 @@ object TableLog {
     val f = fs(spark, dir)
     val v = version.getOrElse(listLog(f, dir)._1.lastOption.getOrElse(
       sys.error(s"$dir has no log — run init first")))
-    val (files, schemaJson, _) = resolveOne(spark, f, dir, v)
-    val schema = schemaJson.map(DataType.fromJson(_)
+    val res = resolveOne(spark, f, dir, v)
+    val files = res.files
+    val schema = res.schemaJson.map(DataType.fromJson(_)
       .asInstanceOf[StructType])
-    (files.isEmpty, schema) match {
+    val base = (files.isEmpty, schema) match {
       case (true, None) => spark.emptyDataFrame
       case (true, Some(s)) => spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
@@ -527,6 +580,25 @@ object TableLog {
         files.map(n => new Path(dir, n).toString): _*)
       case (false, Some(s)) => spark.read.schema(s).parquet(
         files.map(n => new Path(dir, n).toString): _*)
+    }
+    if (res.dvs.isEmpty || files.isEmpty) base
+    else {
+      // merge-on-read: anti-join the snapshot's deletion vectors on
+      // (file name, physical row index) — the DV frame is
+      // delete-sized, the join rides a broadcast; stale DV rows for
+      // files later commits rewrote never match (names are unique)
+      import org.apache.spark.sql.functions.{broadcast, col}
+      val dv = spark.read.parquet(
+        res.dvs.map(n => new Path(dir, s"$DvDir/$n").toString): _*)
+      val cols = base.columns.toSeq
+      base
+        .withColumn("__dv_f", col("_metadata.file_name"))
+        .withColumn("__dv_ri", col("_metadata.row_index"))
+        .join(broadcast(dv),
+          col("__dv_f") === dv("file") &&
+            col("__dv_ri") === dv("row_index"),
+          "left_anti")
+        .select(cols.map(col): _*)
     }
   }
 
@@ -591,8 +663,8 @@ object TableLog {
     val (deltas, cps) = listLog(f, dir)
     val resolved = resolveWalk(spark, f, dir, deltas, cps, deltas)
     deltas.map { v =>
-      val (files, schemaJson, action) = resolved(v)
-      SnapshotMeta(v, action, files, schemaJson)
+      val r = resolved(v)
+      SnapshotMeta(v, r.action, r.files, r.schemaJson)
     }
   }
 
@@ -636,13 +708,16 @@ object TableLog {
     // anything: retained → referenced (kept), dropped → historical
     // (published once, safe to sweep at any age)
     val resolved = resolveWalk(spark, f, dir, deltas, cps, deltas)
-    val referenced = keep.flatMap(resolved(_)._1).toSet
-    val historical = drop.flatMap(resolved(_)._1).toSet
+    val referenced = keep.flatMap(resolved(_).files).toSet
+    val historical = drop.flatMap(resolved(_).files).toSet
+    val referencedDvs = keep.flatMap(resolved(_).dvs).toSet
+    val historicalDvs = drop.flatMap(resolved(_).dvs).toSet
     // land a checkpoint at the new floor so the tail stays resolvable
     val floor = keep.head
     if (drop.nonEmpty && !cps.contains(floor)) {
-      val (files, schemaJson, action) = resolved(floor)
-      writeCheckpoint(spark, f, dir, floor, action, schemaJson, files)
+      val r = resolved(floor)
+      writeCheckpoint(spark, f, dir, floor, r.action, r.schemaJson,
+        r.files, r.dvs)
     }
     val now = System.currentTimeMillis()
     def oldEnough(p: Path): Boolean =
@@ -674,7 +749,127 @@ object TableLog {
         now - s.getModificationTime >= minAgeMs)
       .map(_.getPath)
     staging.foreach(f.delete(_, true))
+    // deletion-vector sidecars follow the data-file rules: referenced
+    // by a retained snapshot → kept; referenced only by expired
+    // history (or superseded by compactDeletes) → swept at any age;
+    // never referenced (in-flight deleteWhere) → age-gated
+    val dvRoot = new Path(dir, DvDir)
+    val deadDvs =
+      if (!f.exists(dvRoot)) Seq.empty
+      else f.listStatus(dvRoot).toSeq.filter(_.isFile)
+        .map(_.getPath.getName)
+        .filterNot(referencedDvs.contains)
+        .filter(n => historicalDvs.contains(n) ||
+          oldEnough(new Path(dvRoot, n)))
+    deadDvs.foreach(n => f.delete(new Path(dvRoot, n), false))
     ExpireStats(drop.size + tmps.size,
-      expired.size + sweepOrphans.size + staging.size)
+      expired.size + sweepOrphans.size + staging.size + deadDvs.size)
+  }
+
+  final case class DeleteStats(version: Int, rowsDeleted: Long,
+    filesRewritten: Int)
+
+  /** MERGE-ON-READ DELETE (r17): delete every row matching
+    * `predicate` by publishing a DELETION VECTOR — a parquet sidecar
+    * of (file name, physical row index) pairs under `_graft_dv/` —
+    * instead of rewriting the containing files. A 1-row tombstone on
+    * a high-churn dimension costs one predicate-column scan plus a
+    * delete-sized sidecar write, not an O(file) copy-on-write rewrite
+    * ([[read]]/[[diff]]/[[changes]] anti-join active DVs; UpsertSpec
+    * pins DV-read ≡ the copy-on-write result).
+    *
+    * The window closes at the next maintenance pass:
+    * [[snapshotFiles]] refuses DV-bearing snapshots (a raw file read
+    * would resurrect deleted rows), so run [[compactDeletes]] to
+    * materialize before upsert/rollup/optimize. Returns rowsDeleted=0
+    * without a commit when nothing matches. */
+  def deleteWhere(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column,
+      expectedHead: Option[Int] = None): DeleteStats = {
+    import org.apache.spark.sql.functions.col
+    val f = fs(spark, dir)
+    val (deltas, cps) = listLog(f, dir)
+    require(deltas.nonEmpty, s"$dir has no log — run init first")
+    val headV = deltas.last
+    expectedHead.foreach(e => require(headV == e,
+      s"conflict: head is v$headV, expected v$e"))
+    val res = resolveWalk(spark, f, dir, deltas, cps, Seq(headV))(headV)
+    if (res.files.isEmpty) return DeleteStats(headV, 0L, 0)
+    // positions come from the CURRENT read (existing DVs applied), so
+    // re-running the same predicate is idempotent: 0 new positions
+    val positions = read(spark, dir, Some(headV))
+      .filter(predicate)
+      .select(col("_metadata.file_name").as("file"),
+        col("_metadata.row_index").as("row_index"))
+      .localCheckpoint()
+    val n = positions.count()
+    if (n == 0L) return DeleteStats(headV, 0L, 0)
+    // land the sidecar via the checkpoint pattern: single-file write
+    // into an age-gated _tmp dir, rename into _graft_dv/
+    val tmp = new Path(dir,
+      s"$LogDir/_tmp.${java.util.UUID.randomUUID()}.dv")
+    positions.coalesce(1).write.parquet(tmp.toString)
+    val part = f.listStatus(tmp).map(_.getPath)
+      .find(p => p.getName.startsWith("part-") &&
+        p.getName.endsWith(".parquet"))
+      .getOrElse(sys.error(s"DV write produced no part file under $tmp"))
+    val v = headV + 1
+    val dvName = s"dv-v$v-${java.util.UUID.randomUUID()}.parquet"
+    f.mkdirs(new Path(dir, DvDir))
+    require(f.rename(part, new Path(dir, s"$DvDir/$dvName")),
+      s"DV publish failed: $part")
+    f.delete(tmp, true)
+    publish(f, dir, deltaPath(dir, v),
+      render("delete", java.util.UUID.randomUUID().toString,
+        res.schemaJson, Seq("dvadd" -> dvName)))
+    if (v % CheckpointInterval == 0)
+      writeCheckpoint(spark, f, dir, v, "delete", res.schemaJson,
+        res.files, res.dvs :+ dvName)
+    DeleteStats(v, n, 0)
+  }
+
+  /** Materialize every active deletion vector: rewrite ONLY the files
+    * holding DV positions (survivor rows under the recorded schema),
+    * carry the rest, and commit with the DV set dropped — after this
+    * the maintenance loop ([[snapshotFiles]] consumers) is unblocked.
+    * No-op (None) when the head carries no DVs. */
+  def compactDeletes(spark: SparkSession, dir: String,
+      expectedHead: Option[Int] = None): Option[DeleteStats] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val f = fs(spark, dir)
+    val (deltas, cps) = listLog(f, dir)
+    require(deltas.nonEmpty, s"$dir has no log — run init first")
+    val headV = deltas.last
+    expectedHead.foreach(e => require(headV == e,
+      s"conflict: head is v$headV, expected v$e"))
+    val res = resolveWalk(spark, f, dir, deltas, cps, Seq(headV))(headV)
+    if (res.dvs.isEmpty) return None
+    val dv = spark.read.parquet(
+      res.dvs.map(n => new Path(dir, s"$DvDir/$n").toString): _*)
+      .localCheckpoint()
+    val touched = dv.select("file").distinct()
+      .collect().map(_.getString(0))
+      .filter(res.files.contains(_)).toSeq.sorted
+    val schema = res.schemaJson.map(DataType.fromJson(_)
+      .asInstanceOf[StructType]).getOrElse(
+      sys.error(s"$dir head records no schema"))
+    val staging = new Path(dir,
+      s"_staging-compact-${java.util.UUID.randomUUID()}")
+    val base = spark.read.schema(schema).parquet(
+      touched.map(n => new Path(dir, n).toString): _*)
+    val cols = base.columns.toSeq
+    base
+      .withColumn("__dv_f", col("_metadata.file_name"))
+      .withColumn("__dv_ri", col("_metadata.row_index"))
+      .join(broadcast(dv),
+        col("__dv_f") === dv("file") &&
+          col("__dv_ri") === dv("row_index"), "left_anti")
+      .select(cols.map(col): _*)
+      .write.parquet(staging.toString)
+    val carry = res.files.filterNot(touched.contains(_))
+    val v = commit(spark, dir, staging.toString, "compact-deletes",
+      expectedHead = Some(headV), carry = carry, dropDvs = true)
+    f.delete(staging, true)
+    Some(DeleteStats(v, 0L, touched.size))
   }
 }
