@@ -404,8 +404,11 @@ object CliMain {
       val k = flagVal("--k").map(_.toInt).getOrElse(4)
       // versioned tables index the CURRENT snapshot's files
       if (graft.ingest.TableLog.head(spark, tableDir).isDefined)
+        // allowDvs: indexing raw files only adds candidates; the
+        // snapshot lookup applies active deletion vectors
         graft.ingest.FileSkipIndex.buildFiles(spark, tableDir, column,
-          graft.ingest.TableLog.snapshotFiles(spark, tableDir),
+          graft.ingest.TableLog.snapshotFiles(spark, tableDir,
+            allowDvs = true),
           mBits, k)
       else
         graft.ingest.FileSkipIndex.build(spark, tableDir, column,

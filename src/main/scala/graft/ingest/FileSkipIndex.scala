@@ -127,7 +127,11 @@ object FileSkipIndex {
       version: Option[Int] = None): RefreshStats = {
     import spark.implicits._
     val m = meta(spark, tableDir, column)
-    val snapshot = TableLog.snapshotFiles(spark, tableDir, version)
+    // allowDvs: indexing raw files over active deletion vectors only
+    // ADDS candidates (a DV'd row's key still hits its file's Bloom);
+    // lookupSnapshot applies the DVs, so no deleted row escapes
+    val snapshot = TableLog.snapshotFiles(spark, tableDir, version,
+      allowDvs = true)
     val snapNames = snapshot.map(f =>
       new org.apache.hadoop.fs.Path(f).getName)
     val idx = spark.read.parquet(indexDir(tableDir, column))
@@ -227,7 +231,8 @@ object FileSkipIndex {
       column: String, keys: Seq[String], version: Option[Int] = None)
       : DataFrame = {
     import spark.implicits._
-    val snapshot = TableLog.snapshotFiles(spark, tableDir, version)
+    val snapshot = TableLog.snapshotFiles(spark, tableDir, version,
+      allowDvs = true)
     val byName = snapshot.map(f =>
       new org.apache.hadoop.fs.Path(f).getName -> f).toMap
     val schema = TableLog.schemaOf(spark, tableDir, version).getOrElse(
@@ -248,7 +253,13 @@ object FileSkipIndex {
     if (reads.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema).parquet(reads: _*)
-      .filter(col(column).cast("string").isin(keys: _*))
+    else
+      // merge-on-read compatible: apply the snapshot's active
+      // deletion vectors before the exact predicate, so a lookup
+      // never returns a row deleteWhere already deleted
+      TableLog.antiJoinDvs(spark,
+        spark.read.schema(schema).parquet(reads: _*),
+        TableLog.snapshotDvs(spark, tableDir, version))
+        .filter(col(column).cast("string").isin(keys: _*))
   }
 }

@@ -64,7 +64,15 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * Scale: commit metadata is O(changed files) + one schema line;
   * resolution is one checkpoint + a bounded delta tail; the
   * streaming tier's batch-id probe ([[actions]]) reads one line per
-  * record and never a file list. */
+  * record and never a file list.
+  *
+  * r17 additions: checkpoints are PARQUET (written/read as
+  * DataFrames behind an immutable-record cache — no whole-file
+  * driver text parse; legacy text checkpoints still resolve);
+  * [[commit]] grows disjoint-writer REBASE; [[changes]] +
+  * [[ChangeFeed]] give resumable per-commit CDF consumption; and
+  * [[deleteWhere]]/[[compactDeletes]] add merge-on-read deletes via
+  * deletion-vector sidecars (see each method's contract). */
 object TableLog {
 
   private val LogDir = "_graft_log"
@@ -582,24 +590,30 @@ object TableLog {
         files.map(n => new Path(dir, n).toString): _*)
     }
     if (res.dvs.isEmpty || files.isEmpty) base
-    else {
-      // merge-on-read: anti-join the snapshot's deletion vectors on
-      // (file name, physical row index) — the DV frame is
-      // delete-sized, the join rides a broadcast; stale DV rows for
-      // files later commits rewrote never match (names are unique)
-      import org.apache.spark.sql.functions.{broadcast, col}
-      val dv = spark.read.parquet(
-        res.dvs.map(n => new Path(dir, s"$DvDir/$n").toString): _*)
-      val cols = base.columns.toSeq
-      base
-        .withColumn("__dv_f", col("_metadata.file_name"))
-        .withColumn("__dv_ri", col("_metadata.row_index"))
-        .join(broadcast(dv),
-          col("__dv_f") === dv("file") &&
-            col("__dv_ri") === dv("row_index"),
-          "left_anti")
-        .select(cols.map(col): _*)
-    }
+    else antiJoinDvs(spark, base,
+      res.dvs.map(n => new Path(dir, s"$DvDir/$n").toString))
+  }
+
+  /** Merge-on-read application: anti-join a file-source frame against
+    * deletion-vector sidecars on (file name, physical row index) —
+    * the DV frame is delete-sized, the join rides a broadcast; stale
+    * DV rows for files later commits rewrote never match (names are
+    * unique). `df` must be a DIRECT parquet scan (the `_metadata`
+    * column resolves only on file sources). */
+  private[graft] def antiJoinDvs(spark: SparkSession, df: DataFrame,
+      dvPaths: Seq[String]): DataFrame = {
+    if (dvPaths.isEmpty) return df
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val dv = spark.read.parquet(dvPaths: _*)
+    val cols = df.columns.toSeq
+    df
+      .withColumn("__dv_f", col("_metadata.file_name"))
+      .withColumn("__dv_ri", col("_metadata.row_index"))
+      .join(broadcast(dv),
+        col("__dv_f") === dv("file") &&
+          col("__dv_ri") === dv("row_index"),
+        "left_anti")
+      .select(cols.map(col): _*)
   }
 
   /** Change-data feed between two retained snapshots: rows only in

@@ -26,7 +26,20 @@ import org.apache.spark.sql.functions._
   *  - q_snapshot_diff: [[graft.ingest.TableLog]] init → zero-copy
   *    mergeShared commit → diff(v0, v1) on the INCREMENTAL delta log;
   *    oracle = EXCEPT ALL both ways between the stated before/after
-  *    relations (multiset change-data-feed semantics).
+  *    relations (multiset change-data-feed semantics);
+  *  - q_hive_import (r17): [[graft.ingest.TableImport]] end-to-end —
+  *    orders materialized as an o_year=YYYY/ hive tree, re-landed
+  *    flat + range-clustered + versioned, partition column
+  *    reconstructed; oracle = the relational restatement over orders;
+  *  - q_change_feed (r17): [[graft.ingest.TableLog.changes]] over a
+  *    two-commit history (updates at v1, tombstones+inserts at v2) —
+  *    the per-commit feed keeps cross-commit event pairs a spanning
+  *    diff cancels; oracle = both pairwise diffs via EXCEPT ALL,
+  *    stamped with the commit version;
+  *  - q_delete_vector (r17): [[graft.ingest.TableLog.deleteWhere]] —
+  *    a predicate delete as a DV sidecar (zero data files rewritten,
+  *    REQUIREd in the query) read back merge-on-read; oracle = the
+  *    relational complement over customer.
   *
   * Each query materializes its deterministic inputs under a fresh temp
   * dir per invocation (the kernels are directory-contract operators),
@@ -187,6 +200,27 @@ object Lakehouse extends QueryFamily {
           .map(col): _*)
         .orderBy("c_custkey", "_commit_version", "_change_type")
     },
+    "q_delete_vector" -> { (s, d) =>
+      // merge-on-read delete end-to-end: a predicate delete publishes
+      // a (file, row_index) DV sidecar (ZERO data files rewritten —
+      // asserted), and the MoR read anti-joins it; oracle = the
+      // relational complement
+      val root = Files.createTempDirectory("q-dv").toString
+      dim(s, d).repartitionByRange(4, col("c_custkey"))
+        .write.parquet(s"$root/t")
+      graft.ingest.TableLog.init(s, s"$root/t")
+      val before = graft.ingest.TableLog
+        .snapshotFiles(s, s"$root/t").toSet
+      val st = graft.ingest.TableLog.deleteWhere(s, s"$root/t",
+        col("c_custkey") % 5 === 0 || col("bal_cents") < 0,
+        expectedHead = Some(0))
+      require(st.filesRewritten == 0 && graft.ingest.TableLog
+        .snapshotFiles(s, s"$root/t", allowDvs = true).toSet == before,
+        s"MoR delete rewrote data files: $st")
+      graft.ingest.TableLog.read(s, s"$root/t")
+        .select(outCols.map(col): _*)
+        .orderBy("c_custkey")
+    },
     "q_snapshot_diff" -> { (s, d) =>
       // the versioned log end-to-end on the r16 INCREMENTAL records:
       // init v0, zero-copy mergeShared commit v1 (untouched files
@@ -319,6 +353,15 @@ object Lakehouse extends QueryFamily {
         |  min(epoch_us(o_orderdate)) AS first_us,
         |  max(epoch_us(o_orderdate)) AS last_us
         |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_delete_vector" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(c_nationkey AS BIGINT) AS c_nationkey,
+        |  CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal_cents,
+        |  CAST(0 AS BIGINT) AS ver
+        |FROM customer
+        |WHERE NOT (c_custkey % 5 = 0
+        |  OR CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) < 0)
+        |ORDER BY c_custkey""".stripMargin,
     "q_snapshot_diff" -> (mergeCtes +
       """, ins AS (SELECT * FROM merged EXCEPT ALL SELECT * FROM t),
         |del_ AS (SELECT * FROM t EXCEPT ALL SELECT * FROM merged)

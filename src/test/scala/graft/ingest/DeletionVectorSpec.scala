@@ -107,6 +107,32 @@ class DeletionVectorSpec extends SparkSuite {
     assert(vals(TableLog.read(spark, s"$root/t")) == want)
   }
 
+  test("skip-index lookups apply active DVs; refresh stays legal") {
+    val root = Files.createTempDirectory("dv-skipidx").toString
+    (0 until 4).foreach { f =>
+      spark.range(f * 250, (f + 1) * 250)
+        .select(col("id").as("k"), (lit(9999) - col("id")).as("v"))
+        .coalesce(1).write.mode("append").parquet(s"$root/t")
+    }
+    TableLog.init(spark, s"$root/t")
+    FileSkipIndex.buildFiles(spark, s"$root/t", "v",
+      TableLog.snapshotFiles(spark, s"$root/t"),
+      mBits = 1L << 16, k = 4)
+    // delete k=300 (v=9699) merge-on-read; the sidecar still claims
+    // its file (stale candidate — only costs a read), but the lookup
+    // must NOT return the deleted row
+    TableLog.deleteWhere(spark, s"$root/t", col("k") === 300L)
+    val got = FileSkipIndex.lookupSnapshot(spark, s"$root/t", "v",
+      Seq("9699", "9700")).select("k", "v")
+      .as[(Long, Long)].collect().toSeq
+    assert(got == Seq((299L, 9700L)), s"$got")
+    // refresh over the DV-bearing snapshot is legal (raw indexing
+    // only adds candidates) and keeps the lookup DV-aware
+    FileSkipIndex.refresh(spark, s"$root/t", "v")
+    assert(FileSkipIndex.lookupSnapshot(spark, s"$root/t", "v",
+      Seq("9699")).count() == 0L)
+  }
+
   test("a rewriting commit without materialization is refused") {
     val root = Files.createTempDirectory("dv-guard").toString
     spark.range(10).select(col("id").as("k"),
