@@ -169,6 +169,22 @@ object FileSkipIndex {
       nameOf(col("file")) === col("__snap_name"), "left_semi")
   }
 
+  /** Refresh EVERY sidecar under `<tableDir>/_graft_index/` against
+    * a snapshot (default head) — the post-commit hook the streaming
+    * maintenance pipelines call so indexes follow the stream instead
+    * of trailing it (lookups are lossless either way since r17; a
+    * fresh sidecar just keeps them PRUNED). No-op without indexes. */
+  def refreshAll(spark: SparkSession, tableDir: String,
+      version: Option[Int] = None): Map[String, RefreshStats] = {
+    val root = new org.apache.hadoop.fs.Path(tableDir, "_graft_index")
+    val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!f.exists(root)) Map.empty
+    else f.listStatus(root).toSeq
+      .filter(_.isDirectory).map(_.getPath.getName)
+      .filterNot(_.endsWith("_meta"))
+      .map(c => c -> refresh(spark, tableDir, c, version)).toMap
+  }
+
   /** Files that MIGHT hold any of `keys` — every file truly holding
     * one is returned (no false negatives); the table itself is never
     * scanned. */

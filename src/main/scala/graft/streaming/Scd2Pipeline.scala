@@ -56,6 +56,11 @@ object Scd2Pipeline {
     TableLog.commit(spark, tableDir, s"$staging/out",
       action = batchAction(batchId), expectedHead = Some(head),
       carry = untouched)
+    // keep any Bloom sidecars on the table FRESH behind the commit:
+    // the incremental refresh re-aggregates only this batch's new
+    // files (no-op without indexes; a crash here leaves the sidecar
+    // trailing, which r17 lookups tolerate losslessly)
+    graft.ingest.FileSkipIndex.refreshAll(spark, tableDir)
     val p = new org.apache.hadoop.fs.Path(staging)
     p.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(p, true)

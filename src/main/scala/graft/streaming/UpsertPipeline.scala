@@ -66,6 +66,11 @@ object UpsertPipeline {
     TableLog.commit(spark, tableDir, s"$staging/out",
       action = batchAction(batchId), expectedHead = Some(head),
       carry = untouched)
+    // keep any Bloom sidecars on the table FRESH behind the commit:
+    // the incremental refresh re-aggregates only this batch's new
+    // files (no-op without indexes; a crash here leaves the sidecar
+    // trailing, which r17 lookups tolerate losslessly)
+    graft.ingest.FileSkipIndex.refreshAll(spark, tableDir)
     // commit moved the data files out; drop the staging shell (a
     // CRASHED batch's staging is left behind deliberately —
     // replayable evidence, swept by TableLog.expire once it ages past

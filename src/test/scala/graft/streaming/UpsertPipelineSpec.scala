@@ -22,6 +22,37 @@ class UpsertPipelineSpec extends SparkSuite {
     TableLog.read(spark, dir).select("k", "v", "ver")
       .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
 
+  test("streamed commits keep a Bloom sidecar fresh (refreshAll hook)") {
+    val root = Files.createTempDirectory("upsert-pipe-idx").toString
+    // 4-file table clustered by k, indexed on the unrelated tag column
+    spark.range(1000).select(col("id").as("k"),
+        concat(lit("old"), col("id")).as("v"),
+        (lit(9999) - col("id")).cast("string").as("tag"),
+        lit(0L).as("ver"))
+      .repartitionByRange(4, col("k")).write.parquet(s"$root/t")
+    TableLog.init(spark, s"$root/t")
+    graft.ingest.FileSkipIndex.buildFiles(spark, s"$root/t", "tag",
+      TableLog.snapshotFiles(spark, s"$root/t"),
+      mBits = 1L << 16, k = 4)
+
+    // a streamed batch moves k=100's tag; the post-commit hook must
+    // re-index so the lookup stays PRUNED (not just lossless): the
+    // moved value resolves to its new file only, and an absent key
+    // reads zero files
+    val b0 = Seq((100L, "new", "moved-tag", 1L))
+      .toDF("k", "v", "tag", "ver")
+    assert(UpsertPipeline.applyBatch(spark, b0, s"$root/t", Seq("k"),
+      Some("ver"), None, batchId = 0))
+    val got = graft.ingest.FileSkipIndex.lookupSnapshot(spark,
+      s"$root/t", "tag", Seq("moved-tag", "9899"))
+      .select("k", "tag").as[(Long, String)].collect().toSeq
+    assert(got == Seq((100L, "moved-tag")), s"$got")
+    val absent = graft.ingest.FileSkipIndex.lookupSnapshot(spark,
+      s"$root/t", "tag", Seq("no-such-tag"))
+    assert(absent.count() == 0 && absent.inputFiles.isEmpty,
+      s"sidecar trails the streamed commit: read ${absent.inputFiles.toSeq}")
+  }
+
   test("replay no-op; crash between merge and commit recovers once") {
     val root = Files.createTempDirectory("upsert-pipe").toString
     spark.range(6).select(col("id").as("k"),
