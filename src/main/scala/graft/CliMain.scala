@@ -487,6 +487,28 @@ object CliMain {
               println(s"table: consumed (v${b.fromV}, v${b.toV}] " +
                 s"${counts.mkString(", ")}; cursor -> v${b.toV}")
           }
+        // delete --where <sqlPredicate> [--expect N]: merge-on-read
+        // delete — publishes a deletion-vector sidecar, rewrites
+        // ZERO data files (ingest.TableLog.deleteWhere); reads apply
+        // it; run compact-deletes before the next maintenance pass.
+        case "delete" :: _ =>
+          val pred = flagVal("--where").getOrElse(
+            sys.error("--where <sql predicate> is required"))
+          val st = graft.ingest.TableLog.deleteWhere(spark, dir,
+            org.apache.spark.sql.functions.expr(pred),
+            expectedHead = flagVal("--expect").map(_.toInt))
+          println(s"table: deleted ${st.rowsDeleted} rows " +
+            s"merge-on-read at v${st.version} (0 data files rewritten)")
+        // compact-deletes [--expect N]: materialize every active
+        // deletion vector (rewrites only DV-bearing files, carries
+        // the rest) and unblock the maintenance loop.
+        case "compact-deletes" :: _ =>
+          graft.ingest.TableLog.compactDeletes(spark, dir,
+            expectedHead = flagVal("--expect").map(_.toInt)) match {
+            case None => println("table: no active deletion vectors")
+            case Some(st) => println(s"table: materialized deletes " +
+              s"at v${st.version}; ${st.filesRewritten} files rewritten")
+          }
         // import <srcDir> --cluster k1,k2 [--files N]: re-land an
         // existing hive-partitioned k=v/ tree (or flat dir) as a
         // TableLog-versioned flat+clustered table at <dir> —

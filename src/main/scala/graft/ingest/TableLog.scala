@@ -401,60 +401,73 @@ object TableLog {
       carry: Seq[String] = Nil, rebase: Boolean = false,
       dropDvs: Boolean = false): Int = {
     val f = fs(spark, dir)
-    val (deltas, cps) = listLog(f, dir)
-    require(deltas.nonEmpty, s"$dir has no log — run init first")
-    val headV = deltas.last
     val carryNames0 = carry.map(c => new Path(c).getName)
-    val rebasing = rebase && expectedHead.exists(_ != headV)
-    expectedHead.foreach(e => require(rebasing || headV == e,
-      s"conflict: head is v$headV, expected v$e — " +
-        "re-run the maintenance pass against the new head"))
-    val headRes = resolveWalk(spark, f, dir, deltas, cps,
-      Seq(headV))(headV)
-    val (headFilesSeq, headSchema) = (headRes.files, headRes.schemaJson)
-    val headFiles = headFilesSeq.toSet
-    val carryNames: Seq[String] =
-      if (!rebasing) carryNames0
-      else {
-        val e = expectedHead.get
-        require(deltas.contains(e),
-          s"cannot rebase: expected head v$e expired from retained " +
-            s"history ${deltas.mkString("[", ",", "]")}")
-        val eFiles = resolveWalk(spark, f, dir, deltas, cps, Seq(e))(e)
-          .files.toSet
-        val badE = carryNames0.filterNot(eFiles.contains)
-        require(badE.isEmpty,
-          s"carry names not in expected-head snapshot v$e: " +
-            s"${badE.take(3).mkString(", ")}")
-        val touched = eFiles -- carryNames0
-        val interleavedRemoved = ((e + 1) to headV)
-          .flatMap(v => parse(readText(f, deltaPath(dir, v))).removes)
-          .toSet
-        val clash = touched & interleavedRemoved
-        require(clash.isEmpty,
-          s"rebase conflict: commits v${e + 1}..v$headV touched the " +
-            s"same files this pass rewrote (${clash.take(3)
-              .mkString(", ")}) — its rewrite read stale rows; re-run " +
-            "the maintenance pass against the new head")
-        // replay: keep everything the new head holds except the files
-        // this pass explicitly rewrote/dropped (all still present —
-        // disjointness just proved no interleaved commit removed them)
-        (headFiles -- touched).toSeq
-      }
-    val bad = carryNames.filterNot(headFiles.contains)
-    require(bad.isEmpty,
-      s"carry names not in head snapshot v$headV: " +
-        s"${bad.take(3).mkString(", ")}")
-    val removes = headFilesSeq.filterNot(carryNames.toSet)
-    // active DVs either carry untouched (default: a commit that never
-    // read raw files cannot invalidate them) or drop wholesale when
-    // the committer materialized them (compactDeletes). Checked
-    // BEFORE any file moves so a refused commit leaves no orphans.
-    require(dropDvs || headRes.dvs.isEmpty || removes.isEmpty,
-      s"commit would rewrite files of a snapshot carrying " +
-        s"${headRes.dvs.size} active deletion vector(s) without " +
-        "materializing them — run compactDeletes first")
-    val v = deltas.last + 1
+
+    /** Everything the publish depends on, recomputed per attempt —
+      * the rebase path re-prepares against whatever head a racer
+      * left. */
+    final case class Prep(v: Int, carryNames: Seq[String],
+      removes: Seq[String], headRes: Resolved, headFiles: Set[String])
+
+    def prepare(): Prep = {
+      val (deltas, cps) = listLog(f, dir)
+      require(deltas.nonEmpty, s"$dir has no log — run init first")
+      val headV = deltas.last
+      val rebasing = rebase && expectedHead.exists(_ != headV)
+      expectedHead.foreach(e => require(rebasing || headV == e,
+        s"conflict: head is v$headV, expected v$e — " +
+          "re-run the maintenance pass against the new head"))
+      val headRes = resolveWalk(spark, f, dir, deltas, cps,
+        Seq(headV))(headV)
+      val headFiles = headRes.files.toSet
+      val carryNames: Seq[String] =
+        if (!rebasing) carryNames0
+        else {
+          val e = expectedHead.get
+          require(deltas.contains(e),
+            s"cannot rebase: expected head v$e expired from retained " +
+              s"history ${deltas.mkString("[", ",", "]")}")
+          val eFiles = resolveWalk(spark, f, dir, deltas, cps,
+            Seq(e))(e).files.toSet
+          val badE = carryNames0.filterNot(eFiles.contains)
+          require(badE.isEmpty,
+            s"carry names not in expected-head snapshot v$e: " +
+              s"${badE.take(3).mkString(", ")}")
+          val touched = eFiles -- carryNames0
+          val interleavedRemoved = ((e + 1) to headV)
+            .flatMap(v => parse(readText(f, deltaPath(dir, v))).removes)
+            .toSet
+          val clash = touched & interleavedRemoved
+          require(clash.isEmpty,
+            s"rebase conflict: commits v${e + 1}..v$headV touched the " +
+              s"same files this pass rewrote (${clash.take(3)
+                .mkString(", ")}) — its rewrite read stale rows; " +
+              "re-run the maintenance pass against the new head")
+          // replay: keep everything the new head holds except the
+          // files this pass explicitly rewrote/dropped (all still
+          // present — disjointness just proved no interleaved commit
+          // removed them)
+          (headFiles -- touched).toSeq
+        }
+      val bad = carryNames.filterNot(headFiles.contains)
+      require(bad.isEmpty,
+        s"carry names not in head snapshot v$headV: " +
+          s"${bad.take(3).mkString(", ")}")
+      val removes = headRes.files.filterNot(carryNames.toSet)
+      // active DVs either carry untouched (default: a commit that
+      // never read raw files cannot invalidate them) or drop
+      // wholesale when the committer materialized them
+      // (compactDeletes). Checked BEFORE any file moves so a refused
+      // commit leaves no orphans.
+      require(dropDvs || headRes.dvs.isEmpty || removes.isEmpty,
+        s"commit would rewrite files of a snapshot carrying " +
+          s"${headRes.dvs.size} active deletion vector(s) without " +
+          "materializing them — run compactDeletes first")
+      Prep(headV + 1, carryNames, removes, headRes, headFiles)
+    }
+
+    var prep = prepare()
+    val v = prep.v
     val from = fs(spark, fromDir)
     // version-prefix the moved name, stripping prefixes accumulated by
     // earlier commits (a never-rewritten file copied through N
@@ -481,7 +494,7 @@ object TableLog {
       f.setTimes(new Path(dir, dst), System.currentTimeMillis(), -1)
       dst
     }
-    require(moved.nonEmpty || carryNames.nonEmpty,
+    require(moved.nonEmpty || prep.carryNames.nonEmpty,
       s"$fromDir holds no data files and nothing carried")
     // snapshot schema: moved-file footers only (O(changed)), unioned
     // with the head's recorded schema when the commit carries
@@ -489,35 +502,62 @@ object TableLog {
       if (moved.isEmpty) new StructType()
       else spark.read.parquet(
         moved.map(n => new Path(dir, n).toString): _*).schema
-    val schemaJson = (if (carryNames.nonEmpty) headSchema else None) match {
-      case Some(h) => Some(unionSchema(
-        DataType.fromJson(h).asInstanceOf[StructType], movedSchema).json)
-      case None => if (moved.isEmpty) headSchema
-        else Some(movedSchema.json)
+
+    // publish-attempt loop: files moved ONCE above; a rebasing commit
+    // that loses the RENAME race to another racer re-prepares against
+    // the new head and re-publishes the same moved names at the next
+    // version (the v-prefix in a moved name is cosmetic — uniqueness
+    // comes from the staged names; later commits strip prefixes).
+    // Non-rebase commits keep the loud single-shot contract.
+    var attempts = 0
+    var out = -1
+    while (out < 0) {
+      val pv = prep.v
+      val headSchema = prep.headRes.schemaJson
+      val schemaJson =
+        (if (prep.carryNames.nonEmpty) headSchema else None) match {
+          case Some(h) => Some(unionSchema(
+            DataType.fromJson(h).asInstanceOf[StructType],
+            movedSchema).json)
+          case None => if (moved.isEmpty) headSchema
+            else Some(movedSchema.json)
+        }
+      val dvRemoves = if (dropDvs) prep.headRes.dvs else Nil
+      try {
+        publish(f, dir, deltaPath(dir, pv),
+          render(action, java.util.UUID.randomUUID().toString,
+            schemaJson,
+            prep.removes.sorted.map("remove" -> _) ++
+              moved.sorted.map("add" -> _) ++
+              dvRemoves.sorted.map("dvremove" -> _)))
+        // defense in depth behind the mtime re-stamp above: if a
+        // concurrent expire still swept a moved file before the
+        // publish, the snapshot just published references a deleted
+        // file — fail LOUDLY rather than let readers hit FileNotFound
+        val gone = moved.filterNot(n => f.exists(new Path(dir, n)))
+        if (gone.nonEmpty) sys.error(
+          s"commit v$pv published a snapshot referencing files a " +
+            s"concurrent expire deleted: ${gone.take(3).mkString(", ")}" +
+            s" — the head is corrupt; restore from v${pv - 1} and " +
+            "re-run the maintenance pass (raise expire's minAgeMs)")
+        // derived, non-atomic-with-the-commit: a crash here only
+        // costs readers a longer delta tail until the next multiple
+        if (pv % CheckpointInterval == 0)
+          writeCheckpoint(spark, f, dir, pv, action, schemaJson,
+            (prep.headFiles -- prep.removes ++ moved).toSeq,
+            if (dropDvs) Nil else prep.headRes.dvs)
+        out = pv
+      } catch {
+        case e: RuntimeException
+            if rebase && expectedHead.isDefined && attempts < 5 &&
+              e.getMessage != null &&
+              (e.getMessage.contains("lost the rename race") ||
+                e.getMessage.contains("overwrote ours")) =>
+          attempts += 1
+          prep = prepare() // loud if the racer touched our files
+      }
     }
-    val dvRemoves = if (dropDvs) headRes.dvs else Nil
-    publish(f, dir, deltaPath(dir, v),
-      render(action, java.util.UUID.randomUUID().toString, schemaJson,
-        removes.sorted.map("remove" -> _) ++
-          moved.sorted.map("add" -> _) ++
-          dvRemoves.sorted.map("dvremove" -> _)))
-    // defense in depth behind the mtime re-stamp above: if a
-    // concurrent expire still swept a moved file before the publish,
-    // the snapshot just published references a deleted file — fail
-    // LOUDLY now rather than let readers hit FileNotFound later
-    val gone = moved.filterNot(n => f.exists(new Path(dir, n)))
-    if (gone.nonEmpty) sys.error(
-      s"commit v$v published a snapshot referencing files a " +
-        s"concurrent expire deleted: ${gone.take(3).mkString(", ")} — " +
-        s"the head is corrupt; restore from v${v - 1} and re-run " +
-        "the maintenance pass (raise expire's minAgeMs)")
-    // derived, non-atomic-with-the-commit: a crash here only costs
-    // later readers a longer delta tail until the next multiple lands
-    if (v % CheckpointInterval == 0)
-      writeCheckpoint(spark, f, dir, v, action, schemaJson,
-        (headFiles -- removes ++ moved).toSeq,
-        if (dropDvs) Nil else headRes.dvs)
-    v
+    out
   }
 
   /** Absolute paths of a snapshot's data files — the table-file list

@@ -133,6 +133,24 @@ class DeletionVectorSpec extends SparkSuite {
       Seq("9699")).count() == 0L)
   }
 
+  test("CLI: table delete --where / compact-deletes drive the kernels") {
+    val root = Files.createTempDirectory("dv-cli").toString
+    spark.range(10).select(col("id").as("k"),
+        concat(lit("r"), col("id")).as("v")).coalesce(2)
+      .write.parquet(s"$root/t")
+    graft.CliMain.main(Array("table", s"$root/t", "init"))
+    graft.CliMain.main(Array("table", s"$root/t", "delete",
+      "--where", "k % 3 = 0", "--expect", "0"))
+    assert(vals(TableLog.read(spark, s"$root/t")).map(_._1) ==
+      (0L until 10L).filterNot(_ % 3 == 0))
+    assert(TableLog.snapshotDvs(spark, s"$root/t").size == 1)
+    graft.CliMain.main(Array("table", s"$root/t", "compact-deletes",
+      "--expect", "1"))
+    assert(TableLog.snapshotDvs(spark, s"$root/t").isEmpty)
+    assert(vals(TableLog.read(spark, s"$root/t")).map(_._1) ==
+      (0L until 10L).filterNot(_ % 3 == 0))
+  }
+
   test("a rewriting commit without materialization is refused") {
     val root = Files.createTempDirectory("dv-guard").toString
     spark.range(10).select(col("id").as("k"),

@@ -140,6 +140,53 @@ class TableLogTortureSpec extends SparkSuite {
     assert(ex2.getMessage.contains("expired"), ex2.getMessage)
   }
 
+  test("six disjoint rebasing writers racing one head ALL land") {
+    val root = Files.createTempDirectory("tablelog-rebase-race").toString
+    val writers = 6
+    spark.range(1000).select(col("id").as("k"),
+        concat(lit("old"), col("id")).as("v"), lit(1L).as("ver"))
+      .repartitionByRange(8, col("k")).write.parquet(s"$root/t")
+    TableLog.init(spark, s"$root/t")
+    val v0files = TableLog.snapshotFiles(spark, s"$root/t")
+    // each writer rewrites ONE distinct file (keys 125 apart land in
+    // different range files)
+    val unts = (0 until writers).map { i =>
+      Seq((i * 125L + 10L, s"w$i", 2L)).toDF("k", "v", "ver")
+        .write.parquet(s"$root/chg$i")
+      val (st, unt) = graft.operators.Upsert.mergeShared(spark,
+        v0files, s"$root/chg$i", s"$root/stage$i", Seq("k"),
+        versionCol = Some("ver"))
+      assert(st.filesRewritten == 1, s"writer $i: $st")
+      unt
+    }
+    val barrier = new java.util.concurrent.CyclicBarrier(writers)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(writers)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    implicit val ec: ExecutionContext =
+      ExecutionContext.fromExecutor(pool)
+    val outcomes = try Await.result(Future.sequence(
+      (0 until writers).map(i => Future {
+        barrier.await()
+        try Right(TableLog.commit(spark, s"$root/t", s"$root/stage$i",
+          s"w$i", expectedHead = Some(0), carry = unts(i),
+          rebase = true))
+        catch { case e: Throwable => Left(e.getMessage) }
+      })), 180.seconds)
+    finally pool.shutdown()
+    // with disjoint touched sets EVERY writer lands (entry rebase or
+    // publish-race retry), versions linear 1..6, no lost update
+    val wins = outcomes.collect { case Right(v) => v }.sorted
+    assert(wins == (1 to writers), s"$outcomes")
+    val head = TableLog.read(spark, s"$root/t")
+      .select("k", "v").as[(Long, String)].collect().toMap
+    (0 until writers).foreach(i =>
+      assert(head(i * 125L + 10L) == s"w$i",
+        s"writer $i's update lost: ${head.filter(_._2.startsWith("w"))}"))
+    assert(head.size == 1000 &&
+      head.count(_._2.startsWith("w")) == writers)
+  }
+
   test("randomized commit/carry/expire fuzz vs an in-memory model") {
     val root = Files.createTempDirectory("tablelog-fuzz").toString
     val rnd = new scala.util.Random(42)
