@@ -87,8 +87,26 @@ object ChangeFeed {
       s".${dst.getName}.tmp.${java.util.UUID.randomUUID()}")
     val out = f.create(tmp, false)
     try out.write(s"v=$v\n".getBytes("UTF-8")) finally out.close()
-    if (f.exists(dst)) f.delete(dst, false)
-    require(f.rename(tmp, dst), s"cursor publish failed: $tmp -> $dst")
+    // atomic REPLACE via FileContext rename(OVERWRITE): the old
+    // delete-then-rename publish left a crash window with NO cursor
+    // file at all — the one piece of state this file exists to
+    // preserve, forcing the operator to guess a re-seed version
+    // (guessing high silently skips changes). An overwriting rename
+    // always leaves a readable cursor, old or new.
+    try {
+      val fc = org.apache.hadoop.fs.FileContext.getFileContext(
+        f.makeQualified(dst).toUri, f.getConf)
+      fc.rename(f.makeQualified(tmp), f.makeQualified(dst),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+        // a store without an AbstractFileSystem binding (test shims)
+        // keeps the legacy two-step — the window is the store's
+        // limitation, not the contract's
+        if (f.exists(dst)) f.delete(dst, false)
+        require(f.rename(tmp, dst),
+          s"cursor publish failed: $tmp -> $dst")
+    }
   }
 
   /** The unconsumed batch `(cursor, min(head, cursor + maxVersions)]`,

@@ -253,17 +253,21 @@ object FileSkipIndex {
       new org.apache.hadoop.fs.Path(f).getName -> f).toMap
     val schema = TableLog.schemaOf(spark, tableDir, version).getOrElse(
       sys.error(s"$tableDir snapshot records no schema (empty init?)"))
-    val indexedNames = spark.read
-      .parquet(indexDir(tableDir, column))
-      .select(nameOf(col("file")).as("n"))
-      .distinct().as[String].collect().toSet
     val cands = candidateFiles(spark, tableDir, column, keys)
       .flatMap(f => byName.get(new org.apache.hadoop.fs.Path(f).getName))
     // unprovable-absence files: in the snapshot, not in the sidecar —
-    // scanned unconditionally (no candidate evidence exists for them)
-    val unindexed = byName.collect {
-      case (n, f) if !indexedNames.contains(n) => f
-    }
+    // scanned unconditionally (no candidate evidence exists for
+    // them). Computed DISTRIBUTIVELY (r18): anti-join the
+    // snapshot-names frame against the sidecar's file names and
+    // collect only the unindexed REMAINDER — normally empty — never
+    // the sidecar's full distinct name set, which is O(index files)
+    // driver memory and a full sidecar scan on the hot lookup path
+    // at the millions-of-files target.
+    val unindexed = byName.keys.toSeq.toDF("__snap_name")
+      .join(spark.read.parquet(indexDir(tableDir, column))
+          .select(nameOf(col("file")).as("__snap_name")).distinct(),
+        Seq("__snap_name"), "left_anti")
+      .as[String].collect().toSeq.flatMap(byName.get)
     val reads =
       if (keys.isEmpty) Seq.empty else (cands ++ unindexed).toSeq.distinct
     if (reads.isEmpty)

@@ -210,9 +210,22 @@ object TableLog {
     * process-wide — a commit stream over the same table re-reads the
     * checkpoint zero times until the next one lands. Bounded: cleared
     * wholesale past 64 entries (tables in a process are few; this is
-    * a correctness-safe cache, not an LRU). */
+    * a correctness-safe cache, not an LRU).
+    *
+    * Keyed by the FULLY-QUALIFIED table URI (r18): the bare URI path
+    * would collide two tables at the same path on different
+    * filesystems/buckets (file:/data/t vs hdfs://nn/data/t both
+    * reduce to /data/t) and silently serve each other's file lists.
+    * Each entry also pins the checkpoint file's (path, length,
+    * mtime) and is validated against the live FileStatus before
+    * serving: "immutable once published" does not survive an
+    * out-of-band rm -rf + re-init at the same path in a long-lived
+    * driver, so a changed or missing status drops the entry instead
+    * of serving the dead table's checkpoint. */
+  private final case class CachedCp(rec: Record, path: String,
+    len: Long, mtime: Long)
   private val cpCache =
-    new java.util.concurrent.ConcurrentHashMap[(String, Int), Record]()
+    new java.util.concurrent.ConcurrentHashMap[(String, Int), CachedCp]()
 
   /** Test/profile hook: drop the immutable-checkpoint cache so a
     * resolve measures the cold read path. */
@@ -224,24 +237,36 @@ object TableLog {
     * parse), else the legacy text record. */
   private def readCheckpoint(spark: SparkSession, f: FileSystem,
       dir: String, cv: Int): Record = {
-    val key = (new Path(dir).toUri.getPath, cv)
+    val key = (f.makeQualified(new Path(dir)).toUri.toString, cv)
     val hit = cpCache.get(key)
-    if (hit != null) return hit
+    if (hit != null) {
+      val live = try {
+        val st = f.getFileStatus(new Path(hit.path))
+        st.getLen == hit.len && st.getModificationTime == hit.mtime
+      } catch { case _: java.io.FileNotFoundException => false }
+      if (live) return hit.rec
+      cpCache.remove(key)
+    }
     val pq = checkpointParquetPath(dir, cv)
-    val rec =
+    val (rec, src) =
       if (f.exists(pq)) {
         val rows = spark.read.parquet(pq.toString)
           .collect().map(r => r.getString(0) -> r.getString(1))
-        Record(
+        (Record(
           action = rows.collectFirst { case ("action", a) => a }
             .getOrElse("?"),
           schemaJson = rows.collectFirst { case ("schema", s) => s },
           adds = Nil, removes = Nil,
           files = rows.toSeq.collect { case ("file", n) => n },
-          dvs = rows.toSeq.collect { case ("dv", n) => n })
-      } else parse(readText(f, checkpointPath(dir, cv)))
+          dvs = rows.toSeq.collect { case ("dv", n) => n }), pq)
+      } else {
+        val txt = checkpointPath(dir, cv)
+        (parse(readText(f, txt)), txt)
+      }
     if (cpCache.size > 64) cpCache.clear()
-    cpCache.put(key, rec)
+    val st = f.getFileStatus(src)
+    cpCache.put(key, CachedCp(rec, src.toString, st.getLen,
+      st.getModificationTime))
     rec
   }
 
@@ -318,6 +343,15 @@ object TableLog {
         s"under $tmp"))
     val dst = checkpointParquetPath(dir, v)
     if (!f.exists(dst)) f.rename(part, dst)
+    // a silently-failed rename must not pass: for interval
+    // checkpoints it would only cost a longer delta tail, but
+    // [[expire]] checkpoints the new retention FLOOR and then drops
+    // every older record — losing that write leaves the retained
+    // tail with no checkpoint at or below the floor and the whole
+    // table unresolvable. (A concurrent writer having already
+    // published the identical derived record satisfies this too.)
+    require(f.exists(dst),
+      s"checkpoint publish failed: rename $part -> $dst lost")
     f.delete(tmp, true)
   }
 

@@ -99,7 +99,18 @@ class ChangeFeedSource(spark: org.apache.spark.sql.SparkSession,
   override def getOffset: Option[Offset] = {
     val h = TableLog.head(spark, dir).getOrElse(
       sys.error(s"$dir lost its log mid-stream"))
-    if (h <= startingVersion) None else Some(LongOffset(h.toLong))
+    // The CHECKPOINTED offset, not a re-derived head, must govern a
+    // restart: when `startingVersion` is omitted, createSource derives
+    // it from the head AT (RE)START TIME, so gating on `h <=
+    // startingVersion` here stranded a lagging restart (committed
+    // offset c < restart-time head h) until some FUTURE commit pushed
+    // the head past h — indefinitely on a quiescent table, and long
+    // enough for expire to turn the delay into a hard failure. The
+    // engine treats an offset equal to the last committed one as
+    // no-new-data, so returning the head unconditionally is correct;
+    // only a head still BELOW the requested start (explicit future
+    // startingVersion) reports no data. */
+    if (h < startingVersion) None else Some(LongOffset(h.toLong))
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {

@@ -337,6 +337,29 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.read(spark, s"$root/t").count() == 6L)
   }
 
+  test("cpCache validates the live file: rm -rf + re-init never stale") {
+    val root = Files.createTempDirectory("tablelog-cache").toString
+    spark.range(3).select(col("id").as("k"), lit("one").as("v"))
+      .coalesce(1).write.parquet(s"$root/t")
+    TableLog.init(spark, s"$root/t")
+    // resolve once: the v0 checkpoint enters the process-wide cache
+    assert(vals(TableLog.read(spark, s"$root/t")).forall(_._2 == "one"))
+    // out-of-band: drop the WHOLE table and re-init different content
+    // at the same path (long-lived driver, dev loop) — the
+    // "immutable once published" premise does not cover deletion, so
+    // the cached entry must invalidate on the changed file status
+    // instead of serving the dead table's checkpoint
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$root/t"), true))
+    spark.range(4).select(col("id").as("k"), lit("two").as("v"))
+      .coalesce(1).write.parquet(s"$root/t")
+    TableLog.init(spark, s"$root/t")
+    val got = vals(TableLog.read(spark, s"$root/t"))
+    assert(got.size == 4 && got.forall(_._2 == "two"),
+      s"stale checkpoint served after out-of-band re-init: $got")
+  }
+
   test("schema evolution: add-column commits, null-fill, time travel") {
     val root = Files.createTempDirectory("tablelog-schema").toString
     spark.range(3).select(col("id").as("k"), lit("a").as("v"))

@@ -84,6 +84,38 @@ class ChangeFeedSourceSpec extends SparkSuite {
       Seq("k", "v", "ver", "_change_type", "_commit_version"), s"$sch")
   }
 
+  test("restart while lagging (no startingVersion) delivers pending commits") {
+    val root = Files.createTempDirectory("cdf-stream-lag").toString
+    Seq((1L, "a", 1L)).toDF("k", "v", "ver").coalesce(1)
+      .write.parquet(s"$root/t")
+    TableLog.init(spark, s"$root/t")
+    def startQuery() = spark.readStream
+      .format("graft-changes")
+      .option("path", s"$root/t") // NO startingVersion: head at start
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    val q1 = startQuery()
+    commitChanges(root, 1, Seq((2L, "b", 2L, false)))
+    q1.processAllAvailable()
+    q1.stop()
+    // two commits land while the stream is DOWN: on restart the
+    // re-derived startingVersion is the NEW head, past the committed
+    // offset — the checkpointed offset must govern delivery (the r17
+    // getOffset gate stranded this lag until a FUTURE commit moved
+    // the head, indefinitely on a quiescent table)
+    commitChanges(root, 2, Seq((3L, "c", 3L, false)))
+    commitChanges(root, 3, Seq((4L, "d", 4L, false)))
+    val q2 = startQuery()
+    q2.processAllAvailable()
+    q2.stop()
+    val got = feedRows(s"$root/out")
+    assert(got == Seq((2L, "b", "insert", 1), (3L, "c", "insert", 2),
+      (4L, "d", "insert", 3)).sortBy(r => (r._4, r._1, r._3)), s"$got")
+  }
+
   test("a stream lagging past expire fails loudly, never skips") {
     val root = Files.createTempDirectory("cdf-stream-exp").toString
     Seq((1L, "a", 1L)).toDF("k", "v", "ver").coalesce(1)
