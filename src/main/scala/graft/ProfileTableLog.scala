@@ -77,13 +77,25 @@ object ProfileTableLog {
       val resolveWarmMs = (System.nanoTime() - r1) / 1e6
       require(acts.size == commits + 1 && head.size >= files - 1 &&
         head2 == head)
+      // r18 file-granular CDF: replaying the whole feed (5 pairwise
+      // diffs, change set fixed at one rewritten file per commit)
+      // must track the CHANGE SET, not the table — flat across the
+      // 10× file sweep (the r17 full-snapshot diff read the entire
+      // table per commit pair and scaled with `files`)
+      val f0 = System.nanoTime()
+      val feedRows = ingest.TableLog.changes(spark, s"$root/t", 0)
+        .count()
+      val feedSec = (System.nanoTime() - f0) / 1e9
+      require(feedRows == 2L * commits,
+        s"feed rows: $feedRows (want ${2 * commits})")
 
       println(f"TABLELOG files=$files%4d: v0 checkpoint $cpBytes%7d B " +
         f"parquet (O(table) reference); per-commit delta " +
         f"${deltaBytes.min}%4d..${deltaBytes.max}%4d B, " +
         f"merge+commit ${commitSec.min}%.2f..${commitSec.max}%.2f s; " +
         f"actions probe $probeMs%.1f ms, head resolve " +
-        f"cold $resolveColdMs%.1f / warm $resolveWarmMs%.1f ms")
+        f"cold $resolveColdMs%.1f / warm $resolveWarmMs%.1f ms; " +
+        f"feed replay $feedSec%.2f s / $commits commits")
     }
     spark.stop()
   }

@@ -37,11 +37,13 @@ import org.apache.spark.sql.functions.{col, lit}
   * unrecoverable; re-seed the consumer from a full snapshot read)
   * rather than silently skipping changes.
   *
-  * Scale: each pairwise diff is two bounded snapshot reads
-  * (exceptAll on the changed rows' files dominates); the cursor is
-  * one line. At 100 TB the per-commit diff cost is proportional to
-  * the commit's CHANGED files — the incremental-log discipline
-  * carried through to consumption. */
+  * Scale: each pairwise diff is FILE-GRANULAR since r18
+  * ([[TableLog.diffCommit]] reads only the commit's added/removed
+  * files, resolved from the delta record itself — carried files
+  * cancel by construction and are never read), so consuming a batch
+  * costs O(changed files across its commits), never
+  * O(commits × table); the cursor is one line. The incremental-log
+  * discipline carried through to consumption. */
 object ChangeFeed {
 
   final case class Batch(fromV: Int, toV: Int, changes: DataFrame)

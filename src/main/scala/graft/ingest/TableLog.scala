@@ -696,9 +696,21 @@ object TableLog {
     * readers needing pre/post images pair them on the key). Multiset
     * semantics via exceptAll, so duplicate rows diff by count. Across
     * an add-column evolution both sides read under the NEWER schema
-    * (unionByName would fail otherwise; the old side null-fills). */
+    * (unionByName would fail otherwise; the old side null-fills).
+    *
+    * An ADJACENT pair routes through [[diffCommit]] — O(the commit's
+    * changed files), computed from the delta record's own add/remove
+    * lists; an arbitrary span pays the two-snapshot exceptAll. */
   def diff(spark: SparkSession, dir: String, fromV: Int, toV: Int)
-      : DataFrame = {
+      : DataFrame =
+    if (toV == fromV + 1) diffCommit(spark, dir, toV)
+    else diffSnapshots(spark, dir, fromV, toV)
+
+  /** The full-snapshot diff — reads and exceptAlls BOTH snapshots, so
+    * O(table) per call: the ad-hoc arbitrary-span form, and the
+    * adjudication reference [[diffCommit]] is pinned against. */
+  private[ingest] def diffSnapshots(spark: SparkSession, dir: String,
+      fromV: Int, toV: Int): DataFrame = {
     val before0 = read(spark, dir, Some(fromV))
     val after = read(spark, dir, Some(toV))
     import org.apache.spark.sql.functions.{col, lit}
@@ -706,25 +718,139 @@ object TableLog {
     val before = missing.foldLeft(before0)((df, c) =>
       df.withColumn(c, lit(null).cast(
         after.schema(c).dataType)))
-      .select(after.columns.map(col).toSeq: _*)
+      .select(after.columns.map(c =>
+        if (before0.columns.contains(c) &&
+          before0.schema(c).dataType != after.schema(c).dataType)
+          col(c).cast(after.schema(c).dataType).as(c)
+        else col(c)).toSeq: _*)
     after.exceptAll(before).withColumn("_change_type", lit("insert"))
       .unionByName(
         before.exceptAll(after).withColumn("_change_type", lit("delete")))
   }
 
+  /** FILE-GRANULAR per-commit change-data feed (r18): `diff(v-1, v)`
+    * computed from the delta RECORD's own add/remove file lists,
+    * never from the two full snapshots. A snapshot pair SHARES its
+    * carried files physically, so the carried rows' multiset
+    * contributions cancel by construction and
+    *
+    *   diff(v-1, v) ≡ exceptAll(rows(added files), rows(removed files))
+    *
+    * — O(the commit's CHANGED files) where the r17 implementation
+    * read and shuffled both FULL snapshots per commit pair, the last
+    * O(table) cost in the maintenance loop (a consumer tailing a busy
+    * 100 TB table paid a full-table read per commit). Shapes:
+    *
+    *   - a deletion-vector commit (`dvadd`) has no file changes: the
+    *     changed rows are exactly the new sidecar's (file, row_index)
+    *     positions, semi-joined back to their files and tagged
+    *     `delete` ([[deleteWhere]] computes positions from the
+    *     DV-applied read, so they never overlap an older DV);
+    *   - a compact-deletes commit applies the PREVIOUS snapshot's
+    *     active DVs to the removed side, so materialization provably
+    *     diffs empty;
+    *   - the one irregular shape — a `dropDvs` commit whose dropped
+    *     positions reference files it did NOT remove (no kernel here
+    *     produces it: [[compactDeletes]] rewrites every DV-bearing
+    *     file) — falls back to [[diffSnapshots]], lossless either
+    *     way. ChangeFeedSpec pins diffCommit ≡ diffSnapshots
+    *     row-for-row across upsert, evolution, stacked-DV, and
+    *     compaction commits. */
+  def diffCommit(spark: SparkSession, dir: String, v: Int): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col, lit}
+    require(v >= 1, s"diffCommit needs a predecessor: v$v")
+    val f = fs(spark, dir)
+    val (deltas, cps) = listLog(f, dir)
+    require(deltas.contains(v) && deltas.contains(v - 1),
+      s"v${v - 1}..v$v not in retained history " +
+        deltas.mkString("[", ",", "]"))
+    val rec = parse(readText(f, deltaPath(dir, v)))
+    val res = resolveWalk(spark, f, dir, deltas, cps, Seq(v - 1, v))
+    val prev = res(v - 1)
+    val cur = res(v)
+    val schema = cur.schemaJson.map(DataType.fromJson(_)
+      .asInstanceOf[StructType]).getOrElse(new StructType())
+    def tagged(schema: StructType): StructType = StructType(
+      schema.fields :+ org.apache.spark.sql.types.StructField(
+        "_change_type", org.apache.spark.sql.types.StringType,
+        nullable = false))
+    if (schema.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        tagged(schema))
+    def dvPaths(names: Seq[String]): Seq[String] =
+      names.map(n => new Path(dir, s"$DvDir/$n").toString)
+    // irregular dropDvs shape: every dropped position still live in
+    // the previous snapshot must reference a file this commit
+    // removed, or carried contributions would not cancel
+    if (rec.dvRemoves.nonEmpty) {
+      val droppedFiles = spark.read.parquet(dvPaths(rec.dvRemoves): _*)
+        .select("file").distinct().collect().map(_.getString(0)).toSet
+      if (!(droppedFiles & prev.files.toSet).subsetOf(rec.removes.toSet))
+        return diffSnapshots(spark, dir, v - 1, v)
+    }
+    def readFiles(names: Seq[String], dvs: Seq[String]): DataFrame = {
+      if (names.isEmpty)
+        return spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      val base = spark.read.schema(schema).parquet(
+        names.map(n => new Path(dir, n).toString): _*)
+      antiJoinDvs(spark, base, dvPaths(dvs))
+    }
+    // adds need no DV application: a sidecar active at v was created
+    // by an earlier deleteWhere against files that existed THEN, and
+    // added names are fresh (version-prefixed, per-commit unique)
+    val after = readFiles(rec.adds, Nil)
+    // removes read under the NEWER schema (old files null-fill /
+    // widen exactly as read() reconciles), with the PREVIOUS
+    // snapshot's DVs applied — rows deleteWhere already deleted must
+    // not resurface as CDF deletes (and compact-deletes diffs empty)
+    val before = readFiles(rec.removes, prev.dvs)
+    val fileChanges = after.exceptAll(before)
+      .withColumn("_change_type", lit("insert"))
+      .unionByName(before.exceptAll(after)
+        .withColumn("_change_type", lit("delete")))
+    if (rec.dvAdds.isEmpty) fileChanges
+    else {
+      // the DV-delete commit: changed rows ARE the new sidecar's
+      // positions — delete-sized, broadcast back to their files
+      val dv = spark.read.parquet(dvPaths(rec.dvAdds): _*)
+      val touched = dv.select("file").distinct()
+        .collect().map(_.getString(0))
+        .filter(prev.files.contains(_)).toSeq.sorted
+      if (touched.isEmpty) fileChanges
+      else {
+        val base = spark.read.schema(schema).parquet(
+          touched.map(n => new Path(dir, n).toString): _*)
+        val cols = base.columns.toSeq
+        val dvDeletes = base
+          .withColumn("__dv_f", col("_metadata.file_name"))
+          .withColumn("__dv_ri", col("_metadata.row_index"))
+          .join(broadcast(dv),
+            col("__dv_f") === dv("file") &&
+              col("__dv_ri") === dv("row_index"), "left_semi")
+          .select(cols.map(col): _*)
+          .withColumn("_change_type", lit("delete"))
+        fileChanges.unionByName(dvDeletes)
+      }
+    }
+  }
+
   /** The resumable change feed's stateless core: every change landed
     * AFTER `sinceV` up to `untilV` (default head), as the union of
-    * PAIRWISE diffs `diff(v-1, v)` with each row stamped
-    * `_commit_version`. Per-commit granularity matters: an insert at
+    * PAIRWISE diffs [[diffCommit]] with each row stamped
+    * `_commit_version` — each pair FILE-GRANULAR (r18), so the feed
+    * costs O(changed files across the consumed commits), never
+    * O(commits × table). Per-commit granularity matters: an insert at
     * v2 deleted again at v5 shows BOTH events (a single spanning diff
     * would cancel them), so the feed equals the concatenation a
     * per-commit live consumer would have seen. Every version in
     * `(sinceV, untilV]` must still be retained — a consumer lagging
-    * past [[expire]]'s window fails loudly in the underlying [[read]]
-    * rather than silently skipping changes. Across an add-column
-    * evolution, earlier pairs' rows null-fill the later columns
-    * (union-by-name), mirroring [[read]]'s own reconciliation.
-    * [[ChangeFeed]] adds the consumer-cursor layer. */
+    * past [[expire]]'s window fails loudly rather than silently
+    * skipping changes. Across an add-column evolution, earlier pairs'
+    * rows null-fill the later columns (union-by-name), mirroring
+    * [[read]]'s own reconciliation. [[ChangeFeed]] adds the
+    * consumer-cursor layer. */
   def changes(spark: SparkSession, dir: String, sinceV: Int,
       untilV: Option[Int] = None): DataFrame = {
     import org.apache.spark.sql.functions.lit
@@ -733,10 +859,10 @@ object TableLog {
     require(sinceV <= hi,
       s"sinceV v$sinceV is past v$hi — nothing to consume")
     val parts = ((sinceV + 1) to hi).map(v =>
-      diff(spark, dir, v - 1, v)
+      diffCommit(spark, dir, v)
         .withColumn("_commit_version", lit(v)))
     if (parts.isEmpty)
-      diff(spark, dir, hi, hi)
+      diffSnapshots(spark, dir, hi, hi)
         .withColumn("_commit_version", lit(hi))
         .limit(0)
     else parts.reduce(_.unionByName(_, allowMissingColumns = true))

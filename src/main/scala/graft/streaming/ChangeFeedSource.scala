@@ -40,7 +40,9 @@ import graft.ingest.TableLog
   *     retained feed.
   *
   * Scale: per micro-batch this reads the pairwise diffs of the new
-  * versions only — O(changed files per commit), the incremental-log
+  * versions only — truly O(changed files per commit) since r18
+  * ([[TableLog.diffCommit]] diffs the delta record's own add/remove
+  * file lists; carried files are never read) — the incremental-log
   * discipline carried to the streaming reader; the source itself
   * holds no state beyond the engine's offset log. */
 class ChangeFeedSourceProvider extends StreamSourceProvider

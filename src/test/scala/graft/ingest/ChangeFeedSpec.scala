@@ -64,6 +64,64 @@ class ChangeFeedSpec extends SparkSuite {
     assert(TableLog.changes(spark, s"$root/t", 2).count() == 0L)
   }
 
+  test("diffCommit (file-granular) ≡ snapshot diff across commit shapes") {
+    // the r18 claim: diff(v-1, v) computed from the delta record's
+    // add/remove lists (carried files never read) matches the
+    // full-snapshot exceptAll row-for-row — across a keyed upsert, an
+    // add-column evolution, STACKED deletion-vector commits, the
+    // compaction that materializes them, and a post-compaction upsert
+    val root = Files.createTempDirectory("cdf-granular").toString
+    spark.range(6).select(col("id").as("k"),
+        concat(lit("old"), col("id")).as("v"), lit(1L).as("ver"))
+      .repartitionByRange(2, col("k")).write.parquet(s"$root/t")
+    TableLog.init(spark, s"$root/t")
+    def upsert(n: Int, df: org.apache.spark.sql.DataFrame): Unit = {
+      df.write.parquet(s"$root/chg$n")
+      val (_, unt) = graft.operators.Upsert.mergeShared(spark,
+        TableLog.snapshotFiles(spark, s"$root/t"), s"$root/chg$n",
+        s"$root/stage$n", Seq("k"), versionCol = Some("ver"),
+        tombstoneCol = Some("del"))
+      TableLog.commit(spark, s"$root/t", s"$root/stage$n", s"up$n",
+        expectedHead = Some(n - 1), carry = unt)
+    }
+    // v1: update k2, delete k4, insert k9
+    upsert(1, Seq((2L, "new2", 2L, false), (4L, "x", 2L, true),
+      (9L, "new9", 2L, false)).toDF("k", "v", "ver", "del"))
+    // v2: add-column evolution, old files carried by reference
+    Seq((10L, "ten", 3L, 42L)).toDF("k", "v", "ver", "score")
+      .coalesce(1).write.parquet(s"$root/stage2")
+    TableLog.commit(spark, s"$root/t", s"$root/stage2", "evolve",
+      expectedHead = Some(1),
+      carry = TableLog.snapshotFiles(spark, s"$root/t"))
+    // v3 + v4: stacked merge-on-read deletes (the second DV's
+    // positions are computed over the first DV's applied read)
+    TableLog.deleteWhere(spark, s"$root/t", col("k") % 3 === 0,
+      expectedHead = Some(2))
+    TableLog.deleteWhere(spark, s"$root/t", col("k") === 5,
+      expectedHead = Some(3))
+    // v5: compaction materializes both DVs — logically a no-op
+    TableLog.compactDeletes(spark, s"$root/t", expectedHead = Some(4))
+    // v6: the maintenance loop resumes post-compaction
+    upsert(6, Seq((1L, "new1", 9L, false, 7L))
+      .toDF("k", "v", "ver", "del", "score"))
+    (1 to 6).foreach { v =>
+      val got = TableLog.diffCommit(spark, s"$root/t", v)
+      val want = TableLog.diffSnapshots(spark, s"$root/t", v - 1, v)
+      assert(got.exceptAll(want).count() == 0 &&
+        want.exceptAll(got).count() == 0 &&
+        got.count() == want.count(),
+        s"v$v: file-granular diff diverges from the snapshot diff")
+    }
+    // the DV commit's deletes are exactly the sidecar's positions
+    val dv3 = TableLog.diffCommit(spark, s"$root/t", 3)
+      .select(col("k"), col("_change_type"))
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(dv3 == Seq((0L, "delete"), (3L, "delete"), (9L, "delete")),
+      s"$dv3")
+    assert(TableLog.diffCommit(spark, s"$root/t", 5).count() == 0L,
+      "compaction must diff empty")
+  }
+
   test("cursor: crash re-delivers; idempotent apply lands exactly once") {
     val root = Files.createTempDirectory("cdf-cursor").toString
     build(root)
