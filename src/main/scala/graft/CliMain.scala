@@ -437,11 +437,20 @@ object CliMain {
         case "history" :: _ =>
           graft.ingest.TableLog.history(spark, dir).foreach(m =>
             println(s"v${m.version} ${m.action} ${m.files.size} files"))
+        // read [--version N | --as-of <epochMillis|ISO-8601 instant>]:
+        // version or timestamp time travel (as-of resolves the
+        // newest commit stamped at or before the target, clock-skew
+        // monotonicized)
         case "read" :: _ =>
-          val df = graft.ingest.TableLog.read(spark, dir,
-            flagVal("--version").map(_.toInt))
+          val version = flagVal("--version").map(_.toInt)
+            .orElse(flagVal("--as-of").map { s =>
+              val ts = s.toLongOption.getOrElse(
+                java.time.Instant.parse(s).toEpochMilli)
+              graft.ingest.TableLog.asOfVersion(spark, dir, ts)
+            })
+          val df = graft.ingest.TableLog.read(spark, dir, version)
           println(s"table: ${df.count()} rows at " +
-            flagVal("--version").map("v" + _).getOrElse("head"))
+            version.map("v" + _).getOrElse("head"))
         case "expire" :: _ =>
           val st = graft.ingest.TableLog.expire(spark, dir,
             flagVal("--retain").map(_.toInt).getOrElse(2),

@@ -97,7 +97,14 @@ object TableLog {
   private final case class Record(action: String,
     schemaJson: Option[String], adds: Seq[String], removes: Seq[String],
     files: Seq[String], dvAdds: Seq[String] = Nil,
-    dvRemoves: Seq[String] = Nil, dvs: Seq[String] = Nil)
+    dvRemoves: Seq[String] = Nil, dvs: Seq[String] = Nil,
+    ts: Option[Long] = None)
+
+  /** The wall clock stamped into each commit record (`ts=` header
+    * line, r18 timestamp time travel). Package-private so specs can
+    * script non-monotonic stamps; production always reads the real
+    * clock. */
+  private[graft] var clock: () => Long = () => System.currentTimeMillis()
 
   /** One resolved snapshot: data file names, recorded schema, the
     * commit's action, and the ACTIVE deletion-vector sidecar names
@@ -139,9 +146,12 @@ object TableLog {
   def head(spark: SparkSession, dir: String): Option[Int] =
     listLog(fs(spark, dir), dir)._1.lastOption
 
+  /** Header lines lead (action, commit id, `ts=` wall-clock stamp)
+    * so [[commitTimestamps]] never reads past them into the schema
+    * or file lists. */
   private def render(action: String, commitId: String,
       schemaJson: Option[String], lines: Seq[(String, String)]): String =
-    (Seq(s"action=$action", s"commit=$commitId") ++
+    (Seq(s"action=$action", s"commit=$commitId", s"ts=${clock()}") ++
       schemaJson.map(j => s"schema=$j") ++
       lines.map { case (k, v) => s"$k=$v" }).mkString("", "\n", "\n")
 
@@ -163,7 +173,8 @@ object TableLog {
       schemaJson = all("schema").headOption,
       adds = all("add"), removes = all("remove"), files = all("file"),
       dvAdds = all("dvadd"), dvRemoves = all("dvremove"),
-      dvs = all("dv"))
+      dvs = all("dv"),
+      ts = all("ts").headOption.flatMap(_.toLongOption))
   }
 
   /** Publish `content` at `dst` via temp write + rename, then read it
@@ -204,6 +215,61 @@ object TableLog {
         .fold("?")(_.drop(7))
     }
   }
+
+  /** (version, commit wall-clock ms) per retained commit, oldest
+    * first — None for pre-r18 records. Reads only each record's
+    * HEADER lines (`ts=` precedes the schema and file lists), so the
+    * probe is O(history) like [[actions]], never O(history × table
+    * files). */
+  def commitTimestamps(spark: SparkSession, dir: String)
+      : Seq[(Int, Option[Long])] = {
+    val f = fs(spark, dir)
+    listLog(f, dir)._1.map { v =>
+      val in = f.open(deltaPath(dir, v))
+      val ts = try {
+        val r = new java.io.BufferedReader(
+          new java.io.InputStreamReader(in, "UTF-8"))
+        Iterator.continually(r.readLine())
+          .takeWhile(l => l != null && !l.startsWith("schema=") &&
+            !l.startsWith("add=") && !l.startsWith("remove=") &&
+            !l.startsWith("file=") && !l.startsWith("dvadd="))
+          .collectFirst { case l if l.startsWith("ts=") =>
+            l.drop(3).toLongOption }.flatten
+      } finally in.close()
+      v -> ts
+    }
+  }
+
+  /** Timestamp time travel: the newest retained version whose commit
+    * stamp is at or before `tsMs` — "AS OF yesterday". Wall clocks
+    * skew, so resolution MONOTONICIZES first (the effective stamp of
+    * v is the max stamp at or below v): a commit stamped earlier
+    * than its predecessor can never make history non-causal, and
+    * as-of returns the version a live reader at that instant would
+    * have seen. Pre-r18 records carry no stamp and inherit their
+    * predecessor's effective stamp (an unstamped prefix counts as
+    * "before any time"). Fails loudly when `tsMs` predates the whole
+    * retained history — expired history is unrecoverable, not
+    * silently rounded up. */
+  def asOfVersion(spark: SparkSession, dir: String, tsMs: Long): Int = {
+    val stamps = commitTimestamps(spark, dir)
+    require(stamps.nonEmpty, s"$dir has no log — run init first")
+    var eff = Long.MinValue
+    val effective = stamps.map { case (v, ts) =>
+      eff = math.max(eff, ts.getOrElse(eff))
+      v -> eff
+    }
+    val cand = effective.takeWhile(_._2 <= tsMs) // eff is non-decreasing
+    require(cand.nonEmpty,
+      s"as-of $tsMs predates the retained history of $dir (earliest " +
+        s"commit stamp ${effective.head._2}) — that history has " +
+        "expired or the table is younger than the target")
+    cand.last._1
+  }
+
+  /** [[read]] at the [[asOfVersion]]-resolved snapshot. */
+  def readAsOf(spark: SparkSession, dir: String, tsMs: Long): DataFrame =
+    read(spark, dir, Some(asOfVersion(spark, dir, tsMs)))
 
   /** Checkpoint records are IMMUTABLE once published (publish never
     * overwrites a destination), so resolved checkpoints cache

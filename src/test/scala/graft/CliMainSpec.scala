@@ -207,6 +207,31 @@ class CliMainSpec extends SparkSuite {
     assert(got == Seq((10L, 9000L)), s"$got")
   }
 
+  test("table read --as-of drives timestamp time travel") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("cli-asof").toString
+    val saved = graft.ingest.TableLog.clock
+    try {
+      graft.ingest.TableLog.clock = () => 1000L
+      spark.range(3).select(col("id").as("k"), lit("a").as("v"))
+        .coalesce(1).write.parquet(s"$root/t")
+      CliMain.main(Array("table", s"$root/t", "init"))
+      graft.ingest.TableLog.clock = () => 5000L
+      spark.range(1).select((col("id") + 9).as("k"), lit("b").as("v"))
+        .coalesce(1).write.parquet(s"$root/s")
+      CliMain.main(Array("table", s"$root/t", "commit", s"$root/s",
+        "--action", "append"))
+    } finally graft.ingest.TableLog.clock = saved
+    // epoch-millis and ISO-8601 instant forms both parse
+    CliMain.main(Array("table", s"$root/t", "read", "--as-of", "4999"))
+    CliMain.main(Array("table", s"$root/t", "read", "--as-of",
+      "1970-01-01T00:00:05Z"))
+    assert(graft.ingest.TableLog.asOfVersion(spark, s"$root/t",
+      4999L) == 0)
+    assert(graft.ingest.TableLog.asOfVersion(spark, s"$root/t",
+      5000L) == 1)
+  }
+
   test("upsert/rollup on a versioned table at v>=1 read the snapshot") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

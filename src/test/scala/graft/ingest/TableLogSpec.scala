@@ -337,6 +337,56 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.read(spark, s"$root/t").count() == 6L)
   }
 
+  test("timestamp time travel: as-of resolves monotonically under skew") {
+    val root = Files.createTempDirectory("tablelog-asof").toString
+    val saved = TableLog.clock
+    try {
+      TableLog.clock = () => 1000L
+      spark.range(3).select(col("id").as("k"), lit("a").as("v"))
+        .coalesce(1).write.parquet(s"$root/t")
+      TableLog.init(spark, s"$root/t") // v0 @1000
+      def append(n: Int, k: Long): Unit = {
+        Seq((k, s"b$n")).toDF("k", "v").coalesce(1)
+          .write.parquet(s"$root/s$n")
+        TableLog.commit(spark, s"$root/t", s"$root/s$n", s"a$n",
+          carry = TableLog.snapshotFiles(spark, s"$root/t"))
+      }
+      TableLog.clock = () => 5000L; append(1, 10L) // v1 @5000
+      TableLog.clock = () => 3000L; append(2, 11L) // v2 skewed BACK
+      TableLog.clock = () => 9000L; append(3, 12L) // v3 @9000
+    } finally TableLog.clock = saved
+    val t = s"$root/t"
+    assert(TableLog.asOfVersion(spark, t, 1000L) == 0)
+    assert(TableLog.asOfVersion(spark, t, 4999L) == 0)
+    // v2's skewed stamp monotonicizes UP to v1's 5000: as-of returns
+    // the newest version a live reader at that instant would have
+    // seen, never a non-causal slice
+    assert(TableLog.asOfVersion(spark, t, 5000L) == 2)
+    assert(TableLog.asOfVersion(spark, t, 8999L) == 2)
+    assert(TableLog.asOfVersion(spark, t, 9000L) == 3)
+    assert(TableLog.readAsOf(spark, t, 6000L).count() == 5L) // at v2
+    // predating the retained history is loud, never rounded up
+    intercept[IllegalArgumentException] {
+      TableLog.asOfVersion(spark, t, 999L)
+    }
+    // a pre-r18 record (no ts header) inherits its predecessor's
+    // effective stamp — strip v1's and re-resolve
+    val fsH = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dp = new org.apache.hadoop.fs.Path(s"$t/_graft_log/" +
+      "v0000000001.delta")
+    val stripped = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(dp.toUri.getPath)), "UTF-8")
+      .linesIterator.filterNot(_.startsWith("ts="))
+      .mkString("", "\n", "\n")
+    fsH.delete(dp, false) // rewrite THROUGH hadoop: keeps the crc true
+    val out = fsH.create(dp, false)
+    out.write(stripped.getBytes("UTF-8")); out.close()
+    assert(TableLog.asOfVersion(spark, t, 1000L) == 1)
+    assert(TableLog.asOfVersion(spark, t, 2999L) == 1)
+    assert(TableLog.asOfVersion(spark, t, 3000L) == 2)
+  }
+
   test("cpCache validates the live file: rm -rf + re-init never stale") {
     val root = Files.createTempDirectory("tablelog-cache").toString
     spark.range(3).select(col("id").as("k"), lit("one").as("v"))
