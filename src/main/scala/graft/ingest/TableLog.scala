@@ -427,20 +427,58 @@ object TableLog {
       .map(_.getPath.getName)
       .filterNot(n => n.startsWith("_") || n.startsWith("."))
 
-  /** Union-by-name of two schemas — the add-column evolution slice:
-    * base fields keep their position, new fields append; a same-name
-    * field with a DIFFERENT type fails loudly (type widening is a
-    * migration, not a merge). */
+  /** Widen `a` and `b` to their least common type on the WIDENING
+    * matrix (r18, the Delta-style slice Spark 4's parquet readers
+    * upcast at scan time): the integral chain byte → short → int →
+    * long, float → double, a ≤32-bit integral → double, and decimal
+    * precision growth at the same scale. None for anything else —
+    * int → string or long → int is a migration, not a merge. */
+  private[ingest] def widen(a: DataType, b: DataType): Option[DataType] = {
+    import org.apache.spark.sql.types._
+    if (a == b) return Some(a)
+    val chain = Seq[DataType](ByteType, ShortType, IntegerType, LongType)
+    val ia = chain.indexOf(a)
+    val ib = chain.indexOf(b)
+    (a, b) match {
+      case _ if ia >= 0 && ib >= 0 => Some(chain(math.max(ia, ib)))
+      case (FloatType, DoubleType) | (DoubleType, FloatType) =>
+        Some(DoubleType)
+      case (_, DoubleType) if ia >= 0 && ia <= 2 => Some(DoubleType)
+      case (DoubleType, _) if ib >= 0 && ib <= 2 => Some(DoubleType)
+      case (x: DecimalType, y: DecimalType) if x.scale == y.scale =>
+        Some(DecimalType(math.max(x.precision, y.precision), x.scale))
+      case _ => None
+    }
+  }
+
+  /** Union-by-name of two schemas — the evolution merge: base fields
+    * keep their position, new fields append, and a same-name field
+    * whose types sit on the [[widen]] matrix resolves to the WIDER
+    * type. Old (narrow) files never rewrite: Spark 4's parquet
+    * readers upcast them at scan time under the recorded wider
+    * schema, exactly as add-column files null-fill — and time travel
+    * to a pre-widening version still reads the narrow shape. Any
+    * other same-name type change fails loudly (a migration, not a
+    * merge). */
   private[ingest] def unionSchema(base: StructType, next: StructType)
       : StructType = {
-    val byName = base.fields.map(fld => fld.name -> fld).toMap
-    next.fields.foreach { fld =>
-      byName.get(fld.name).foreach(b => require(b.dataType == fld.dataType,
-        s"schema conflict on column ${fld.name}: " +
-          s"${b.dataType.simpleString} vs ${fld.dataType.simpleString}"))
+    val nextByName = next.fields.map(fld => fld.name -> fld).toMap
+    val baseNames = base.fields.map(_.name).toSet
+    val merged = base.fields.map { fld =>
+      nextByName.get(fld.name) match {
+        case Some(n) if n.dataType != fld.dataType =>
+          val w = widen(fld.dataType, n.dataType)
+          require(w.isDefined,
+            s"schema conflict on column ${fld.name}: " +
+              s"${fld.dataType.simpleString} vs " +
+              s"${n.dataType.simpleString} is not a widening — " +
+              "migrate explicitly")
+          fld.copy(dataType = w.get)
+        case _ => fld
+      }
     }
-    StructType(base.fields ++
-      next.fields.filterNot(fld => byName.contains(fld.name)))
+    StructType(merged ++
+      next.fields.filterNot(fld => baseNames.contains(fld.name)))
   }
 
   /** Snapshot v0 from the files already in `dir` (a RangeSink root's

@@ -337,6 +337,58 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.read(spark, s"$root/t").count() == 6L)
   }
 
+  test("type widening evolution: narrow files upcast at read time") {
+    import org.apache.spark.sql.types._
+    val root = Files.createTempDirectory("tablelog-widen").toString
+    // v0: int measure + float score
+    spark.range(4).select(col("id").as("k"),
+        col("id").cast("int").as("m"),
+        (col("id") * 1.5).cast("float").as("s"))
+      .coalesce(1).write.parquet(s"$root/t")
+    TableLog.init(spark, s"$root/t")
+    // the widened feed carries m as LONG and s as DOUBLE; the old
+    // narrow file carries by reference — no rewrite, scan-time upcast
+    Seq((9L, 900L, 2.25d)).toDF("k", "m", "s").coalesce(1)
+      .write.parquet(s"$root/stage")
+    TableLog.commit(spark, s"$root/t", s"$root/stage", "widen",
+      expectedHead = Some(0),
+      carry = TableLog.snapshotFiles(spark, s"$root/t"))
+    val head = TableLog.read(spark, s"$root/t")
+    assert(head.schema("m").dataType == LongType &&
+      head.schema("s").dataType == DoubleType, s"${head.schema}")
+    val got = head.select("k", "m", "s").as[(Long, Long, Double)]
+      .collect().sortBy(_._1).toSeq
+    assert(got == Seq((0L, 0L, 0.0), (1L, 1L, 1.5), (2L, 2L, 3.0),
+      (3L, 3L, 4.5), (9L, 900L, 2.25)), s"$got")
+    // time travel to the pre-widening snapshot keeps the narrow shape
+    val v0 = TableLog.read(spark, s"$root/t", Some(0))
+    assert(v0.schema("m").dataType == IntegerType &&
+      v0.schema("s").dataType == FloatType)
+    // diff across the widening: the narrow side upcasts, so the
+    // insert is the only change — and file-granular ≡ snapshot diff
+    val d = TableLog.diff(spark, s"$root/t", 0, 1)
+      .select("k", "_change_type").as[(Long, String)].collect().toSeq
+    assert(d == Seq((9L, "insert")), s"$d")
+    assert(TableLog.diffSnapshots(spark, s"$root/t", 0, 1)
+      .exceptAll(TableLog.diffCommit(spark, s"$root/t", 1))
+      .count() == 0L)
+    // a NARROWING (or unrelated) change is still loud
+    Seq((5L, "x", 1.0d)).toDF("k", "m", "s").coalesce(1)
+      .write.parquet(s"$root/stage2")
+    val ex = intercept[IllegalArgumentException] {
+      TableLog.commit(spark, s"$root/t", s"$root/stage2", "bad",
+        carry = TableLog.snapshotFiles(spark, s"$root/t"))
+    }
+    assert(ex.getMessage.contains("schema conflict"), ex.getMessage)
+    // the widen matrix itself: chain, float, int→double, decimal
+    assert(TableLog.widen(ByteType, IntegerType).contains(IntegerType))
+    assert(TableLog.widen(IntegerType, DoubleType).contains(DoubleType))
+    assert(TableLog.widen(LongType, DoubleType).isEmpty) // lossy
+    assert(TableLog.widen(DecimalType(10, 2), DecimalType(14, 2))
+      .contains(DecimalType(14, 2)))
+    assert(TableLog.widen(DecimalType(10, 2), DecimalType(10, 3)).isEmpty)
+  }
+
   test("timestamp time travel: as-of resolves monotonically under skew") {
     val root = Files.createTempDirectory("tablelog-asof").toString
     val saved = TableLog.clock
