@@ -451,6 +451,21 @@ object CliMain {
           val df = graft.ingest.TableLog.read(spark, dir, version)
           println(s"table: ${df.count()} rows at " +
             version.map("v" + _).getOrElse("head"))
+        // scan --where <sqlPredicate> [--version N]: stats-pruned
+        // snapshot scan — opens only files whose log-recorded
+        // per-file stats can match the predicate (lossless; the full
+        // predicate re-applies after the scan)
+        case "scan" :: _ =>
+          val predSql = flagVal("--where").getOrElse(
+            sys.error("--where <sql predicate> is required"))
+          val pred = org.apache.spark.sql.functions.expr(predSql)
+          val ver = flagVal("--version").map(_.toInt)
+          val (keptF, total) = graft.ingest.TableLog.prunedFiles(
+            spark, dir, pred, ver)
+          val n = graft.ingest.TableLog.scanWhere(spark, dir, pred,
+            ver).count()
+          println(s"table: $n rows from ${keptF.size}/$total files " +
+            "(stats-pruned)")
         case "expire" :: _ =>
           val st = graft.ingest.TableLog.expire(spark, dir,
             flagVal("--retain").map(_.toInt).getOrElse(2),

@@ -98,7 +98,7 @@ object TableLog {
     schemaJson: Option[String], adds: Seq[String], removes: Seq[String],
     files: Seq[String], dvAdds: Seq[String] = Nil,
     dvRemoves: Seq[String] = Nil, dvs: Seq[String] = Nil,
-    ts: Option[Long] = None)
+    ts: Option[Long] = None, statsLines: Seq[String] = Nil)
 
   /** The wall clock stamped into each commit record (`ts=` header
     * line, r18 timestamp time travel). Package-private so specs can
@@ -107,10 +107,12 @@ object TableLog {
   private[graft] var clock: () => Long = () => System.currentTimeMillis()
 
   /** One resolved snapshot: data file names, recorded schema, the
-    * commit's action, and the ACTIVE deletion-vector sidecar names
-    * (r17 merge-on-read deletes). */
+    * commit's action, the ACTIVE deletion-vector sidecar names
+    * (r17 merge-on-read deletes), and per-file stats lines keyed by
+    * file name (r18, see [[FileStats]]). */
   private final case class Resolved(files: Seq[String],
-    schemaJson: Option[String], action: String, dvs: Seq[String])
+    schemaJson: Option[String], action: String, dvs: Seq[String],
+    stats: Map[String, Seq[String]] = Map.empty)
 
   private def fs(spark: SparkSession, dir: String): FileSystem =
     new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -174,7 +176,8 @@ object TableLog {
       adds = all("add"), removes = all("remove"), files = all("file"),
       dvAdds = all("dvadd"), dvRemoves = all("dvremove"),
       dvs = all("dv"),
-      ts = all("ts").headOption.flatMap(_.toLongOption))
+      ts = all("ts").headOption.flatMap(_.toLongOption),
+      statsLines = all("stats"))
   }
 
   /** Publish `content` at `dst` via temp write + rename, then read it
@@ -324,7 +327,9 @@ object TableLog {
           schemaJson = rows.collectFirst { case ("schema", s) => s },
           adds = Nil, removes = Nil,
           files = rows.toSeq.collect { case ("file", n) => n },
-          dvs = rows.toSeq.collect { case ("dv", n) => n }), pq)
+          dvs = rows.toSeq.collect { case ("dv", n) => n },
+          statsLines = rows.toSeq.collect {
+            case ("stats", s) => s }), pq)
       } else {
         val txt = checkpointPath(dir, cv)
         (parse(readText(f, txt)), txt)
@@ -350,13 +355,15 @@ object TableLog {
     val out = Map.newBuilder[Int, Resolved]
     var files = Set.empty[String]
     var dvs = Set.empty[String]
+    var stats = Map.empty[String, Seq[String]]
     val start = cps.filter(_ <= lo).maxOption match {
       case Some(cv) =>
         val rec = readCheckpoint(spark, f, dir, cv)
         files = rec.files.toSet
         dvs = rec.dvs.toSet
+        stats = rec.statsLines.groupBy(FileStats.fileOf)
         if (want(cv)) out += cv -> Resolved(rec.files.sorted,
-          rec.schemaJson, rec.action, rec.dvs.sorted)
+          rec.schemaJson, rec.action, rec.dvs.sorted, stats)
         cv + 1
       case None =>
         require(deltas.headOption.contains(0) && deltas.head <= lo,
@@ -371,8 +378,10 @@ object TableLog {
       val rec = parse(readText(f, deltaPath(dir, v)))
       files = files -- rec.removes ++ rec.adds
       dvs = dvs -- rec.dvRemoves ++ rec.dvAdds
+      stats = stats -- rec.removes ++
+        rec.statsLines.groupBy(FileStats.fileOf)
       if (want(v)) out += v -> Resolved(files.toSeq.sorted,
-        rec.schemaJson, rec.action, dvs.toSeq.sorted)
+        rec.schemaJson, rec.action, dvs.toSeq.sorted, stats)
     }
     out.result()
   }
@@ -393,12 +402,14 @@ object TableLog {
     * version's, ours is logically identical and simply discarded. */
   private def writeCheckpoint(spark: SparkSession, f: FileSystem,
       dir: String, v: Int, action: String, schemaJson: Option[String],
-      files: Seq[String], dvs: Seq[String] = Nil): Unit = {
+      files: Seq[String], dvs: Seq[String] = Nil,
+      statsLines: Seq[String] = Nil): Unit = {
     import spark.implicits._
     val rows = (Seq("action" -> action) ++
       schemaJson.map("schema" -> _) ++
       files.sorted.map("file" -> _) ++
-      dvs.sorted.map("dv" -> _)).toDF("kind", "value")
+      dvs.sorted.map("dv" -> _) ++
+      statsLines.sorted.map("stats" -> _)).toDF("kind", "value")
     val tmp = new Path(dir,
       s"$LogDir/_tmp.${java.util.UUID.randomUUID()}.cp")
     rows.coalesce(1).write.parquet(tmp.toString)
@@ -492,10 +503,12 @@ object TableLog {
       if (files.isEmpty) None
       else Some(spark.read.parquet(
         files.map(n => new Path(dir, n).toString): _*).schema.json)
+    val stats = FileStats.forFiles(spark, dir, files)
     publish(f, dir, deltaPath(dir, 0),
       render("init", java.util.UUID.randomUUID().toString, schemaJson,
-        files.sorted.map("add" -> _)))
-    writeCheckpoint(spark, f, dir, 0, "init", schemaJson, files)
+        files.sorted.map("add" -> _) ++ stats.sorted.map("stats" -> _)))
+    writeCheckpoint(spark, f, dir, 0, "init", schemaJson, files,
+      statsLines = stats)
     0
   }
 
@@ -640,6 +653,10 @@ object TableLog {
       if (moved.isEmpty) new StructType()
       else spark.read.parquet(
         moved.map(n => new Path(dir, n).toString): _*).schema
+    // per-file column stats from the moved files' FOOTERS only —
+    // O(changed), recorded in the delta so scanWhere prunes without
+    // opening data files (carried files keep their recorded lines)
+    val movedStats = FileStats.forFiles(spark, dir, moved)
 
     // publish-attempt loop: files moved ONCE above; a rebasing commit
     // that loses the RENAME race to another racer re-prepares against
@@ -667,7 +684,8 @@ object TableLog {
             schemaJson,
             prep.removes.sorted.map("remove" -> _) ++
               moved.sorted.map("add" -> _) ++
-              dvRemoves.sorted.map("dvremove" -> _)))
+              dvRemoves.sorted.map("dvremove" -> _) ++
+              movedStats.sorted.map("stats" -> _)))
         // defense in depth behind the mtime re-stamp above: if a
         // concurrent expire still swept a moved file before the
         // publish, the snapshot just published references a deleted
@@ -683,7 +701,9 @@ object TableLog {
         if (pv % CheckpointInterval == 0)
           writeCheckpoint(spark, f, dir, pv, action, schemaJson,
             (prep.headFiles -- prep.removes ++ moved).toSeq,
-            if (dropDvs) Nil else prep.headRes.dvs)
+            if (dropDvs) Nil else prep.headRes.dvs,
+            (prep.headRes.stats -- prep.removes).values.flatten.toSeq ++
+              movedStats)
         out = pv
       } catch {
         case e: RuntimeException
@@ -772,6 +792,63 @@ object TableLog {
       res.dvs.map(n => new Path(dir, s"$DvDir/$n").toString))
   }
 
+  /** STATS-PRUNED snapshot scan (r18): skip every file whose
+    * log-recorded per-file column stats ([[FileStats]]) PROVABLY
+    * exclude `predicate`, then read the survivors under the recorded
+    * schema (DVs applied) and re-apply the FULL predicate — so the
+    * result is always `read(version).filter(predicate)`, lossless by
+    * construction, and at the 100 TB target a point or range
+    * predicate on ANY stats-covered column opens only the files that
+    * can match, before a single parquet footer is touched. Files
+    * without stats (pre-r18 commits) are never pruned. */
+  def scanWhere(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column,
+      version: Option[Int] = None): DataFrame = {
+    val f = fs(spark, dir)
+    val v = version.getOrElse(listLog(f, dir)._1.lastOption.getOrElse(
+      sys.error(s"$dir has no log — run init first")))
+    val res = resolveOne(spark, f, dir, v)
+    val schema = res.schemaJson.map(DataType.fromJson(_)
+      .asInstanceOf[StructType])
+    val kept = FileStats.analyzedCondition(spark,
+        schema.getOrElse(new StructType()), predicate)
+      .map(c => FileStats.prune(res.files, res.stats,
+        schema.getOrElse(new StructType()), c))
+      .getOrElse(res.files)
+    val base = (kept.isEmpty, schema) match {
+      case (true, None) => spark.emptyDataFrame
+      case (true, Some(s)) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case (false, None) => spark.read.parquet(
+        kept.map(n => new Path(dir, n).toString): _*)
+      case (false, Some(s)) => spark.read.schema(s).parquet(
+        kept.map(n => new Path(dir, n).toString): _*)
+    }
+    val withDvs =
+      if (res.dvs.isEmpty || kept.isEmpty) base
+      else antiJoinDvs(spark, base,
+        res.dvs.map(n => new Path(dir, s"$DvDir/$n").toString))
+    withDvs.filter(predicate)
+  }
+
+  /** The pruned file count behind [[scanWhere]] — package-visible so
+    * specs and declared queries can REQUIRE the pruning actually
+    * happened. Returns (kept file names, total snapshot files). */
+  private[graft] def prunedFiles(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column,
+      version: Option[Int] = None): (Seq[String], Int) = {
+    val f = fs(spark, dir)
+    val v = version.getOrElse(listLog(f, dir)._1.lastOption.getOrElse(
+      sys.error(s"$dir has no log — run init first")))
+    val res = resolveOne(spark, f, dir, v)
+    val schema = res.schemaJson.map(DataType.fromJson(_)
+      .asInstanceOf[StructType]).getOrElse(new StructType())
+    (FileStats.analyzedCondition(spark, schema, predicate)
+      .map(c => FileStats.prune(res.files, res.stats, schema, c))
+      .getOrElse(res.files),
+      res.files.size)
+  }
+
   /** Merge-on-read application: anti-join a file-source frame against
     * deletion-vector sidecars on (file name, physical row index) —
     * the DV frame is delete-sized, the join rides a broadcast; stale
@@ -804,11 +881,59 @@ object TableLog {
     *
     * An ADJACENT pair routes through [[diffCommit]] — O(the commit's
     * changed files), computed from the delta record's own add/remove
-    * lists; an arbitrary span pays the two-snapshot exceptAll. */
-  def diff(spark: SparkSession, dir: String, fromV: Int, toV: Int)
-      : DataFrame =
-    if (toV == fromV + 1) diffCommit(spark, dir, toV)
-    else diffSnapshots(spark, dir, fromV, toV)
+    * lists; an arbitrary span pays the two-snapshot exceptAll.
+    *
+    * `keys` (r18, optional): pair each delete+insert sharing the key
+    * columns into `update_preimage`/`update_postimage` — the Delta
+    * CDF update shape — via [[pairUpdates]]; unpaired rows keep
+    * their insert/delete tags. */
+  def diff(spark: SparkSession, dir: String, fromV: Int, toV: Int,
+      keys: Seq[String] = Nil): DataFrame = {
+    val raw =
+      if (toV == fromV + 1) diffCommit(spark, dir, toV)
+      else diffSnapshots(spark, dir, fromV, toV)
+    if (keys.isEmpty) raw else pairUpdates(raw, keys, Nil)
+  }
+
+  /** Tag each delete+insert pair sharing `keys` (within one
+    * `partCols` group — the commit, for a multi-commit feed) as an
+    * UPDATE: the delete becomes `update_preimage`, the insert
+    * `update_postimage`; unpaired rows keep their tags. Duplicate
+    * keys pair positionally by a deterministic rank over the
+    * remaining columns (consumers wanting exact multi-row pairing
+    * need a genuinely unique key — same as Delta CDF); rows whose
+    * key columns hold NULL never pair. One delete-sized shuffle on
+    * (group, key), no table reads. */
+  private def pairUpdates(df: DataFrame, keys: Seq[String],
+      partCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{col, lit, row_number}
+    val dataCols = df.columns.toSeq
+      .filterNot(c => c == "_change_type" || c == "_commit_version")
+    val bad = keys.filterNot(dataCols.contains)
+    require(bad.isEmpty,
+      s"pair keys not in the feed's columns: ${bad.mkString(", ")}")
+    val orderCols = dataCols.filterNot(keys.contains).map(col)
+    val w = Window
+      .partitionBy((partCols ++ keys :+ "_change_type").map(col): _*)
+      .orderBy((orderCols :+ lit(1)): _*)
+    val ranked = df.withColumn("__rn", row_number().over(w))
+      .localCheckpoint(eager = false)
+    val del = ranked.filter(col("_change_type") === "delete")
+    val ins = ranked.filter(col("_change_type") === "insert")
+    val joinCols = partCols ++ keys :+ "__rn"
+    def side(rows: DataFrame, other: DataFrame, tag: String)
+        : DataFrame = {
+      val otherKeys = other.select(joinCols.map(col): _*)
+      rows.join(otherKeys, joinCols, "left_semi")
+        .withColumn("_change_type", lit(tag))
+        .unionByName(rows.join(otherKeys, joinCols, "left_anti"))
+    }
+    side(del, ins, "update_preimage")
+      .unionByName(side(ins, del, "update_postimage"))
+      .drop("__rn")
+      .select(df.columns.map(col).toSeq: _*)
+  }
 
   /** The full-snapshot diff — reads and exceptAlls BOTH snapshots, so
     * O(table) per call: the ad-hoc arbitrary-span form, and the
@@ -954,9 +1079,15 @@ object TableLog {
     * skipping changes. Across an add-column evolution, earlier pairs'
     * rows null-fill the later columns (union-by-name), mirroring
     * [[read]]'s own reconciliation. [[ChangeFeed]] adds the
-    * consumer-cursor layer. */
+    * consumer-cursor layer.
+    *
+    * `keys` (r18, optional): pair each commit's delete+insert rows
+    * sharing the key columns into `update_preimage`/
+    * `update_postimage` ([[pairUpdates]], grouped per commit —
+    * cross-commit events never pair). */
   def changes(spark: SparkSession, dir: String, sinceV: Int,
-      untilV: Option[Int] = None): DataFrame = {
+      untilV: Option[Int] = None, keys: Seq[String] = Nil)
+      : DataFrame = {
     import org.apache.spark.sql.functions.lit
     val hi = untilV.getOrElse(head(spark, dir).getOrElse(
       sys.error(s"$dir has no log — run init first")))
@@ -965,11 +1096,14 @@ object TableLog {
     val parts = ((sinceV + 1) to hi).map(v =>
       diffCommit(spark, dir, v)
         .withColumn("_commit_version", lit(v)))
-    if (parts.isEmpty)
-      diffSnapshots(spark, dir, hi, hi)
-        .withColumn("_commit_version", lit(hi))
-        .limit(0)
-    else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    val raw =
+      if (parts.isEmpty)
+        diffSnapshots(spark, dir, hi, hi)
+          .withColumn("_commit_version", lit(hi))
+          .limit(0)
+      else parts.reduce(_.unionByName(_, allowMissingColumns = true))
+    if (keys.isEmpty) raw
+    else pairUpdates(raw, keys, Seq("_commit_version"))
   }
 
   /** Full retained history, oldest first — ONE checkpoint + delta
@@ -1035,7 +1169,7 @@ object TableLog {
     if (drop.nonEmpty && !cps.contains(floor)) {
       val r = resolved(floor)
       writeCheckpoint(spark, f, dir, floor, r.action, r.schemaJson,
-        r.files, r.dvs)
+        r.files, r.dvs, r.stats.values.flatten.toSeq)
     }
     val now = System.currentTimeMillis()
     def oldEnough(p: Path): Boolean =
@@ -1142,7 +1276,7 @@ object TableLog {
         res.schemaJson, Seq("dvadd" -> dvName)))
     if (v % CheckpointInterval == 0)
       writeCheckpoint(spark, f, dir, v, "delete", res.schemaJson,
-        res.files, res.dvs :+ dvName)
+        res.files, res.dvs :+ dvName, res.stats.values.flatten.toSeq)
     DeleteStats(v, n, 0)
   }
 

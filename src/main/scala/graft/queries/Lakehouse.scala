@@ -39,7 +39,15 @@ import org.apache.spark.sql.functions._
   *  - q_delete_vector (r17): [[graft.ingest.TableLog.deleteWhere]] —
   *    a predicate delete as a DV sidecar (zero data files rewritten,
   *    REQUIREd in the query) read back merge-on-read; oracle = the
-  *    relational complement over customer.
+  *    relational complement over customer;
+  *  - q_change_feed_updates (r18): the feed with `keys` — each
+  *    commit's delete+insert pair sharing the key retagged as
+  *    update_preimage/update_postimage; oracle = the EXCEPT ALL
+  *    sides retagged by key membership;
+  *  - q_stats_prune (r18): [[graft.ingest.TableLog.scanWhere]] over
+  *    log-resident per-file stats — a key-range scan REQUIREd to
+  *    open fewer files than the snapshot holds, hash-matched against
+  *    the plain WHERE restatement.
   *
   * Each query materializes its deterministic inputs under a fresh temp
   * dir per invocation (the kernels are directory-contract operators),
@@ -221,6 +229,59 @@ object Lakehouse extends QueryFamily {
         .select(outCols.map(col): _*)
         .orderBy("c_custkey")
     },
+    "q_change_feed_updates" -> { (s, d) =>
+      // the CDF update-pairing layer (r18): the same two-commit
+      // history as q_change_feed consumed with keys=c_custkey, so a
+      // delete+insert sharing the key within one commit becomes its
+      // update_preimage/update_postimage pair; the oracle restates
+      // the pairing as EXCEPT ALL sides retagged by key membership
+      val root = Files.createTempDirectory("q-cdfu").toString
+      dim(s, d).repartitionByRange(4, col("c_custkey"))
+        .write.parquet(s"$root/t")
+      val all = changes(s, d).localCheckpoint()
+      all.filter(!col("del")).withColumn("del", lit(false))
+        .filter(col("c_custkey") < 10000000L)
+        .write.parquet(s"$root/chg1")
+      all.filter(col("del") || col("c_custkey") >= 10000000L)
+        .write.parquet(s"$root/chg2")
+      graft.ingest.TableLog.init(s, s"$root/t")
+      Seq(1, 2).foreach { i =>
+        val (_, unt) = graft.operators.Upsert.mergeShared(s,
+          graft.ingest.TableLog.snapshotFiles(s, s"$root/t"),
+          s"$root/chg$i", s"$root/staged$i", Seq("c_custkey"),
+          versionCol = Some("ver"), tombstoneCol = Some("del"))
+        graft.ingest.TableLog.commit(s, s"$root/t", s"$root/staged$i",
+          s"upsert$i", expectedHead = Some(i - 1), carry = unt)
+      }
+      graft.ingest.TableLog.changes(s, s"$root/t", 0,
+          keys = Seq("c_custkey"))
+        .select((outCols :+ "_change_type" :+ "_commit_version")
+          .map(col): _*)
+        .orderBy("c_custkey", "_commit_version", "_change_type")
+    },
+    "q_stats_prune" -> { (s, d) =>
+      // log-resident per-file stats end-to-end (r18): orders lands
+      // range-clustered on o_orderkey as a versioned table, then a
+      // key-range scanWhere must open only the provably-matching
+      // files (REQUIREd inside the query) and hash-match the plain
+      // relational restatement — losslessness AND pruning in one gate
+      val root = Files.createTempDirectory("q-sprune").toString
+      Tables.orders(s, d).select(
+          col("o_orderkey"), col("o_custkey"),
+          floor(col("o_totalprice") * 100 + 0.5).cast("long")
+            .as("cents"))
+        .repartitionByRange(8, col("o_orderkey"))
+        .write.parquet(s"$root/t")
+      graft.ingest.TableLog.init(s, s"$root/t")
+      val pred = col("o_orderkey") >= 1000L && col("o_orderkey") < 3000L
+      val (kept, total) = graft.ingest.TableLog.prunedFiles(
+        s, s"$root/t", pred)
+      require(kept.size < total,
+        s"stats pruning opened all $total files")
+      graft.ingest.TableLog.scanWhere(s, s"$root/t", pred)
+        .select("o_orderkey", "o_custkey", "cents")
+        .orderBy("o_orderkey")
+    },
     "q_snapshot_diff" -> { (s, d) =>
       // the versioned log end-to-end on the r16 INCREMENTAL records:
       // init v0, zero-copy mergeShared commit v1 (untouched files
@@ -362,6 +423,38 @@ object Lakehouse extends QueryFamily {
         |WHERE NOT (c_custkey % 5 = 0
         |  OR CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) < 0)
         |ORDER BY c_custkey""".stripMargin,
+    "q_change_feed_updates" -> (feedCtes +
+      """, fins1 AS (SELECT * FROM m1 EXCEPT ALL SELECT * FROM t),
+        |fdel1 AS (SELECT * FROM t EXCEPT ALL SELECT * FROM m1),
+        |fins2 AS (SELECT * FROM m2 EXCEPT ALL SELECT * FROM m1),
+        |fdel2 AS (SELECT * FROM m1 EXCEPT ALL SELECT * FROM m2)
+        |SELECT * FROM (
+        |  SELECT *, CASE WHEN c_custkey IN (SELECT c_custkey FROM fdel1)
+        |      THEN 'update_postimage' ELSE 'insert' END AS _change_type,
+        |    CAST(1 AS INTEGER) AS _commit_version
+        |  FROM fins1
+        |  UNION ALL
+        |  SELECT *, CASE WHEN c_custkey IN (SELECT c_custkey FROM fins1)
+        |      THEN 'update_preimage' ELSE 'delete' END,
+        |    CAST(1 AS INTEGER)
+        |  FROM fdel1
+        |  UNION ALL
+        |  SELECT *, CASE WHEN c_custkey IN (SELECT c_custkey FROM fdel2)
+        |      THEN 'update_postimage' ELSE 'insert' END,
+        |    CAST(2 AS INTEGER)
+        |  FROM fins2
+        |  UNION ALL
+        |  SELECT *, CASE WHEN c_custkey IN (SELECT c_custkey FROM fins2)
+        |      THEN 'update_preimage' ELSE 'delete' END,
+        |    CAST(2 AS INTEGER)
+        |  FROM fdel2)
+        |ORDER BY c_custkey, _commit_version, _change_type""".stripMargin),
+    "q_stats_prune" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+        |FROM orders
+        |WHERE o_orderkey >= 1000 AND o_orderkey < 3000
+        |ORDER BY o_orderkey""".stripMargin,
     "q_snapshot_diff" -> (mergeCtes +
       """, ins AS (SELECT * FROM merged EXCEPT ALL SELECT * FROM t),
         |del_ AS (SELECT * FROM t EXCEPT ALL SELECT * FROM merged)

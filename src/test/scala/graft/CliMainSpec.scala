@@ -232,6 +232,20 @@ class CliMainSpec extends SparkSuite {
       5000L) == 1)
   }
 
+  test("table scan --where drives the stats-pruned read") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("cli-scan").toString
+    spark.range(100).select(col("id").as("k"),
+        (col("id") * 2).as("m"))
+      .repartitionByRange(4, col("k")).write.parquet(s"$root/t")
+    CliMain.main(Array("table", s"$root/t", "init"))
+    CliMain.main(Array("table", s"$root/t", "scan", "--where",
+      "k >= 10 and k < 20"))
+    val (kept, total) = graft.ingest.TableLog.prunedFiles(spark,
+      s"$root/t", expr("k >= 10 and k < 20"))
+    assert(kept.size == 1 && total == 4, s"${kept.size}/$total")
+  }
+
   test("upsert/rollup on a versioned table at v>=1 read the snapshot") {
     import org.apache.spark.sql.functions._
     import spark.implicits._

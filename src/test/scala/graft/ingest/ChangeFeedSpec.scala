@@ -168,6 +168,44 @@ class ChangeFeedSpec extends SparkSuite {
       s"$landed")
   }
 
+  test("keys pair delete+insert into update pre/post images per commit") {
+    val root = Files.createTempDirectory("cdf-pairs").toString
+    build(root)
+    // v1: insert 9 (no delete) stays insert; v2: update 2 becomes the
+    // pre/post pair, delete 9 (no matching insert) stays delete
+    val got = rows(TableLog.changes(spark, s"$root/t", 0,
+      keys = Seq("k")))
+    assert(got == Seq(
+      (9L, "nine", "insert", 1),
+      (2L, "b", "update_preimage", 2),
+      (2L, "b2", "update_postimage", 2),
+      (9L, "nine", "delete", 2)).sortBy(r => (r._4, r._1, r._3)),
+      s"$got")
+    // cross-commit events never pair: k=9's insert@v1 / delete@v2
+    assert(got.count(r => r._1 == 9L &&
+      r._3.startsWith("update")) == 0)
+
+    // duplicate keys pair POSITIONALLY by deterministic rank: a full
+    // replacement commit with two deletes and one insert on k=1
+    // pairs exactly one and keeps the other a delete
+    val r2 = Files.createTempDirectory("cdf-pairs-dup").toString
+    Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$r2/t")
+    TableLog.init(spark, s"$r2/t")
+    Seq((1L, "z"), (2L, "c")).toDF("k", "v").coalesce(1)
+      .write.parquet(s"$r2/stage")
+    TableLog.commit(spark, s"$r2/t", s"$r2/stage", "replace",
+      expectedHead = Some(0))
+    val d = TableLog.diff(spark, s"$r2/t", 0, 1, keys = Seq("k"))
+      .select(col("k"), col("v"), col("_change_type"))
+      .as[(Long, String, String)].collect()
+      .sortBy(r => (r._1, r._3, r._2)).toSeq
+    assert(d == Seq(
+      (1L, "b", "delete"), // rank-2 delete finds no rank-2 insert
+      (1L, "z", "update_postimage"),
+      (1L, "a", "update_preimage")), s"$d")
+  }
+
   test("a consumer lagging past expire fails loudly, never skips") {
     val root = Files.createTempDirectory("cdf-expire").toString
     build(root)
