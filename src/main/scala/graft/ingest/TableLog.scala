@@ -72,7 +72,17 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * [[commit]] grows disjoint-writer REBASE; [[changes]] +
   * [[ChangeFeed]] give resumable per-commit CDF consumption; and
   * [[deleteWhere]]/[[compactDeletes]] add merge-on-read deletes via
-  * deletion-vector sidecars (see each method's contract). */
+  * deletion-vector sidecars (see each method's contract).
+  *
+  * r18 additions: [[diffCommit]] makes the change feed
+  * FILE-GRANULAR (per-commit diff from the delta record's own
+  * add/remove lists — the last O(table) cost in the maintenance loop
+  * gone); [[FileStats]] lines per moved file let [[scanWhere]] prune
+  * any predicate before opening a data file; `ts=` stamps give
+  * [[readAsOf]] timestamp time travel (clock-skew monotonicized);
+  * [[unionSchema]] widens types on the Delta-style matrix with
+  * scan-time upcast; and [[changes]]/[[diff]] pair delete+insert
+  * into update pre/post images under optional `keys`. */
 object TableLog {
 
   private val LogDir = "_graft_log"
