@@ -304,10 +304,19 @@ object CliMain {
           .getOrElse(sys.error("--key k (or --key a,b for a " +
             "composite key) is required"))
           .split(",").toSeq.map(_.trim).filter(_.nonEmpty)
+        // versioned tables bound the touched-file probe via the
+        // log's per-file key stats (sound: files the keys cannot
+        // live in are carried without a scan)
+        val probe =
+          if (!versioned) None
+          else Some(graft.ingest.TableLog.statsCandidates(spark,
+            tableDir, ks.head,
+            spark.read.parquet(changesDir).select(ks.head)))
         val (st0, untouched) = graft.operators.Upsert.mergeShared(spark,
           tableFiles, changesDir, outDir, ks,
           versionCol = flagVal("--version"),
-          tombstoneCol = flagVal("--tombstone"))
+          tombstoneCol = flagVal("--tombstone"),
+          probeFiles = probe)
         val st = st0.copy(filesCopied = graft.operators.Upsert.copyFiles(
           spark, untouched.map(new org.apache.hadoop.fs.Path(_)),
           outDir, Set.empty))

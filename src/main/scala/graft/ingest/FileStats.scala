@@ -265,24 +265,39 @@ object FileStats {
   /** Snapshot files whose stats might satisfy `pred` (an ANALYZED
     * condition from [[analyzedCondition]]) — every file truly holding
     * a matching row is returned (lossless); files without stats for a
-    * referenced column are always kept. */
+    * referenced column are always kept. Conjunctions AND
+    * DISJUNCTIONS compose: might(a AND b) = might(a) ∧ might(b),
+    * might(a OR b) = might(a) ∨ might(b) — each leaf
+    * over-approximates "some row could match", so both compositions
+    * stay over-approximations and `k = 5 OR k = 95` prunes to the
+    * two matching range files. */
   private[graft] def prune(files: Seq[String],
       statsByFile: Map[String, Seq[String]], schema: StructType,
       pred: Expression): Seq[String] = {
-    val checks = conjuncts(pred).flatMap(checkOf(_, schema))
-    if (checks.isEmpty) return files
+    var known = false
+    def might(e: Expression): Check = e match {
+      case And(l, r) =>
+        val (a, b) = (might(l), might(r))
+        cols => a(cols) && b(cols)
+      case Or(l, r) =>
+        val (a, b) = (might(l), might(r))
+        cols => a(cols) || b(cols)
+      case Not(IsNull(a)) => might(IsNotNull(a))
+      case Not(IsNotNull(a)) => might(IsNull(a))
+      case leaf => checkOf(leaf, schema) match {
+        case Some(c) => known = true; c
+        case None => _ => true // opaque leaf: keep the file
+      }
+    }
+    val check = might(pred)
+    if (!known) return files
     files.filter { f =>
       val cols: Map[String, ColStats] = statsByFile.getOrElse(f, Nil)
         .flatMap(parseLine).collect {
           case (_, c, st) => c -> st
         }.toMap
-      checks.forall(ch => ch(cols))
+      check(cols)
     }
-  }
-
-  private def conjuncts(e: Expression): Seq[Expression] = e match {
-    case And(l, r) => conjuncts(l) ++ conjuncts(r)
-    case other => Seq(other)
   }
 
   private type Check = Map[String, ColStats] => Boolean

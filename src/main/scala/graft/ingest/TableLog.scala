@@ -841,6 +841,73 @@ object TableLog {
     withDvs.filter(predicate)
   }
 
+  /** A SOUND probe subset for
+    * [[graft.operators.Upsert.mergeShared]]'s `probeFiles`: the
+    * snapshot files whose log-recorded stats on `keyCol` can hold
+    * ANY key in `keyFrame` (single column, same name). A point
+    * upsert on a stats-covered clustered table probes the files its
+    * keys can live in instead of key-column-scanning the whole
+    * snapshot — the FileStats discipline applied to the maintenance
+    * loop's own probe. Sound by construction: files without a stats
+    * line for `keyCol` are always candidates, an all-null-stats file
+    * cannot hold a (non-null) key, and unsupported key typing
+    * returns EVERY file. Integral and string keys only (the exact
+    * comparison domains [[FileStats]] pins); the containment join
+    * broadcasts the metadata-sized ranges frame. */
+  def statsCandidates(spark: SparkSession, dir: String, keyCol: String,
+      keyFrame: DataFrame, version: Option[Int] = None)
+      : Seq[String] = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    import org.apache.spark.sql.types._
+    val f = fs(spark, dir)
+    val v = version.getOrElse(listLog(f, dir)._1.lastOption.getOrElse(
+      sys.error(s"$dir has no log — run init first")))
+    val res = resolveOne(spark, f, dir, v)
+    val all = res.files.map(n => new Path(dir, n).toString)
+    val keyType = res.schemaJson.map(DataType.fromJson(_)
+      .asInstanceOf[StructType])
+      .flatMap(_.fields.find(_.name == keyCol)).map(_.dataType)
+    val wantKind = keyType match {
+      case Some(ByteType | ShortType | IntegerType | LongType) => "l"
+      case Some(StringType) => "s"
+      case _ => return all // unsupported key typing: no pruning
+    }
+    // (file, min, max) for files with a usable keyCol line; files
+    // with an all-null key column are provably key-free
+    val parsed = res.files.map { n =>
+      val line = res.stats.getOrElse(n, Nil)
+        .flatMap(FileStats.parseLine)
+        .collectFirst { case (_, c, st) if c == keyCol => st }
+      n -> line
+    }
+    val unstatted = parsed.collect {
+      case (n, None) => n
+      case (n, Some(st)) if st.kind != wantKind => n
+    }
+    val ranged = parsed.collect {
+      case (n, Some(st)) if st.kind == wantKind && st.hasMinMax =>
+        (n, st.min, st.max)
+    } // all-null files (hasMinMax=false, nulls==rows) drop out; a
+      // file with unknown nulls still records hasMinMax from values
+    if (ranged.isEmpty)
+      return unstatted.map(n => new Path(dir, n).toString)
+    import spark.implicits._
+    val rangesDf = wantKind match {
+      case "l" => ranged.map { case (n, mn, mx) =>
+        (n, mn.toLong, mx.toLong) }.toDF("__f", "__mn", "__mx")
+      case _ => ranged.toDF("__f", "__mn", "__mx")
+    }
+    val keyCast =
+      if (wantKind == "l") col(keyCol).cast(LongType) else col(keyCol)
+    val hit = keyFrame.select(keyCast.as("__k")).na.drop().distinct()
+      .join(broadcast(rangesDf),
+        col("__k") >= col("__mn") && col("__k") <= col("__mx"))
+      .select("__f").distinct()
+      .as[String].collect().toSet
+    (unstatted ++ res.files.filter(hit.contains))
+      .map(n => new Path(dir, n).toString)
+  }
+
   /** The pruned file count behind [[scanWhere]] — package-visible so
     * specs and declared queries can REQUIRE the pruning actually
     * happened. Returns (kept file names, total snapshot files). */

@@ -167,9 +167,22 @@ object Upsert {
   def mergeShared(spark: SparkSession, tableFiles: Seq[String],
       changesDir: String, outDir: String, keys: Seq[String],
       versionCol: Option[String] = None,
-      tombstoneCol: Option[String] = None): (Stats, Seq[String]) = {
+      tombstoneCol: Option[String] = None,
+      probeFiles: Option[Seq[String]] = None): (Stats, Seq[String]) = {
     require(tableFiles.nonEmpty, "empty table file list")
     require(keys.nonEmpty, "upsert needs at least one key column")
+    // `probeFiles` (r18): a SOUND subset of tableFiles to run the
+    // touched-file probe over — every file that could hold a change
+    // key MUST be in it (TableLog.statsCandidates derives one from
+    // the log's per-file key stats); files outside it carry
+    // untouched without even a key-column scan, so a point upsert on
+    // a stats-covered million-file table probes a handful of files.
+    probeFiles.foreach { p =>
+      val t = tableFiles.toSet
+      val foreign = p.filterNot(t.contains)
+      require(foreign.isEmpty,
+        s"probeFiles not in tableFiles: ${foreign.take(3).mkString(", ")}")
+    }
     val table0 = spark.read.parquet(tableFiles: _*)
     val resolved = resolve(spark.read.parquet(changesDir), keys,
       versionCol).localCheckpoint()
@@ -200,13 +213,19 @@ object Upsert {
     def keySide(df: DataFrame): DataFrame =
       if (nKeys <= BroadcastKeyRows) broadcast(df) else df
 
-    // touched files: a key-columns-only scan of the table (ReadSchema
-    // prunes to the keys), semi-joined against the change keys
-    val touched = table.select(keys.map(col): _*)
-      .withColumn("__file", input_file_name())
-      .join(keySide(keyRows), keys, "left_semi")
-      .select("__file").distinct()
-      .collect().map(_.getString(0)).toSet
+    // touched files: a key-columns-only scan (ReadSchema prunes to
+    // the keys) of the probe subset — the whole table unless the
+    // caller proved a smaller sound set — semi-joined against the
+    // change keys
+    val probed = probeFiles.getOrElse(tableFiles)
+    val touched =
+      if (probed.isEmpty) Set.empty[String]
+      else spark.read.schema(table.schema).parquet(probed: _*)
+        .select(keys.map(col): _*)
+        .withColumn("__file", input_file_name())
+        .join(keySide(keyRows), keys, "left_semi")
+        .select("__file").distinct()
+        .collect().map(_.getString(0)).toSet
 
     val touchedPaths = touched.map(s =>
       new org.apache.hadoop.fs.Path(s).toUri.getPath)

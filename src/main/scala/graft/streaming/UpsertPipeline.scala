@@ -59,9 +59,16 @@ object UpsertPipeline {
     // untouched files CARRY into the next record by reference — a
     // quiet dimension file is written once and shared by every
     // subsequent snapshot until a batch touches one of its keys
+    // the log's per-file key stats bound the probe to the files this
+    // batch's keys can live in (r18) — a narrow streamed batch on a
+    // wide clustered dimension probes a handful of files, not the
+    // key column of every snapshot file
+    val probe = TableLog.statsCandidates(spark, tableDir, keys.head,
+      batch.select(keys.head))
     val (_, untouched) = Upsert.mergeShared(spark,
       TableLog.snapshotFiles(spark, tableDir), s"$staging/changes",
-      s"$staging/out", keys, versionCol, tombstoneCol)
+      s"$staging/out", keys, versionCol, tombstoneCol,
+      probeFiles = Some(probe))
     if (crashBeforeCommit) sys.error("injected crash before commit")
     TableLog.commit(spark, tableDir, s"$staging/out",
       action = batchAction(batchId), expectedHead = Some(head),

@@ -55,10 +55,47 @@ class FileStatsSpec extends SparkSuite {
     // null-count pruning: m is null exactly in the first file
     assert(kept(root, col("m").isNull) == (1, 4))
     assert(kept(root, col("m") === 60)._1 == 1) // all-null file excluded
+    // disjunctions compose: might(a OR b) = might(a) ∨ might(b)
+    assert(kept(root, col("k") === 5 || col("k") === 95)._1 == 2)
+    assert(kept(root, col("k") === 5 || col("k") % 7 === 0)._1 == 4,
+      "an opaque OR side must keep every file")
+    assert(kept(root, !col("m").isNull)._1 == 3) // NOT(IS NULL) flips
     Seq(col("k") === 57, col("k") > 1000, col("v") === "name007",
       col("m").isNull, col("m").isNotNull, col("m") === 60,
       lit(10) <= col("k") && col("k") < 26,
+      col("k") === 5 || col("k") === 95,
       col("k").isin(3, 98)).foreach(lossless(root, _))
+  }
+
+  test("statsCandidates bound the upsert probe; pruned ≡ full probe") {
+    val root = Files.createTempDirectory("fstats-probe").toString
+    plant(root)
+    val chg = Seq((57L, "renamed", 5000L), (500L, "ins", 1L))
+      .toDF("k", "v", "m")
+    // k=57 lives in one range file; k=500 is past every range (an
+    // insert — touches nothing); the probe subset is that ONE file
+    val cands = TableLog.statsCandidates(spark, s"$root/t", "k",
+      chg.select("k"))
+    assert(cands.size == 1, s"$cands")
+    // the all-null m file is provably key-free; m=60 maps to one file
+    assert(TableLog.statsCandidates(spark, s"$root/t", "m",
+      Seq(60L).toDF("m")).size == 1)
+    // unsupported key typing keeps every file (sound fallback)
+    assert(TableLog.statsCandidates(spark, s"$root/t", "nope",
+      Seq(1L).toDF("nope")).size == 4)
+    // merge with the pruned probe ≡ merge with the full probe
+    chg.write.parquet(s"$root/chg")
+    val files = TableLog.snapshotFiles(spark, s"$root/t")
+    val (st1, unt1) = graft.operators.Upsert.mergeShared(spark, files,
+      s"$root/chg", s"$root/out1", Seq("k"))
+    val (st2, unt2) = graft.operators.Upsert.mergeShared(spark, files,
+      s"$root/chg", s"$root/out2", Seq("k"), probeFiles = Some(cands))
+    assert(st1 == st2 && unt1.toSet == unt2.toSet, s"$st1 vs $st2")
+    val r1 = spark.read.parquet(s"$root/out1").select("k", "v")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    val r2 = spark.read.parquet(s"$root/out2").select("k", "v")
+      .as[(Long, String)].collect().sortBy(_._1).toSeq
+    assert(r1 == r2 && r2.exists(_ == (500L, "ins")), s"$r1 vs $r2")
   }
 
   test("unsupported conjuncts are ignored, never unsound") {
