@@ -444,8 +444,11 @@ object CliMain {
             expectedHead = flagVal("--expect").map(_.toInt))
           println(s"table: committed $fromDir as v$v")
         case "history" :: _ =>
-          graft.ingest.TableLog.history(spark, dir).foreach(m =>
-            println(s"v${m.version} ${m.action} ${m.files.size} files"))
+          graft.ingest.TableLog.history(spark, dir).foreach { m =>
+            val ts = m.tsMs.map(t => " " +
+              java.time.Instant.ofEpochMilli(t).toString).getOrElse("")
+            println(s"v${m.version} ${m.action} ${m.files.size} files$ts")
+          }
         // read [--version N | --as-of <epochMillis|ISO-8601 instant>]:
         // version or timestamp time travel (as-of resolves the
         // newest commit stamped at or before the target, clock-skew

@@ -42,16 +42,22 @@ object ProfileTableLog {
       val commits = 5
       var deltaBytes = Vector.empty[Long]
       var commitSec = Vector.empty[Double]
+      var probeFiles = Vector.empty[Int]
       (1 to commits).foreach { i =>
         // one key → one touched file: the fixed change set
         spark.range(1).select((col("id") + n / 2).as("k"),
             lit(-1L).as("v"), lit(1L + i).as("ver"))
           .write.parquet(s"$root/chg$i")
         val t0 = System.nanoTime()
+        // the log's key stats bound the probe (r18): a 1-key change
+        // on an n-file clustered table probes ~1 file, flat in n
+        val probe = ingest.TableLog.statsCandidates(spark, s"$root/t",
+          "k", spark.read.parquet(s"$root/chg$i").select("k"))
+        probeFiles :+= probe.size
         val (st, untouched) = operators.Upsert.mergeShared(spark,
           ingest.TableLog.snapshotFiles(spark, s"$root/t"),
           s"$root/chg$i", s"$root/stage$i", Seq("k"),
-          versionCol = Some("ver"))
+          versionCol = Some("ver"), probeFiles = Some(probe))
         ingest.TableLog.commit(spark, s"$root/t", s"$root/stage$i",
           s"u$i", expectedHead = Some(i - 1), carry = untouched)
         commitSec :+= (System.nanoTime() - t0) / 1e9
@@ -95,7 +101,9 @@ object ProfileTableLog {
         f"merge+commit ${commitSec.min}%.2f..${commitSec.max}%.2f s; " +
         f"actions probe $probeMs%.1f ms, head resolve " +
         f"cold $resolveColdMs%.1f / warm $resolveWarmMs%.1f ms; " +
-        f"feed replay $feedSec%.2f s / $commits commits")
+        f"feed replay $feedSec%.2f s / $commits commits; " +
+        f"upsert probe ${probeFiles.min}..${probeFiles.max} of " +
+        f"$files files (stats-bounded)")
     }
     spark.stop()
   }

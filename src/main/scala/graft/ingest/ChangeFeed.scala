@@ -114,9 +114,13 @@ object ChangeFeed {
   /** The unconsumed batch `(cursor, min(head, cursor + maxVersions)]`,
     * or None when the consumer is caught up. Does NOT advance the
     * cursor — process the batch, then [[ack]] it. Calling next again
-    * before ack returns the same batch (crash/resume re-delivery). */
+    * before ack returns the same batch (crash/resume re-delivery).
+    * `keys` (r18): per-commit delete+insert pairs sharing the key
+    * arrive as `update_preimage`/`update_postimage`
+    * ([[TableLog.changes]]). */
   def next(spark: SparkSession, tableDir: String, cursorPath: String,
-      maxVersions: Int = Int.MaxValue): Option[Batch] = {
+      maxVersions: Int = Int.MaxValue, keys: Seq[String] = Nil)
+      : Option[Batch] = {
     require(maxVersions >= 1, "maxVersions must be >= 1")
     val cur = position(spark, cursorPath).getOrElse(
       sys.error(s"no cursor at $cursorPath — seed(version) it first " +
@@ -127,7 +131,7 @@ object ChangeFeed {
     else {
       val to = math.min(head.toLong, cur.toLong + maxVersions).toInt
       Some(Batch(cur, to, TableLog.changes(spark, tableDir, cur,
-        Some(to))))
+        Some(to), keys)))
     }
   }
 

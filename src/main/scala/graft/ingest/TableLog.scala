@@ -98,7 +98,8 @@ object TableLog {
   val DefaultExpireAgeMs: Long = 3600L * 1000
 
   final case class SnapshotMeta(version: Int, action: String,
-    files: Seq[String], schemaJson: Option[String] = None)
+    files: Seq[String], schemaJson: Option[String] = None,
+    tsMs: Option[Long] = None)
   final case class ExpireStats(manifestsDropped: Int, filesDropped: Int)
 
   /** One parsed log record. A delta's `files` is the RESOLVED
@@ -1191,9 +1192,11 @@ object TableLog {
     val f = fs(spark, dir)
     val (deltas, cps) = listLog(f, dir)
     val resolved = resolveWalk(spark, f, dir, deltas, cps, deltas)
+    val stamps = commitTimestamps(spark, dir).toMap
     deltas.map { v =>
       val r = resolved(v)
-      SnapshotMeta(v, r.action, r.files, r.schemaJson)
+      SnapshotMeta(v, r.action, r.files, r.schemaJson,
+        stamps.getOrElse(v, None))
     }
   }
 

@@ -68,7 +68,12 @@ class ChangeFeedSourceProvider extends StreamSourceProvider
     val start = parameters.get("startingVersion").map(_.toInt)
       .getOrElse(TableLog.head(spark, dir).getOrElse(
         sys.error(s"$dir has no log — run init first")))
-    new ChangeFeedSource(spark, dir, start)
+    // pairKeys (r18): comma-separated key columns — each commit's
+    // delete+insert sharing the key streams as its
+    // update_preimage/update_postimage pair (TableLog.changes keys)
+    val keys = parameters.get("pairKeys").toSeq
+      .flatMap(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+    new ChangeFeedSource(spark, dir, start, keys)
   }
 }
 
@@ -85,7 +90,8 @@ object ChangeFeedSource {
 }
 
 class ChangeFeedSource(spark: org.apache.spark.sql.SparkSession,
-    dir: String, startingVersion: Int) extends Source {
+    dir: String, startingVersion: Int, pairKeys: Seq[String] = Nil)
+    extends Source {
 
   private val sqlContext: SQLContext = spark.sqlContext
 
@@ -122,7 +128,7 @@ class ChangeFeedSource(spark: org.apache.spark.sql.SparkSession,
     // the source's rows positionally), then re-wrap under the
     // isStreaming flag — the DSv1 contract (see StreamingShim)
     org.apache.spark.sql.graft.StreamingShim.asStreaming(sqlContext,
-      TableLog.changes(spark, dir, from.toInt, Some(to.toInt))
+      TableLog.changes(spark, dir, from.toInt, Some(to.toInt), pairKeys)
         .select(fixedSchema.fieldNames.map(col).toSeq: _*))
   }
 

@@ -185,6 +185,13 @@ class ChangeFeedSpec extends SparkSuite {
     assert(got.count(r => r._1 == 9L &&
       r._3.startsWith("update")) == 0)
 
+    // the cursor layer passes keys through unchanged
+    val cursor = s"$root/pairs.pos"
+    ChangeFeed.seed(spark, cursor, 0)
+    val b = ChangeFeed.next(spark, s"$root/t", cursor,
+      keys = Seq("k")).get
+    assert(rows(b.changes) == got, "cursor batch must pair identically")
+
     // duplicate keys pair POSITIONALLY by deterministic rank: a full
     // replacement commit with two deletes and one insert on k=1
     // pairs exactly one and keeps the other a delete

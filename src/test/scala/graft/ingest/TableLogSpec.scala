@@ -437,6 +437,9 @@ class TableLogSpec extends SparkSuite {
     assert(TableLog.asOfVersion(spark, t, 1000L) == 1)
     assert(TableLog.asOfVersion(spark, t, 2999L) == 1)
     assert(TableLog.asOfVersion(spark, t, 3000L) == 2)
+    // history surfaces the raw (un-monotonicized) stamps
+    assert(TableLog.history(spark, t).map(_.tsMs) ==
+      Seq(Some(1000L), None, Some(3000L), Some(9000L)))
   }
 
   test("cpCache validates the live file: rm -rf + re-init never stale") {

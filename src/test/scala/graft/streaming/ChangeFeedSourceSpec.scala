@@ -116,6 +116,31 @@ class ChangeFeedSourceSpec extends SparkSuite {
       (4L, "d", "insert", 3)).sortBy(r => (r._4, r._1, r._3)), s"$got")
   }
 
+  test("pairKeys streams update pre/post images") {
+    val root = Files.createTempDirectory("cdf-stream-pairs").toString
+    Seq((1L, "a", 1L)).toDF("k", "v", "ver").coalesce(1)
+      .write.parquet(s"$root/t")
+    TableLog.init(spark, s"$root/t")
+    val q = spark.readStream
+      .format("graft-changes")
+      .option("path", s"$root/t")
+      .option("startingVersion", "0")
+      .option("pairKeys", "k")
+      .load()
+      .writeStream.format("parquet")
+      .option("path", s"$root/out")
+      .option("checkpointLocation", s"$root/ckpt")
+      .start()
+    commitChanges(root, 1, Seq((1L, "a2", 2L, false))) // update k=1
+    q.processAllAvailable()
+    q.stop()
+    val got = feedRows(s"$root/out")
+    assert(got == Seq(
+      (1L, "a", "update_preimage", 1),
+      (1L, "a2", "update_postimage", 1))
+      .sortBy(r => (r._4, r._1, r._3)), s"$got")
+  }
+
   test("a stream lagging past expire fails loudly, never skips") {
     val root = Files.createTempDirectory("cdf-stream-exp").toString
     Seq((1L, "a", 1L)).toDF("k", "v", "ver").coalesce(1)
