@@ -107,14 +107,19 @@ object Graph extends QueryFamily {
       when(seed, 1000000L).otherwise(0L) else lit(1000000L)
     val tele = if (personalized)
       when(seed, 150000L).otherwise(0L) else lit(150000L)
-    var ranks = deg.select(col("node"), init.as("pr_u"))
+    // the rank frame CARRIES outdeg (one extra long per node), so the
+    // per-round contribution is a pure projection — the previous shape
+    // paid a node-sized ranks⋈deg hash join every round just to
+    // re-attach a static column (optimization r18, guide §2.4: two
+    // operations keyed the same way should not re-join per iteration).
+    // outdeg rides through the aggregation on the teleport union row
+    // (exactly one per node, so max() reproduces it exactly); the edge
+    // side still contributes sum-only rows with a null outdeg.
+    var ranks = deg.select(col("node"), init.as("pr_u"), col("outdeg"))
     var it = 0
     while (it < iters) {
-      // per-node contribution first (node-sized join, both sides keyed by
-      // node) so the edge list is touched by exactly ONE join per round
-      val perNode = ranks.join(deg.hint("shuffle_hash"), "node")
-        .select(col("node"),
-          floor(col("pr_u") / col("outdeg")).as("contrib_u"))
+      val perNode = ranks.select(col("node"),
+        floor(col("pr_u") / col("outdeg")).as("contrib_u"))
       // teleport lands on EVERY node: a zero-contribution row per node
       // unions into the same aggregation, so a seed with no in-edges
       // keeps its teleport mass (textbook PPR) instead of silently
@@ -122,19 +127,21 @@ object Graph extends QueryFamily {
       // node-sized append, no extra join, same single shuffle
       ranks = edges
         .join(perNode.hint("shuffle_hash"), edges("src") === perNode("node"))
-        .select(col("dst"), col("contrib_u"))
+        .select(col("dst"), col("contrib_u"),
+          lit(null).cast("long").as("outdeg"))
         .unionByName(deg.select(col("node").as("dst"),
-          lit(0L).as("contrib_u")))
+          lit(0L).as("contrib_u"), col("outdeg")))
         .groupBy("dst")
-        .agg(sum("contrib_u").as("mass_u"))
-        .select(col("dst").as("node"), col("mass_u"))
+        .agg(sum("contrib_u").as("mass_u"), max("outdeg").as("outdeg"))
+        .select(col("dst").as("node"), col("mass_u"), col("outdeg"))
         .select(col("node"),
           (tele + floor(col("mass_u") * 17 / lit(20.0)).cast("long"))
-            .as("pr_u"))
+            .as("pr_u"),
+          col("outdeg"))
         .localCheckpoint()
       it += 1
     }
-    val out = ranks.orderBy("node")
+    val out = ranks.select("node", "pr_u").orderBy("node")
     deg.unpersist()
     out
   }
@@ -364,25 +371,33 @@ object Graph extends QueryFamily {
     * known layer structure (chains, unreachable components). */
   private[queries] def hopDistanceOn(edges: DataFrame, maxHops: Int,
       seed: Column): DataFrame = {
-    var dist = edges.select(col("src").as("node")).distinct()
+    // the settled set is a LAZY union of per-round checkpointed layers
+    // (the GraphAnn visited-set discipline, optimization r18): each
+    // node's row materializes ONCE, in its layer's checkpoint — the
+    // previous shape re-checkpointed the ENTIRE settled set every
+    // round (O(V·rounds) materialized rows and one extra job per
+    // round) just to feed the next anti-join, which reads the union
+    // of cached layers equally well
+    var layers = List(edges.select(col("src").as("node")).distinct()
       .filter(seed)
       .select(col("node"), lit(0L).as("hops"))
-      .localCheckpoint()
-    var frontier = dist.select("node")
+      .localCheckpoint())
+    var frontier = layers.head.select("node")
     var h = 1
     while (h <= maxHops) {
+      val settled = layers.reduce(_ unionByName _)
       val next = edges
         .join(frontier.hint("shuffle_hash"),
           edges("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
-        .join(dist.hint("shuffle_hash"), Seq("node"), "left_anti")
+        .join(settled.hint("shuffle_hash"), Seq("node"), "left_anti")
         .select(col("node"), lit(h.toLong).as("hops"))
         .localCheckpoint()
-      dist = dist.unionByName(next).localCheckpoint()
+      layers = next :: layers
       frontier = next.select("node")
       h += 1
     }
-    dist.orderBy("node")
+    layers.reduce(_ unionByName _).orderBy("node")
   }
 
   /** Exact integer modularity of the [[labelPropagation]] assignment —
@@ -620,16 +635,27 @@ object Graph extends QueryFamily {
         sum(expr("1000000 DIV a.degz")).as("ra_u"))
     val cand = wedges.join(pairs,
       col("u") === col("p1") && col("v") === col("p2"), "left_anti")
-    cand
-      .join(deg.select(col("node"), col("deg").as("deg_u"))
-        .hint("shuffle_hash"), col("u") === col("node")).drop("node")
-      .join(deg.select(col("node"), col("deg").as("deg_v"))
-        .hint("shuffle_hash"), col("v") === col("node")).drop("node")
+    // top-k FIRST (TakeOrdered — the ranking never reads the degrees:
+    // it orders by (ra_u, cn, u, v), all wedge-aggregation columns, and
+    // (u, v) is unique so the order is total), THEN attach degrees to
+    // the k survivors only. The previous shape shuffled the ENTIRE
+    // non-adjacent candidate-pair frame through two node-sized hash
+    // joins just to compute jac_u for rows the limit was about to
+    // discard (optimization r18, guide §3: reduce the big side before
+    // joining — here to k rows, so the survivors broadcast and the
+    // degree frame is probed without any pair-sized exchange).
+    val top = cand
+      .orderBy(col("ra_u").desc, col("cn").desc, col("u"), col("v"))
+      .limit(topK)
+    broadcast(broadcast(top)
+      .join(deg.select(col("node"), col("deg").as("deg_u")),
+        col("u") === col("node")).drop("node"))
+      .join(deg.select(col("node"), col("deg").as("deg_v")),
+        col("v") === col("node")).drop("node")
       .select(col("u"), col("v"), col("cn"), col("ra_u"),
         expr("CAST(cn * 1000000 DIV (deg_u + deg_v - cn) AS BIGINT)")
           .as("jac_u"))
       .orderBy(col("ra_u").desc, col("cn").desc, col("u"), col("v"))
-      .limit(topK)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
