@@ -48,6 +48,9 @@ object Upsert {
     * first-class — real dimension tables key on (tenant, id) shapes):
     * latest `version`, duplicate (key, version) rejected.
     * Change-sized frame. */
+  /** The result is MATERIALIZED (localCheckpoint) — callers read it
+    * several ways (key frame, tombstone split, write) without
+    * re-scanning the change parquet. */
   private[operators] def resolve(changes: DataFrame, keys: Seq[String],
       versionCol: Option[String]): DataFrame = {
     require(keys.nonEmpty, "upsert needs at least one key column")
@@ -59,17 +62,26 @@ object Upsert {
         require(dups.isEmpty, s"changes carry duplicate rows for key " +
           s"${dups.headOption.map(_.toSeq.init)} and no --version " +
           "column names a winner")
-        changes
+        changes.localCheckpoint()
       case Some(v) =>
-        val dups = changes.groupBy((keys :+ v).map(col): _*)
-          .agg(count(lit(1)).as("c")).filter(col("c") > 1).limit(1)
-          .collect()
-        require(dups.isEmpty,
-          s"duplicate (${keys.mkString(", ")}, $v) tuple " +
-            s"${dups.headOption.map(_.toSeq.init)} has no defined winner")
+        // ONE window pass computes both the winner rank and the
+        // duplicate flag (a duplicate (keys, v) tuple ⇔ the previous
+        // row in version-desc order within the key carries the same
+        // version — null-safe, so null-version duplicates stay loud);
+        // the dup check previously paid its own groupBy SHUFFLE over a
+        // SECOND scan of the change parquet (optimization r18,
+        // guide §2.4/§1.2: same-keyed passes share one exchange)
         val w = Window.partitionBy(keys.map(col): _*).orderBy(col(v).desc)
-        changes.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
+        val marked = changes
+          .withColumn("__rn", row_number().over(w))
+          .withColumn("__dup", lag(col(v), 1).over(w) <=> col(v))
+          .localCheckpoint()
+        val dup = marked.filter(col("__dup")).limit(1).collect()
+        require(dup.isEmpty,
+          s"duplicate (${keys.mkString(", ")}, $v) tuple " +
+            s"${dup.headOption.map(_.toSeq.dropRight(2))} has no " +
+            "defined winner")
+        marked.filter(col("__rn") === 1).drop("__rn", "__dup")
     }
   }
 
@@ -185,13 +197,10 @@ object Upsert {
     }
     val table0 = spark.read.parquet(tableFiles: _*)
     val resolved = resolve(spark.read.parquet(changesDir), keys,
-      versionCol).localCheckpoint()
+      versionCol)
     val upsertRows = tombstoneCol
       .map(t => resolved.filter(!coalesce(col(t), lit(false))).drop(t))
       .getOrElse(resolved)
-    val deleteKeys = tombstoneCol.map(t =>
-      resolved.filter(coalesce(col(t), lit(false)))
-        .select(keys.map(col): _*))
     val missing = table0.columns.filterNot(upsertRows.columns.contains)
     require(missing.isEmpty,
       s"changes schema ${upsertRows.columns.sorted.mkString(",")} is " +
@@ -207,9 +216,22 @@ object Upsert {
 
     // the affected-key frame: key columns only, change-sized, read
     // three ways (touched-file probe, rewrite anti-join, insert
-    // anti-join)
-    val keyRows = resolved.select(keys.map(col): _*).localCheckpoint()
-    val nKeys = keyRows.count()
+    // anti-join) — a projection over resolve's materialized frame, so
+    // each read is a cache scan (the previous shape paid a SECOND
+    // localCheckpoint materialization plus its own count job). One
+    // aggregation job yields every change-sized statistic at once:
+    // resolve guarantees one row per key, so total rows = nKeys, and
+    // the tombstone split is a conditional sum in the same pass
+    // (optimization r18 — was three separate count jobs).
+    val keyRows = resolved.select(keys.map(col): _*)
+    val statsRow = resolved.agg(
+      count(lit(1)).as("n"),
+      coalesce(sum(tombstoneCol
+        .map(t => when(coalesce(col(t), lit(false)), 1L).otherwise(0L))
+        .getOrElse(lit(0L))), lit(0L)).as("dels")).head()
+    val nKeys = statsRow.getLong(0)
+    val nDeletes = statsRow.getLong(1)
+    val nUpsertRows = nKeys - nDeletes
     def keySide(df: DataFrame): DataFrame =
       if (nKeys <= BroadcastKeyRows) broadcast(df) else df
 
@@ -259,8 +281,6 @@ object Upsert {
         upsertRows.select(keys.map(col): _*)
           .join(keySide(tableKeys), keys, "left_semi").count()
       }
-    val nUpsertRows = upsertRows.count()
-    val nDeletes = deleteKeys.map(_.count()).getOrElse(0L)
     (Stats(
       upserts = present,
       deletes = nDeletes,
@@ -334,22 +354,42 @@ object Upsert {
       s"changes need ${(keys ++ payload :+ tsCol).mkString(", ")}; " +
         s"got ${raw.columns.mkString(", ")}")
     // chain the batch per key in (ts, seq) order — the kernel's order;
-    // an exact duplicate (key, ts, seq) has no defined chain position
-    val dupCols = (keys :+ tsCol :+ seqCol).map(col)
-    val dups = raw.groupBy(dupCols: _*).agg(count(lit(1)).as("c"))
-      .filter(col("c") > 1).limit(1).collect()
-    require(dups.isEmpty, "changes carry an exact duplicate " +
-      s"(${(keys :+ tsCol :+ seqCol).mkString(", ")}) row: " +
-      s"${dups.headOption.map(_.toSeq.init)}")
+    // an exact duplicate (key, ts, seq) has no defined chain position.
+    // The duplicate flag rides the SAME window pass as the chaining
+    // lead() (a duplicate ⇔ the previous row in chain order carries the
+    // same (valid_from, seq)) — the check previously paid its own
+    // groupBy shuffle over a second scan of the change parquet
+    // (optimization r18). Detection keys on the DERIVED valid_from
+    // micros, which is also what the chain orders by — two raw ts
+    // spellings mapping to the same microsecond are now rejected too
+    // (they had no defined chain position either; the old raw-ts check
+    // silently let the window order them arbitrarily).
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("valid_from"), col(seqCol))
-    val chain = raw
+    val chain0 = raw
       .select((keys ++ payload).map(col) :+
         expr(s"unix_micros(cast($tsCol as timestamp))")
           .as("valid_from"): _*)
       .withColumn("valid_to", lead(col("valid_from"), 1).over(w))
       .withColumn("is_current", col("valid_to").isNull)
+      .withColumn("__dup",
+        (lag(col("valid_from"), 1).over(w) <=> col("valid_from")) &&
+          (lag(col(seqCol), 1).over(w) <=> col(seqCol)))
       .localCheckpoint()
+    // one cache-scan aggregation yields the appended-version count AND
+    // the duplicate verdict (the offending row is fetched only on the
+    // failure path); was two separate jobs
+    val chainAgg = chain0.agg(count(lit(1)).as("n"),
+      coalesce(max(when(col("__dup"), lit(1))), lit(0)).as("hasdup"))
+      .head()
+    if (chainAgg.getInt(1) > 0) {
+      val dups = chain0.filter(col("__dup")).limit(1).collect()
+      require(dups.isEmpty, "changes carry an exact duplicate " +
+        s"(${(keys :+ tsCol :+ seqCol).mkString(", ")}) row: " +
+        s"${dups.headOption.map(_.toSeq.dropRight(1))}")
+    }
+    val nAppended = chainAgg.getLong(0)
+    val chain = chain0.drop("__dup")
 
     // change-key frame: read three ways (probe, survivors, guard)
     val changeKeys = chain.select(keys.map(col): _*).distinct()
@@ -411,7 +451,7 @@ object Upsert {
 
     (Scd2Stats(
       versionsClosed = nClosed,
-      versionsAppended = chain.count(),
+      versionsAppended = nAppended,
       newKeys = nKeys - nClosed,
       filesRewritten = touched.size,
       filesCopied = 0), untouched)
