@@ -269,8 +269,18 @@ object GraphAnn {
         .filter(col("rnk") <= ef)
         .drop("rnk")
         .localCheckpoint()
-      frontierN = beam.filter(!col("expanded")).count()
       r += 1
+      // the convergence probe is pure loop control — when the round
+      // budget is exhausted the loop exits regardless, so the last
+      // round's count job is skipped (optimization r18). NOTE (same
+      // round): pre-partitioning adj/emb/qs by their join keys and
+      // cache()-ing removed 15 jobs and 39k shuffle rows per search at
+      // sf0.1 but cost ~1.5 s wall — the 32-partition cached layout
+      // forces every downstream stage to 32 tasks on toy data that AQE
+      // otherwise coalesces to ~2; reverted, measurement in
+      // OPTIMIZATION_r18.md ("GraphAnn" entry).
+      frontierN =
+        if (r < maxRounds) beam.filter(!col("expanded")).count() else 0L
     }
     (beam.drop("expanded"), dots, scoredAll)
   }

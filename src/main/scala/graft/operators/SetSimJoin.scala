@@ -161,7 +161,7 @@ object SetSimJoin {
     * (den+num)·|a∩b| ≥ num·(n_a+n_b), integer-exact. */
   def edges(docs: DataFrame, num: Int, den: Int): DataFrame = {
     require(num > 0 && den > 0 && num <= den, s"threshold $num/$den not in (0,1]")
-    val ranked = rankedDocs(docs)
+    val ranked = rankedDocs(docs).localCheckpoint()
     pairStats(ranked, num, den).hint("shuffle_hash")
       .join(ranked.select(col("doc_id").as("id_a"), col("sorted").as("sa")),
         Seq("id_a"))
