@@ -317,7 +317,13 @@ object Graph extends QueryFamily {
   /** The iteration loop over an arbitrary symmetrized edge list. */
   private[queries] def labelPropagationOn(edgeList: DataFrame,
       iters: Int): DataFrame = {
-    val edges = edgeList.repartition(col("src")).cache()
+    // partitioned on DST — the per-round join key (labels attach to the
+    // edge's dst): the r18 optimization audit found this cached on src,
+    // which the loop never joins on, so the corpus-scaled edge list
+    // re-shuffled EVERY round (measured: q_communities shuffle rows
+    // 9.57M → 5.99M, 91.5 → 59.7 MB, 29 → 26 jobs from this one-word
+    // fix)
+    val edges = edgeList.repartition(col("dst")).cache()
     var labels = edges.select(col("src").as("node")).distinct()
       .select(col("node"), col("node").as("label"))
       .localCheckpoint()
