@@ -85,8 +85,8 @@ object GraphAnn {
         if (l == 0 && descentRounds > 0)
           KnnJoin.refine(g, members, degree, descentRounds)
         else g
-      refined.select(col("q_id").as("src"), col("vec_id").as("dst"))
-        .localCheckpoint()
+      LoopState.checkpoint(
+        refined.select(col("q_id").as("src"), col("vec_id").as("dst")))
     }
     // entry set = the top layer's MEMBERS (not its edge endpoints — an
     // isolated member must still seed searches); driver-sized by the
@@ -188,8 +188,21 @@ object GraphAnn {
       : (List[(Int, DataFrame)], Long, DataFrame) = {
     val spark = embeddings.sparkSession
     import spark.implicits._
-    val emb = embeddings.select(col("vec_id"), col("embedding"))
-      .localCheckpoint()
+    // LOOP-STATIC CO-PARTITIONING (optimization r19 — the r18 deferred
+    // item): the embedding table and each layer's adjacency are joined
+    // on the SAME key every beam round (emb on vec_id, adj on src), so
+    // they cache pre-partitioned on those keys and the per-round joins
+    // re-shuffle only the beam-sized side — the corpus-scaled frames
+    // never cross the wire again. The partition count is SIZE-derived
+    // (LoopState.adaptiveParts: one count job over the corpus, ~64 MB
+    // per partition, clamped by spark.sql.shuffle.partitions), NOT the
+    // session constant — the r18 attempt cached at the fixed session
+    // count and toy data paid 32 tasks per stage where AQE coalesces
+    // to ~2 (measured +1.5 s; reverted then, solved now).
+    val emb0 = embeddings.select(col("vec_id"), col("embedding"))
+    val nEmb = emb0.count()
+    val embParts = LoopState.adaptiveParts(spark, nEmb, EmbBytesPerRow)
+    val emb = emb0.repartition(embParts, col("vec_id")).cache()
     val qs = queries.select(col("q_id"), col("qvec")).localCheckpoint()
     val entriesDf = index.entries.toSeq.toDF("vec_id")
     var seeds = qs.select(col("q_id")).crossJoin(broadcast(entriesDf))
@@ -200,15 +213,30 @@ object GraphAnn {
     index.layers.zipWithIndex.reverse.foreach { case (edges, l) =>
       val efL = if (l == 0) baseEf else narrowEf
       val roundsL = if (l == 0) maxRounds else math.max(2, maxRounds / 2)
+      // layer l holds ~n/4^l members, each with ~degree out-edges
+      // symmetrized — size its adjacency cache accordingly
+      val adjParts = LoopState.adaptiveParts(spark,
+        math.max(1L, nEmb >> (2 * l)), AdjBytesPerRow)
       val (b, d, s) = beamLayer(edges, emb, qs, seeds, efL, roundsL,
-        countDots)
+        countDots, adjParts)
       beams = (l, b) :: beams
       scoredAll = s :: scoredAll
       dots += d
       seeds = b.select(col("q_id"), col("vec_id"))
     }
+    // every consumer of the returned frames reads checkpointed blocks,
+    // so the static cache can go as soon as the descent is done
+    emb.unpersist()
     (beams, dots, scoredAll.reduce(_ unionByName _))
   }
+
+  /** Cache-sizing estimates for [[LoopState.adaptiveParts]]: a 64-dim
+    * float embedding row ≈ 280 B; a layer member contributes
+    * ~2·degree 16 B edge rows ≈ the same order. Order-of-magnitude
+    * knobs — the count only decides how many ~64 MB cache partitions
+    * the loop-static frames get. */
+  private val EmbBytesPerRow = 300L
+  private val AdjBytesPerRow = 256L
 
   /** One layer's frontier loop: seed pairs → converged beam of `ef`
     * scored candidates per query. Returns (beam, exact dots spent,
@@ -216,15 +244,21 @@ object GraphAnn {
     * loop evaluated). */
   private def beamLayer(edges: DataFrame, emb: DataFrame, qs: DataFrame,
       seedPairs: DataFrame, ef: Int, maxRounds: Int,
-      countDots: Boolean = true): (DataFrame, Long, DataFrame) = {
-    // symmetrize: descent must walk links both ways
+      countDots: Boolean, adjParts: Int): (DataFrame, Long, DataFrame) = {
+    // symmetrize: descent must walk links both ways. Cached partitioned
+    // on src — the key every round's frontier-expansion join probes —
+    // at the size-derived count (see descendLayers): the dedup
+    // aggregation runs inside the src partitioning (HashPartitioning(src)
+    // clusters (src, dst) duplicates), so ONE exchange builds the cache
+    // and no round re-shuffles the graph-sized side again.
     val adj = edges
       .select(explode(array(
         struct(col("src"), col("dst")),
         struct(col("dst").as("src"), col("src").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
-      .distinct()
-      .localCheckpoint()
+      .repartition(adjParts, col("src"))
+      .dropDuplicates("src", "dst")
+      .cache()
     // self-match excluded up front (the Ann.search contract — query ids
     // share the corpus id namespace), so it never wastes a beam slot
     def score(pairs: DataFrame): DataFrame = pairs
@@ -234,9 +268,8 @@ object GraphAnn {
       .select(col("q_id"), col("vec_id"),
         Vectors.dot(col("embedding"), col("qvec")).as("score"))
     var dots = 0L
-    var beam = score(seedPairs.distinct())
-      .withColumn("expanded", lit(false))
-      .localCheckpoint()
+    var beam = LoopState.checkpoint(score(seedPairs.distinct())
+      .withColumn("expanded", lit(false)))
     // dot accounting is one count job per checkpoint — the budget
     // audit pays it (searchCounted), the production search skips it
     if (countDots) dots += beam.count()
@@ -259,29 +292,25 @@ object GraphAnn {
         .distinct()
         .join(visited.hint("shuffle_hash"), Seq("q_id", "vec_id"),
           "left_anti")
-      val scored = score(cand).localCheckpoint()
+      val scored = LoopState.checkpoint(score(cand))
       if (countDots) dots += scored.count()
       visited = visited.union(scored.select(col("q_id"), col("vec_id")))
       scoredAll = scoredAll.union(scored)
-      beam = beam.withColumn("expanded", lit(true))
+      beam = LoopState.checkpoint(beam.withColumn("expanded", lit(true))
         .unionByName(scored.withColumn("expanded", lit(false)))
         .withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= ef)
-        .drop("rnk")
-        .localCheckpoint()
+        .drop("rnk"))
       r += 1
       // the convergence probe is pure loop control — when the round
       // budget is exhausted the loop exits regardless, so the last
-      // round's count job is skipped (optimization r18). NOTE (same
-      // round): pre-partitioning adj/emb/qs by their join keys and
-      // cache()-ing removed 15 jobs and 39k shuffle rows per search at
-      // sf0.1 but cost ~1.5 s wall — the 32-partition cached layout
-      // forces every downstream stage to 32 tasks on toy data that AQE
-      // otherwise coalesces to ~2; reverted, measurement in
-      // OPTIMIZATION_r18.md ("GraphAnn" entry).
+      // round's count job is skipped (optimization r18).
       frontierN =
         if (r < maxRounds) beam.filter(!col("expanded")).count() else 0L
     }
+    // beam and every scoredAll piece are checkpointed — the adjacency
+    // cache has no consumers left
+    adj.unpersist()
     (beam.drop("expanded"), dots, scoredAll)
   }
 

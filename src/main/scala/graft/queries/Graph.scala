@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.{QueryFamily, Tables}
+import graft.operators.LoopState
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -125,7 +126,7 @@ object Graph extends QueryFamily {
       // keeps its teleport mass (textbook PPR) instead of silently
       // dropping out of next-round membership (VERDICT r13 #2) — one
       // node-sized append, no extra join, same single shuffle
-      ranks = edges
+      ranks = LoopState.checkpoint(edges
         .join(perNode.hint("shuffle_hash"), edges("src") === perNode("node"))
         .select(col("dst"), col("contrib_u"),
           lit(null).cast("long").as("outdeg"))
@@ -137,8 +138,7 @@ object Graph extends QueryFamily {
         .select(col("node"),
           (tele + floor(col("mass_u") * 17 / lit(20.0)).cast("long"))
             .as("pr_u"),
-          col("outdeg"))
-        .localCheckpoint()
+          col("outdeg")))
       it += 1
     }
     val out = ranks.select("node", "pr_u").orderBy("node")
@@ -241,29 +241,60 @@ object Graph extends QueryFamily {
     * reference peeler plus the nesting property core(k+1) ⊆ core(k). */
   def kCore(s: SparkSession, d: String, k: Int,
       maxIters: Int = 100): DataFrame = {
-    var edges = tradeEdges(s, d).localCheckpoint()
-    var m = edges.count()
+    // DELTA PEELING (optimization r19, guide §2 — replaces the rewrite-
+    // the-edge-list loop): the k-core is removal-order independent, so
+    // instead of re-filtering and re-counting the corpus-scaled edge
+    // list every round (two edge-sized shuffle writes per round), keep
+    // the per-node DEGREE frame and update it incrementally — a node
+    // that survives loses exactly one degree per neighbor removed this
+    // round. Per round: removed = survivors below k (node-sized);
+    // their incident edges come from ONE read of the static edge
+    // checkpoint via a BROADCAST semi-probe on dst (removed sets after
+    // round 1 are tiny — the gate falls back to shuffle-hash above
+    // Upsert.BroadcastKeyRows), and the per-src removal counts
+    // partial-aggregate into a node-sized shuffle. The edge list is
+    // never rewritten, re-partitioned, or re-counted: the measured r18
+    // shape paid 50 MB of shuffle writes at sf0.1; this pays the
+    // initial degree count plus node-sized rounds. Fixpoint = an empty
+    // removal set. The result is the same unique k-core, node for node
+    // and degree for degree (GraphSpec pins the single-threaded peeler;
+    // the unrolled-CTE oracle pins the distributed run).
+    val e0 = LoopState.checkpoint(tradeEdges(s, d))
+    var deg = LoopState.checkpoint(
+      e0.groupBy("src").agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg")))
     var done = false
     var it = 0
     while (!done && it < maxIters) {
-      val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val keep = deg.filter(col("deg") >= k).select(col("src").as("node"))
-      val pruned = edges
-        .join(keep.hint("shuffle_hash"), edges("src") === keep("node"),
-          "left_semi")
-        .join(keep.hint("shuffle_hash"), edges("dst") === keep("node"),
-          "left_semi")
-        .localCheckpoint()
-      val m2 = pruned.count()
-      if (m2 == m) done = true
-      else { edges = pruned; m = m2 }
+      val removed = deg.filter(col("deg") < k).select(col("node"))
+      val nRemoved = removed.count()
+      if (nRemoved == 0) done = true
+      else {
+        val remSide =
+          if (nRemoved <= graft.operators.Upsert.BroadcastKeyRows)
+            broadcast(removed)
+          else removed.hint("shuffle_hash")
+        // degree deltas: one pass over the STATIC edge list — edges
+        // whose dst fell this round decrement their src's degree.
+        // Edges whose src fell too are dropped by the survivor join
+        // below; cross-round double-removal is impossible (a removed
+        // node leaves the degree frame for good).
+        val delta = e0
+          .join(remSide, e0("dst") === removed("node"), "left_semi")
+          .groupBy("src").agg(count(lit(1)).as("__rm"))
+        val survivors = deg.filter(col("deg") >= k)
+        deg = LoopState.checkpoint(survivors
+          .join(delta.hint("shuffle_hash"),
+            survivors("node") === delta("src"), "left")
+          .select(col("node"),
+            (col("deg") - coalesce(col("__rm"), lit(0L))).as("deg")))
+      }
       it += 1
     }
     require(done,
       s"k-core peel did not reach a fixpoint in $maxIters rounds — " +
         "raise maxIters (pathological chain graphs peel O(n) rounds)")
-    edges.groupBy("src").agg(count(lit(1)).as("core_degree"))
-      .select(col("src").as("node"), col("core_degree"))
+    deg.select(col("node"), col("deg").as("core_degree"))
       .orderBy("node")
   }
 
@@ -314,9 +345,31 @@ object Graph extends QueryFamily {
     labelPropagationOn(edges, iters)
   }
 
-  /** The iteration loop over an arbitrary symmetrized edge list. */
+  /** The iteration loop over an arbitrary symmetrized edge list.
+    *
+    * HUB-KEY SKEW HARDENING (optimization r19, guide §2.5): the
+    * per-round join keys on `dst`, so at 100 TB a power-law hub dst
+    * owns an entire partition of the dst-partitioned edge cache AND of
+    * every round's probe — AQE skew-split cannot help (one key is
+    * indivisible). Gate: the node-degree profile (riding the SAME
+    * aggregation that initializes the labels — symmetrized edges make
+    * out-degree ≡ in-degree) flags dst keys whose degree exceeds
+    * `hotDegFactor · m / shuffle.partitions` rows (a single key owning
+    * several average partitions) AND the absolute `hotDegFloor` (so
+    * toy graphs never trip it). When flagged, the edge list splits:
+    * hot-dst edges cache partitioned on SRC (spreading each hub's
+    * rows; src partitioning also pre-clusters the follow-up
+    * (src, label) count) and join their per-round labels by BROADCAST
+    * (the hot label rows are ≤ #hot ≤ partitions/factor rows by
+    * construction); cold edges keep the r18 dst-partitioned
+    * shuffle-hash plan. Same rows either way — GraphSpec pins the
+    * split path against the plain one on a synthetic hub graph; the
+    * declared queries stay below the gate, so their plans are
+    * unchanged. */
   private[queries] def labelPropagationOn(edgeList: DataFrame,
-      iters: Int): DataFrame = {
+      iters: Int, hotDegFactor: Long = 8L,
+      hotDegFloor: Long = 4L << 20, maxHotKeys: Int = 1024): DataFrame = {
+    val spark = edgeList.sparkSession
     // partitioned on DST — the per-round join key (labels attach to the
     // edge's dst): the r18 optimization audit found this cached on src,
     // which the loop never joins on, so the corpus-scaled edge list
@@ -324,25 +377,78 @@ object Graph extends QueryFamily {
     // 9.57M → 5.99M, 91.5 → 59.7 MB, 29 → 26 jobs from this one-word
     // fix)
     val edges = edgeList.repartition(col("dst")).cache()
-    var labels = edges.select(col("src").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
+    // node set + degree profile in ONE pass (same exchange the old
+    // distinct paid; symmetrized ⇒ out-degree = in-degree per node)
+    val nodes = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
       .localCheckpoint()
+    val prof = nodes.agg(sum("deg").as("m"), max("deg").as("maxDeg"))
+      .head()
+    val m = prof.getLong(0)
+    val maxDeg = prof.getLong(1)
+    val parts = math.max(1,
+      spark.conf.get("spark.sql.shuffle.partitions", "200").toInt)
+    val hotCut = math.max(hotDegFloor, hotDegFactor * m / parts)
+    val hotKeys: Array[Long] =
+      if (maxDeg <= hotCut) Array.empty
+      else {
+        import spark.implicits._
+        // ≤ m/hotCut ≤ parts/hotDegFactor keys by construction; the cap
+        // only trims pathological floors (splitting fewer hubs is still
+        // correct, just less even)
+        nodes.filter(col("deg") > hotCut)
+          .orderBy(col("deg").desc, col("node"))
+          .limit(maxHotKeys).select("node").as[Long].collect()
+      }
+    val (edgesCold, edgesHot) =
+      if (hotKeys.isEmpty) (edges, None)
+      else {
+        val isHot = col("dst").isin(hotKeys.map(Long.box): _*)
+        // cold: a filter over the dst-partitioned cache KEEPS the
+        // partitioning (no exchange — and dropping the hub keys is
+        // precisely what un-skews the retained layout); hot: re-keyed
+        // on src, which spreads each hub's rows evenly AND pre-clusters
+        // the (src, label) count that follows the broadcast join.
+        // Materialize both (one pass over the parent cache), then drop
+        // the parent so the loop holds one copy of the graph.
+        val cold = edges.filter(!isHot).cache()
+        val hot = edges.filter(isHot).repartition(col("src")).cache()
+        cold.count(); hot.count()
+        edges.unpersist()
+        (cold, Some(hot))
+      }
+    var labels = nodes.select(col("node"), col("node").as("label"))
     var it = 0
     while (it < iters) {
-      labels = edges
-        .join(labels.hint("shuffle_hash"), edges("dst") === labels("node"))
+      val cold = edgesCold
+        .join(labels.hint("shuffle_hash"),
+          edgesCold("dst") === labels("node"))
         .select(col("src"), col("label"))
+      val contrib = edgesHot match {
+        case None => cold
+        case Some(hot) =>
+          val hotLabels = labels
+            .filter(col("node").isin(hotKeys.map(Long.box): _*))
+          cold.unionByName(hot
+            .join(broadcast(hotLabels), hot("dst") === hotLabels("node"))
+            .select(col("src"), col("label")))
+      }
+      labels = LoopState.checkpoint(contrib
         .groupBy("src", "label").agg(count(lit(1)).as("c"))
         // argmax by (count desc, label asc): max struct wins on the
         // higher count, then the higher -label = the smaller label
         .groupBy("src")
         .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-        .select(col("src").as("node"), (-col("m.nl")).as("label"))
-        .localCheckpoint()
+        .select(col("src").as("node"), (-col("m.nl")).as("label")))
       it += 1
     }
+    // labels is checkpointed (or a projection of the checkpointed node
+    // frame when iters = 0), so the presentation sort never re-reads
+    // the unpersisted caches
     val out = labels.orderBy("node")
     edges.unpersist()
+    edgesHot.foreach(_.unpersist())
+    if (!(edgesCold eq edges)) edgesCold.unpersist()
     out
   }
 
@@ -384,21 +490,20 @@ object Graph extends QueryFamily {
     // round (O(V·rounds) materialized rows and one extra job per
     // round) just to feed the next anti-join, which reads the union
     // of cached layers equally well
-    var layers = List(edges.select(col("src").as("node")).distinct()
-      .filter(seed)
-      .select(col("node"), lit(0L).as("hops"))
-      .localCheckpoint())
+    var layers = List(LoopState.checkpoint(
+      edges.select(col("src").as("node")).distinct()
+        .filter(seed)
+        .select(col("node"), lit(0L).as("hops"))))
     var frontier = layers.head.select("node")
     var h = 1
     while (h <= maxHops) {
       val settled = layers.reduce(_ unionByName _)
-      val next = edges
+      val next = LoopState.checkpoint(edges
         .join(frontier.hint("shuffle_hash"),
           edges("src") === frontier("node"))
         .select(col("dst").as("node")).distinct()
         .join(settled.hint("shuffle_hash"), Seq("node"), "left_anti")
-        .select(col("node"), lit(h.toLong).as("hops"))
-        .localCheckpoint()
+        .select(col("node"), lit(h.toLong).as("hops")))
       layers = next :: layers
       frontier = next.select("node")
       h += 1
@@ -523,20 +628,42 @@ object Graph extends QueryFamily {
     * Bellman-Ford on graphs where the cheap path is NOT the short one. */
   private[queries] def shortestCostOn(edges: DataFrame, maxHops: Int,
       seed: Column): DataFrame = {
-    var dist = edges.select(col("src").as("node")).distinct()
-      .filter(seed)
-      .select(col("node"), lit(0L).as("dist_u"))
-      .localCheckpoint()
+    // DELTA-FRONTIER RELAXATION (optimization r19, guide §2): only
+    // nodes whose distance IMPROVED last round can improve a neighbor
+    // this round (the Bellman-Ford frontier invariant — a node whose
+    // dist is unchanged already propagated that value the round it
+    // first appeared), so the edge-sized join keys on the shrinking
+    // frontier instead of the whole distance frame. After k rounds the
+    // frame still holds exactly the min cost over ≤ k-edge paths — the
+    // same rows full relaxation produces, which is what the unrolled
+    // oracle pins. The frontier costs no extra pass: the min-merge
+    // aggregation carries the previous distance (min over the old-side
+    // rows) beside the new minimum in one shuffle, and "improved" is a
+    // filter over that checkpointed frame.
+    var dist = LoopState.checkpoint(
+      edges.select(col("src").as("node")).distinct()
+        .filter(seed)
+        .select(col("node"), lit(0L).as("dist_u")))
+    var frontier = dist
     var h = 0
     while (h < maxHops) {
-      dist = edges
-        .join(dist.hint("shuffle_hash"), edges("src") === dist("node"))
+      val merged = LoopState.checkpoint(edges
+        .join(frontier.hint("shuffle_hash"),
+          edges("src") === frontier("node"))
         .select(col("dst").as("node"),
-          (col("dist_u") + col("cost_u")).as("dist_u"))
-        .unionByName(dist.select(col("node"), col("dist_u")))
+          (col("dist_u") + col("cost_u")).as("dist_u"),
+          lit(true).as("__relaxed"))
+        .unionByName(dist.select(col("node"), col("dist_u"),
+          lit(false).as("__relaxed")))
         .groupBy("node")
-        .agg(min("dist_u").as("dist_u"))
-        .localCheckpoint()
+        .agg(min("dist_u").as("dist_u"),
+          min(when(!col("__relaxed"), col("dist_u"))).as("__old_u")))
+      dist = merged.select(col("node"), col("dist_u"))
+      // improved ⇔ new to the frame, or strictly below last round's
+      // value (carried as __old_u; exactly one old row per node)
+      frontier = merged
+        .filter(col("__old_u").isNull || col("dist_u") < col("__old_u"))
+        .select(col("node"), col("dist_u"))
       h += 1
     }
     dist.orderBy("node")

@@ -404,4 +404,32 @@ class GraphSpec extends SparkSuite {
     // and the seed's mass flows downstream (node 2 receives it)
     assert(ranks(2L) > 150000L, s"seed mass did not propagate: $ranks")
   }
+
+  test("LPA hub-split path ≡ plain path on a skewed graph (r19 gate)") {
+    import spark.implicits._
+    // hub node 1 touches every node 2..41 (degree 40); the rest is two
+    // 5-cliques — a power-law-ish dst profile. With the gate thresholds
+    // forced low the hub keys route through the broadcast branch; the
+    // assignment must be IDENTICAL to the plain (ungated) loop.
+    val clique = (a: Long) =>
+      for (i <- a until a + 5; j <- a until a + 5 if i < j) yield (i, j)
+    val und = (2L to 41L).map(n => (1L, n)) ++ clique(50L) ++ clique(60L)
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst").localCheckpoint()
+    val plain = Graph.labelPropagationOn(edges, 4)
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    // floor 1, factor 1: every node above one average partition's
+    // share of rows splits — on 4 shuffle partitions that is the hub
+    val split = Graph.labelPropagationOn(edges, 4,
+      hotDegFactor = 1L, hotDegFloor = 1L)
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    assert(split == plain,
+      s"first diff: ${split.zip(plain).find(p => p._1 != p._2)}")
+    // and the gate really was live: the hub's degree (40) exceeds the
+    // cut the params force (sanity that the hot branch actually ran)
+    val m = edges.count()
+    assert(40L > math.max(1L, 1L * m / spark.conf
+      .get("spark.sql.shuffle.partitions").toInt),
+      "test graph no longer trips the forced gate")
+  }
 }

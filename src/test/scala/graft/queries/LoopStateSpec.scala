@@ -1,0 +1,81 @@
+package graft.queries
+
+import graft.operators.LoopState
+
+import java.nio.file.Files
+
+import graft.SparkSuite
+import org.apache.spark.sql.functions._
+
+/** [[LoopState]] — the loop-boundary persistence helper (optimization
+  * r19, guide §5): `local` mode ≡ localCheckpoint (the bench shape);
+  * `reliable` mode routes through `checkpoint()` so an executor loss
+  * mid-loop on a cluster can recover, and must produce IDENTICAL
+  * results; partition sizing is size-derived and clamped. */
+class LoopStateSpec extends SparkSuite {
+
+  private def withMode[A](mode: String)(f: => A): A = {
+    val before = spark.conf.getOption(LoopState.ModeConf)
+    spark.conf.set(LoopState.ModeConf, mode)
+    try f
+    finally before match {
+      case Some(v) => spark.conf.set(LoopState.ModeConf, v)
+      case None => spark.conf.unset(LoopState.ModeConf)
+    }
+  }
+
+  test("reliable mode ≡ local mode through an iterative loop") {
+    import spark.implicits._
+    val und = Seq((1L, 2L), (2L, 3L), (3L, 4L), (1L, 4L), (10L, 11L))
+    val edges = und.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+      .toDF("src", "dst").localCheckpoint()
+    val seed = col("node") === 1L
+    val local = Graph
+      .hopDistanceOn(edges, maxHops = 3, seed)
+      .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    val dir = Files.createTempDirectory("loopstate-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val reliable = withMode("reliable") {
+      Graph.hopDistanceOn(edges, maxHops = 3, seed)
+        .as[(Long, Long)].collect().toSeq.sortBy(_._1)
+    }
+    assert(reliable == local)
+    // the reliable run really checkpointed to the durable dir
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.listStatus(new org.apache.hadoop.fs.Path(dir)).nonEmpty,
+      "reliable mode wrote nothing to the checkpoint dir")
+  }
+
+  test("reliable mode without a checkpoint dir fails loudly") {
+    // a fresh context-level dir cannot be unset once set, so pin the
+    // contract through a session that never set one — here we can only
+    // assert the guard when the dir is absent; if a previous test set
+    // it, assert the unknown-mode guard instead (both are the loud-
+    // failure contract)
+    import spark.implicits._
+    val df = Seq(1L, 2L).toDF("x")
+    if (spark.sparkContext.getCheckpointDir.isEmpty) {
+      val e = intercept[IllegalArgumentException] {
+        withMode("reliable")(LoopState.checkpoint(df))
+      }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    }
+    val e2 = intercept[IllegalArgumentException] {
+      withMode("bogus")(LoopState.checkpoint(df))
+    }
+    assert(e2.getMessage.contains("local or reliable"))
+  }
+
+  test("adaptiveParts: size-derived, clamped to [2, shuffle.partitions]") {
+    // session has shuffle.partitions=4, advisory default 64m; the floor
+    // is 2 because a 1-partition hash repartition plans as
+    // SinglePartition, which joins do not treat as hash-clustered
+    assert(LoopState.adaptiveParts(spark, 0L, 16L) == 2)
+    assert(LoopState.adaptiveParts(spark, 1000L, 16L) == 2)
+    // 64 MB / 16 B = 4M rows per partition: 9M rows → 3 partitions
+    assert(LoopState.adaptiveParts(spark, 9L << 20, 16L) == 3)
+    // far past the ceiling → clamp at the session's 4
+    assert(LoopState.adaptiveParts(spark, 1L << 40, 300L) == 4)
+  }
+}
