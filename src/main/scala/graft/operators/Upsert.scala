@@ -235,19 +235,35 @@ object Upsert {
     def keySide(df: DataFrame): DataFrame =
       if (nKeys <= BroadcastKeyRows) broadcast(df) else df
 
-    // touched files: a key-columns-only scan (ReadSchema prunes to
-    // the keys) of the probe subset — the whole table unless the
-    // caller proved a smaller sound set — semi-joined against the
-    // change keys
+    // touched files AND the present-key count from ONE key-columns-only
+    // scan of the probe subset (ReadSchema prunes to the keys; the
+    // whole table unless the caller proved a smaller sound set): the
+    // inner join against the change keys (unique per key after resolve,
+    // so no row blowup) yields every (table row, matching key) hit —
+    // collect_set of the hit files is the touched set, and the distinct
+    // non-tombstone keys among the hits are the upsert-stat `present`
+    // count that previously paid its OWN full re-read of the touched
+    // files plus a distinct + semi-join job (optimization r19, guide
+    // §1.2: same-keyed passes share one scan). "present among probed"
+    // ≡ "present among touched": a file holding a matching key IS
+    // touched.
     val probed = probeFiles.getOrElse(tableFiles)
-    val touched =
-      if (probed.isEmpty) Set.empty[String]
-      else spark.read.schema(table.schema).parquet(probed: _*)
-        .select(keys.map(col): _*)
-        .withColumn("__file", input_file_name())
-        .join(keySide(keyRows), keys, "left_semi")
-        .select("__file").distinct()
-        .collect().map(_.getString(0)).toSet
+    val keyDel = resolved.select(keys.map(col) :+
+      tombstoneCol.map(t => coalesce(col(t), lit(false)))
+        .getOrElse(lit(false)).as("__del"): _*)
+    val (touched, present) =
+      if (probed.isEmpty) (Set.empty[String], 0L)
+      else {
+        val hit = spark.read.schema(table.schema).parquet(probed: _*)
+          .select(keys.map(col): _*)
+          .withColumn("__file", input_file_name())
+          .join(keySide(keyDel), keys)
+          .agg(collect_set(col("__file")).as("__fs"),
+            count_distinct(when(!col("__del"),
+              struct(keys.map(col): _*))).as("__present"))
+          .head()
+        (hit.getSeq[String](0).toSet, hit.getLong(1))
+      }
 
     val touchedPaths = touched.map(s =>
       new org.apache.hadoop.fs.Path(s).toUri.getPath)
@@ -271,16 +287,8 @@ object Upsert {
     rewritten.write.mode("append").parquet(outDir)
 
     // stats from change-sized frames only (no full-table count):
-    // upserts = keys present in the table, inserts = the rest
-    val present =
-      if (touched.isEmpty) 0L
-      else {
-        val tableKeys = spark.read.schema(table.schema)
-          .parquet(touched.toSeq: _*).select(keys.map(col): _*)
-          .distinct()
-        upsertRows.select(keys.map(col): _*)
-          .join(keySide(tableKeys), keys, "left_semi").count()
-      }
+    // upserts = keys present in the table (counted by the probe scan
+    // above), inserts = the rest
     (Stats(
       upserts = present,
       deletes = nDeletes,

@@ -12,7 +12,9 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $OPENS \
+# SPARK_GRAFT_JAVA_OPTS: extra -D flags for A/B conf experiments
+# (e.g. -Dspark.io.compression.codec=zstd for the shuffle-codec A/B)
+exec java $OPENS ${SPARK_GRAFT_JAVA_OPTS:-} \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -Xmx"${SPARK_DRIVER_MEM:-8g}" \
   -cp "/root/repo/target/scala-2.13/classes:/opt/spark/jars/*" \
