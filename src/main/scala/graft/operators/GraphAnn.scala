@@ -200,7 +200,15 @@ object GraphAnn {
     // count and toy data paid 32 tasks per stage where AQE coalesces
     // to ~2 (measured +1.5 s; reverted then, solved now).
     val emb0 = embeddings.select(col("vec_id"), col("embedding"))
-    val nEmb = emb0.count()
+    // corpus size from the INDEX GEOMETRY, not a count job: the entry
+    // set is the top layer's members ≈ n/4^maxLevel by the
+    // deterministic level draw, so n ≈ entries · 4^maxLevel — a
+    // driver-side O(1) estimate (exact when the index is single-layer).
+    // A count() here would be a full corpus scan per search call —
+    // the one thing a static-cache sizing step must not add at 100 TB;
+    // adaptiveParts only needs the order of magnitude.
+    val nEmb = math.max(1L,
+      index.entries.length.toLong << (2 * (index.layers.size - 1)))
     val embParts = LoopState.adaptiveParts(spark, nEmb, EmbBytesPerRow)
     val emb = emb0.repartition(embParts, col("vec_id")).cache()
     val qs = queries.select(col("q_id"), col("qvec")).localCheckpoint()

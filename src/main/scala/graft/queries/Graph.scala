@@ -379,9 +379,9 @@ object Graph extends QueryFamily {
     val edges = edgeList.repartition(col("dst")).cache()
     // node set + degree profile in ONE pass (same exchange the old
     // distinct paid; symmetrized ⇒ out-degree = in-degree per node)
-    val nodes = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      .select(col("src").as("node"), col("deg"))
-      .localCheckpoint()
+    val nodes = LoopState.checkpoint(
+      edges.groupBy("src").agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg")))
     val prof = nodes.agg(sum("deg").as("m"), max("deg").as("maxDeg"))
       .head()
     val m = prof.getLong(0)
