@@ -202,10 +202,45 @@ object TableLog {
     val bytes = content.getBytes("UTF-8")
     val out = f.create(tmp, false)
     try out.write(bytes) finally out.close()
-    if (f.exists(dst) || !f.rename(tmp, dst)) {
-      f.delete(tmp, false)
-      sys.error(s"concurrent commit of ${dst.getName} to $dir lost " +
-        "the rename race")
+    // ATOMIC EXCLUSIVE PUBLISH. The old exists-then-rename had a TOCTOU
+    // window on local filesystems: POSIX rename(2) silently OVERWRITES
+    // an existing destination, so two racers that both passed the
+    // exists check could BOTH land — the first read-back verifies
+    // before the second rename replaces it, and the second verifies its
+    // own content, so both returned success and the first record was
+    // lost (caught by TableLogTortureSpec's six-writer race under heavy
+    // host load, r19). On file: schemes, publish via hard LINK instead:
+    // link(2) fails atomically when the destination exists, the linked
+    // content is the fully-written temp bytes, and a crash leaves only
+    // a temp file (no claim debris that could block the version).
+    // Non-local stores keep rename (atomic-exclusive on HDFS and
+    // object-store committers) + the read-back as defense in depth.
+    val dstQ = f.makeQualified(dst)
+    val linked: Option[Boolean] =
+      if (dstQ.toUri.getScheme == "file") {
+        try {
+          java.nio.file.Files.createLink(
+            java.nio.file.Paths.get(dstQ.toUri.getPath),
+            java.nio.file.Paths.get(
+              f.makeQualified(tmp).toUri.getPath))
+          Some(true)
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException => Some(false)
+          case _: UnsupportedOperationException => None // no-link fs
+        }
+      } else None
+    linked match {
+      case Some(won) =>
+        f.delete(tmp, false)
+        if (!won)
+          sys.error(s"concurrent commit of ${dst.getName} to $dir " +
+            "lost the rename race")
+      case None =>
+        if (f.exists(dst) || !f.rename(tmp, dst)) {
+          f.delete(tmp, false)
+          sys.error(s"concurrent commit of ${dst.getName} to $dir " +
+            "lost the rename race")
+        }
     }
     if (readText(f, dst) != content)
       sys.error(s"concurrent commit of ${dst.getName} to $dir " +

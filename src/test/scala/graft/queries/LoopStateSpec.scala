@@ -68,14 +68,18 @@ class LoopStateSpec extends SparkSuite {
   }
 
   test("adaptiveParts: size-derived, clamped to [2, shuffle.partitions]") {
-    // session has shuffle.partitions=4, advisory default 64m; the floor
-    // is 2 because a 1-partition hash repartition plans as
-    // SinglePartition, which joins do not treat as hash-clustered
-    assert(LoopState.adaptiveParts(spark, 0L, 16L) == 2)
-    assert(LoopState.adaptiveParts(spark, 1000L, 16L) == 2)
+    // read the CURRENT ceiling — the session is shared across suites
+    // and another suite may have re-set shuffle.partitions before this
+    // one runs; the contract under test is the clamp, not the value
+    val maxP = spark.conf.get("spark.sql.shuffle.partitions").toInt
+    // floor 2: a 1-partition hash repartition plans as SinglePartition,
+    // which joins do not treat as hash-clustered (advisory default 64m)
+    assert(LoopState.adaptiveParts(spark, 0L, 16L) == math.min(2, maxP))
+    assert(LoopState.adaptiveParts(spark, 1000L, 16L) == math.min(2, maxP))
     // 64 MB / 16 B = 4M rows per partition: 9M rows → 3 partitions
-    assert(LoopState.adaptiveParts(spark, 9L << 20, 16L) == 3)
-    // far past the ceiling → clamp at the session's 4
-    assert(LoopState.adaptiveParts(spark, 1L << 40, 300L) == 4)
+    assert(LoopState.adaptiveParts(spark, 9L << 20, 16L)
+      == math.min(3, maxP))
+    // far past any ceiling → clamp at the session's shuffle.partitions
+    assert(LoopState.adaptiveParts(spark, 1L << 40, 300L) == maxP)
   }
 }
